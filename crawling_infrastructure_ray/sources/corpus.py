@@ -1,0 +1,146 @@
+"""Deterministic synthetic crawl corpus (FIXTURES.md F1-F4).
+
+Everything is a pure function of (seed, url) — no stored fixture files
+are required at crawl time; the same functions are evaluated inside
+the FetchSim actors (engine path) and inside the single-threaded
+oracle (test path), so per-row span-sequence equality is checkable
+end to end (BASELINE.json input_hint).
+
+The seed-URL generator mirrors the reference's items-file ingest
+(newline URL lists, master/src/services/crawltask.service.ts:1076-1088;
+tutorial top-10k workload master/ctrl.js:270-282): Zipf-distributed
+hosts (hot-host skew is deliberate — it exercises the salted
+partitioning path), ~2% duplicate URLs (the reference queue allows
+duplicates, crawltask.service.ts:782-785).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import md5_id, stable_hash64
+
+_FETCH_SALT = 0xFE7C
+_LINK_SALT = 0x117C
+_SPAN_SALT = 0x59A7
+
+_VOCAB = [f"tok{i:03d}" for i in range(512)]
+
+
+def make_seed_urls(n: int, seed: int = 42, num_hosts: int | None = None,
+                   dup_rate: float = 0.02) -> pa.Table:
+    """FIXTURES F2 seed list: (enqueue_seq, url, host, depth, priority)."""
+    num_hosts = num_hosts or max(8, n // 50)
+    rng = np.random.default_rng(seed)
+    # Zipf(a=1.2) host ids truncated to num_hosts
+    host_ids = rng.zipf(1.2, size=n) % num_hosts
+    path_ids = rng.integers(0, max(4, n * 4), size=n)
+    urls = [f"http://h{h}.example/p{p:06x}" for h, p in zip(host_ids, path_ids)]
+    # ~dup_rate duplicates: overwrite a slot with an earlier URL
+    ndup = int(n * dup_rate)
+    if ndup and n > 1:
+        dup_pos = rng.integers(1, n, size=ndup)
+        src_pos = rng.integers(0, dup_pos)  # earlier index, deterministic given seed
+        for d, s in zip(dup_pos, src_pos):
+            urls[d] = urls[s]
+    hosts = [u.split("/")[2] for u in urls]
+    return pa.table({
+        "enqueue_seq": pa.array(np.arange(n, dtype=np.uint64)),
+        "url": pa.array(urls, pa.string()),
+        "host": pa.array(hosts, pa.string()),
+        "depth": pa.array(np.zeros(n, dtype=np.int32)),
+        "priority": pa.array(np.ones(n, dtype=np.int32)),
+    })
+
+
+def doc_id_for_url(url: str) -> str:
+    """Stable doc id, md5-derived (reference md5 request ids,
+    crawler/src/persistant_handler.ts:159-162)."""
+    return "d-" + md5_id(url)[:12]
+
+
+def fetch_outcome(url: str, attempt: int, seed: int = 42) -> dict:
+    """FIXTURES F4 oracle: deterministic simulated fetch result.
+
+    status: 'completed' | 'failed' | 'blocked'
+      ~6% of URLs fail for their first 1-2 attempts then succeed
+        (drives retry semantics, retry_failed_items=3),
+      ~2% fail permanently (terminal failed after 3 retries),
+      ~2% are 'blocked' on attempt 0 only (proxy-block signature —
+        reference R6: retry not consumed, crawler/src/handler.ts:171-176).
+    """
+    h = stable_hash64(url, seed ^ _FETCH_SALT)
+    r = h % 100
+    latency_ms = int(5 + (h >> 16) % 95)
+    if r < 6:
+        fail_until = 1 + ((h >> 8) % 2)
+        status = "failed" if attempt < fail_until else "completed"
+        err = "net::ERR_CONNECTION_TIMED_OUT" if status == "failed" else ""
+    elif r < 8:
+        status, err = "failed", "HTTP 500"
+    elif r < 10:
+        status = "blocked" if attempt == 0 else "completed"
+        err = "HTTP 429" if status == "blocked" else ""
+    else:
+        status, err = "completed", ""
+    return {"status": status, "error": err, "latency_ms": latency_ms}
+
+
+def link_children(url: str, depth: int, seed: int = 42, max_depth: int = 2,
+                  num_hosts: int = 64) -> list[str]:
+    """FIXTURES F3 link graph: 0..5 deterministic children per URL.
+
+    ~70% same-host children, ~30% cross-host — drives worker-side
+    frontier expansion (reference enqueue(), crawler/src/enqueue.ts:71-116).
+    """
+    if depth >= max_depth:
+        return []
+    h = stable_hash64(url, seed ^ _LINK_SALT)
+    k = h % 6
+    host = url.split("/")[2] if "://" in url else "h0.example"
+    out = []
+    for i in range(k):
+        hi = stable_hash64(f"{url}#{i}", seed ^ _LINK_SALT)
+        child_host = host if hi % 10 < 7 else f"h{hi % num_hosts}.example"
+        out.append(f"http://{child_host}/c{(hi >> 8) % (1 << 24):06x}")
+    return out
+
+
+def make_spans(url: str, seed: int = 42) -> list[dict]:
+    """FIXTURES F1 interleaved text+media spans for one document.
+
+    n_spans = 1 + (id_hash * 2654435761 mod 13); spans alternate
+    text/media starting with text; offsets are cumulative text char
+    offsets; all content is a pure function of (seed, doc_id, span_idx).
+    """
+    doc_id = doc_id_for_url(url)
+    idh = stable_hash64(doc_id, seed ^ _SPAN_SALT)
+    n_spans = 1 + (idh * 2654435761) % 13
+    host = url.split("/")[2] if "://" in url else "h0.example"
+    spans = []
+    offset = 0
+    for i in range(n_spans):
+        sh = stable_hash64(f"{doc_id}|{i}", seed ^ _SPAN_SALT)
+        if i % 2 == 0:  # text span
+            ntok = 3 + sh % 14
+            toks = [_VOCAB[(sh >> (j % 48)) * (j + 1) % len(_VOCAB)] for j in range(ntok)]
+            text = " ".join(toks)
+            spans.append({"kind": "text", "text": text, "media_ref": "",
+                          "offset": offset})
+            offset += len(text)
+        else:  # media span — reference-not-payload (SURVEY.md §7.4)
+            spans.append({"kind": "media", "text": "",
+                          "media_ref": f"m://{host}/{md5_id(f'{doc_id}|{i}')[:10]}",
+                          "offset": offset})
+    return spans
+
+
+def spans_arrow_type() -> pa.DataType:
+    """Arrow type of the documents.spans column (input_hint schema)."""
+    return pa.list_(pa.struct([
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]))

@@ -1,0 +1,607 @@
+"""Sharded URL frontier — the rebuild of the reference's MongoDB queue.
+
+The reference keeps one MongoDB collection per task
+(``item_queue_<task_id>``) with a per-item state machine
+{initial=0, running=1, completed=2, failed=3} (lib/types/queue.ts:3-13)
+and these semantics (SURVEY.md §3.2 invariant):
+
+  Claim = first ``n`` rows in ``enqueue_seq`` order with
+  ``status==initial``, marked ``running`` atomically
+  (crawler/src/crawl_queue.ts:89-117); commit in lease order
+  (crawl_queue.ts:119-149); ``failed→initial`` restores eligibility at
+  the item's ORIGINAL position (master/src/models/queue.model.ts:258-266
+  updates in place); worker-side ``enqueue()`` appends at the tail with
+  a fresh ``enqueue_seq`` (crawler/src/enqueue.ts:71-116); block
+  detection does not consume a retry (crawler/src/handler.ts:171-176);
+  worker abort / storage failure rolls uncommitted lease items back to
+  ``initial`` (crawler/src/handler.ts:90-103, crawler/src/index.ts:237-243).
+
+Here each ``FrontierShardCore`` is a single-writer owner of one hash
+partition of the URL space (shard = stable_hash64(host) % K, so per-host
+politeness state is shard-local). Single-writer actors make the
+reference's "atom write operation" claims (crawl_queue.ts:82-88)
+trivially race-free — the known ``num_workers_running`` races
+(crawltask.model.ts:202-204) disappear by construction.
+
+North-star additions the reference lacks: cuckoo/bloom URL-seen dedup
+(mode flag — fidelity mode allows duplicates like the reference),
+per-host token-bucket politeness, robots verdicts, lease TTL healing,
+and parquet+pickle shard checkpoints for exact resume.
+
+Scale notes (10^10 URLs, 256 nodes): state per shard is O(in-flight +
+not-yet-terminal) items plus an O(1)-per-URL cuckoo filter; terminal
+items are evicted to the lineage/documents tables (``evict_terminal``)
+so shard memory stays bounded. Leases move as columnar dicts (one
+message per lease, not per item).
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+import pickle
+import tempfile
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from ..functions.hashing import stable_hash64
+from ..functions.urltools import canonicalize_url, parse_host
+from .filters import BloomFilter, CuckooFilter
+from .politeness import HostPoliteness, RobotsCache
+
+# per-item states — values match the reference enum (lib/types/queue.ts:13)
+INITIAL, RUNNING, COMPLETED, FAILED = 0, 1, 2, 3
+
+# item tuple layout inside a shard. retries = the reference's retry
+# counter (block-detection doesn't consume one, R6); attempts = total
+# number of times the item was actually leased (always increments) —
+# what the reference's `retries += 1; if blocked: retries -= 1`
+# sequence transiently counts (crawler/src/handler.ts:109,171-176).
+_URL, _HOST, _DEPTH, _PRIORITY, _STATUS, _RETRIES, _ERROR, _CRAWLED, _ATTEMPTS = range(9)
+
+
+class FrontierShardCore:
+    """Single shard of the frontier. Pure Python — wrapped by ray.remote
+    below; used directly (K=1) as the single-threaded conformance oracle."""
+
+    def __init__(self, shard_id: int = 0, *, dedup: bool = False,
+                 use_cuckoo: bool = True, filter_capacity: int = 1 << 20,
+                 politeness: bool = False, default_rate: float = 1.0,
+                 default_burst: float = 4.0, robots: bool = False,
+                 max_retries: int = 3, lease_ttl: float = 600.0,
+                 order: str = "fifo", seed: int = 42):
+        self.shard_id = shard_id
+        self.dedup = dedup
+        self.max_retries = max_retries  # reference retry_failed_items default 3 (crawltask.model.ts:399-403)
+        self.lease_ttl = lease_ttl
+        self.order = order  # "fifo" (reference fidelity) | "priority" (north-star heap)
+        self.seed = seed
+        self.items: dict[int, list] = {}
+        self.heap: list[tuple] = []        # (order_key..., seq) lazy-deleted
+        self.leases: dict[int, tuple[list[int], float]] = {}
+        self.next_lease_id = shard_id * 1_000_000_000
+        self.seen = None
+        if dedup:
+            self.seen = (CuckooFilter(filter_capacity, seed) if use_cuckoo
+                         else BloomFilter(filter_capacity, 0.001, seed))
+        self.politeness = HostPoliteness(default_rate, default_burst) if politeness else None
+        self.robots = RobotsCache(seed) if robots else None
+        # lineage counters (reference worker_meta analog, lib/types/workermeta.ts)
+        self.counters = {"enqueued": 0, "deduped": 0, "robots_denied": 0,
+                         "leased": 0, "committed_ok": 0, "committed_fail": 0,
+                         "committed_blocked": 0, "rolled_back": 0,
+                         "retried": 0, "expired_leases": 0, "evicted": 0}
+        # terminal counts survive eviction so histograms stay exact
+        self._evicted_completed = 0
+        self._evicted_failed = 0
+        self._terminal_seen: list[str] = []  # canonical urls reaching terminal state (seen-set audit)
+
+    # ------------------------------------------------------------------
+    # ingest (reference S1 insertItems, queue.model.ts:32-68)
+    # ------------------------------------------------------------------
+    def enqueue(self, seqs: list[int], urls: list[str], depths: list[int],
+                priorities: list[int] | None = None) -> int:
+        """Insert items with caller-assigned global enqueue seqs.
+
+        Returns number actually inserted (dedup mode may skip). The
+        caller (Frontier facade / commit pump) assigns monotonically
+        increasing seqs — the Mongo ``_id`` insertion-order analog.
+        """
+        priorities = priorities or [1] * len(urls)
+        inserted = 0
+        for seq, url, depth, prio in zip(seqs, urls, depths, priorities):
+            curl = canonicalize_url(url)
+            if self.seen is not None:
+                if not self.seen.add(curl):  # already present → duplicate
+                    self.counters["deduped"] += 1
+                    continue
+            host = parse_host(curl)
+            self.items[seq] = [curl, host, depth, prio, INITIAL, 0, "", 0.0, 0]
+            heapq.heappush(self.heap, self._key(seq, depth, prio))
+            inserted += 1
+        self.counters["enqueued"] += inserted
+        return inserted
+
+    def _key(self, seq: int, depth: int, prio: int) -> tuple:
+        if self.order == "priority":
+            # north-star heap: (crawl_depth, enqueue_seq); host budget is
+            # enforced at claim time via the token buckets (BASELINE.json
+            # north_star: priority heap keyed by crawl-depth, host-budget,
+            # enqueue-time)
+            return (depth, -prio, seq)
+        return (seq,)
+
+    # ------------------------------------------------------------------
+    # claim (reference S7 getItemsToCrawlSafe, crawl_queue.ts:89-117)
+    # ------------------------------------------------------------------
+    def lease(self, n: int, now: float | None = None) -> dict:
+        """Atomically claim up to ``n`` eligible items: initial→running.
+
+        Returns a columnar dict {lease_id, seq[], url[], host[],
+        depth[], retries[], priority[]}. Politeness-blocked items stay
+        eligible (skipped this claim); robots-disallowed items go
+        terminal ``failed`` with error='robots_disallowed'.
+        """
+        now = time.monotonic() if now is None else now
+        claimed: list[int] = []
+        deferred: list[tuple] = []  # politeness-skipped heap entries to restore
+        while self.heap and len(claimed) < n:
+            entry = heapq.heappop(self.heap)
+            seq = entry[-1]
+            it = self.items.get(seq)
+            if it is None or it[_STATUS] != INITIAL:
+                continue  # stale heap entry (lazy deletion)
+            if self.robots is not None and not self.robots.allowed(it[_URL]):
+                it[_STATUS] = FAILED
+                it[_RETRIES] = self.max_retries  # terminal — robots never flips
+                it[_ERROR] = "robots_disallowed"
+                self.counters["robots_denied"] += 1
+                self._terminal_seen.append(it[_URL])
+                continue
+            if self.politeness is not None and not self.politeness.try_take(it[_HOST], now):
+                deferred.append(entry)
+                continue
+            it[_STATUS] = RUNNING
+            it[_ATTEMPTS] += 1
+            claimed.append(seq)
+        for entry in deferred:
+            heapq.heappush(self.heap, entry)
+        if not claimed:
+            return {"lease_id": -1, "seq": [], "url": [], "host": [],
+                    "depth": [], "retries": [], "priority": [], "attempt": []}
+        lease_id = self.next_lease_id
+        self.next_lease_id += 1
+        self.leases[lease_id] = (claimed, now + self.lease_ttl)
+        self.counters["leased"] += len(claimed)
+        its = [self.items[s] for s in claimed]
+        return {"lease_id": lease_id, "seq": claimed,
+                "url": [i[_URL] for i in its], "host": [i[_HOST] for i in its],
+                "depth": [i[_DEPTH] for i in its],
+                "retries": [i[_RETRIES] for i in its],
+                "priority": [i[_PRIORITY] for i in its],
+                "attempt": [i[_ATTEMPTS] - 1 for i in its]}
+
+    # ------------------------------------------------------------------
+    # commit (reference K4 updateQueueNew, crawl_queue.ts:119-149)
+    # ------------------------------------------------------------------
+    def commit(self, lease_id: int, seqs: list[int], statuses: list[str],
+               errors: list[str] | None = None, now: float | None = None) -> dict:
+        """Write back results for (part of) a lease.
+
+        ``statuses[i]`` ∈ {'completed', 'failed', 'blocked'}:
+          completed → COMPLETED, crawled_at stamped
+          failed    → FAILED, retries += 1   (handler.ts:109,161-162)
+          blocked   → FAILED, retries unchanged (R6, handler.ts:171-176)
+        Uncommitted lease members roll back to INITIAL (R5).
+        """
+        now = time.time() if now is None else now
+        errors = errors or [""] * len(seqs)
+        lease = self.leases.pop(lease_id, None)
+        lease_seqs = set(lease[0]) if lease else set()
+        for seq, st, err in zip(seqs, statuses, errors):
+            it = self.items.get(seq)
+            if it is None or it[_STATUS] != RUNNING:
+                continue
+            lease_seqs.discard(seq)
+            if st == "completed":
+                it[_STATUS] = COMPLETED
+                it[_CRAWLED] = now
+                self.counters["committed_ok"] += 1
+                self._terminal_seen.append(it[_URL])
+            elif st == "blocked":
+                it[_STATUS] = FAILED
+                it[_ERROR] = err or "blocked"
+                self.counters["committed_blocked"] += 1
+            else:
+                it[_STATUS] = FAILED
+                it[_RETRIES] += 1
+                it[_ERROR] = err or "failed"
+                self.counters["committed_fail"] += 1
+                if it[_RETRIES] >= self.max_retries:
+                    self._terminal_seen.append(it[_URL])
+        # R5: anything leased but not reported rolls back to initial
+        rolled = 0
+        for seq in lease_seqs:
+            it = self.items.get(seq)
+            if it is not None and it[_STATUS] == RUNNING:
+                it[_STATUS] = INITIAL
+                heapq.heappush(self.heap, self._key(seq, it[_DEPTH], it[_PRIORITY]))
+                rolled += 1
+        self.counters["rolled_back"] += rolled
+        return {"rolled_back": rolled}
+
+    def rollback(self, lease_id: int) -> int:
+        """Worker-abort rollback (R5): every lease item running→initial."""
+        lease = self.leases.pop(lease_id, None)
+        if lease is None:
+            return 0
+        n = 0
+        for seq in lease[0]:
+            it = self.items.get(seq)
+            if it is not None and it[_STATUS] == RUNNING:
+                it[_STATUS] = INITIAL
+                heapq.heappush(self.heap, self._key(seq, it[_DEPTH], it[_PRIORITY]))
+                n += 1
+        self.counters["rolled_back"] += n
+        return n
+
+    def expire_leases(self, now: float | None = None) -> int:
+        """Lease-TTL healing (maps reference R3 lost-worker healing,
+        workermeta.model.ts:175-203)."""
+        now = time.monotonic() if now is None else now
+        expired = [lid for lid, (_, exp) in self.leases.items() if exp <= now]
+        n = 0
+        for lid in expired:
+            n += self.rollback(lid)
+            self.counters["expired_leases"] += 1
+        return n
+
+    # ------------------------------------------------------------------
+    # retry / heal (reference R1-R4, queue.model.ts:245-308)
+    # ------------------------------------------------------------------
+    def retry_failed(self) -> int:
+        """R1: failed ∧ retries < max → initial, at ORIGINAL seq position.
+
+        The reference updates rows in place so a retried item keeps its
+        queue position (queue.model.ts:258-266); re-pushing the original
+        seq into the heap reproduces that exactly.
+        """
+        n = 0
+        for seq, it in self.items.items():
+            if it[_STATUS] == FAILED and it[_RETRIES] < self.max_retries \
+                    and it[_ERROR] != "robots_disallowed":
+                it[_STATUS] = INITIAL
+                heapq.heappush(self.heap, self._key(seq, it[_DEPTH], it[_PRIORITY]))
+                n += 1
+        self.counters["retried"] += n
+        return n
+
+    def requeue_all_failed(self) -> int:
+        """R4 manual re-enqueue: failed → initial, retries/error reset
+        (queue.model.ts:274-287)."""
+        n = 0
+        for seq, it in self.items.items():
+            if it[_STATUS] == FAILED:
+                it[_STATUS] = INITIAL
+                it[_RETRIES] = 0
+                it[_ERROR] = ""
+                heapq.heappush(self.heap, self._key(seq, it[_DEPTH], it[_PRIORITY]))
+                n += 1
+        return n
+
+    def heal_running(self) -> int:
+        """R2 manual heal: every running → initial (queue.model.ts:295-308)."""
+        n = 0
+        for seq, it in self.items.items():
+            if it[_STATUS] == RUNNING:
+                it[_STATUS] = INITIAL
+                heapq.heappush(self.heap, self._key(seq, it[_DEPTH], it[_PRIORITY]))
+                n += 1
+        self.leases.clear()
+        return n
+
+    # ------------------------------------------------------------------
+    # aggregates (reference G1/G2, queue.model.ts:98-127)
+    # ------------------------------------------------------------------
+    def status_histogram(self) -> dict[str, int]:
+        h = {"initial": 0, "running": 0, "completed": self._evicted_completed,
+             "failed": self._evicted_failed}
+        names = ("initial", "running", "completed", "failed")
+        for it in self.items.values():
+            h[names[it[_STATUS]]] += 1
+        return h
+
+    def is_finished(self) -> bool:
+        """G2 task-finished predicate: nothing initial/running and every
+        failed item is terminally failed (retries exhausted)."""
+        for it in self.items.values():
+            st = it[_STATUS]
+            if st in (INITIAL, RUNNING):
+                return False
+            if st == FAILED and it[_RETRIES] < self.max_retries \
+                    and it[_ERROR] != "robots_disallowed":
+                return False
+        return True
+
+    def seen_set(self) -> list[str]:
+        """Distinct canonical URLs that reached completed or terminal
+        failed — the derived 'URL-seen set' (SURVEY.md §1.1)."""
+        out = set(self._terminal_seen)
+        for it in self.items.values():
+            if it[_STATUS] == COMPLETED or (
+                    it[_STATUS] == FAILED and (it[_RETRIES] >= self.max_retries
+                                               or it[_ERROR] == "robots_disallowed")):
+                out.add(it[_URL])
+        return sorted(out)
+
+    def get_counters(self) -> dict:
+        return dict(self.counters)
+
+    def dump_items(self) -> dict:
+        """Full item table as a columnar dict (small shards / tests)."""
+        seqs = sorted(self.items)
+        cols = {"enqueue_seq": seqs}
+        for name, idx in [("url", _URL), ("host", _HOST), ("depth", _DEPTH),
+                          ("priority", _PRIORITY), ("status", _STATUS),
+                          ("retries", _RETRIES), ("error", _ERROR),
+                          ("crawled_at", _CRAWLED), ("attempts", _ATTEMPTS)]:
+            cols[name] = [self.items[s][idx] for s in seqs]
+        return cols
+
+    def evict_terminal(self) -> int:
+        """Drop terminal items from memory (counts preserved) — keeps
+        shard memory O(active frontier) at 10^10-URL scale."""
+        gone = [s for s, it in self.items.items()
+                if it[_STATUS] == COMPLETED
+                or (it[_STATUS] == FAILED and (it[_RETRIES] >= self.max_retries
+                                               or it[_ERROR] == "robots_disallowed"))]
+        for s in gone:
+            it = self.items.pop(s)
+            if it[_STATUS] == COMPLETED:
+                self._evicted_completed += 1
+            else:
+                self._evicted_failed += 1
+        self.counters["evicted"] += len(gone)
+        return len(gone)
+
+    # ------------------------------------------------------------------
+    # checkpoint / restore (north rule: resumable from checkpoint)
+    # ------------------------------------------------------------------
+    def snapshot(self, path: str) -> str:
+        """Write shard state atomically: items → parquet, control state
+        (filter/buckets/counters/heap) → pickle. Returns the path."""
+        os.makedirs(path, exist_ok=True)
+        cols = self.dump_items()
+        tbl = pa.table({
+            "enqueue_seq": pa.array(cols["enqueue_seq"], pa.uint64()),
+            "url": pa.array(cols["url"], pa.string()),
+            "host": pa.array(cols["host"], pa.string()),
+            "depth": pa.array(cols["depth"], pa.int32()),
+            "priority": pa.array(cols["priority"], pa.int32()),
+            "status": pa.array(cols["status"], pa.uint8()),
+            "retries": pa.array(cols["retries"], pa.uint8()),
+            "error": pa.array(cols["error"], pa.string()),
+            "crawled_at": pa.array(cols["crawled_at"], pa.float64()),
+            "attempts": pa.array(cols["attempts"], pa.int32()),
+        })
+        ctrl = {
+            "shard_id": self.shard_id, "dedup": self.dedup,
+            "max_retries": self.max_retries, "lease_ttl": self.lease_ttl,
+            "order": self.order, "seed": self.seed,
+            "next_lease_id": self.next_lease_id,
+            "counters": self.counters,
+            "evicted_completed": self._evicted_completed,
+            "evicted_failed": self._evicted_failed,
+            "terminal_seen": self._terminal_seen,
+            "seen": self.seen.state() if self.seen is not None else None,
+            "politeness": self.politeness.state() if self.politeness is not None else None,
+            "robots": self.robots.state() if self.robots is not None else None,
+        }
+        # atomic: write temp then rename (ray_guide resumable-output pattern)
+        fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(path, "items.parquet"))
+        fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(ctrl, f)
+        os.replace(tmp, os.path.join(path, "control.pkl"))
+        return path
+
+    def restore(self, path: str) -> int:
+        """Load state written by ``snapshot``. In-flight leases become
+        running items healed back to initial (a killed run never
+        committed them). Returns item count."""
+        with open(os.path.join(path, "control.pkl"), "rb") as f:
+            ctrl = pickle.load(f)
+        self.shard_id = ctrl["shard_id"]
+        self.dedup = ctrl["dedup"]
+        self.max_retries = ctrl["max_retries"]
+        self.lease_ttl = ctrl["lease_ttl"]
+        self.order = ctrl["order"]
+        self.seed = ctrl["seed"]
+        self.next_lease_id = ctrl["next_lease_id"]
+        self.counters = ctrl["counters"]
+        self._evicted_completed = ctrl["evicted_completed"]
+        self._evicted_failed = ctrl["evicted_failed"]
+        self._terminal_seen = ctrl["terminal_seen"]
+        st = ctrl["seen"]
+        if st is None:
+            self.seen = None
+        elif st["kind"] == "cuckoo":
+            self.seen = CuckooFilter.from_state(st)
+        else:
+            self.seen = BloomFilter.from_state(st)
+        self.politeness = (HostPoliteness.from_state(ctrl["politeness"])
+                           if ctrl["politeness"] is not None else None)
+        self.robots = (RobotsCache.from_state(ctrl["robots"])
+                       if ctrl["robots"] is not None else None)
+        tbl = pq.read_table(os.path.join(path, "items.parquet"))
+        self.items = {}
+        self.heap = []
+        self.leases = {}
+        cols = {name: tbl[name].to_pylist() for name in tbl.column_names}
+        for i in range(tbl.num_rows):
+            seq = cols["enqueue_seq"][i]
+            status = cols["status"][i]
+            if status == RUNNING:  # heal in-flight leases (R3)
+                status = INITIAL
+            self.items[seq] = [cols["url"][i], cols["host"][i], cols["depth"][i],
+                               cols["priority"][i], status, cols["retries"][i],
+                               cols["error"][i], cols["crawled_at"][i],
+                               cols["attempts"][i]]
+            if status == INITIAL:
+                heapq.heappush(self.heap, self._key(seq, cols["depth"][i], cols["priority"][i]))
+        return len(self.items)
+
+
+FrontierShard = ray.remote(FrontierShardCore)
+
+
+class Frontier:
+    """Driver-side facade over K FrontierShard actors.
+
+    Routing: shard = stable_hash64(host) % K — host-affine so per-host
+    politeness and URL dedup are shard-local (a canonical URL always
+    lands on the same shard). The facade owns the global
+    ``enqueue_seq`` counter — the single ingest point, like the
+    reference master API (queue.model.ts:32-68). Conformance mode is
+    K=1 (global FIFO identical to the reference, SURVEY.md §7.4);
+    K>1 gives per-shard FIFO with deterministic shard interleaving.
+    """
+
+    def __init__(self, num_shards: int = 1, *, seed: int = 42, **shard_kwargs):
+        self.num_shards = num_shards
+        self.seed = seed
+        self.shard_kwargs = dict(shard_kwargs, seed=seed)
+        self.shards = [FrontierShard.remote(i, **self.shard_kwargs)
+                       for i in range(num_shards)]
+        self.next_seq = 0
+
+    def _route(self, url: str) -> int:
+        host = parse_host(canonicalize_url(url))
+        return stable_hash64(host, self.seed) % self.num_shards
+
+    def enqueue(self, urls: list[str], depths: list[int] | None = None,
+                priorities: list[int] | None = None) -> int:
+        """Assign global seqs in list order and scatter to shards."""
+        depths = depths or [0] * len(urls)
+        priorities = priorities or [1] * len(urls)
+        per_shard: dict[int, tuple[list, list, list, list]] = {}
+        for url, d, p in zip(urls, depths, priorities):
+            sh = self._route(url)
+            b = per_shard.setdefault(sh, ([], [], [], []))
+            b[0].append(self.next_seq)
+            b[1].append(url)
+            b[2].append(d)
+            b[3].append(p)
+            self.next_seq += 1
+        refs = [self.shards[sh].enqueue.remote(*b) for sh, b in per_shard.items()]
+        return sum(ray.get(refs))
+
+    def lease_wave(self, n_per_shard: int, now: float | None = None) -> list[dict]:
+        """One synchronized claim across all shards (deterministic shard
+        order). Returns non-empty lease dicts tagged with 'shard'."""
+        refs = [sh.lease.remote(n_per_shard, now) for sh in self.shards]
+        out = []
+        for i, lease in enumerate(ray.get(refs)):
+            if lease["seq"]:
+                lease["shard"] = i
+                out.append(lease)
+        return out
+
+    def commit(self, shard: int, lease_id: int, seqs, statuses, errors=None,
+               now: float | None = None):
+        return self.shards[shard].commit.remote(lease_id, seqs, statuses, errors, now)
+
+    def rollback(self, shard: int, lease_id: int) -> int:
+        return ray.get(self.shards[shard].rollback.remote(lease_id))
+
+    def retry_failed(self) -> int:
+        """R1 with the reference gate: only fires when no items are
+        running (daemon.ts:188-194)."""
+        h = self.status_histogram()
+        if h["running"] > 0 or h["failed"] == 0:
+            return 0
+        return sum(ray.get([sh.retry_failed.remote() for sh in self.shards]))
+
+    def expire_leases(self, now: float | None = None) -> int:
+        return sum(ray.get([sh.expire_leases.remote(now) for sh in self.shards]))
+
+    def status_histogram(self) -> dict[str, int]:
+        hists = ray.get([sh.status_histogram.remote() for sh in self.shards])
+        out = {"initial": 0, "running": 0, "completed": 0, "failed": 0}
+        for h in hists:
+            for k, v in h.items():
+                out[k] += v
+        return out
+
+    def is_finished(self) -> bool:
+        return all(ray.get([sh.is_finished.remote() for sh in self.shards]))
+
+    def seen_set(self) -> list[str]:
+        out: set[str] = set()
+        for part in ray.get([sh.seen_set.remote() for sh in self.shards]):
+            out.update(part)
+        return sorted(out)
+
+    def counters(self) -> dict:
+        parts = ray.get([sh.get_counters.remote() for sh in self.shards])
+        out: dict[str, int] = {}
+        for p in parts:
+            for k, v in p.items():
+                out[k] = out.get(k, 0) + v
+        return out
+
+    def dump_table(self) -> pa.Table:
+        dumps = ray.get([sh.dump_items.remote() for sh in self.shards])
+        tables = []
+        for cols in dumps:
+            if cols["enqueue_seq"]:
+                tables.append(pa.table({
+                    "enqueue_seq": pa.array(cols["enqueue_seq"], pa.uint64()),
+                    "url": pa.array(cols["url"], pa.string()),
+                    "host": pa.array(cols["host"], pa.string()),
+                    "depth": pa.array(cols["depth"], pa.int32()),
+                    "priority": pa.array(cols["priority"], pa.int32()),
+                    "status": pa.array(cols["status"], pa.uint8()),
+                    "retries": pa.array(cols["retries"], pa.uint8()),
+                    "error": pa.array(cols["error"], pa.string()),
+                    "crawled_at": pa.array(cols["crawled_at"], pa.float64()),
+                    "attempts": pa.array(cols["attempts"], pa.int32()),
+                }))
+        if not tables:
+            return pa.table({"enqueue_seq": pa.array([], pa.uint64())})
+        tbl = pa.concat_tables(tables)
+        return tbl.sort_by("enqueue_seq")
+
+    # ---- checkpoint / resume -----------------------------------------
+    def checkpoint(self, ckpt_dir: str) -> None:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        ray.get([sh.snapshot.remote(os.path.join(ckpt_dir, f"shard_{i:04d}"))
+                 for i, sh in enumerate(self.shards)])
+        meta = {"num_shards": self.num_shards, "seed": self.seed,
+                "next_seq": self.next_seq, "shard_kwargs": self.shard_kwargs}
+        fd, tmp = tempfile.mkstemp(dir=ckpt_dir, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(meta, f)
+        os.replace(tmp, os.path.join(ckpt_dir, "frontier.pkl"))
+
+    @classmethod
+    def restore(cls, ckpt_dir: str) -> "Frontier":
+        with open(os.path.join(ckpt_dir, "frontier.pkl"), "rb") as f:
+            meta = pickle.load(f)
+        fr = cls.__new__(cls)
+        fr.num_shards = meta["num_shards"]
+        fr.seed = meta["seed"]
+        fr.shard_kwargs = meta["shard_kwargs"]
+        fr.next_seq = meta["next_seq"]
+        fr.shards = [FrontierShard.remote(i, **fr.shard_kwargs)
+                     for i in range(fr.num_shards)]
+        ray.get([sh.restore.remote(os.path.join(ckpt_dir, f"shard_{i:04d}"))
+                 for i, sh in enumerate(fr.shards)])
+        return fr
