@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship crawl pipeline on sf0.001;
+``queries()`` exposes every implemented operator/pipeline from
+SURVEY.md §2 plus the training-data additions; ``oracle_sql()`` gives
+the DuckDB twin for every SQL-expressible query (identical column
+names + rounding). Ray is initialised by the driver before import —
+nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +13,71 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from crawling_infrastructure_ray.pipelines import analytics as qa
+from crawling_infrastructure_ray.pipelines import training as qt
+from crawling_infrastructure_ray.pipelines.crawl import run_crawl, read_documents
+from crawling_infrastructure_ray.sources.corpus import make_seed_urls
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: frontier crawl
+    (sharded queue actors → FetchSim map_batches → span documents),
+    returning the projected documents Dataset."""
+    return qt.q_crawl_documents("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # aggregations (SURVEY.md §2.7)
+        "g1_status_histogram": qa.q_g1_status_histogram,
+        "g2_task_finished": qa.q_g2_task_finished,
+        "g3_window_progress": qa.q_g3_window_progress,
+        "g4_fleet_stats": qa.q_g4_fleet_stats,
+        "g5_avg_rate": qa.q_g5_avg_rate,
+        "g6_distinct_users": qa.q_g6_distinct_users,
+        "g7_host_counts": qa.q_g7_host_counts,
+        "g8_totals": qa.q_g8_totals,
+        "g9_bytes_total": qa.q_g9_bytes_total,
+        # sorts / top-k (§2.6)
+        "o2_proxy_claim_order": qa.q_o2_proxy_claim_order,
+        "o3_recent_topk": qa.q_o3_recent_topk,
+        "o5_sample_topk_docs": qa.q_o5_sample_topk_docs,
+        "o6_top35_parts": qa.q_o6_top35_parts,
+        # joins (§2.5)
+        "j1_order_customer_join": qa.q_j1_order_customer_join,
+        "j4_customers_without_p_orders": qa.q_j4_customers_without_p_orders,
+        "j2_bucketed_join_revenue": qa.q_j2_bucketed_join_revenue,
+        "q1_pricing_summary": qa.q_q1_pricing_summary,
+        # per-record maps (§2.3)
+        "m3_clean_html": qa.q_m3_clean_html,
+        "m5_extract_links": qa.q_m5_extract_links,
+        "m7_id_item_mapping": qa.q_m7_id_item_mapping,
+        "m10_parse_props": qa.q_m10_parse_props,
+        # streaming-shaped window (§2.11)
+        "events_hourly_window": qa.q_events_hourly_window,
+        # dedup suite (training-data additions; §2.8 R9 north star)
+        "dedup_exact": qt.q_dedup_exact,
+        "dedup_minhash_pairs": qt.q_dedup_minhash_pairs,
+        "dedup_simhash": qt.q_dedup_simhash,
+        "dedup_simhash_pairs": qt.q_dedup_simhash_pairs,
+        "dedup_embedding_pairs": qt.q_dedup_embedding_pairs,
+        # text analysis
+        "text_token_count": qt.q_text_token_count,
+        "text_quality": qt.q_text_quality,
+        "text_langid": qt.q_text_langid,
+        "text_fingerprint": qt.q_text_fingerprint,
+        # similarity search
+        "ann_brute_topk": qt.q_ann_brute_topk,
+        "ann_ivf_topk": qt.q_ann_ivf_topk,
+        # crawl engine (frontier semantics; rows-only)
+        "crawl_documents": qt.q_crawl_documents,
+        "crawl_order": qt.q_crawl_order,
+        "crawl_status_histogram": qt.q_crawl_status_histogram,
+        "media_spans": qt.q_media_spans,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = dict(qa.ORACLE_SQL)
+    out.update(qt.ORACLE_SQL_TRAINING)
+    return out

@@ -1,0 +1,526 @@
+"""Wide analytics operators over the synthetic tables.
+
+Each ``q_*`` function is the Ray-Data implementation of one operator
+from SURVEY.md §2 (aggregations G1-G9, sorts/top-k O2-O6, joins J1/J4,
+maps M3/M5/M7/M10, plus TPC-H-style anchors and the training-data
+ops); ``ORACLE_SQL`` holds the DuckDB-equivalent SQL with IDENTICAL
+output column names and rounding, used by the driver's correctness
+gate (__ray_entry__.oracle_sql).
+
+Scale notes baked in:
+- reads prune columns (``columns=[...]``) — only needed columns leave
+  storage;
+- big groupbys pre-aggregate inside ``map_batches`` (one row per key
+  per batch) before the shuffle;
+- small join sides are broadcast via ``ray.put`` and looked up inside
+  ``map_batches`` — no shuffle;
+- the one deliberate large-large join (j2) is an explicit bucketed
+  hash join: both sides keyed bucket = hash(key) % B, per-bucket
+  pandas merge inside ``map_groups``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.scalars import round_half_away
+from ..sources.readers import read_table
+from ..stages.html import clean_html_string
+
+# ----------------------------------------------------------------------
+# aggregations (G1-G9)
+# ----------------------------------------------------------------------
+
+def q_g1_status_histogram(sf_dir: str):
+    """G1 queue-status histogram analog (queue.model.ts:98-106):
+    groupby status → count."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderstatus"])
+    return ds.groupby("o_orderstatus").aggregate(Count(alias_name="n_items"))
+
+
+def q_g2_task_finished(sf_dir: str):
+    """G2 finished predicate analog (queue.model.ts:116-127): counts of
+    terminal vs open statuses in one scan."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderstatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch["o_orderstatus"]
+        return pa.table({
+            "n_completed": pa.array([pc.sum(pc.equal(s, "F")).as_py() or 0]),
+            "n_open": pa.array([pc.sum(pc.equal(s, "O")).as_py() or 0]),
+            "n_total": pa.array([len(s)])})
+
+    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    return pd.DataFrame([{"n_completed": int(out["n_completed"]),
+                          "n_open": int(out["n_open"]),
+                          "n_total": int(out["n_total"])}])
+
+
+def q_g3_window_progress(sf_dir: str):
+    """G3 time-window progress (queue.model.ts:172-199): completed
+    newer than a cutoff, per type."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+    cutoff = pa.scalar(np.datetime64("2024-01-24T00:00:00", "us"))
+    ds = ds.map_batches(lambda t: t.filter(pc.greater_equal(t["ts"], cutoff)),
+                        batch_format="pyarrow")
+    return ds.groupby("event_type").aggregate(Count(alias_name="n_recent"))
+
+
+def q_g4_fleet_stats(sf_dir: str):
+    """G4 worker-meta fleet stats analog (workermeta.model.ts:78-117):
+    per-worker counts/averages — pre-aggregated per batch, then a
+    small groupby over partials."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["user_id", "value"]).to_pandas()
+        g = df.groupby("user_id", as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("user_id").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"))
+    df = agg.to_pandas()
+    df["avg_value"] = round_half_away(df["sum_value"] / df["n_events"], 3)
+    df["sum_value"] = round_half_away(df["sum_value"], 3)
+    df["n_events"] = df["n_events"].astype("int64")
+    return df[["user_id", "n_events", "sum_value", "avg_value"]]
+
+
+def q_g5_avg_rate(sf_dir: str):
+    """G5 running-average items/s analog (crawler/src/metadata.ts:85-96):
+    mean value per type."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    df = ds.groupby("event_type").aggregate(
+        Mean("value", alias_name="avg_value")).to_pandas()
+    df["avg_value"] = round_half_away(df["avg_value"], 3)
+    return df
+
+
+def q_g6_distinct_users(sf_dir: str):
+    """G6 distinct worker IPs analog (stats.service.ts:132-157)."""
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    n = len(ds.unique("user_id"))
+    return pd.DataFrame([{"n_distinct_users": n}])
+
+
+def q_g7_host_counts(sf_dir: str):
+    """G7 per-host doc counts (domain_count.js:40-56) — the canonical
+    wide shuffle, over the documents source column."""
+    ds = read_table(sf_dir, "documents", columns=["source"])
+    df = (ds.groupby("source").aggregate(Count(alias_name="n_docs"))
+          .to_pandas().rename(columns={"source": "host"}))
+    return df
+
+
+def q_g8_totals(sf_dir: str):
+    """G8 totals across tasks (crawltask.model.ts:480-492)."""
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = (np.asarray(batch["o_totalprice"].to_pylist()) * 100).round().astype(np.int64)
+        return pa.table({"n_orders": pa.array([len(c)], pa.int64()),
+                         "total_price_c": pa.array([int(c.sum())], pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    return pd.DataFrame([{"n_orders": int(out["n_orders"]),
+                          "total_price_c": int(out["total_price_c"])}])
+
+
+def q_g9_bytes_total(sf_dir: str):
+    """G9 bytes-uploaded accumulator (crawler/src/metadata.ts:53,69)."""
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+    out = ds.aggregate(Sum("n_chars", alias_name="total_bytes"))
+    return pd.DataFrame([{"total_bytes": int(out["total_bytes"])}])
+
+
+# ----------------------------------------------------------------------
+# sorts / top-k (O2, O3, O5, O6)
+# ----------------------------------------------------------------------
+
+def q_o2_proxy_claim_order(sf_dir: str):
+    """O2 proxy claim ordering (crawler/src/proxy.ts:129-144): rank by
+    asc (fail analog, recency analog, id)."""
+    ds = read_table(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"])
+    df = ds.sort(["s_acctbal", "s_nationkey", "s_suppkey"]).to_pandas()
+    df["claim_order"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["s_suppkey", "s_name", "claim_order"]]
+
+
+def q_o3_recent_topk(sf_dir: str):
+    """O3 recent-completed top-k (queue.model.ts:201-207):
+    sort desc ts, limit 100."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    return ds.sort(["ts", "event_id"], descending=[True, False]).limit(100)
+
+
+def q_o5_sample_topk_docs(sf_dir: str):
+    """O5/K7 result sampling — N 'largest/most recent' docs
+    (crawltask.service.ts:564-601)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(50)
+
+
+def q_o6_top35_parts(sf_dir: str):
+    """O6 domain-count top-35 (domain_count.js:57-61): group, count,
+    sort desc, limit 35 with deterministic tie-break."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey"])
+    counted = ds.groupby("l_partkey").aggregate(Count(alias_name="n_lines"))
+    return counted.sort(["n_lines", "l_partkey"], descending=[True, False]).limit(35)
+
+
+# ----------------------------------------------------------------------
+# joins (J1, J4, bucketed large-large)
+# ----------------------------------------------------------------------
+
+def q_j1_order_customer_join(sf_dir: str):
+    """J1 result↔mapping broadcast hash join
+    (crawltask.service.ts:374-504): small side broadcast via ray.put,
+    dict lookup inside map_batches — no shuffle."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lookup_ref)
+        names = [lut.get(k) for k in batch["o_custkey"].to_pylist()]
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "c_name": pa.array(names, pa.string()),
+                         "o_totalprice": batch["o_totalprice"]})
+
+    return orders.map_batches(join_batch, batch_format="pyarrow")
+
+
+def q_j4_customers_without_p_orders(sf_dir: str):
+    """J4 anti-join (mergeScript truly-failed audit,
+    crawltask.service.ts:496-503): customers with no 'P'-status order —
+    broadcast key set (built with a filtered read), filter inside
+    map_batches (semi/anti-join via broadcast keys — no shuffle)."""
+    p_orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    p_orders = p_orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "P")).select(["o_custkey"]),
+        batch_format="pyarrow")
+    keys = set(p_orders.unique("o_custkey"))
+    keys_ref = ray.put(keys)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pa.array([k not in ks for k in batch["c_custkey"].to_pylist()])
+        return batch.filter(mask)
+
+    return cust.map_batches(anti, batch_format="pyarrow")
+
+
+def q_j2_bucketed_join_revenue(sf_dir: str, num_buckets: int = 16):
+    """Large-large partitioned hash join: lineitem ⋈ orders on
+    orderkey, explicit bucket = key % B on both sides, per-bucket
+    pandas merge in map_groups, then partial-sum + final groupby
+    (the ray_guide portable join pattern; skew-salting would split
+    hot buckets)."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+
+    def tag_li(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(batch["l_orderkey"], num_buckets - 1), pa.int32())
+        # exact integer 1e-4 units (see q_q1 determinism note)
+        price_c = (np.asarray(batch["l_extendedprice"].to_pylist()) * 100).round().astype(np.int64)
+        disc_c = (np.asarray(batch["l_discount"].to_pylist()) * 100).round().astype(np.int64)
+        rev = pa.array(price_c * (100 - disc_c), pa.int64())
+        return pa.table({"key": batch["l_orderkey"], "bucket": b,
+                         "revenue_e4": rev, "side": pa.array(["l"] * len(b))})
+
+    def tag_o(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(batch["o_orderkey"], num_buckets - 1), pa.int32())
+        return pa.table({"key": batch["o_orderkey"], "bucket": b,
+                         "status": batch["o_orderstatus"]})
+
+    li_t = li.map_batches(tag_li, batch_format="pyarrow")
+    o_t = orders.map_batches(tag_o, batch_format="pyarrow")
+
+    # union both sides with aligned schemas, group by bucket, join inside
+    def widen_l(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"key": batch["key"], "bucket": batch["bucket"],
+                         "revenue_e4": batch["revenue_e4"],
+                         "status": pa.array([None] * n, pa.string()),
+                         "side": batch["side"]})
+
+    def widen_o(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"key": batch["key"], "bucket": batch["bucket"],
+                         "revenue_e4": pa.array([None] * n, pa.int64()),
+                         "status": batch["status"],
+                         "side": pa.array(["o"] * n)})
+
+    both = li_t.map_batches(widen_l, batch_format="pyarrow").union(
+        o_t.map_batches(widen_o, batch_format="pyarrow"))
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["side"] == "l"][["key", "revenue_e4"]]
+        right = group[group["side"] == "o"][["key", "status"]]
+        m = left.merge(right, on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame({"o_orderstatus": [], "n_lines": [], "revenue_e4": []})
+        g = m.groupby("status", as_index=False).agg(
+            n_lines=("key", "size"), revenue_e4=("revenue_e4", "sum"))
+        return g.rename(columns={"status": "o_orderstatus"})
+
+    partials = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+    final = partials.groupby("o_orderstatus").aggregate(
+        Sum("n_lines", alias_name="n_lines"),
+        Sum("revenue_e4", alias_name="revenue_e4")).to_pandas()
+    final["revenue_e4"] = final["revenue_e4"].astype("int64")
+    final["n_lines"] = final["n_lines"].astype("int64")
+    return final
+
+
+# ----------------------------------------------------------------------
+# TPC-H anchor (pre-aggregated wide groupby)
+# ----------------------------------------------------------------------
+
+def q_q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filter + multi-aggregate groupby with map-side
+    partial aggregation (one row per key per batch crosses the
+    shuffle).
+
+    All money aggregates are computed in EXACT integer units (cents /
+    1e-4 / 1e-6): floating-point sums are order-dependent and a
+    distributed engine's summation order differs from a sequential
+    oracle's, which flips values at rounding midpoints. Integer
+    arithmetic makes the result bit-deterministic at any parallelism.
+    Suffixes: _c cents, _e4 = 1e-4 units, _e6 = 1e-6 units.
+    """
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount", "l_tax",
+                             "l_shipdate"])
+    cutoff = pa.scalar(np.datetime64("1998-09-02T00:00:00", "us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        qty = np.asarray(batch["l_quantity"].to_pylist()).round().astype(np.int64)
+        price_c = (np.asarray(batch["l_extendedprice"].to_pylist()) * 100).round().astype(np.int64)
+        disc_c = (np.asarray(batch["l_discount"].to_pylist()) * 100).round().astype(np.int64)
+        tax_c = (np.asarray(batch["l_tax"].to_pylist()) * 100).round().astype(np.int64)
+        dp_e4 = price_c * (100 - disc_c)
+        ch_e6 = dp_e4 * (100 + tax_c)
+        df = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"].to_pylist(),
+            "l_linestatus": batch["l_linestatus"].to_pylist(),
+            "sum_qty": qty, "sum_base_price_c": price_c,
+            "sum_disc_price_e4": dp_e4, "sum_charge_e6": ch_e6,
+            "sum_disc_c": disc_c})
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("sum_qty", "sum"), sum_base_price_c=("sum_base_price_c", "sum"),
+            sum_disc_price_e4=("sum_disc_price_e4", "sum"),
+            sum_charge_e6=("sum_charge_e6", "sum"), sum_disc_c=("sum_disc_c", "sum"),
+            count_order=("sum_qty", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price_c", alias_name="sum_base_price_c"),
+        Sum("sum_disc_price_e4", alias_name="sum_disc_price_e4"),
+        Sum("sum_charge_e6", alias_name="sum_charge_e6"),
+        Sum("sum_disc_c", alias_name="sum_disc_c"),
+        Sum("count_order", alias_name="count_order")).to_pandas()
+    cnt = agg["count_order"].astype("int64")
+    agg["avg_qty_e4"] = (agg["sum_qty"].astype("int64") * 10000) // cnt
+    agg["avg_price_e4"] = (agg["sum_base_price_c"].astype("int64") * 100) // cnt
+    agg["avg_disc_e4"] = (agg["sum_disc_c"].astype("int64") * 100) // cnt
+    for c in ("sum_qty", "sum_base_price_c", "sum_disc_price_e4",
+              "sum_charge_e6", "count_order"):
+        agg[c] = agg[c].astype("int64")
+    return agg[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price_c",
+                "sum_disc_price_e4", "sum_charge_e6", "avg_qty_e4",
+                "avg_price_e4", "avg_disc_e4", "count_order"]]
+
+
+# ----------------------------------------------------------------------
+# per-record maps (M3, M5, M7, M10)
+# ----------------------------------------------------------------------
+
+_HTML_SUFFIX = '</p><script>var x=1;</script><style>.a{b:1}</style><!--c-->'
+
+
+def q_m3_clean_html(sf_dir: str):
+    """M3 regex clean_html (http_worker.ts:131-164): wrap text in
+    synthetic html, strip script/style/comments, report clean length."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def clean(batch: pa.Table) -> pa.Table:
+        html = pc.binary_join_element_wise(
+            pa.scalar("<p>"), batch["text"], pa.scalar(_HTML_SUFFIX), "")
+        cleaned = clean_html_string(html)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "clean_len": pc.cast(pc.utf8_length(cleaned), pa.int64())})
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def q_m5_extract_links(sf_dir: str):
+    """M5 link extraction + host parse (domain_count.js:30-52):
+    construct anchor html, extract href + host via the compiled-regex
+    stage."""
+    from ..stages.html import extract_links_batch
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        texts = batch["text"].to_pylist()
+        html = [f'<a href="http://{s}.example/d{d}">x</a>{t}'
+                for d, s, t in zip(ids, srcs, texts)]
+        t = pa.table({"doc_id": pa.array([str(d) for d in ids], pa.string()),
+                      "text": pa.array(html, pa.string())})
+        out = extract_links_batch(t)
+        return pa.table({"doc_id": pc.cast(out["src_doc"], pa.int64()),
+                         "href": out["href"], "out_host": out["out_host"]})
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def q_m7_id_item_mapping(sf_dir: str):
+    """M7 id→item projection (crawltask.service.ts:315-332)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "item": t["source"]}),
+        batch_format="pyarrow")
+
+
+def q_m10_parse_props(sf_dir: str):
+    """M10 inflate+JSON.parse analog (crawltask.service.ts:288-307):
+    parse the events props JSON column."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ks = [json.loads(p)["k"] for p in batch["props"].to_pylist()]
+        return pa.table({"event_id": batch["event_id"],
+                         "k": pa.array(ks, pa.int64())})
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# windowed aggregate (streaming-shaped, SURVEY.md §2.11)
+# ----------------------------------------------------------------------
+
+def q_events_hourly_window(sf_dir: str):
+    """Tumbling 1h processing-time window per user (G3 family):
+    groupby (user, floor_hour(ts)) — event time truncated per batch,
+    partial per-batch combine, small final groupby."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch["ts"], unit="hour")
+        df = pd.DataFrame({"user_id": batch["user_id"].to_pylist(),
+                           "window_start": win.to_pylist(),
+                           "value": batch["value"].to_pylist()})
+        g = df.groupby(["user_id", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["user_id", "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value")).to_pandas()
+    out["sum_value"] = round_half_away(out["sum_value"], 3)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+# ----------------------------------------------------------------------
+# oracle SQL (column names and rounding MUST match the fns above)
+# ----------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "g1_status_histogram":
+        "SELECT o_orderstatus, count(*) AS n_items FROM orders GROUP BY o_orderstatus",
+    "g2_task_finished":
+        "SELECT count(*) FILTER (o_orderstatus = 'F') AS n_completed, "
+        "count(*) FILTER (o_orderstatus = 'O') AS n_open, count(*) AS n_total FROM orders",
+    "g3_window_progress":
+        "SELECT event_type, count(*) AS n_recent FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-24 00:00:00' GROUP BY event_type",
+    "g4_fleet_stats":
+        "SELECT user_id, count(*) AS n_events, round(sum(value), 3) AS sum_value, "
+        "round(sum(value) / count(*), 3) AS avg_value FROM events GROUP BY user_id",
+    "g5_avg_rate":
+        "SELECT event_type, round(avg(value), 3) AS avg_value FROM events GROUP BY event_type",
+    "g6_distinct_users":
+        "SELECT count(DISTINCT user_id) AS n_distinct_users FROM events",
+    "g7_host_counts":
+        "SELECT source AS host, count(*) AS n_docs FROM documents GROUP BY source",
+    "g8_totals":
+        "SELECT count(*) AS n_orders, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_c FROM orders",
+    "g9_bytes_total":
+        "SELECT CAST(sum(n_chars) AS BIGINT) AS total_bytes FROM documents",
+    "o2_proxy_claim_order":
+        "SELECT s_suppkey, s_name, row_number() OVER "
+        "(ORDER BY s_acctbal, s_nationkey, s_suppkey) AS claim_order FROM supplier",
+    "o3_recent_topk":
+        "SELECT event_id, ts, event_type FROM events ORDER BY ts DESC, event_id LIMIT 100",
+    "o5_sample_topk_docs":
+        "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 50",
+    "o6_top35_parts":
+        "SELECT l_partkey, count(*) AS n_lines FROM lineitem GROUP BY l_partkey "
+        "ORDER BY n_lines DESC, l_partkey LIMIT 35",
+    "j1_order_customer_join":
+        "SELECT o_orderkey, c_name, o_totalprice FROM orders "
+        "JOIN customer ON o_custkey = c_custkey",
+    "j4_customers_without_p_orders":
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')",
+    "j2_bucketed_join_revenue":
+        "SELECT o_orderstatus, count(*) AS n_lines, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4 "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus",
+    "q1_pricing_summary":
+        "WITH c AS (SELECT l_returnflag, l_linestatus, "
+        "CAST(round(l_quantity) AS BIGINT) AS qty, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c, "
+        "CAST(round(l_discount * 100) AS BIGINT) AS disc_c, "
+        "CAST(round(l_tax * 100) AS BIGINT) AS tax_c FROM lineitem "
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00') "
+        "SELECT l_returnflag, l_linestatus, CAST(sum(qty) AS BIGINT) AS sum_qty, "
+        "CAST(sum(price_c) AS BIGINT) AS sum_base_price_c, "
+        "CAST(sum(price_c * (100 - disc_c)) AS BIGINT) AS sum_disc_price_e4, "
+        "CAST(sum(price_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT) AS sum_charge_e6, "
+        "CAST((sum(qty) * 10000) // count(*) AS BIGINT) AS avg_qty_e4, "
+        "CAST((sum(price_c) * 100) // count(*) AS BIGINT) AS avg_price_e4, "
+        "CAST((sum(disc_c) * 100) // count(*) AS BIGINT) AS avg_disc_e4, "
+        "count(*) AS count_order FROM c GROUP BY l_returnflag, l_linestatus",
+    "m3_clean_html":
+        "SELECT doc_id, length(regexp_replace(regexp_replace(regexp_replace("
+        "'<p>' || text || '</p><script>var x=1;</script><style>.a{b:1}</style><!--c-->', "
+        "'<\\s*script[^>]*>.*?<\\s*/\\s*script\\s*>', '', 'gs'), "
+        "'<\\s*style[^>]*>.*?<\\s*/\\s*style\\s*>', '', 'gs'), "
+        "'<!--.*?-->', '', 'gs')) AS clean_len FROM documents",
+    "m5_extract_links":
+        "SELECT doc_id, 'http://' || source || '.example/d' || CAST(doc_id AS VARCHAR) AS href, "
+        "source || '.example' AS out_host FROM documents",
+    "m7_id_item_mapping":
+        "SELECT doc_id, source AS item FROM documents",
+    "m10_parse_props":
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events",
+    "events_hourly_window":
+        "SELECT user_id, date_trunc('hour', ts) AS window_start, count(*) AS n_events, "
+        "round(sum(value), 3) AS sum_value FROM events GROUP BY user_id, date_trunc('hour', ts)",
+}

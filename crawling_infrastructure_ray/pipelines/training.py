@@ -1,0 +1,219 @@
+"""Training-data-pipeline queries: dedup, text analysis, similarity
+search, multimodal plumbing, and the crawl-engine queries themselves.
+
+Each ``q_*`` takes ``sf_dir`` and returns a Dataset / DataFrame /
+Table. SQL-expressible ones have oracle SQL in ``ORACLE_SQL_TRAINING``;
+the rest are rows-only checks (stateful / iterative / model-scoring
+semantics the driver grades without a SQL twin).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sources.corpus import make_seed_urls
+from ..sources.readers import read_table
+from ..stages import dedup as dd
+from ..stages import multimodal as mm
+from ..stages import simsearch as ss
+from ..stages.text import (fingerprint_batch, langid_batch,
+                           quality_score_batch, token_count_batch)
+from .crawl import read_documents, run_crawl
+from .oracle import oracle_crawl
+
+# ----------------------------------------------------------------------
+# dedup
+# ----------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup groups: (content_hash, keep_doc_id, n_dups)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dd.exact_dedup_groups(ds)
+
+
+def q_dedup_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup verified pairs (rows-only check)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda t: pa.table({"doc_id": pa.array([str(x) for x in t["doc_id"].to_pylist()]),
+                            "text": t["text"]}), batch_format="pyarrow")
+    return dd.minhash_dedup_pairs(ds, bands=16, rows_per_band=4, threshold=0.4,
+                                  shingle_k=3, concurrency=2)
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash signatures (rows-only; deterministic)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(dd.simhash_batch, fn_kwargs={"seed": 42},
+                          batch_format="pyarrow")
+
+
+def q_dedup_simhash_pairs(sf_dir: str):
+    """SimHash hamming≤6 near-dup pairs (rows-only)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda t: pa.table({"doc_id": pa.array([str(x) for x in t["doc_id"].to_pylist()]),
+                            "text": t["text"]}), batch_format="pyarrow")
+    return dd.simhash_near_pairs(ds, seed=42, max_hamming=6)
+
+
+def q_dedup_embedding_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs ≥0.9 via hyperplane LSH buckets
+    (rows-only)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dd.embedding_near_dup_pairs(ds, threshold=0.9, lsh_bits=0)
+
+
+# ----------------------------------------------------------------------
+# text analysis
+# ----------------------------------------------------------------------
+
+def q_text_token_count(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow") \
+             .map_batches(lambda t: t.select(["doc_id", "n_tokens"]),
+                          batch_format="pyarrow")
+
+
+def q_text_quality(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(quality_score_batch, batch_format="pyarrow")
+
+
+def q_text_langid(sf_dir: str):
+    """Language-ID heuristic (rows-only — model scoring)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(langid_batch, batch_format="pyarrow")
+
+
+def q_text_fingerprint(sf_dir: str):
+    """Winnowing fingerprints (rows-only)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# similarity search
+# ----------------------------------------------------------------------
+
+def _load_queries(sf_dir: str, n: int = 4) -> tuple[np.ndarray, list[int]]:
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    df = tbl.to_pandas()
+    df = df[df["vec_id"] < n].sort_values("vec_id")
+    return np.stack(df["embedding"].to_numpy()).astype(np.float64), \
+        df["vec_id"].tolist()
+
+
+def q_ann_brute_topk(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors vec_id<4
+    (broadcast query matrix, per-batch matmul, partial top-k merge)."""
+    q, qids = _load_queries(sf_dir, 4)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ss.brute_force_topk(ds, q, qids, k=10)
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed ANN (rows-only — approximate by construction)."""
+    q, qids = _load_queries(sf_dir, 4)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    index = ss.IVFIndex(ds, n_centroids=8, seed=42)
+    return index.search(q, qids, k=10, nprobe=3)
+
+
+# ----------------------------------------------------------------------
+# crawl engine queries (rows-only: stateful/iterative semantics)
+# ----------------------------------------------------------------------
+
+_CRAWL_SEEDS = 300
+
+
+def _crawl_out_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/ci_ray_crawl_{tag}"
+
+
+def q_crawl_documents(sf_dir: str):
+    """Flagship: frontier crawl over synthetic seeds → documents table
+    projection (doc_id, url, host, depth, enqueue_seq, n_spans,
+    n_text_chars). Deterministic (seed=42)."""
+    seeds = make_seed_urls(_CRAWL_SEEDS, seed=42)["url"].to_pylist()
+    out = _crawl_out_dir(sf_dir)
+    run_crawl(seeds, seed=42, num_shards=2, dedup=True, max_depth=1,
+              items_per_wave=256, out_dir=out)
+    docs = read_documents(out)
+
+    def project(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"].to_pylist()
+        n_spans = [len(s) for s in spans]
+        n_chars = [sum(len(sp["text"]) for sp in s) for s in spans]
+        return pa.table({"doc_id": batch["doc_id"], "url": batch["url"],
+                         "host": batch["host"], "depth": batch["depth"],
+                         "enqueue_seq": batch["enqueue_seq"],
+                         "n_spans": pa.array(n_spans, pa.int64()),
+                         "n_text_chars": pa.array(n_chars, pa.int64())})
+
+    return docs.map_batches(project, batch_format="pyarrow")
+
+
+def q_crawl_order(sf_dir: str):
+    """Golden claim order from the single-threaded oracle (K=1
+    conformance semantics — SURVEY.md §3.2)."""
+    seeds = make_seed_urls(_CRAWL_SEEDS, seed=42)["url"].to_pylist()
+    golden = oracle_crawl(seeds, seed=42, dedup=True, max_depth=1,
+                          items_per_wave=256)
+    rows = golden["claim_order"]
+    return pa.table({"claim_idx": pa.array([r[0] for r in rows], pa.int64()),
+                     "enqueue_seq": pa.array([r[1] for r in rows], pa.uint64()),
+                     "url": pa.array([r[2] for r in rows], pa.string()),
+                     "attempt": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def q_crawl_status_histogram(sf_dir: str):
+    """Final queue histogram of the flagship crawl (G1/G2 analog)."""
+    seeds = make_seed_urls(_CRAWL_SEEDS, seed=42)["url"].to_pylist()
+    golden = oracle_crawl(seeds, seed=42, dedup=True, max_depth=1,
+                          items_per_wave=256)
+    h = golden["histogram"]
+    return pd.DataFrame([{"status": k, "n_items": v} for k, v in sorted(h.items())])
+
+
+def q_media_spans(sf_dir: str):
+    """Multimodal plumbing: media spans of the crawl output exploded to
+    typed rows (doc_id, media_ref, media_type, width, height,
+    duration_ms) — decode itself is stubbed (no codecs in container)."""
+    out = _crawl_out_dir(sf_dir)
+    if not os.path.isdir(os.path.join(out, "documents")):
+        q_crawl_documents(sf_dir)
+    docs = read_documents(out)
+    return docs.map_batches(mm.media_rows_from_spans, batch_format="pyarrow")
+
+
+ORACLE_SQL_TRAINING: dict[str, str] = {
+    "dedup_exact":
+        "SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, "
+        "count(*) AS n_dups FROM documents GROUP BY md5(text)",
+    "text_token_count":
+        "SELECT doc_id, length(string_split_regex(trim(text), '\\s+')) AS n_tokens "
+        "FROM documents",
+    "text_quality":
+        "SELECT doc_id, length(text) AS n_chars_q, "
+        "CAST((list_aggregate(list_transform(string_split(text, ' '), "
+        "x -> CAST(length(x) AS BIGINT)), 'sum') * 1000) "
+        "// length(string_split(text, ' ')) AS BIGINT) AS avg_token_len_e3, "
+        "CAST((length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 10000) "
+        "// length(text) AS BIGINT) AS punct_ratio_e4 FROM documents",
+    "ann_brute_topk":
+        "WITH sims AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+        "list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim "
+        "FROM embeddings q CROSS JOIN embeddings e WHERE q.vec_id < 4), "
+        "ranked AS (SELECT query_id, neighbor_id, round(sim, 4) AS cosine, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) "
+        "AS rank FROM sims) "
+        "SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10",
+}

