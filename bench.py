@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+
+  {"metric": "e2e_sec", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "crawl_urls_per_sec": ...}
+
+--scaling: run the headline crawl pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and report both
+throughputs plus efficiency = (tput_32 / tput_8) / (32/8) — the
+in-sandbox stand-in for the north rule's N vs 4N cluster-size
+criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CRAWL_SEEDS = int(os.environ.get("GRAFT_CRAWL_SEEDS", "50000"))
+ONLY = os.environ.get("GRAFT_BENCH_ONLY", "")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_bench() -> dict:
+    import warnings
+    warnings.filterwarnings("ignore")
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from crawling_infrastructure_ray.pipelines import analytics as qa
+    from crawling_infrastructure_ray.pipelines import training as qt
+    from crawling_infrastructure_ray.pipelines.crawl import run_crawl_pump
+    from crawling_infrastructure_ray.sources.corpus import make_seed_urls
+
+    # warm-up, untimed: page cache + Ray worker processes + module
+    # imports on every worker (ray_guide: measure compute + shuffle,
+    # not cold start)
+    import ray.data as rd
+    rd.read_parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    warm_seeds = make_seed_urls(2000, seed=7, num_hosts=128)["url"].to_pylist()
+    run_crawl_pump(warm_seeds, seed=7, num_shards=8, dedup=True, max_depth=0,
+                   chunk_size=256, out_dir=f"/tmp/bench_warm_{NUM_CPUS}")
+
+    queries: dict[str, float] = {}
+    t_total = time.perf_counter()
+
+    # headline: frontier crawl (the BASELINE.json metric)
+    seeds = make_seed_urls(CRAWL_SEEDS, seed=42, num_hosts=512)["url"].to_pylist()
+    t0 = time.perf_counter()
+    res = run_crawl_pump(seeds, seed=42, num_shards=8, dedup=True, max_depth=1,
+                         chunk_size=512, out_dir=f"/tmp/bench_crawl_{NUM_CPUS}")
+    crawl_sec = time.perf_counter() - t0
+    queries["crawl"] = round(crawl_sec, 3)
+    crawl_tput = res.urls_processed / crawl_sec
+    log(f"crawl: {res.urls_processed} urls in {crawl_sec:.2f}s "
+        f"= {crawl_tput:.0f} urls/s (docs={res.docs_written})")
+
+    def timed(name, fn):
+        if ONLY and name != ONLY:
+            return
+        t0 = time.perf_counter()
+        out = fn(SF_DIR)
+        # force execution for lazy Datasets
+        if hasattr(out, "to_pandas"):
+            out = out.to_pandas()
+        queries[name] = round(time.perf_counter() - t0, 3)
+        log(f"{name}: {queries[name]}s ({len(out)} rows)")
+
+    timed("q1_pricing_summary", qa.q_q1_pricing_summary)
+    timed("j2_bucketed_join_revenue", qa.q_j2_bucketed_join_revenue)
+    timed("j1_order_customer_join", qa.q_j1_order_customer_join)
+    timed("events_hourly_window", qa.q_events_hourly_window)
+    timed("o6_top35_parts", qa.q_o6_top35_parts)
+    timed("dedup_exact", qt.q_dedup_exact)
+    timed("dedup_minhash_pairs", qt.q_dedup_minhash_pairs)
+    timed("text_quality", qt.q_text_quality)
+    timed("ann_brute_topk", qt.q_ann_brute_topk)
+
+    total = time.perf_counter() - t_total
+    out = {"metric": "e2e_sec", "value": round(total, 3), "unit": "sec",
+           "queries": queries, "sf": SF_DIR, "num_cpus": NUM_CPUS,
+           "crawl_urls_per_sec": round(crawl_tput, 1),
+           "crawl_urls_processed": res.urls_processed}
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same crawl job at num_cpus=8 and num_cpus=32 in fresh processes."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_ONLY="crawl")  # scaling criterion is the crawl
+        best = None
+        for rep in range(2):  # best-of-2: the sandbox disk stalls add noise
+            log(f"--- scaling run at num_cpus={ncpu} rep={rep} ---")
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                  env=env, capture_output=True, text=True,
+                                  check=True)
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            if best is None or r["crawl_urls_per_sec"] > best["crawl_urls_per_sec"]:
+                best = r
+        results[ncpu] = best
+    t8 = results[8]["crawl_urls_per_sec"]
+    t32 = results[32]["crawl_urls_per_sec"]
+    eff = (t32 / t8) / (32 / 8)
+    return {"metric": "scaling_efficiency", "value": round(eff, 3),
+            "unit": "ratio", "crawl_urls_per_sec_8": t8,
+            "crawl_urls_per_sec_32": t32,
+            "e2e_sec_8": results[8]["value"], "e2e_sec_32": results[32]["value"],
+            "queries_8": results[8]["queries"], "queries_32": results[32]["queries"]}
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

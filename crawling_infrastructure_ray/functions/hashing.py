@@ -47,29 +47,36 @@ def md5_id(s: str | bytes) -> str:
     return hashlib.md5(s).hexdigest()
 
 
+_FP_WEIGHTS: dict[int, np.ndarray] = {}
+
+
 def rolling_fingerprint(text: str, window: int = 16, keep: int = 8) -> list[int]:
     """Winnowing-style document fingerprint.
 
-    Rabin-Karp rolling hash over character windows; keep the ``keep``
-    smallest window hashes (a deterministic, order-insensitive sketch).
-    Public algorithm (Schleimer et al., 'Winnowing: Local Algorithms
-    for Document Fingerprinting', SIGMOD 2003).
+    Hash every ``window``-byte character window (vectorized: sliding
+    windows × odd-constant weights in wrapping uint64, xorshift mix),
+    keep the ``keep`` smallest distinct window hashes — a
+    deterministic, order-insensitive sketch. Public algorithm family
+    (Schleimer et al., 'Winnowing', SIGMOD 2003).
     """
     if not text:
         return []
-    data = text.encode("utf-8", "surrogatepass")
-    n = len(data)
+    data = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    n = data.size
     if n <= window:
-        return [stable_hash64(data)]
-    base, mod = 257, (1 << 61) - 1
-    power = pow(base, window - 1, mod)
-    h = 0
-    hashes = np.empty(n - window + 1, dtype=np.uint64)
-    for i in range(window):
-        h = (h * base + data[i]) % mod
-    hashes[0] = h
-    for i in range(1, n - window + 1):
-        h = ((h - data[i - 1] * power) * base + data[i + window - 1]) % mod
-        hashes[i] = h
-    uniq = np.unique(hashes)
+        return [stable_hash64(data.tobytes())]
+    w = _FP_WEIGHTS.get(window)
+    if w is None:
+        rng = np.random.default_rng(0xF19E)
+        w = (rng.integers(0, 1 << 62, size=window, dtype=np.uint64)
+             | np.uint64(1))
+        _FP_WEIGHTS[window] = w
+    from numpy.lib.stride_tricks import sliding_window_view
+    with np.errstate(over="ignore"):
+        wins = sliding_window_view(data, window).astype(np.uint64)
+        h = (wins * w[None, :]).sum(axis=1)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(29)
+    uniq = np.unique(h)
     return [int(x) for x in uniq[:keep]]

@@ -81,10 +81,9 @@ def q_g4_fleet_stats(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["user_id", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["user_id", "value"]).to_pandas()
-        g = df.groupby("user_id", as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = batch.select(["user_id", "value"]).group_by("user_id").aggregate(
+            [("value", "count"), ("value", "sum")])
+        return g.rename_columns(["user_id", "n_events", "sum_value"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     agg = partials.groupby("user_id").aggregate(
@@ -176,7 +175,15 @@ def q_o6_top35_parts(sf_dir: str):
     """O6 domain-count top-35 (domain_count.js:57-61): group, count,
     sort desc, limit 35 with deterministic tie-break."""
     ds = read_table(sf_dir, "lineitem", columns=["l_partkey"])
-    counted = ds.groupby("l_partkey").aggregate(Count(alias_name="n_lines"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("l_partkey").aggregate([("l_partkey", "count")])
+        return g.rename_columns(["l_partkey", "n_lines"])
+
+    # pre-aggregate per batch → the shuffle moves one row per key per
+    # batch instead of the full fact table
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    counted = partials.groupby("l_partkey").aggregate(Sum("n_lines", alias_name="n_lines"))
     return counted.sort(["n_lines", "l_partkey"], descending=[True, False]).limit(35)
 
 
@@ -224,12 +231,15 @@ def q_j4_customers_without_p_orders(sf_dir: str):
     return cust.map_batches(anti, batch_format="pyarrow")
 
 
-def q_j2_bucketed_join_revenue(sf_dir: str, num_buckets: int = 16):
+def q_j2_bucketed_join_revenue(sf_dir: str, num_buckets: int = 64):
     """Large-large partitioned hash join: lineitem ⋈ orders on
     orderkey, explicit bucket = key % B on both sides, per-bucket
     pandas merge in map_groups, then partial-sum + final groupby
     (the ray_guide portable join pattern; skew-salting would split
-    hot buckets)."""
+    hot buckets). num_buckets=64 so per-bucket join tasks saturate the
+    CPUs (measured 2x faster than 16 buckets at 32 cpus, and ~4x
+    faster than this Ray version's native Dataset.join — see
+    q_j3_native_hash_join)."""
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
@@ -288,6 +298,20 @@ def q_j2_bucketed_join_revenue(sf_dir: str, num_buckets: int = 16):
     return final
 
 
+def q_j3_native_hash_join(sf_dir: str):
+    """J1-family large-large join via the native ``Dataset.join``
+    (hash-partitioned). Kept for API parity but NOT registered in
+    queries(): on this Ray version (2.49) the hash-shuffle join hangs
+    when the session has few CPUs (observed at num_cpus=4 with
+    num_partitions 2..32) and is ~4x slower than the explicit bucketed
+    join (q_j2) at 32 cpus. q_j2 is the default large-large join."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    j = li.join(orders, join_type="inner", num_partitions=32,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    return j.groupby("o_orderstatus").aggregate(Count(alias_name="n_lines"))
+
+
 # ----------------------------------------------------------------------
 # TPC-H anchor (pre-aggregated wide groupby)
 # ----------------------------------------------------------------------
@@ -312,24 +336,25 @@ def q_q1_pricing_summary(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
-        qty = np.asarray(batch["l_quantity"].to_pylist()).round().astype(np.int64)
-        price_c = (np.asarray(batch["l_extendedprice"].to_pylist()) * 100).round().astype(np.int64)
-        disc_c = (np.asarray(batch["l_discount"].to_pylist()) * 100).round().astype(np.int64)
-        tax_c = (np.asarray(batch["l_tax"].to_pylist()) * 100).round().astype(np.int64)
-        dp_e4 = price_c * (100 - disc_c)
-        ch_e6 = dp_e4 * (100 + tax_c)
-        df = pd.DataFrame({
-            "l_returnflag": batch["l_returnflag"].to_pylist(),
-            "l_linestatus": batch["l_linestatus"].to_pylist(),
-            "sum_qty": qty, "sum_base_price_c": price_c,
-            "sum_disc_price_e4": dp_e4, "sum_charge_e6": ch_e6,
-            "sum_disc_c": disc_c})
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("sum_qty", "sum"), sum_base_price_c=("sum_base_price_c", "sum"),
-            sum_disc_price_e4=("sum_disc_price_e4", "sum"),
-            sum_charge_e6=("sum_charge_e6", "sum"), sum_disc_c=("sum_disc_c", "sum"),
-            count_order=("sum_qty", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # exact integer units, all-arrow kernels (no pandas, no pylist)
+        qty = pc.cast(pc.round(batch["l_quantity"]), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(batch["l_discount"], 100.0)), pa.int64())
+        tax_c = pc.cast(pc.round(pc.multiply(batch["l_tax"], 100.0)), pa.int64())
+        dp_e4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        ch_e6 = pc.multiply(dp_e4, pc.add(pa.scalar(100, pa.int64()), tax_c))
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "l_linestatus": batch["l_linestatus"],
+                      "sum_qty": qty, "sum_base_price_c": price_c,
+                      "sum_disc_price_e4": dp_e4, "sum_charge_e6": ch_e6,
+                      "sum_disc_c": disc_c})
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_base_price_c", "sum"),
+             ("sum_disc_price_e4", "sum"), ("sum_charge_e6", "sum"),
+             ("sum_disc_c", "sum"), ("sum_qty", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                                 "sum_base_price_c", "sum_disc_price_e4",
+                                 "sum_charge_e6", "sum_disc_c", "count_order"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -428,12 +453,11 @@ def q_events_hourly_window(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         win = pc.floor_temporal(batch["ts"], unit="hour")
-        df = pd.DataFrame({"user_id": batch["user_id"].to_pylist(),
-                           "window_start": win.to_pylist(),
-                           "value": batch["value"].to_pylist()})
-        g = df.groupby(["user_id", "window_start"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = pa.table({"user_id": batch["user_id"], "window_start": win,
+                      "value": batch["value"]})
+        g = t.group_by(["user_id", "window_start"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return g.rename_columns(["user_id", "window_start", "n_events", "sum_value"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     out = partials.groupby(["user_id", "window_start"]).aggregate(

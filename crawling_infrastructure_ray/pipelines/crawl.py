@@ -35,16 +35,24 @@ import tempfile
 import time
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from ..functions.hashing import stable_hash64
 from ..sources.corpus import spans_arrow_type
-from ..stages.fetch import FetchSim, fetch_sim_batch
+from ..stages.fetch import FetchSim, FetchStoreActor, fetch_store_batch
 from ..state.frontier import Frontier
+
+# raw-task form of the fetch+store stage (see run_crawl fetch_via docs).
+# The wave table is ray.put ONCE; each task slices its range zero-copy
+# from the shared object — the driver serializes the wave once instead
+# of once per task.
+@ray.remote(num_cpus=1)
+def _fetch_slice_task(tbl: pa.Table, offset: int, length: int, **kwargs) -> pa.Table:
+    return fetch_store_batch(tbl.slice(offset, length), **kwargs)
 
 DOCS_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
@@ -54,6 +62,8 @@ DOCS_SCHEMA = pa.schema([
     ("enqueue_seq", pa.uint64()),
     ("url_hash_part", pa.uint16()),  # explicit hash partition key (north rule)
     ("wave", pa.int32()),
+    ("simhash", pa.uint64()),        # signature-at-ingest (dedup input)
+    ("fingerprint", pa.list_(pa.uint64())),
     ("spans", spans_arrow_type()),
 ])
 
@@ -81,7 +91,7 @@ def _atomic_write_parquet(tbl: pa.Table, path: str) -> None:
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     os.close(fd)
-    pq.write_table(tbl, tmp, compression="zstd")
+    pq.write_table(tbl, tmp, compression="snappy")
     os.replace(tmp, path)
 
 
@@ -117,12 +127,28 @@ def run_crawl(seed_urls: list[str] | None = None, *,
               max_waves: int | None = None,
               now_fn=None,
               use_actors: bool = False,
+              fetch_via: str = "tasks",
               preserve_order: bool = True) -> CrawlResult:
     """Run a crawl to drain (or ``max_waves``). Returns CrawlResult.
 
     ``resume=True`` restores the frontier from ``out_dir/ckpt`` and
     skips waves whose parquet fragments already exist (north rule:
     a killed run resumes exactly).
+
+    ``fetch_via`` selects how a wave's batches reach ``fetch_store_batch``:
+      'tasks'   (default) — raw ``ray.remote`` tasks, one per slice.
+                The crawl is an ITERATIVE feedback loop (each wave's
+                discovered URLs feed the next wave's lease), which the
+                Dataset API cannot express in one pipeline; a fresh
+                Dataset per wave pays ~2s of executor startup/teardown
+                per wave (measured), which dominates at high wave
+                counts. Raw tasks run the SAME batch function with
+                ~ms-level submission cost. Results are identical.
+      'dataset' — one Ray Data pipeline per wave (map_batches tasks);
+                the fully Dataset-native form, used in conformance
+                tests and the right choice when waves are few and big.
+    ``use_actors=True`` additionally routes 'dataset' mode through the
+    FetchStoreActor pool (the stateful-fetcher A1/A2 shape).
     """
     docs_dir = os.path.join(out_dir, "documents")
     claims_dir = os.path.join(out_dir, "claims")
@@ -140,7 +166,8 @@ def run_crawl(seed_urls: list[str] | None = None, *,
             if os.path.isdir(d):
                 for f in os.listdir(d):
                     if f.startswith("wave_") and int(f[5:10]) >= start_wave:
-                        os.remove(os.path.join(d, f))
+                        p = os.path.join(d, f)
+                        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
         # truncate manifest to the checkpoint
         kept = [r for r in done if r["wave"] < start_wave]
         with open(manifest, "w") as fh:
@@ -169,7 +196,9 @@ def run_crawl(seed_urls: list[str] | None = None, *,
         if max_waves is not None and wave - start_wave >= max_waves:
             break
         now = now_fn() if now_fn else None
+        t_lease = time.perf_counter()
         leases = frontier.lease_wave(n_per_shard, now)
+        lease_sec = round(time.perf_counter() - t_lease, 3)
         if not leases:
             # between-wave healing (reference daemon cycle: R1 retry gate)
             if frontier.retry_failed() > 0:
@@ -178,6 +207,7 @@ def run_crawl(seed_urls: list[str] | None = None, *,
                 continue
             break
         wave_t0 = time.perf_counter()
+        phase = {"lease": lease_sec}
         # one Arrow table for the wave, tagged with routing metadata
         parts = []
         for lease in leases:
@@ -198,85 +228,97 @@ def run_crawl(seed_urls: list[str] | None = None, *,
         claims_tbl = wave_tbl.select(["enqueue_seq", "url", "attempt"]).sort_by("enqueue_seq")
         claims_tbl = claims_tbl.append_column("wave", pa.array([wave] * claims_tbl.num_rows, pa.int32()))
         _atomic_write_parquet(claims_tbl, os.path.join(claims_dir, f"wave_{wave:05d}.parquet"))
+        phase["build"] = round(time.perf_counter() - wave_t0, 3)
 
-        ds = rd.from_arrow(wave_tbl)
-        if use_actors:
-            # actor-pool form — what a real stateful fetcher (session /
-            # browser, A1/A2) uses; per-wave pool startup makes it the
-            # slower choice for the stateless simulated fetch
-            fetched_ds = ds.map_batches(
-                FetchSim,
-                fn_constructor_kwargs={"seed": seed, "max_depth": max_depth,
-                                       "num_hosts": num_hosts},
-                batch_format="pyarrow", batch_size=batch_size,
-                concurrency=fetch_concurrency, num_cpus=1,
-                max_task_retries=0,  # frontier is the single retry authority
-            )
+        # split the wave into block-sized zero-copy slices BEFORE from_arrow:
+        # a single Arrow table would become one block → one sequential task.
+        # Cap the block count — from_arrow pays a per-block ray.put.
+        # combine_chunks per slice: pickling a lazily-sliced table copies
+        # the FULL parent buffers for every slice (measured 18x slower)
+        t = time.perf_counter()
+        step = max(batch_size, -(-max(1, wave_tbl.num_rows) // 128))
+        if fetch_via != "tasks" or use_actors:
+            slices = [wave_tbl.slice(i, step).combine_chunks()
+                      for i in range(0, wave_tbl.num_rows, step)] or [wave_tbl]
+            ds = rd.from_arrow(slices)
+        phase["mkds"] = round(time.perf_counter() - t, 3)
+        fetch_kwargs = {"seed": seed, "max_depth": max_depth,
+                        "num_hosts": num_hosts, "docs_dir": docs_dir,
+                        "wave": wave}
+        # fetch tasks write their own document fragments (commit-after-
+        # store, reference R7) and return ONLY control columns — span
+        # payloads never cross the driver. The control set is bounded
+        # (items_per_wave) → safe to collect, then sort by enqueue_seq
+        # for scheduling-independent determinism.
+        t = time.perf_counter()
+        if fetch_via == "tasks" and not use_actors:
+            wave_ref = ray.put(wave_tbl)
+            phase["put"] = round(time.perf_counter() - t, 3)
+            refs = [_fetch_slice_task.options(max_retries=0).remote(
+                        wave_ref, off, step, **fetch_kwargs)
+                    for off in range(0, wave_tbl.num_rows, step)]
+            phase["submit"] = round(time.perf_counter() - t, 3)
+            fetched = pa.concat_tables(ray.get(refs))
+            del wave_ref
         else:
-            fetched_ds = ds.map_batches(
-                fetch_sim_batch,
-                fn_kwargs={"seed": seed, "max_depth": max_depth,
-                           "num_hosts": num_hosts},
-                batch_format="pyarrow", batch_size=batch_size,
-                max_retries=0,  # frontier is the single retry authority
-            )
-        # a wave is bounded (items_per_wave) → safe to collect, then sort
-        # by enqueue_seq for scheduling-independent determinism
-        fetched = pa.concat_tables(
-            [b for b in fetched_ds.iter_batches(batch_size=batch_size,
-                                                batch_format="pyarrow")]
-        ) if wave_tbl.num_rows else wave_tbl
+            if use_actors:
+                # actor-pool form — what a real stateful fetcher (session /
+                # browser, A1/A2) uses; per-wave pool startup makes it the
+                # slower choice for the stateless simulated fetch
+                fetched_ds = ds.map_batches(
+                    FetchStoreActor, fn_constructor_kwargs=fetch_kwargs,
+                    batch_format="pyarrow", batch_size=batch_size,
+                    concurrency=fetch_concurrency, num_cpus=1,
+                    max_task_retries=0,  # frontier is the single retry authority
+                )
+            else:
+                fetched_ds = ds.map_batches(
+                    fetch_store_batch, fn_kwargs=fetch_kwargs,
+                    batch_format="pyarrow", batch_size=batch_size,
+                    max_retries=0,  # frontier is the single retry authority
+                )
+            fetched = pa.concat_tables(
+                [b for b in fetched_ds.iter_batches(batch_size=batch_size * 8,
+                                                    batch_format="pyarrow")]
+            ) if wave_tbl.num_rows else wave_tbl
         fetched = fetched.sort_by("enqueue_seq")
-
-        # 1) documents fragment (completed rows only) — write BEFORE commit
-        #    (reference R7 ordering: storage failure must leave items
-        #    uncommitted, crawler/src/index.ts:237-243)
         ok_mask = pc.equal(fetched["status"], "completed")
         ok = fetched.filter(ok_mask)
-        if ok.num_rows:
-            urls = ok["url"].to_pylist()
-            part_col = pa.array(
-                [stable_hash64(u, seed) % 1024 for u in urls], pa.uint16())
-            doc_tbl = pa.table({
-                "doc_id": ok["doc_id"], "url": ok["url"], "host": ok["host"],
-                "depth": ok["depth"], "enqueue_seq": ok["enqueue_seq"],
-                "url_hash_part": part_col,
-                "wave": pa.array([wave] * ok.num_rows, pa.int32()),
-                "spans": ok["spans"],
-            })
-            _atomic_write_parquet(doc_tbl, os.path.join(docs_dir, f"wave_{wave:05d}.parquet"))
-            docs_written += ok.num_rows
+        docs_written += ok.num_rows
+        phase["fetch"] = round(time.perf_counter() - t, 3)
+        t = time.perf_counter()
 
-        # 2) commits per (shard, lease)
+        # 2) commits per (shard, lease) — numpy-grouped, no row loop
         commit_refs = []
-        by_lease: dict[tuple[int, int], list[int]] = {}
-        seqs = fetched["enqueue_seq"].to_pylist()
-        shards_col = fetched["shard"].to_pylist()
-        lease_col = fetched["lease_id"].to_pylist()
-        statuses = fetched["status"].to_pylist()
-        errors = fetched["error"].to_pylist()
-        for i in range(fetched.num_rows):
-            by_lease.setdefault((shards_col[i], lease_col[i]), []).append(i)
-        for (sh, lid), idxs in by_lease.items():
+        seqs_np = fetched["enqueue_seq"].to_numpy(zero_copy_only=False)
+        shard_np = fetched["shard"].to_numpy(zero_copy_only=False)
+        lease_np = fetched["lease_id"].to_numpy(zero_copy_only=False)
+        status_np = np.asarray(fetched["status"].to_pylist(), dtype=object)
+        error_np = np.asarray(fetched["error"].to_pylist(), dtype=object)
+        for lid in np.unique(lease_np):
+            idx = np.flatnonzero(lease_np == lid)
             commit_refs.append(frontier.commit(
-                sh, lid,
-                [seqs[i] for i in idxs],
-                [statuses[i] for i in idxs],
-                [errors[i] for i in idxs], now))
+                int(shard_np[idx[0]]), int(lid), seqs_np[idx].tolist(),
+                status_np[idx].tolist(), error_np[idx].tolist(), now))
         ray.get(commit_refs)
+        phase["commit"] = round(time.perf_counter() - t, 3)
+        t = time.perf_counter()
 
         # 3) discovered URLs → tail append in enqueue_seq order
         #    (reference enqueue() appends with fresh _ids, enqueue.ts:71-116)
+        #    — flattened with Arrow list kernels, no Python nesting loop
         disc_urls: list[str] = []
         disc_depths: list[int] = []
-        discovered = ok["discovered"].to_pylist() if ok.num_rows else []
-        ok_depths = ok["depth"].to_pylist() if ok.num_rows else []
-        for children, d in zip(discovered, ok_depths):
-            for c in children:
-                disc_urls.append(c)
-                disc_depths.append(d + 1)
+        if ok.num_rows:
+            disc_col = ok["discovered"]
+            disc_urls = pc.list_flatten(disc_col).to_pylist()
+            if disc_urls:
+                lens = pc.list_value_length(disc_col).to_numpy(zero_copy_only=False)
+                depths_np = ok["depth"].to_numpy(zero_copy_only=False)
+                disc_depths = np.repeat(depths_np + 1, lens).tolist()
         if disc_urls:
             frontier.enqueue(disc_urls, disc_depths)
+        phase["enqueue"] = round(time.perf_counter() - t, 3)
 
         urls_processed += fetched.num_rows
         row = {"wave": wave, "leased": int(wave_tbl.num_rows),
@@ -284,6 +326,7 @@ def run_crawl(seed_urls: list[str] | None = None, *,
                "failed": int(fetched.num_rows - ok.num_rows),
                "discovered": len(disc_urls),
                "sec": round(time.perf_counter() - wave_t0, 4),
+               "phase": phase,
                "checkpointed": False}
         # 4) checkpoint
         if checkpoint_every and (wave + 1) % checkpoint_every == 0:
@@ -300,6 +343,200 @@ def run_crawl(seed_urls: list[str] | None = None, *,
                        seen_set_size=len(frontier.seen_set()),
                        docs_written=docs_written, elapsed_sec=elapsed,
                        urls_processed=urls_processed, lineage=lineage)
+
+
+def run_crawl_pump(seed_urls: list[str] | None = None, *,
+                   frontier: Frontier | None = None,
+                   seed: int = 42,
+                   num_shards: int = 8,
+                   dedup: bool = True,
+                   politeness: bool = False,
+                   robots: bool = False,
+                   default_rate: float = 1.0,
+                   max_depth: int = 2,
+                   max_retries: int = 3,
+                   num_hosts: int = 64,
+                   chunk_size: int = 512,
+                   target_inflight: int | None = None,
+                   out_dir: str = "/tmp/crawl_pump",
+                   resume: bool = False,
+                   checkpoint_every_commits: int = 0,
+                   now_fn=None) -> CrawlResult:
+    """Asynchronous frontier pump — the throughput mode.
+
+    Instead of synchronized waves (``run_crawl``), the driver keeps
+    ``target_inflight`` fetch CHUNKS in flight at all times: each chunk
+    is one frontier lease of ``chunk_size`` items running as one raw
+    Ray task; as chunks complete (``ray.wait``) their statuses are
+    committed, discovered URLs are appended, and fresh leases are
+    issued immediately. No wave barrier → no per-wave straggler tail,
+    CPUs stay saturated — the Ray analog of the reference scheduler's
+    endless launch loop (master/scheduler/daemon.ts:61-79,308-391).
+
+    Trade-off vs wave mode: discovered URLs are appended in task
+    COMPLETION order, so ``enqueue_seq`` assignment (and claim order)
+    is not deterministic across runs; the final seen SET, histogram
+    totals, and per-document contents are unchanged (documents are a
+    pure function of (seed, url)). Conformance/golden-order runs use
+    ``run_crawl``; checkpointing here happens at soft barriers (drain
+    in-flight → snapshot) every ``checkpoint_every_commits`` chunk
+    commits. On resume, fragments written after the checkpoint
+    (lease_id ≥ the snapshot's per-shard next_lease_id) are deleted
+    before continuing, so the documents table never double-counts.
+    """
+    docs_dir = os.path.join(out_dir, "documents")
+    ckpt_dir = os.path.join(out_dir, "ckpt")
+    manifest = os.path.join(out_dir, "manifest.jsonl")
+
+    if resume and os.path.exists(os.path.join(ckpt_dir, "frontier.pkl")):
+        frontier = Frontier.restore(ckpt_dir)
+        next_ids = ray.get([sh.get_next_lease_id.remote() for sh in frontier.shards])
+        if os.path.isdir(docs_dir):
+            for f in os.listdir(docs_dir):
+                if f.startswith("part-") and f.endswith(".parquet"):
+                    lid = int(f[5:-8])
+                    sh = lid // 1_000_000_000
+                    if sh < len(next_ids) and lid >= next_ids[sh]:
+                        os.remove(os.path.join(docs_dir, f))
+    else:
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.makedirs(docs_dir, exist_ok=True)
+        if frontier is None:
+            frontier = Frontier(num_shards, seed=seed, dedup=dedup,
+                                politeness=politeness, robots=robots,
+                                default_rate=default_rate,
+                                max_retries=max_retries, order="fifo")
+        if seed_urls:
+            frontier.enqueue(seed_urls)
+
+    if target_inflight is None:
+        ncpu = int(ray.available_resources().get("CPU", 8))
+        target_inflight = max(8, 3 * ncpu)
+
+    t0 = time.perf_counter()
+    inflight: dict = {}            # ObjectRef -> (shard, lease_id)
+    urls_processed = 0
+    docs_written = 0
+    commits = 0
+    disc_urls: list[str] = []
+    disc_depths: list[int] = []
+    fetch_kwargs = {"seed": seed, "max_depth": max_depth,
+                    "num_hosts": num_hosts, "docs_dir": docs_dir}
+
+    def flush_discovered():
+        nonlocal disc_urls, disc_depths
+        if disc_urls:
+            frontier.enqueue(disc_urls, disc_depths)
+            disc_urls, disc_depths = [], []
+
+    def submit(lease: dict, shard: int):
+        n = len(lease["seq"])
+        tbl = pa.table({
+            "enqueue_seq": pa.array(lease["seq"], pa.uint64()),
+            "url": pa.array(lease["url"], pa.string()),
+            "host": pa.array(lease["host"], pa.string()),
+            "depth": pa.array(lease["depth"], pa.int32()),
+            "attempt": pa.array(lease["attempt"], pa.int32()),
+            "shard": pa.array([shard] * n, pa.int32()),
+            "lease_id": pa.array([lease["lease_id"]] * n, pa.int64()),
+        })
+        ref = _fetch_slice_task.options(max_retries=0).remote(
+            tbl, 0, n, part_label=f"{lease['lease_id']:015d}", **fetch_kwargs)
+        inflight[ref] = (shard, lease["lease_id"])
+
+    def refill(now):
+        if len(inflight) >= target_inflight:
+            return 0
+        flush_discovered()
+        want = target_inflight - len(inflight)
+        per_shard = max(1, -(-want // frontier.num_shards))
+        refs = [sh.lease_many.remote(per_shard, chunk_size, now)
+                for sh in frontier.shards]
+        got = 0
+        for shard, leases in enumerate(ray.get(refs)):
+            for lease in leases:
+                submit(lease, shard)
+                got += 1
+        return got
+
+    idle_rounds = 0
+    while True:
+        now = now_fn() if now_fn else None
+        got = refill(now)
+        if not inflight:
+            flush_discovered()
+            if frontier.retry_failed() > 0:
+                continue
+            if frontier.expire_leases(now) > 0:
+                continue
+            hist = frontier.status_histogram()
+            if hist["initial"] > 0 and idle_rounds < 200:
+                # politeness back-off: eligible items exist but all
+                # host buckets are empty right now
+                idle_rounds += 1
+                time.sleep(0.02)
+                continue
+            break
+        idle_rounds = 0
+        done, _ = ray.wait(list(inflight.keys()),
+                           num_returns=min(8, len(inflight)))
+        for ref in done:
+            shard, lease_id = inflight.pop(ref)
+            ctl = ray.get(ref)
+            statuses = ctl["status"].to_pylist()
+            frontier.commit(shard, lease_id, ctl["enqueue_seq"].to_pylist(),
+                            statuses, ctl["error"].to_pylist(), now,
+                            eager_retry=True)
+            n_ok = statuses.count("completed")
+            docs_written += n_ok
+            urls_processed += ctl.num_rows
+            if n_ok:
+                flat = pc.list_flatten(ctl["discovered"]).to_pylist()
+                if flat:
+                    lens = pc.list_value_length(ctl["discovered"]).to_numpy(
+                        zero_copy_only=False)
+                    depths_np = ctl["depth"].to_numpy(zero_copy_only=False)
+                    disc_urls.extend(flat)
+                    disc_depths.extend(np.repeat(depths_np + 1, lens).tolist())
+            commits += 1
+        if checkpoint_every_commits and commits and \
+                commits % checkpoint_every_commits == 0:
+            # soft barrier: drain, snapshot, continue
+            while inflight:
+                done, _ = ray.wait(list(inflight.keys()),
+                                   num_returns=len(inflight))
+                for ref in done:
+                    shard, lease_id = inflight.pop(ref)
+                    ctl = ray.get(ref)
+                    statuses = ctl["status"].to_pylist()
+                    frontier.commit(shard, lease_id,
+                                    ctl["enqueue_seq"].to_pylist(), statuses,
+                                    ctl["error"].to_pylist(), now,
+                                    eager_retry=True)
+                    docs_written += statuses.count("completed")
+                    urls_processed += ctl.num_rows
+                    flat = pc.list_flatten(ctl["discovered"]).to_pylist()
+                    if flat:
+                        lens = pc.list_value_length(ctl["discovered"]).to_numpy(
+                            zero_copy_only=False)
+                        depths_np = ctl["depth"].to_numpy(zero_copy_only=False)
+                        disc_urls.extend(flat)
+                        disc_depths.extend(np.repeat(depths_np + 1, lens).tolist())
+            flush_discovered()
+            frontier.checkpoint(ckpt_dir)
+            _append_manifest(manifest, {"commits": commits,
+                                        "checkpointed": True,
+                                        "docs": docs_written})
+            commits += 1  # avoid immediate re-trigger
+
+    elapsed = time.perf_counter() - t0
+    return CrawlResult(out_dir=out_dir, waves=commits,
+                       histogram=frontier.status_histogram(),
+                       counters=frontier.counters(),
+                       seen_set_size=len(frontier.seen_set()),
+                       docs_written=docs_written, elapsed_sec=elapsed,
+                       urls_processed=urls_processed)
 
 
 def read_documents(out_dir: str) -> rd.Dataset:

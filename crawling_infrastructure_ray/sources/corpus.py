@@ -122,8 +122,10 @@ def make_spans(url: str, seed: int = 42) -> list[dict]:
     offset = 0
     for i in range(n_spans):
         sh = stable_hash64(f"{doc_id}|{i}", seed ^ _SPAN_SALT)
-        if i % 2 == 0:  # text span
-            ntok = 3 + sh % 14
+        if i % 2 == 0:  # text span — sized so docs average ~4-5 KB of
+            # text (realistic page-scale payloads; exercises the
+            # streaming/write path and the per-doc signature cost)
+            ntok = 96 + sh % 192
             toks = [_VOCAB[(sh >> (j % 48)) * (j + 1) % len(_VOCAB)] for j in range(ntok)]
             text = " ".join(toks)
             spans.append({"kind": "text", "text": text, "media_ref": "",

@@ -107,13 +107,23 @@ def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(num_perm,) uint64 signature via (a*x+b) mod 2^61-1, vectorized."""
+    """(num_perm,) uint64 signature, vectorized in native uint64.
+
+    Permutation i is the mixing hash x → mix(x*a_i + b_i) with
+    wrapping uint64 arithmetic and a xorshift-multiply finalizer — the
+    standard hash-based MinHash family (one independent hash per
+    permutation); min over shingles per permutation. All ops stay in
+    native uint64 (wraparound is part of the hash), no object dtype.
+    """
     if shingles.size == 0:
         return np.zeros(a.shape[0], dtype=np.uint64)
-    # object dtype to avoid overflow in a*x (127-bit products)
-    x = shingles.astype(object)[None, :]
-    prod = (a.astype(object)[:, None] * x + b.astype(object)[:, None]) % _MERSENNE
-    return np.array(prod.min(axis=1), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x = shingles[None, :]                                  # (1, n)
+        h = x * a[:, None] + b[:, None]                        # (p, n) wrap ok
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    return h.min(axis=1)
 
 
 class MinHasher:
@@ -226,8 +236,10 @@ def minhash_dedup_pairs(ds: rd.Dataset, *, bands: int = 16, rows_per_band: int =
     cands = lsh_candidate_pairs(band_rows)
     if cands.empty:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    texts = {r[id_column]: r[column]
-             for r in ds.select_columns([id_column, column]).iter_rows()}
+    texts = {}
+    for b in ds.select_columns([id_column, column]).iter_batches(
+            batch_size=8192, batch_format="pyarrow"):
+        texts.update(zip(b[id_column].to_pylist(), b[column].to_pylist()))
     return (verify_jaccard(cands, texts, shingle_k, kind, threshold)
             .sort_values(["a", "b"]).reset_index(drop=True))
 
@@ -235,20 +247,30 @@ def minhash_dedup_pairs(ds: rd.Dataset, *, bands: int = 16, rows_per_band: int =
 # ----------------------------------------------------------------------
 # SimHash
 # ----------------------------------------------------------------------
+_TOKEN_HASH_CACHE: dict[tuple[str, int], int] = {}
+_BIT_POS = np.arange(64, dtype=np.uint64)
+
+
 def simhash64(text: str, seed: int = 42) -> int:
+    """64-bit SimHash, vectorized: all token hashes → (ntok, 64) bit
+    matrix → signed column sums → sign bits. Token hashes are memoized
+    (real corpora have heavy-tailed token reuse)."""
     toks = (text or "").split()
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = stable_hash64(t, seed)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    cache = _TOKEN_HASH_CACHE
+    hs = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        key = (t, seed)
+        h = cache.get(key)
+        if h is None:
+            if len(cache) > 1_000_000:  # bound memory per worker
+                cache.clear()
+            h = cache[key] = stable_hash64(t, seed)
+        hs[i] = h
+    bits = ((hs[:, None] >> _BIT_POS[None, :]) & np.uint64(1)).astype(np.int32)
+    acc = bits.sum(axis=0) * 2 - len(toks)        # (+1/-1 weighted sum)
+    return int(((acc > 0).astype(np.uint64) << _BIT_POS).sum())
 
 
 def simhash_batch(batch: pa.Table, seed: int = 42, column: str = "text",

@@ -45,6 +45,80 @@ def fetch_sim_batch(batch: pa.Table, *, seed: int = 42, max_depth: int = 2,
     return FetchSim(seed=seed, max_depth=max_depth, num_hosts=num_hosts)(batch)
 
 
+def fetch_store_batch(batch: pa.Table, *, seed: int = 42, max_depth: int = 2,
+                      num_hosts: int = 64, docs_dir: str = "",
+                      wave: int = 0, part_label: str = "") -> pa.Table:
+    """Fetch + SINK in one task: write this batch's completed documents
+    (the heavy span payload) as a parquet fragment from inside the
+    worker, return only the small control columns to the driver.
+
+    This is the scale-critical shape (reference K1 itemwise sink,
+    crawler/src/index.ts:244-273 — each worker uploads its own
+    results): the driver never holds span payloads, only
+    (seq, status, error, discovered). The fragment name is the batch's
+    min enqueue_seq — deterministic, unique within a wave — so resumed
+    runs reproduce the identical file set. Write happens BEFORE the
+    control rows are returned (commit-after-store, reference R7).
+    """
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import stable_hash64
+
+    from ..functions.hashing import rolling_fingerprint
+    from .dedup import simhash64
+
+    fetched = FetchSim(seed=seed, max_depth=max_depth, num_hosts=num_hosts)(batch)
+    ok = fetched.filter(pa.compute.equal(fetched["status"], "completed"))
+    if ok.num_rows and docs_dir:
+        part_col = pa.array([stable_hash64(u, seed) % 1024
+                             for u in ok["url"].to_pylist()], pa.uint16())
+        # signature-at-ingest: per-doc simhash + winnowing fingerprint
+        # computed where the text already is (feeds downstream dedup
+        # without a second pass over the corpus)
+        texts = [" ".join(sp["text"] for sp in spans if sp["kind"] == "text")
+                 for spans in ok["spans"].to_pylist()]
+        simhashes = pa.array([simhash64(t, seed) for t in texts], pa.uint64())
+        fps = pa.array([rolling_fingerprint(t) for t in texts],
+                       pa.list_(pa.uint64()))
+        doc_tbl = pa.table({
+            "doc_id": ok["doc_id"], "url": ok["url"], "host": ok["host"],
+            "depth": ok["depth"], "enqueue_seq": ok["enqueue_seq"],
+            "url_hash_part": part_col,
+            "wave": pa.array([wave] * ok.num_rows, pa.int32()),
+            "simhash": simhashes,
+            "fingerprint": fps,
+            "spans": ok["spans"],
+        })
+        if part_label:
+            # async-pump layout: one flat fragment per lease
+            out_dir, fname = docs_dir, f"part-{part_label}.parquet"
+        else:
+            min_seq = pa.compute.min(ok["enqueue_seq"]).as_py()
+            out_dir = os.path.join(docs_dir, f"wave_{wave:05d}")
+            fname = f"part-{min_seq:012d}.parquet"
+        os.makedirs(out_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(doc_tbl, tmp, compression="snappy")
+        os.replace(tmp, os.path.join(out_dir, fname))
+    return fetched.select(["enqueue_seq", "depth", "shard", "lease_id",
+                           "status", "error", "discovered"])
+
+
+class FetchStoreActor:
+    """Actor-pool form of ``fetch_store_batch`` (per-actor session
+    state in __init__ — the A1/A2 stateful-fetcher shape)."""
+
+    def __init__(self, **kwargs):
+        self.kwargs = kwargs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return fetch_store_batch(batch, **self.kwargs)
+
+
 class FetchSim:
     def __init__(self, seed: int = 42, max_depth: int = 2, num_hosts: int = 64,
                  simulate_latency: bool = False):

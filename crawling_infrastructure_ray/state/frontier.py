@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 import ray
 
 from ..functions.hashing import stable_hash64
-from ..functions.urltools import canonicalize_url, parse_host
+from ..functions.urltools import canonicalize_and_host, canonicalize_url, parse_host
 from .filters import BloomFilter, CuckooFilter
 from .politeness import HostPoliteness, RobotsCache
 
@@ -114,12 +114,11 @@ class FrontierShardCore:
         priorities = priorities or [1] * len(urls)
         inserted = 0
         for seq, url, depth, prio in zip(seqs, urls, depths, priorities):
-            curl = canonicalize_url(url)
+            curl, host = canonicalize_and_host(url)
             if self.seen is not None:
                 if not self.seen.add(curl):  # already present → duplicate
                     self.counters["deduped"] += 1
                     continue
-            host = parse_host(curl)
             self.items[seq] = [curl, host, depth, prio, INITIAL, 0, "", 0.0, 0]
             heapq.heappush(self.heap, self._key(seq, depth, prio))
             inserted += 1
@@ -185,11 +184,26 @@ class FrontierShardCore:
                 "priority": [i[_PRIORITY] for i in its],
                 "attempt": [i[_ATTEMPTS] - 1 for i in its]}
 
+    def lease_many(self, k: int, n: int, now: float | None = None) -> list[dict]:
+        """Up to ``k`` leases of ``n`` items in one actor round-trip
+        (amortizes RPC cost for the async pump)."""
+        out = []
+        for _ in range(k):
+            lease = self.lease(n, now)
+            if not lease["seq"]:
+                break
+            out.append(lease)
+        return out
+
+    def get_next_lease_id(self) -> int:
+        return self.next_lease_id
+
     # ------------------------------------------------------------------
     # commit (reference K4 updateQueueNew, crawl_queue.ts:119-149)
     # ------------------------------------------------------------------
     def commit(self, lease_id: int, seqs: list[int], statuses: list[str],
-               errors: list[str] | None = None, now: float | None = None) -> dict:
+               errors: list[str] | None = None, now: float | None = None,
+               eager_retry: bool = False) -> dict:
         """Write back results for (part of) a lease.
 
         ``statuses[i]`` ∈ {'completed', 'failed', 'blocked'}:
@@ -197,6 +211,12 @@ class FrontierShardCore:
           failed    → FAILED, retries += 1   (handler.ts:109,161-162)
           blocked   → FAILED, retries unchanged (R6, handler.ts:171-176)
         Uncommitted lease members roll back to INITIAL (R5).
+
+        ``eager_retry=True`` (async-pump mode) applies R1 at commit
+        time: a retryable failure goes straight back to INITIAL at its
+        original seq instead of waiting for the global
+        failed>0 ∧ running==0 gate — same final states and retry
+        counts, no full-drain barrier between retry rounds.
         """
         now = time.time() if now is None else now
         errors = errors or [""] * len(seqs)
@@ -213,16 +233,27 @@ class FrontierShardCore:
                 self.counters["committed_ok"] += 1
                 self._terminal_seen.append(it[_URL])
             elif st == "blocked":
-                it[_STATUS] = FAILED
                 it[_ERROR] = err or "blocked"
                 self.counters["committed_blocked"] += 1
+                if eager_retry:
+                    it[_STATUS] = INITIAL
+                    heapq.heappush(self.heap, self._key(seq, it[_DEPTH], it[_PRIORITY]))
+                    self.counters["retried"] += 1
+                else:
+                    it[_STATUS] = FAILED
             else:
-                it[_STATUS] = FAILED
                 it[_RETRIES] += 1
                 it[_ERROR] = err or "failed"
                 self.counters["committed_fail"] += 1
                 if it[_RETRIES] >= self.max_retries:
+                    it[_STATUS] = FAILED
                     self._terminal_seen.append(it[_URL])
+                elif eager_retry:
+                    it[_STATUS] = INITIAL
+                    heapq.heappush(self.heap, self._key(seq, it[_DEPTH], it[_PRIORITY]))
+                    self.counters["retried"] += 1
+                else:
+                    it[_STATUS] = FAILED
         # R5: anything leased but not reported rolls back to initial
         rolled = 0
         for seq in lease_seqs:
@@ -481,25 +512,86 @@ class Frontier:
         self.shards = [FrontierShard.remote(i, **self.shard_kwargs)
                        for i in range(num_shards)]
         self.next_seq = 0
+        self._host_shard: dict[str, int] = {}  # memoized host → shard
 
     def _route(self, url: str) -> int:
-        host = parse_host(canonicalize_url(url))
-        return stable_hash64(host, self.seed) % self.num_shards
+        # hot path: cheap host extraction (full canonicalization happens
+        # inside the shard, in parallel); memoized per host — the host
+        # set is tiny relative to the URL stream
+        rest = url.split("://", 1)[-1]
+        host = rest.split("/", 1)[0].rsplit("@", 1)[-1].split(":", 1)[0].lower()
+        sh = self._host_shard.get(host)
+        if sh is None:
+            sh = stable_hash64(host, self.seed) % self.num_shards
+            self._host_shard[host] = sh
+        return sh
 
     def enqueue(self, urls: list[str], depths: list[int] | None = None,
                 priorities: list[int] | None = None) -> int:
-        """Assign global seqs in list order and scatter to shards."""
+        """Assign global seqs in list order and scatter to shards.
+
+        Vectorized routing: hosts extracted with an Arrow C++ regex,
+        dictionary-encoded, and only the (small) distinct-host set is
+        hashed in Python — the driver cost is O(urls) numpy work, not
+        O(urls) Python parsing.
+        """
+        n = len(urls)
+        if n == 0:
+            return 0
+        if n < 256:  # small batches: plain loop is cheaper than arrow setup
+            return self._enqueue_slow(urls, depths, priorities)
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        arr = pa.array(urls, pa.string())
+        hosts = pc.extract_regex(pc.utf8_lower(arr), r"^[a-z0-9+.-]+://(?P<h>[^/?#]+)")
+        host_field = pc.struct_field(hosts, "h")
+        # unparseable URLs (no scheme) fall back to the slow path
+        if host_field.null_count:
+            return self._enqueue_slow(urls, depths, priorities)
+        enc = pc.dictionary_encode(host_field)
+        dictionary = enc.dictionary.to_pylist()
+        shard_list = []
+        for h in dictionary:
+            hh = h.rsplit("@", 1)[-1].split(":", 1)[0]
+            sh = self._host_shard.get(hh)
+            if sh is None:
+                sh = stable_hash64(hh, self.seed) % self.num_shards
+                self._host_shard[hh] = sh
+            shard_list.append(sh)
+        shard_of_host = np.array(shard_list, dtype=np.int64)
+        shard_ids = shard_of_host[enc.indices.to_numpy(zero_copy_only=False)]
+        urls_np = np.asarray(urls, dtype=object)
+        depths_np = (np.asarray(depths, dtype=np.int64) if depths is not None
+                     else np.zeros(n, dtype=np.int64))
+        prios_np = (np.asarray(priorities, dtype=np.int64) if priorities is not None
+                    else np.ones(n, dtype=np.int64))
+        base = self.next_seq
+        self.next_seq += n
+        refs = []
+        for sh in np.unique(shard_ids):
+            idx = np.flatnonzero(shard_ids == sh)
+            refs.append(self.shards[int(sh)].enqueue.remote(
+                (base + idx).tolist(), urls_np[idx].tolist(),
+                depths_np[idx].tolist(), prios_np[idx].tolist()))
+        return sum(ray.get(refs))
+
+    def _enqueue_slow(self, urls, depths=None, priorities=None) -> int:
         depths = depths or [0] * len(urls)
         priorities = priorities or [1] * len(urls)
         per_shard: dict[int, tuple[list, list, list, list]] = {}
+        seq = self.next_seq
+        route = self._route
         for url, d, p in zip(urls, depths, priorities):
-            sh = self._route(url)
-            b = per_shard.setdefault(sh, ([], [], [], []))
-            b[0].append(self.next_seq)
+            b = per_shard.get(route(url))
+            if b is None:
+                b = per_shard.setdefault(route(url), ([], [], [], []))
+            b[0].append(seq)
             b[1].append(url)
             b[2].append(d)
             b[3].append(p)
-            self.next_seq += 1
+            seq += 1
+        self.next_seq = seq
         refs = [self.shards[sh].enqueue.remote(*b) for sh, b in per_shard.items()]
         return sum(ray.get(refs))
 
@@ -515,8 +607,9 @@ class Frontier:
         return out
 
     def commit(self, shard: int, lease_id: int, seqs, statuses, errors=None,
-               now: float | None = None):
-        return self.shards[shard].commit.remote(lease_id, seqs, statuses, errors, now)
+               now: float | None = None, eager_retry: bool = False):
+        return self.shards[shard].commit.remote(lease_id, seqs, statuses,
+                                                errors, now, eager_retry)
 
     def rollback(self, shard: int, lease_id: int) -> int:
         return ray.get(self.shards[shard].rollback.remote(lease_id))
@@ -600,6 +693,7 @@ class Frontier:
         fr.seed = meta["seed"]
         fr.shard_kwargs = meta["shard_kwargs"]
         fr.next_seq = meta["next_seq"]
+        fr._host_shard = {}
         fr.shards = [FrontierShard.remote(i, **fr.shard_kwargs)
                      for i in range(fr.num_shards)]
         ray.get([sh.restore.remote(os.path.join(ckpt_dir, f"shard_{i:04d}"))

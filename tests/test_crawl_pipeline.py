@@ -44,7 +44,7 @@ def engine_run(ray_session, seeds, tmp_path_factory):
 
 
 def _read_sorted(dir_glob, sort_key):
-    files = sorted(glob.glob(dir_glob))
+    files = sorted(glob.glob(dir_glob, recursive=True))
     assert files
     return pa.concat_tables([pq.read_table(f) for f in files]).sort_by(sort_key)
 
@@ -66,7 +66,7 @@ def test_golden_seen_set_and_histogram(golden, engine_run):
 
 
 def test_golden_spans_equality(golden, engine_run):
-    docs = _read_sorted(os.path.join(engine_run.out_dir, "documents", "*.parquet"),
+    docs = _read_sorted(os.path.join(engine_run.out_dir, "documents", "**", "*.parquet"),
                         "enqueue_seq")
     want = golden["documents"].sort_by("enqueue_seq")
     assert docs.num_rows == want.num_rows
@@ -80,7 +80,8 @@ def test_sharded_mode_matches_seen_set(ray_session, seeds, golden, tmp_path):
     """K=4 shards: per-shard FIFO, same final seen set + histogram
     totals (global claim order differs by design — SURVEY.md §7.4)."""
     res = run_crawl(seeds, seed=SEED, num_shards=4, dedup=True, max_depth=1,
-                    items_per_wave=WAVE, out_dir=str(tmp_path / "sharded"))
+                    items_per_wave=WAVE, out_dir=str(tmp_path / "sharded"),
+                    fetch_via="dataset")  # covers the Dataset-pipeline fetch path
     assert res.histogram["completed"] == golden["histogram"]["completed"]
     assert res.histogram["failed"] == golden["histogram"]["failed"]
     assert res.seen_set_size == len(golden["seen_set"])
@@ -137,9 +138,9 @@ def test_kill_and_resume_byte_identical(ray_session, seeds, tmp_path):
     resumed = run_crawl(None, resume=True, seed=SEED, num_shards=2, dedup=True,
                         max_depth=1, items_per_wave=WAVE, checkpoint_every=1,
                         out_dir=str(tmp_path / "cut"))
-    t_full = _read_sorted(str(tmp_path / "full" / "documents" / "*.parquet"),
+    t_full = _read_sorted(str(tmp_path / "full" / "documents" / "**" / "*.parquet"),
                           "enqueue_seq")
-    t_res = _read_sorted(str(tmp_path / "cut" / "documents" / "*.parquet"),
+    t_res = _read_sorted(str(tmp_path / "cut" / "documents" / "**" / "*.parquet"),
                          "enqueue_seq")
     assert t_full.equals(t_res)
     assert resumed.histogram == full.histogram
