@@ -66,7 +66,7 @@ def run_bench() -> dict:
     seeds = make_seed_urls(CRAWL_SEEDS, seed=42, num_hosts=512)["url"].to_pylist()
     t0 = time.perf_counter()
     res = run_crawl_pump(seeds, seed=42, num_shards=8, dedup=True, max_depth=1,
-                         chunk_size=512, out_dir=f"/tmp/bench_crawl_{NUM_CPUS}")
+                         chunk_size=1024, out_dir=f"/tmp/bench_crawl_{NUM_CPUS}")
     crawl_sec = time.perf_counter() - t0
     queries["crawl"] = round(crawl_sec, 3)
     crawl_tput = res.urls_processed / crawl_sec

@@ -54,6 +54,34 @@ from ..state.frontier import Frontier
 def _fetch_slice_task(tbl: pa.Table, offset: int, length: int, **kwargs) -> pa.Table:
     return fetch_store_batch(tbl.slice(offset, length), **kwargs)
 
+
+@ray.remote(num_cpus=1)
+def _fetch_commit_task(tbl: pa.Table, shard_handle, lease_id: int,
+                       now, **kwargs):
+    """Pump-mode chunk: fetch + store + COMMIT from inside the task.
+
+    The task commits its own lease to the owning shard actor
+    (store-then-commit ordering, reference R7) and returns only the
+    tiny summary + discovered children — per-row statuses never
+    transit the driver, which keeps the pump's driver loop O(chunks),
+    not O(urls)."""
+    ctl = fetch_store_batch(tbl, **kwargs)
+    statuses = ctl["status"].to_pylist()
+    ray.get(shard_handle.commit.remote(
+        lease_id, ctl["enqueue_seq"].to_pylist(), statuses,
+        ctl["error"].to_pylist(), now, True))
+    n_ok = statuses.count("completed")
+    flat = pc.list_flatten(ctl["discovered"])
+    if len(flat):
+        lens = pc.list_value_length(ctl["discovered"]).to_numpy(zero_copy_only=False)
+        depths = np.repeat(ctl["depth"].to_numpy(zero_copy_only=False) + 1,
+                           lens).astype(np.int64)
+        children = pa.table({"url": flat, "depth": pa.array(depths)})
+    else:
+        children = pa.table({"url": pa.array([], pa.string()),
+                             "depth": pa.array([], pa.int64())})
+    return {"n": ctl.num_rows, "n_ok": n_ok}, children
+
 DOCS_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("url", pa.string()),
@@ -424,11 +452,17 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
     fetch_kwargs = {"seed": seed, "max_depth": max_depth,
                     "num_hosts": num_hosts, "docs_dir": docs_dir}
 
-    def flush_discovered():
+    pending_enq: list = []
+
+    def flush_discovered(block: bool = False):
         nonlocal disc_urls, disc_depths
         if disc_urls:
-            frontier.enqueue(disc_urls, disc_depths)
+            pending_enq.extend(
+                frontier.enqueue_async(disc_urls, disc_depths))
             disc_urls, disc_depths = [], []
+        if block and pending_enq:
+            ray.get(pending_enq)
+            pending_enq.clear()
 
     def submit(lease: dict, shard: int):
         n = len(lease["seq"])
@@ -441,8 +475,9 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
             "shard": pa.array([shard] * n, pa.int32()),
             "lease_id": pa.array([lease["lease_id"]] * n, pa.int64()),
         })
-        ref = _fetch_slice_task.options(max_retries=0).remote(
-            tbl, 0, n, part_label=f"{lease['lease_id']:015d}", **fetch_kwargs)
+        ref = _fetch_commit_task.options(max_retries=0).remote(
+            tbl, frontier.shards[shard], lease["lease_id"], now_fn() if now_fn else None,
+            part_label=f"{lease['lease_id']:015d}", **fetch_kwargs)
         inflight[ref] = (shard, lease["lease_id"])
 
     def refill(now):
@@ -465,7 +500,9 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
         now = now_fn() if now_fn else None
         got = refill(now)
         if not inflight:
-            flush_discovered()
+            flush_discovered(block=True)  # inserts must land before the
+            if refill(now):               # drained check can be trusted
+                continue
             if frontier.retry_failed() > 0:
                 continue
             if frontier.expire_leases(now) > 0:
@@ -482,23 +519,13 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
         done, _ = ray.wait(list(inflight.keys()),
                            num_returns=min(8, len(inflight)))
         for ref in done:
-            shard, lease_id = inflight.pop(ref)
-            ctl = ray.get(ref)
-            statuses = ctl["status"].to_pylist()
-            frontier.commit(shard, lease_id, ctl["enqueue_seq"].to_pylist(),
-                            statuses, ctl["error"].to_pylist(), now,
-                            eager_retry=True)
-            n_ok = statuses.count("completed")
-            docs_written += n_ok
-            urls_processed += ctl.num_rows
-            if n_ok:
-                flat = pc.list_flatten(ctl["discovered"]).to_pylist()
-                if flat:
-                    lens = pc.list_value_length(ctl["discovered"]).to_numpy(
-                        zero_copy_only=False)
-                    depths_np = ctl["depth"].to_numpy(zero_copy_only=False)
-                    disc_urls.extend(flat)
-                    disc_depths.extend(np.repeat(depths_np + 1, lens).tolist())
+            inflight.pop(ref)
+            counts, children = ray.get(ref)
+            docs_written += counts["n_ok"]
+            urls_processed += counts["n"]
+            if children.num_rows:
+                disc_urls.extend(children["url"].to_pylist())
+                disc_depths.extend(children["depth"].to_pylist())
             commits += 1
         if checkpoint_every_commits and commits and \
                 commits % checkpoint_every_commits == 0:
@@ -507,23 +534,14 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                 done, _ = ray.wait(list(inflight.keys()),
                                    num_returns=len(inflight))
                 for ref in done:
-                    shard, lease_id = inflight.pop(ref)
-                    ctl = ray.get(ref)
-                    statuses = ctl["status"].to_pylist()
-                    frontier.commit(shard, lease_id,
-                                    ctl["enqueue_seq"].to_pylist(), statuses,
-                                    ctl["error"].to_pylist(), now,
-                                    eager_retry=True)
-                    docs_written += statuses.count("completed")
-                    urls_processed += ctl.num_rows
-                    flat = pc.list_flatten(ctl["discovered"]).to_pylist()
-                    if flat:
-                        lens = pc.list_value_length(ctl["discovered"]).to_numpy(
-                            zero_copy_only=False)
-                        depths_np = ctl["depth"].to_numpy(zero_copy_only=False)
-                        disc_urls.extend(flat)
-                        disc_depths.extend(np.repeat(depths_np + 1, lens).tolist())
-            flush_discovered()
+                    inflight.pop(ref)
+                    counts, children = ray.get(ref)
+                    docs_written += counts["n_ok"]
+                    urls_processed += counts["n"]
+                    if children.num_rows:
+                        disc_urls.extend(children["url"].to_pylist())
+                        disc_depths.extend(children["depth"].to_pylist())
+            flush_discovered(block=True)
             frontier.checkpoint(ckpt_dir)
             _append_manifest(manifest, {"commits": commits,
                                         "checkpointed": True,

@@ -540,15 +540,27 @@ class Frontier:
             return 0
         if n < 256:  # small batches: plain loop is cheaper than arrow setup
             return self._enqueue_slow(urls, depths, priorities)
+        refs = self.enqueue_async(urls, depths, priorities)
+        return sum(ray.get(refs)) if refs else 0
+
+    def enqueue_async(self, urls: list[str], depths: list[int] | None = None,
+                      priorities: list[int] | None = None) -> list:
+        """Non-blocking enqueue: returns the shard insert refs instead
+        of waiting (the async pump overlaps inserts with fetches;
+        callers must drain the refs before trusting drained-ness)."""
+        n = len(urls)
+        if n == 0:
+            return []
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
         arr = pa.array(urls, pa.string())
         hosts = pc.extract_regex(pc.utf8_lower(arr), r"^[a-z0-9+.-]+://(?P<h>[^/?#]+)")
         host_field = pc.struct_field(hosts, "h")
-        # unparseable URLs (no scheme) fall back to the slow path
         if host_field.null_count:
-            return self._enqueue_slow(urls, depths, priorities)
+            # rare fallback: synchronous slow path; wrap the count so
+            # callers can still sum(ray.get(refs))
+            return [ray.put(self._enqueue_slow(urls, depths, priorities))]
         enc = pc.dictionary_encode(host_field)
         dictionary = enc.dictionary.to_pylist()
         shard_list = []
@@ -574,7 +586,7 @@ class Frontier:
             refs.append(self.shards[int(sh)].enqueue.remote(
                 (base + idx).tolist(), urls_np[idx].tolist(),
                 depths_np[idx].tolist(), prios_np[idx].tolist()))
-        return sum(ray.get(refs))
+        return refs
 
     def _enqueue_slow(self, urls, depths=None, priorities=None) -> int:
         depths = depths or [0] * len(urls)
