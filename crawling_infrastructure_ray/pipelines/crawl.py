@@ -65,6 +65,7 @@ def _fetch_commit_task(tbl: pa.Table, shard_handle, lease_id: int,
     tiny summary + discovered children — per-row statuses never
     transit the driver, which keeps the pump's driver loop O(chunks),
     not O(urls)."""
+    t_start = time.time()
     ctl = fetch_store_batch(tbl, **kwargs)
     statuses = ctl["status"].to_pylist()
     ray.get(shard_handle.commit.remote(
@@ -80,7 +81,8 @@ def _fetch_commit_task(tbl: pa.Table, shard_handle, lease_id: int,
     else:
         children = pa.table({"url": pa.array([], pa.string()),
                              "depth": pa.array([], pa.int64())})
-    return {"n": ctl.num_rows, "n_ok": n_ok}, children
+    return {"n": ctl.num_rows, "n_ok": n_ok,
+            "started": t_start, "ended": time.time()}, children
 
 DOCS_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
@@ -126,6 +128,26 @@ def _atomic_write_parquet(tbl: pa.Table, path: str) -> None:
 def _append_manifest(path: str, row: dict) -> None:
     with open(path, "a") as f:
         f.write(json.dumps(row) + "\n")
+
+
+def _write_lineage(out_dir: str, rows: list[tuple]) -> None:
+    """Per-lease lineage table (reference worker_meta analog)."""
+    if not rows:
+        return
+    tbl = pa.table({
+        "lease_id": pa.array([r[0] for r in rows], pa.int64()),
+        "shard": pa.array([r[1] for r in rows], pa.int32()),
+        "n_items": pa.array([r[2] for r in rows], pa.int64()),
+        "n_ok": pa.array([r[3] for r in rows], pa.int64()),
+        "n_failed": pa.array([r[4] for r in rows], pa.int64()),
+        "started": pa.array([r[5] for r in rows], pa.float64()),
+        "ended": pa.array([r[6] for r in rows], pa.float64()),
+    })
+    _atomic_write_parquet(tbl, os.path.join(out_dir, "lineage.parquet"))
+
+
+def read_lineage(out_dir: str) -> pa.Table:
+    return pq.read_table(os.path.join(out_dir, "lineage.parquet"))
 
 
 def _read_manifest(path: str) -> list[dict]:
@@ -449,6 +471,10 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
     commits = 0
     disc_urls: list[str] = []
     disc_depths: list[int] = []
+    # lineage = per-lease worker-meta rows (reference K5/G4,
+    # lib/types/workermeta.ts): (lease_id, shard, n, ok, failed,
+    # started, ended) — written as out_dir/lineage.parquet
+    lineage_rows: list[tuple] = []
     fetch_kwargs = {"seed": seed, "max_depth": max_depth,
                     "num_hosts": num_hosts, "docs_dir": docs_dir}
 
@@ -519,10 +545,13 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
         done, _ = ray.wait(list(inflight.keys()),
                            num_returns=min(8, len(inflight)))
         for ref in done:
-            inflight.pop(ref)
+            shard, lease_id = inflight.pop(ref)
             counts, children = ray.get(ref)
             docs_written += counts["n_ok"]
             urls_processed += counts["n"]
+            lineage_rows.append((lease_id, shard, counts["n"], counts["n_ok"],
+                                 counts["n"] - counts["n_ok"],
+                                 counts["started"], counts["ended"]))
             if children.num_rows:
                 disc_urls.extend(children["url"].to_pylist())
                 disc_depths.extend(children["depth"].to_pylist())
@@ -534,27 +563,35 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                 done, _ = ray.wait(list(inflight.keys()),
                                    num_returns=len(inflight))
                 for ref in done:
-                    inflight.pop(ref)
+                    shard, lease_id = inflight.pop(ref)
                     counts, children = ray.get(ref)
                     docs_written += counts["n_ok"]
                     urls_processed += counts["n"]
+                    lineage_rows.append((lease_id, shard, counts["n"],
+                                         counts["n_ok"],
+                                         counts["n"] - counts["n_ok"],
+                                         counts["started"], counts["ended"]))
                     if children.num_rows:
                         disc_urls.extend(children["url"].to_pylist())
                         disc_depths.extend(children["depth"].to_pylist())
             flush_discovered(block=True)
             frontier.checkpoint(ckpt_dir)
+            _write_lineage(out_dir, lineage_rows)
             _append_manifest(manifest, {"commits": commits,
                                         "checkpointed": True,
                                         "docs": docs_written})
             commits += 1  # avoid immediate re-trigger
 
+    _write_lineage(out_dir, lineage_rows)
     elapsed = time.perf_counter() - t0
     return CrawlResult(out_dir=out_dir, waves=commits,
                        histogram=frontier.status_histogram(),
                        counters=frontier.counters(),
                        seen_set_size=len(frontier.seen_set()),
                        docs_written=docs_written, elapsed_sec=elapsed,
-                       urls_processed=urls_processed)
+                       urls_processed=urls_processed,
+                       lineage=[{"lease_id": r[0], "shard": r[1], "n": r[2],
+                                 "n_ok": r[3]} for r in lineage_rows[:100]])
 
 
 def read_documents(out_dir: str) -> rd.Dataset:

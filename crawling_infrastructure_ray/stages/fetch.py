@@ -121,7 +121,8 @@ class FetchStoreActor:
 
 class FetchSim:
     def __init__(self, seed: int = 42, max_depth: int = 2, num_hosts: int = 64,
-                 simulate_latency: bool = False):
+                 simulate_latency: bool = False, proxy_pool=None,
+                 proxy_change_every: int = 50):
         # once-per-actor setup (reference setup(), crawler/src/worker.ts:231-260)
         self.seed = seed
         self.max_depth = max_depth
@@ -129,9 +130,24 @@ class FetchSim:
         self.simulate_latency = simulate_latency
         self.rng = seeded_rng(seed, "fetchsim")
         self.session_fetches = 0  # A4-style per-worker counter
+        # A4 proxy rotation (crawler/src/worker.ts:333-400): claim a
+        # proxy from the pool actor every ``proxy_change_every`` fetches
+        self.proxy_pool = proxy_pool
+        self.proxy_change_every = proxy_change_every
+        self.current_proxy = None
+
+    def _maybe_rotate_proxy(self, n_fetches: int) -> None:
+        if self.proxy_pool is None:
+            return
+        import ray as _ray
+        before = self.session_fetches // self.proxy_change_every
+        after = (self.session_fetches + n_fetches) // self.proxy_change_every
+        if self.current_proxy is None or after > before:
+            self.current_proxy = _ray.get(self.proxy_pool.claim.remote())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
+        self._maybe_rotate_proxy(len(urls))
         depths = batch["depth"].to_pylist() if "depth" in batch.column_names else [0] * len(urls)
         if "attempt" in batch.column_names:
             attempts = batch["attempt"].to_pylist()

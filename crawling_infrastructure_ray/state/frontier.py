@@ -324,6 +324,24 @@ class FrontierShardCore:
                 n += 1
         return n
 
+    def requeue_seqs(self, seqs: list[int], reset_retries: bool = True) -> int:
+        """M6 enqueue-check requeue (queue.service.ts:106-180): reset
+        the given (already-crawled) items to INITIAL so they re-crawl;
+        unknown seqs are ignored (callers broadcast to shards)."""
+        n = 0
+        for seq in seqs:
+            it = self.items.get(seq)
+            if it is None or it[_STATUS] == RUNNING:
+                continue
+            if it[_STATUS] != INITIAL:
+                it[_STATUS] = INITIAL
+                if reset_retries:
+                    it[_RETRIES] = 0
+                    it[_ERROR] = ""
+                heapq.heappush(self.heap, self._key(seq, it[_DEPTH], it[_PRIORITY]))
+                n += 1
+        return n
+
     def heal_running(self) -> int:
         """R2 manual heal: every running → initial (queue.model.ts:295-308)."""
         n = 0
