@@ -57,8 +57,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m5_extract_links": qa.q_m5_extract_links,
         "m7_id_item_mapping": qa.q_m7_id_item_mapping,
         "m10_parse_props": qa.q_m10_parse_props,
-        # streaming-shaped window (§2.11)
+        # streaming-shaped windows (§2.11)
         "events_hourly_window": qa.q_events_hourly_window,
+        "events_session_window": qa.q_events_session_window,
+        "latest_event_per_user": qa.q_latest_event_per_user,
+        "events_cumsum": qa.q_events_cumsum,
+        # misc relational
+        "part_stats_by_brand": qa.q_part_stats_by_brand,
+        "union_names": qa.q_union_names,
+        "approx_distinct_users": qa.q_approx_distinct_users,
+        "crawl_direct": qa.q_crawl_direct,
         # dedup suite (training-data additions; §2.8 R9 north star)
         "dedup_exact": qt.q_dedup_exact,
         "dedup_minhash_pairs": qt.q_dedup_minhash_pairs,

@@ -1,0 +1,69 @@
+"""Mergeable sketches for approximate aggregates at scale.
+
+The reference has no sketches (its distinct counts are exact JS Sets,
+stats.service.ts:132-157 — fine at its scale, impossible at 10^10).
+HyperLogLog (Flajolet et al. 2007) is the scale path: one sketch per
+batch inside ``map_batches``, merged in a tiny reduce — the shuffle
+moves 2^p bytes per batch instead of every distinct value.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import stable_hash64
+
+
+class HyperLogLog:
+    """Dense HLL with 2^p registers (p=12 → 4 KB, ~1.6% rel. error)."""
+
+    def __init__(self, p: int = 12, seed: int = 0):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+        self.seed = seed
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        h = np.asarray(hashes, dtype=np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        # rank = leading zeros of the remaining bits + 1
+        lz = np.zeros(h.shape[0], dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        cur = rest.copy()
+        done = np.zeros(h.shape[0], dtype=bool)
+        for i in range(64 - self.p + 1):
+            hit = (~done) & ((cur & mask) != 0)
+            lz[hit] = i + 1
+            done |= hit
+            cur = cur << np.uint64(1)
+        np.maximum.at(self.registers, idx, lz)
+
+    def add(self, values) -> None:
+        self.add_hashes(np.fromiter(
+            (stable_hash64(str(v), self.seed) for v in values),
+            dtype=np.uint64))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert other.p == self.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            e = m * np.log(m / zeros)   # linear counting correction
+        return float(e)
+
+    def state(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_state(cls, data: bytes, p: int = 12, seed: int = 0) -> "HyperLogLog":
+        h = cls(p, seed)
+        h.registers = np.frombuffer(data, dtype=np.uint8).copy()
+        return h

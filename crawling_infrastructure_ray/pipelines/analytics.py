@@ -469,6 +469,110 @@ def q_events_hourly_window(sf_dir: str):
 
 
 # ----------------------------------------------------------------------
+# window functions / sessionization / set ops (SURVEY.md §2.11 +
+# training-pipeline additions)
+# ----------------------------------------------------------------------
+
+def q_events_session_window(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization: per user, a new session starts when
+    the inter-event gap exceeds ``gap_minutes``. groupby(user) →
+    map_groups over the ts-sorted group (the ray_guide streaming-shaped
+    pattern; event-time order within partition is the stated
+    assumption)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    gap = np.timedelta64(gap_minutes, "m")
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        brk = (g["ts"].diff() > gap).astype("int64")
+        g["session_id"] = brk.cumsum()
+        out = g.groupby("session_id", as_index=False).agg(
+            n_events=("ts", "size"), session_start=("ts", "min"),
+            session_end=("ts", "max"))
+        out["user_id"] = g["user_id"].iloc[0]
+        return out[["user_id", "session_id", "n_events",
+                    "session_start", "session_end"]]
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """Window top-1 (row_number over ts desc): the last event per user."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                               "event_type"])
+
+    def head1(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"],
+                             ascending=[False, True]).head(1)
+
+    return ds.groupby("user_id").map_groups(head1, batch_format="pandas")
+
+
+def q_events_cumsum(sf_dir: str):
+    """Running per-user cumulative count ordered by ts (window frame
+    rows unbounded preceding)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["running_n"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["user_id", "event_id", "running_n"]]
+
+    return ds.groupby("user_id").map_groups(cum, batch_format="pandas")
+
+
+def q_part_stats_by_brand(sf_dir: str):
+    """Multi-aggregate groupby with min/max (exact on any engine)."""
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_size"])
+    return ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Min("p_size", alias_name="min_size"),
+        Max("p_size", alias_name="max_size"))
+
+
+def q_union_names(sf_dir: str):
+    """Set op: region ∪ nation names via Dataset.union."""
+    r = read_table(sf_dir, "region", columns=["r_name"]).map_batches(
+        lambda t: pa.table({"name": t["r_name"]}), batch_format="pyarrow")
+    n = read_table(sf_dir, "nation", columns=["n_name"]).map_batches(
+        lambda t: pa.table({"name": t["n_name"]}), batch_format="pyarrow")
+    return r.union(n)
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HLL distinct estimate (mergeable sketch per batch → tiny merge;
+    rows-only check — approximate by construction). Returns the
+    estimate AND the exact count for audit."""
+    from ..functions.hashing import stable_hash64
+    from ..functions.sketches import HyperLogLog
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        h = HyperLogLog(p=12)
+        h.add(batch["user_id"].to_pylist())
+        return pa.table({"sketch": pa.array([h.state()], pa.binary())})
+
+    merged = HyperLogLog(p=12)
+    for b in ds.map_batches(sketch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for s in b["sketch"].to_pylist():
+            merged.merge(HyperLogLog.from_state(s, p=12))
+    exact = len(ds.unique("user_id"))
+    return pd.DataFrame([{"approx_distinct": round(merged.estimate()),
+                          "exact_distinct": exact}])
+
+
+def q_crawl_direct(sf_dir: str):
+    """Entry point B scatter-gather (§3.3): static list → map_batches →
+    collect; rows-only."""
+    from ..pipelines.crawl import direct_crawl
+    from ..sources.corpus import make_seed_urls
+    seeds = make_seed_urls(200, seed=42)["url"].to_pylist()
+    out = direct_crawl(seeds, seed=42, fetch_concurrency=2)
+    return out.select(["url", "status", "latency_ms", "doc_id"])
+
+
+# ----------------------------------------------------------------------
 # oracle SQL (column names and rounding MUST match the fns above)
 # ----------------------------------------------------------------------
 
@@ -547,4 +651,23 @@ ORACLE_SQL: dict[str, str] = {
     "events_hourly_window":
         "SELECT user_id, date_trunc('hour', ts) AS window_start, count(*) AS n_events, "
         "round(sum(value), 3) AS sum_value FROM events GROUP BY user_id, date_trunc('hour', ts)",
+    "events_session_window":
+        "WITH g AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+        "FROM events), s AS (SELECT user_id, ts, "
+        "CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id FROM g) "
+        "SELECT user_id, session_id, count(*) AS n_events, "
+        "min(ts) AS session_start, max(ts) AS session_end "
+        "FROM s GROUP BY user_id, session_id",
+    "latest_event_per_user":
+        "SELECT user_id, event_id, ts, event_type FROM events "
+        "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) = 1",
+    "events_cumsum":
+        "SELECT user_id, event_id, CAST(row_number() OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS running_n FROM events",
+    "part_stats_by_brand":
+        "SELECT p_brand, count(*) AS n_parts, min(p_size) AS min_size, "
+        "max(p_size) AS max_size FROM part GROUP BY p_brand",
+    "union_names":
+        "SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation",
 }
