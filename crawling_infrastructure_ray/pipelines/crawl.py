@@ -411,6 +411,8 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                    out_dir: str = "/tmp/crawl_pump",
                    resume: bool = False,
                    checkpoint_every_commits: int = 0,
+                   longliving: bool = False,
+                   stop_when=None,
                    now_fn=None) -> CrawlResult:
     """Asynchronous frontier pump — the throughput mode.
 
@@ -539,6 +541,12 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                 # host buckets are empty right now
                 idle_rounds += 1
                 time.sleep(0.02)
+                continue
+            if longliving and not (stop_when and stop_when()):
+                # reference longliving tasks never finish — they wait
+                # for externally-enqueued items (crawltask.model.ts:194-196;
+                # finish check skipped, daemon.ts:96-100)
+                time.sleep(0.05)
                 continue
             break
         idle_rounds = 0
