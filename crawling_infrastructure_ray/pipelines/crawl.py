@@ -439,6 +439,7 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
     docs_dir = os.path.join(out_dir, "documents")
     ckpt_dir = os.path.join(out_dir, "ckpt")
     manifest = os.path.join(out_dir, "manifest.jsonl")
+    _seed_tail_refs: list = []
 
     if resume and os.path.exists(os.path.join(ckpt_dir, "frontier.pkl")):
         frontier = Frontier.restore(ckpt_dir)
@@ -460,7 +461,13 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                                 default_rate=default_rate,
                                 max_retries=max_retries, order="fifo")
         if seed_urls:
-            frontier.enqueue(seed_urls)
+            # ramp overlap: land the first slice synchronously so leasing
+            # can start, stream the rest in asynchronously (the refs join
+            # pending_enq below, so drained-ness checks stay correct)
+            head = min(len(seed_urls), 8192)
+            frontier.enqueue(seed_urls[:head])
+            if len(seed_urls) > head:
+                _seed_tail_refs.extend(frontier.enqueue_async(seed_urls[head:]))
 
     if target_inflight is None:
         ncpu = int(ray.available_resources().get("CPU", 8))
@@ -480,7 +487,7 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
     fetch_kwargs = {"seed": seed, "max_depth": max_depth,
                     "num_hosts": num_hosts, "docs_dir": docs_dir}
 
-    pending_enq: list = []
+    pending_enq: list = list(_seed_tail_refs)
 
     def flush_discovered(block: bool = False):
         nonlocal disc_urls, disc_depths
