@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": qt.q_dedup_simhash,
         "dedup_simhash_pairs": qt.q_dedup_simhash_pairs,
         "dedup_embedding_pairs": qt.q_dedup_embedding_pairs,
+        "dedup_ngram_pairs": qt.q_dedup_ngram_pairs,
         # text analysis
         "text_token_count": qt.q_text_token_count,
         "text_quality": qt.q_text_quality,
@@ -85,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_documents": qt.q_crawl_documents,
         "crawl_order": qt.q_crawl_order,
         "crawl_status_histogram": qt.q_crawl_status_histogram,
+        "crawl_host_counts": qt.q_crawl_host_counts,
+        "crawl_simhash_audit": qt.q_crawl_simhash_audit,
         "media_spans": qt.q_media_spans,
     }
 

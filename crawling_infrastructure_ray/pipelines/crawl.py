@@ -401,6 +401,7 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                    num_shards: int = 8,
                    dedup: bool = True,
                    politeness: bool = False,
+                   politeness_overrides: dict | None = None,
                    robots: bool = False,
                    default_rate: float = 1.0,
                    max_depth: int = 2,
@@ -413,6 +414,7 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                    checkpoint_every_commits: int = 0,
                    longliving: bool = False,
                    stop_when=None,
+                   max_commits: int | None = None,
                    now_fn=None) -> CrawlResult:
     """Asynchronous frontier pump — the throughput mode.
 
@@ -457,7 +459,9 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
         os.makedirs(docs_dir, exist_ok=True)
         if frontier is None:
             frontier = Frontier(num_shards, seed=seed, dedup=dedup,
-                                politeness=politeness, robots=robots,
+                                politeness=politeness,
+                                politeness_overrides=politeness_overrides,
+                                robots=robots,
                                 default_rate=default_rate,
                                 max_retries=max_retries, order="fifo")
         if seed_urls:
@@ -532,6 +536,11 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
 
     idle_rounds = 0
     while True:
+        if max_commits is not None and commits >= max_commits:
+            # interrupt point (kill simulation / bounded runs): drop
+            # in-flight leases — their TTL would heal them; a resume
+            # restores from the last checkpoint anyway
+            break
         now = now_fn() if now_fn else None
         got = refill(now)
         if not inflight:

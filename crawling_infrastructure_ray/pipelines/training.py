@@ -62,10 +62,24 @@ def q_dedup_simhash_pairs(sf_dir: str):
 
 
 def q_dedup_embedding_pairs(sf_dir: str):
-    """Embedding-cosine near-dup pairs ≥0.9 via hyperplane LSH buckets
-    (rows-only)."""
+    """Embedding-cosine near-dup pairs via exact pairwise (rows-only).
+
+    The synthetic embeddings are random (no true near-dups), so the
+    threshold is set at the top of the cosine distribution to return a
+    small non-empty candidate set — exercising the full pipeline."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return dd.embedding_near_dup_pairs(ds, threshold=0.9, lsh_bits=0)
+    return dd.embedding_near_dup_pairs(ds, threshold=0.45, lsh_bits=0)
+
+
+def q_dedup_ngram_pairs(sf_dir: str):
+    """Character 5-gram Jaccard near-dup pairs via MinHash-LSH
+    (rows-only) — the n-gram variant of the token pipeline."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda t: pa.table({"doc_id": pa.array([str(x) for x in t["doc_id"].to_pylist()]),
+                            "text": t["text"]}), batch_format="pyarrow")
+    return dd.minhash_dedup_pairs(ds, bands=16, rows_per_band=4, threshold=0.3,
+                                  shingle_k=5, kind="char", concurrency=2)
 
 
 # ----------------------------------------------------------------------
@@ -181,6 +195,42 @@ def q_crawl_status_histogram(sf_dir: str):
                           items_per_wave=256)
     h = golden["histogram"]
     return pd.DataFrame([{"status": k, "n_items": v} for k, v in sorted(h.items())])
+
+
+def q_crawl_host_counts(sf_dir: str):
+    """G7 over the REAL crawl output: per-host document counts — the
+    canonical wide shuffle on the engine's own documents table
+    (domain_count.js:40-56). Pre-aggregated per batch. Rows-only."""
+    from ray.data.aggregate import Sum
+    out = _crawl_out_dir(sf_dir)
+    if not os.path.isdir(os.path.join(out, "documents")):
+        q_crawl_documents(sf_dir)
+    docs = read_documents(out)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["host"]).group_by("host").aggregate([("host", "count")])
+        return g.rename_columns(["host", "n_docs"])
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("host").aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
+def q_crawl_simhash_audit(sf_dir: str):
+    """Signature-at-ingest consumer: exact-simhash collision groups on
+    the crawl output (near-dup audit without re-reading text).
+    Rows-only."""
+    from ray.data.aggregate import Count, Min
+    out = _crawl_out_dir(sf_dir)
+    if not os.path.isdir(os.path.join(out, "documents")):
+        q_crawl_documents(sf_dir)
+    docs = read_documents(out)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "simhash"])
+
+    return (docs.map_batches(proj, batch_format="pyarrow")
+            .groupby("simhash").aggregate(Count(alias_name="n_docs"),
+                                          Min("doc_id", alias_name="first_doc")))
 
 
 def q_media_spans(sf_dir: str):

@@ -71,7 +71,9 @@ class FrontierShardCore:
     def __init__(self, shard_id: int = 0, *, dedup: bool = False,
                  use_cuckoo: bool = True, filter_capacity: int = 1 << 20,
                  politeness: bool = False, default_rate: float = 1.0,
-                 default_burst: float = 4.0, robots: bool = False,
+                 default_burst: float = 4.0,
+                 politeness_overrides: dict | None = None,
+                 robots: bool = False,
                  max_retries: int = 3, lease_ttl: float = 600.0,
                  order: str = "fifo", seed: int = 42):
         self.shard_id = shard_id
@@ -88,7 +90,10 @@ class FrontierShardCore:
         if dedup:
             self.seen = (CuckooFilter(filter_capacity, seed) if use_cuckoo
                          else BloomFilter(filter_capacity, 0.001, seed))
-        self.politeness = HostPoliteness(default_rate, default_burst) if politeness else None
+        # per-host budget table (FIXTURES F5): host → (rate, burst)
+        self.politeness = (HostPoliteness(default_rate, default_burst,
+                                          politeness_overrides)
+                           if politeness else None)
         self.robots = RobotsCache(seed) if robots else None
         # lineage counters (reference worker_meta analog, lib/types/workermeta.ts)
         self.counters = {"enqueued": 0, "deduped": 0, "robots_denied": 0,

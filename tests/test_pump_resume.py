@@ -1,0 +1,67 @@
+"""Pump checkpoint/resume: an interrupted async-pump run, resumed from
+its last soft-barrier checkpoint, converges to the same final frontier
+state and document SET as an uninterrupted run (north rule; pump order
+is nondeterministic so comparison is set-based on doc content)."""
+
+import glob
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from crawling_infrastructure_ray.pipelines.crawl import run_crawl_pump
+from crawling_infrastructure_ray.sources.corpus import make_seed_urls
+
+SEED = 42
+
+
+def _doc_ids_and_spans(out_dir):
+    files = sorted(glob.glob(f"{out_dir}/documents/part-*.parquet"))
+    tbl = pa.concat_tables([pq.read_table(f, columns=["doc_id", "url", "spans"])
+                            for f in files])
+    rows = sorted(zip(tbl["doc_id"].to_pylist(), tbl["url"].to_pylist()))
+    return rows, tbl.num_rows
+
+
+def test_pump_kill_and_resume(ray_session, tmp_path):
+    seeds = make_seed_urls(400, seed=SEED)["url"].to_pylist()
+    kw = dict(seed=SEED, num_shards=2, dedup=True, max_depth=1, chunk_size=32)
+
+    full = run_crawl_pump(seeds, out_dir=str(tmp_path / "full"), **kw)
+
+    # interrupted run: checkpoint every 4 commits, stop after 6
+    cut = run_crawl_pump(seeds, out_dir=str(tmp_path / "cut"),
+                         checkpoint_every_commits=4, max_commits=6, **kw)
+    assert cut.histogram["initial"] + cut.histogram["running"] > 0  # actually interrupted
+
+    # the killed run's in-flight tasks must be dead before resuming
+    # (production: the old ray job is gone; here: let stragglers drain)
+    import time
+    time.sleep(3)
+
+    resumed = run_crawl_pump(None, resume=True, out_dir=str(tmp_path / "cut"),
+                             checkpoint_every_commits=4, **kw)
+
+    assert resumed.histogram == full.histogram
+    assert resumed.seen_set_size == full.seen_set_size
+    rows_full, n_full = _doc_ids_and_spans(str(tmp_path / "full"))
+    rows_cut, n_cut = _doc_ids_and_spans(str(tmp_path / "cut"))
+    assert n_full == n_cut               # no double-written fragments
+    assert rows_full == rows_cut         # same document set
+
+
+def test_politeness_overrides(ray_session, tmp_path):
+    """F5 per-host budget table: an override makes one host much slower
+    than the default."""
+    import time
+    urls = [f"http://slow.example/p{i}" for i in range(12)] + \
+           [f"http://fast.example/p{i}" for i in range(12)]
+    t0 = time.perf_counter()
+    res = run_crawl_pump(urls, seed=SEED, num_shards=1, dedup=True,
+                         politeness=True, default_rate=1000.0,
+                         politeness_overrides={"slow.example": (10.0, 2.0)},
+                         max_depth=0, chunk_size=4,
+                         out_dir=str(tmp_path / "ovr"))
+    elapsed = time.perf_counter() - t0
+    assert res.histogram["completed"] + res.histogram["failed"] == 24
+    # slow host: (12-2 burst)/10 per sec = ≥1.0s; fast host unconstrained
+    assert elapsed >= 0.9
