@@ -57,14 +57,18 @@ def _fetch_slice_task(tbl: pa.Table, offset: int, length: int, **kwargs) -> pa.T
 
 @ray.remote(num_cpus=1)
 def _fetch_commit_task(tbl: pa.Table, shard_handle, lease_id: int,
-                       now, **kwargs):
-    """Pump-mode chunk: fetch + store + COMMIT from inside the task.
+                       now, all_shards=None, route_seed: int = 42, **kwargs):
+    """Pump-mode chunk: fetch + store + COMMIT + route inside the task.
 
     The task commits its own lease to the owning shard actor
-    (store-then-commit ordering, reference R7) and returns only the
-    tiny summary + discovered children — per-row statuses never
-    transit the driver, which keeps the pump's driver loop O(chunks),
-    not O(urls)."""
+    (store-then-commit ordering, reference R7) and, when given the
+    shard handle list, routes discovered children DIRECTLY to their
+    host shards (which allocate their own seq blocks) — neither
+    per-row statuses nor child URLs transit the driver, whose loop
+    stays O(chunks). Child inserts are awaited before the task
+    returns, so the driver's drained-ness check stays sound."""
+    from ..functions.hashing import stable_hash64
+
     t_start = time.time()
     ctl = fetch_store_batch(tbl, **kwargs)
     statuses = ctl["status"].to_pylist()
@@ -73,14 +77,36 @@ def _fetch_commit_task(tbl: pa.Table, shard_handle, lease_id: int,
         ctl["error"].to_pylist(), now, True))
     n_ok = statuses.count("completed")
     flat = pc.list_flatten(ctl["discovered"])
+    children = pa.table({"url": pa.array([], pa.string()),
+                         "depth": pa.array([], pa.int64())})
     if len(flat):
         lens = pc.list_value_length(ctl["discovered"]).to_numpy(zero_copy_only=False)
         depths = np.repeat(ctl["depth"].to_numpy(zero_copy_only=False) + 1,
                            lens).astype(np.int64)
-        children = pa.table({"url": flat, "depth": pa.array(depths)})
-    else:
-        children = pa.table({"url": pa.array([], pa.string()),
-                             "depth": pa.array([], pa.int64())})
+        if all_shards is None:
+            children = pa.table({"url": flat, "depth": pa.array(depths)})
+        else:
+            k = len(all_shards)
+            per: dict[int, tuple[list, list]] = {}
+            host_shard: dict[str, int] = {}
+            for u, d in zip(flat.to_pylist(), depths.tolist()):
+                rest = u.split("://", 1)[-1]
+                host = rest.split("/", 1)[0]
+                sh = host_shard.get(host)
+                if sh is None:
+                    sh = stable_hash64(host.lower(), route_seed) % k
+                    host_shard[host] = sh
+                b = per.get(sh)
+                if b is None:
+                    b = per.setdefault(sh, ([], []))
+                b[0].append(u)
+                b[1].append(d)
+            # fire-and-forget: actor calls execute reliably while the
+            # actor lives; the pump's double-check drain (below) covers
+            # the tiny window where an insert lands after this task is
+            # observed complete
+            for sh, (us, ds) in per.items():
+                all_shards[sh].enqueue_discovered.remote(us, ds)
     return {"n": ctl.num_rows, "n_ok": n_ok,
             "started": t_start, "ended": time.time()}, children
 
@@ -415,6 +441,8 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                    longliving: bool = False,
                    stop_when=None,
                    max_commits: int | None = None,
+                   track_seen: bool = True,
+                   evict_every_commits: int = 0,
                    now_fn=None) -> CrawlResult:
     """Asynchronous frontier pump — the throughput mode.
 
@@ -463,7 +491,8 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                                 politeness_overrides=politeness_overrides,
                                 robots=robots,
                                 default_rate=default_rate,
-                                max_retries=max_retries, order="fifo")
+                                max_retries=max_retries, order="fifo",
+                                track_seen_urls=track_seen)
         if seed_urls:
             # ramp overlap: land the first slice synchronously so leasing
             # can start, stream the rest in asynchronously (the refs join
@@ -515,7 +544,9 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
             "lease_id": pa.array([lease["lease_id"]] * n, pa.int64()),
         })
         ref = _fetch_commit_task.options(max_retries=0).remote(
-            tbl, frontier.shards[shard], lease["lease_id"], now_fn() if now_fn else None,
+            tbl, frontier.shards[shard], lease["lease_id"],
+            now_fn() if now_fn else None,
+            all_shards=frontier.shards, route_seed=frontier.seed,
             part_label=f"{lease['lease_id']:015d}", **fetch_kwargs)
         inflight[ref] = (shard, lease["lease_id"])
 
@@ -564,6 +595,12 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                 # finish check skipped, daemon.ts:96-100)
                 time.sleep(0.05)
                 continue
+            # double-check drain: in-flight fire-and-forget child
+            # inserts may land just after their task was observed done
+            time.sleep(0.05)
+            if refill(now) or frontier.retry_failed() > 0 \
+                    or frontier.status_histogram()["initial"] > 0:
+                continue
             break
         idle_rounds = 0
         done, _ = ray.wait(list(inflight.keys()),
@@ -580,6 +617,12 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                 disc_urls.extend(children["url"].to_pylist())
                 disc_depths.extend(children["depth"].to_pylist())
             commits += 1
+        if evict_every_commits and commits and \
+                commits % evict_every_commits == 0:
+            # bound shard memory at scale: terminal items leave the
+            # actors (histogram counts preserved; docs/lineage tables
+            # are the durable record)
+            frontier.evict_terminal()
         if checkpoint_every_commits and commits and \
                 commits % checkpoint_every_commits == 0:
             # soft barrier: drain, snapshot, continue
@@ -599,6 +642,15 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                         disc_urls.extend(children["url"].to_pylist())
                         disc_depths.extend(children["depth"].to_pylist())
             flush_discovered(block=True)
+            # settle: fire-and-forget child inserts from the drained
+            # tasks must land before the snapshot (histogram stability)
+            prev = frontier.status_histogram()
+            while True:
+                time.sleep(0.05)
+                cur = frontier.status_histogram()
+                if cur == prev:
+                    break
+                prev = cur
             frontier.checkpoint(ckpt_dir)
             _write_lineage(out_dir, lineage_rows)
             _append_manifest(manifest, {"commits": commits,
@@ -611,7 +663,8 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
     return CrawlResult(out_dir=out_dir, waves=commits,
                        histogram=frontier.status_histogram(),
                        counters=frontier.counters(),
-                       seen_set_size=len(frontier.seen_set()),
+                       seen_set_size=(len(frontier.seen_set())
+                                      if track_seen else -1),
                        docs_written=docs_written, elapsed_sec=elapsed,
                        urls_processed=urls_processed,
                        lineage=[{"lease_id": r[0], "shard": r[1], "n": r[2],

@@ -75,7 +75,8 @@ class FrontierShardCore:
                  politeness_overrides: dict | None = None,
                  robots: bool = False,
                  max_retries: int = 3, lease_ttl: float = 600.0,
-                 order: str = "fifo", seed: int = 42):
+                 order: str = "fifo", seed: int = 42,
+                 track_seen_urls: bool = True):
         self.shard_id = shard_id
         self.dedup = dedup
         self.max_retries = max_retries  # reference retry_failed_items default 3 (crawltask.model.ts:399-403)
@@ -86,6 +87,11 @@ class FrontierShardCore:
         self.heap: list[tuple] = []        # (order_key..., seq) lazy-deleted
         self.leases: dict[int, tuple[list[int], float]] = {}
         self.next_lease_id = shard_id * 1_000_000_000
+        # shard-local seq block for task-routed discovered URLs (async
+        # pump): disjoint from driver-assigned seqs and from other
+        # shards; per-shard FIFO tail-append is preserved because local
+        # seqs sort after all driver seqs
+        self.next_local_seq = (shard_id + 1) * 10 ** 12
         self.seen = None
         if dedup:
             self.seen = (CuckooFilter(filter_capacity, seed) if use_cuckoo
@@ -103,7 +109,12 @@ class FrontierShardCore:
         # terminal counts survive eviction so histograms stay exact
         self._evicted_completed = 0
         self._evicted_failed = 0
-        self._terminal_seen: list[str] = []  # canonical urls reaching terminal state (seen-set audit)
+        # exact seen-set audit (conformance mode). At 10^10-URL scale
+        # this list is the one O(corpus) structure — disable it
+        # (track_seen_urls=False) and membership lives only in the
+        # cuckoo filter + counters.
+        self.track_seen_urls = track_seen_urls
+        self._terminal_seen: list[str] = []
 
     # ------------------------------------------------------------------
     # ingest (reference S1 insertItems, queue.model.ts:32-68)
@@ -129,6 +140,17 @@ class FrontierShardCore:
             inserted += 1
         self.counters["enqueued"] += inserted
         return inserted
+
+    def enqueue_discovered(self, urls: list[str], depths: list[int]) -> int:
+        """Tail-append discovered URLs with SHARD-ALLOCATED seqs —
+        called directly from fetch tasks in the async pump so child
+        routing never transits the driver (the reference's worker-side
+        enqueue, crawler/src/enqueue.ts:71-116, similarly writes
+        straight to the queue)."""
+        n = len(urls)
+        seqs = list(range(self.next_local_seq, self.next_local_seq + n))
+        self.next_local_seq += n
+        return self.enqueue(seqs, urls, depths)
 
     def _key(self, seq: int, depth: int, prio: int) -> tuple:
         if self.order == "priority":
@@ -164,7 +186,8 @@ class FrontierShardCore:
                 it[_RETRIES] = self.max_retries  # terminal — robots never flips
                 it[_ERROR] = "robots_disallowed"
                 self.counters["robots_denied"] += 1
-                self._terminal_seen.append(it[_URL])
+                if self.track_seen_urls:
+                    self._terminal_seen.append(it[_URL])
                 continue
             if self.politeness is not None and not self.politeness.try_take(it[_HOST], now):
                 deferred.append(entry)
@@ -236,7 +259,8 @@ class FrontierShardCore:
                 it[_STATUS] = COMPLETED
                 it[_CRAWLED] = now
                 self.counters["committed_ok"] += 1
-                self._terminal_seen.append(it[_URL])
+                if self.track_seen_urls:
+                    self._terminal_seen.append(it[_URL])
             elif st == "blocked":
                 it[_ERROR] = err or "blocked"
                 self.counters["committed_blocked"] += 1
@@ -252,7 +276,8 @@ class FrontierShardCore:
                 self.counters["committed_fail"] += 1
                 if it[_RETRIES] >= self.max_retries:
                     it[_STATUS] = FAILED
-                    self._terminal_seen.append(it[_URL])
+                    if self.track_seen_urls:
+                        self._terminal_seen.append(it[_URL])
                 elif eager_retry:
                     it[_STATUS] = INITIAL
                     heapq.heappush(self.heap, self._key(seq, it[_DEPTH], it[_PRIORITY]))
@@ -447,9 +472,11 @@ class FrontierShardCore:
             "max_retries": self.max_retries, "lease_ttl": self.lease_ttl,
             "order": self.order, "seed": self.seed,
             "next_lease_id": self.next_lease_id,
+            "next_local_seq": self.next_local_seq,
             "counters": self.counters,
             "evicted_completed": self._evicted_completed,
             "evicted_failed": self._evicted_failed,
+            "track_seen_urls": self.track_seen_urls,
             "terminal_seen": self._terminal_seen,
             "seen": self.seen.state() if self.seen is not None else None,
             "politeness": self.politeness.state() if self.politeness is not None else None,
@@ -479,9 +506,12 @@ class FrontierShardCore:
         self.order = ctrl["order"]
         self.seed = ctrl["seed"]
         self.next_lease_id = ctrl["next_lease_id"]
+        self.next_local_seq = ctrl.get("next_local_seq",
+                                       (self.shard_id + 1) * 10 ** 12)
         self.counters = ctrl["counters"]
         self._evicted_completed = ctrl["evicted_completed"]
         self._evicted_failed = ctrl["evicted_failed"]
+        self.track_seen_urls = ctrl.get("track_seen_urls", True)
         self._terminal_seen = ctrl["terminal_seen"]
         st = ctrl["seen"]
         if st is None:
@@ -659,6 +689,10 @@ class Frontier:
 
     def expire_leases(self, now: float | None = None) -> int:
         return sum(ray.get([sh.expire_leases.remote(now) for sh in self.shards]))
+
+    def evict_terminal(self) -> int:
+        """Bound shard memory: drop terminal items (counts preserved)."""
+        return sum(ray.get([sh.evict_terminal.remote() for sh in self.shards]))
 
     def status_histogram(self) -> dict[str, int]:
         hists = ray.get([sh.status_histogram.remote() for sh in self.shards])
