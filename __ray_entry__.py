@@ -14,6 +14,7 @@ from collections.abc import Callable
 from typing import Any
 
 from crawling_infrastructure_ray.pipelines import analytics as qa
+from crawling_infrastructure_ray.pipelines import curate as qc
 from crawling_infrastructure_ray.pipelines import training as qt
 from crawling_infrastructure_ray.pipelines.crawl import run_crawl, read_documents
 from crawling_infrastructure_ray.sources.corpus import make_seed_urls
@@ -87,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_order": qt.q_crawl_order,
         "crawl_status_histogram": qt.q_crawl_status_histogram,
         "crawl_host_counts": qt.q_crawl_host_counts,
+        "curate_documents": qc.q_curate_documents,
         "crawl_simhash_audit": qt.q_crawl_simhash_audit,
         "media_spans": qt.q_media_spans,
     }

@@ -124,6 +124,25 @@ DOCS_SCHEMA = pa.schema([
 ])
 
 
+class CrawlQuarantined(RuntimeError):
+    """Raised when lost-lease thresholds are exceeded — the job-level
+    circuit breaker (reference task quarantine: lost-ratio ≥
+    max_lost_workers_ratio ∧ lost ≥ max_lost_workers,
+    master/scheduler/daemon.ts:141-149)."""
+
+
+def check_quarantine(counters: dict, max_lost_leases: int = 10,
+                     max_lost_ratio: float = 0.01) -> None:
+    """Evaluate the reference circuit-breaker rule on frontier
+    counters; raises CrawlQuarantined when tripped."""
+    lost = counters.get("expired_leases", 0)
+    started = max(1, counters.get("leases_issued", 1))
+    if lost >= max_lost_leases and lost / started >= max_lost_ratio:
+        raise CrawlQuarantined(
+            f"lost leases {lost}/{started} exceeds thresholds "
+            f"(max_lost_leases={max_lost_leases}, ratio≥{max_lost_ratio})")
+
+
 @dataclass
 class CrawlResult:
     out_dir: str
@@ -581,6 +600,7 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
             if frontier.retry_failed() > 0:
                 continue
             if frontier.expire_leases(now) > 0:
+                check_quarantine(frontier.counters())  # daemon.ts:141-149
                 continue
             hist = frontier.status_histogram()
             if hist["initial"] > 0 and idle_rounds < 200:

@@ -103,7 +103,8 @@ class FrontierShardCore:
         self.robots = RobotsCache(seed) if robots else None
         # lineage counters (reference worker_meta analog, lib/types/workermeta.ts)
         self.counters = {"enqueued": 0, "deduped": 0, "robots_denied": 0,
-                         "leased": 0, "committed_ok": 0, "committed_fail": 0,
+                         "leased": 0, "leases_issued": 0,
+                         "committed_ok": 0, "committed_fail": 0,
                          "committed_blocked": 0, "rolled_back": 0,
                          "retried": 0, "expired_leases": 0, "evicted": 0}
         # terminal counts survive eviction so histograms stay exact
@@ -204,6 +205,7 @@ class FrontierShardCore:
         self.next_lease_id += 1
         self.leases[lease_id] = (claimed, now + self.lease_ttl)
         self.counters["leased"] += len(claimed)
+        self.counters["leases_issued"] += 1
         its = [self.items[s] for s in claimed]
         return {"lease_id": lease_id, "seq": claimed,
                 "url": [i[_URL] for i in its], "host": [i[_HOST] for i in its],
