@@ -569,19 +569,39 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
             part_label=f"{lease['lease_id']:015d}", **fetch_kwargs)
         inflight[ref] = (shard, lease["lease_id"])
 
-    def refill(now):
-        if len(inflight) >= target_inflight:
-            return 0
-        flush_discovered()
-        want = target_inflight - len(inflight)
-        per_shard = max(1, -(-want // frontier.num_shards))
-        refs = [sh.lease_many.remote(per_shard, chunk_size, now)
-                for sh in frontier.shards]
+    lease_req: list | None = None  # outstanding lease_many round, or None
+
+    def refill(now, block: bool = False):
+        """Overlapped refill: lease_many rounds run while fetch tasks
+        compute; responses are collected when ready (or awaited when
+        ``block`` — the drained-ness path needs a definite answer)."""
+        nonlocal lease_req
         got = 0
-        for shard, leases in enumerate(ray.get(refs)):
-            for lease in leases:
-                submit(lease, shard)
-                got += 1
+        if lease_req is not None:
+            if block:
+                ready = True
+            else:
+                _, rest = ray.wait(lease_req, num_returns=len(lease_req),
+                                   timeout=0)
+                ready = not rest
+            if ready:
+                for shard, leases in enumerate(ray.get(lease_req)):
+                    for lease in leases:
+                        submit(lease, shard)
+                        got += 1
+                lease_req = None
+        if lease_req is None and len(inflight) + got < target_inflight:
+            flush_discovered()
+            want = target_inflight - len(inflight) - got
+            per_shard = max(1, -(-want // frontier.num_shards))
+            lease_req = [sh.lease_many.remote(per_shard, chunk_size, now)
+                         for sh in frontier.shards]
+            if block and not got:
+                for shard, leases in enumerate(ray.get(lease_req)):
+                    for lease in leases:
+                        submit(lease, shard)
+                        got += 1
+                lease_req = None
         return got
 
     idle_rounds = 0
@@ -595,7 +615,7 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
         got = refill(now)
         if not inflight:
             flush_discovered(block=True)  # inserts must land before the
-            if refill(now):               # drained check can be trusted
+            if refill(now, block=True):   # drained check can be trusted
                 continue
             if frontier.retry_failed() > 0:
                 continue
@@ -618,7 +638,7 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
             # double-check drain: in-flight fire-and-forget child
             # inserts may land just after their task was observed done
             time.sleep(0.05)
-            if refill(now) or frontier.retry_failed() > 0 \
+            if refill(now, block=True) or frontier.retry_failed() > 0 \
                     or frontier.status_histogram()["initial"] > 0:
                 continue
             break
