@@ -462,6 +462,8 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                    max_commits: int | None = None,
                    track_seen: bool = True,
                    evict_every_commits: int = 0,
+                   max_lost_leases: int = 10,
+                   fetch_fail_marker: str = "",
                    now_fn=None) -> CrawlResult:
     """Asynchronous frontier pump — the throughput mode.
 
@@ -536,8 +538,10 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
     # lib/types/workermeta.ts): (lease_id, shard, n, ok, failed,
     # started, ended) — written as out_dir/lineage.parquet
     lineage_rows: list[tuple] = []
+    lost_tasks = 0
     fetch_kwargs = {"seed": seed, "max_depth": max_depth,
-                    "num_hosts": num_hosts, "docs_dir": docs_dir}
+                    "num_hosts": num_hosts, "docs_dir": docs_dir,
+                    "fail_marker": fetch_fail_marker}
 
     pending_enq: list = list(_seed_tail_refs)
 
@@ -647,7 +651,18 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                            num_returns=min(8, len(inflight)))
         for ref in done:
             shard, lease_id = inflight.pop(ref)
-            counts, children = ray.get(ref)
+            try:
+                counts, children = ray.get(ref)
+            except Exception:
+                # lost worker (reference J5/R3): the task died before
+                # committing — roll its lease back to INITIAL and trip
+                # the circuit breaker if thresholds are exceeded
+                frontier.rollback(shard, lease_id)
+                lost_tasks += 1
+                c = frontier.counters()
+                c["expired_leases"] = c.get("expired_leases", 0) + lost_tasks
+                check_quarantine(c, max_lost_leases=max_lost_leases)
+                continue
             docs_written += counts["n_ok"]
             urls_processed += counts["n"]
             lineage_rows.append((lease_id, shard, counts["n"], counts["n_ok"],
@@ -671,7 +686,12 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                                    num_returns=len(inflight))
                 for ref in done:
                     shard, lease_id = inflight.pop(ref)
-                    counts, children = ray.get(ref)
+                    try:
+                        counts, children = ray.get(ref)
+                    except Exception:
+                        frontier.rollback(shard, lease_id)
+                        lost_tasks += 1
+                        continue
                     docs_written += counts["n_ok"]
                     urls_processed += counts["n"]
                     lineage_rows.append((lease_id, shard, counts["n"],

@@ -47,7 +47,8 @@ def fetch_sim_batch(batch: pa.Table, *, seed: int = 42, max_depth: int = 2,
 
 def fetch_store_batch(batch: pa.Table, *, seed: int = 42, max_depth: int = 2,
                       num_hosts: int = 64, docs_dir: str = "",
-                      wave: int = 0, part_label: str = "") -> pa.Table:
+                      wave: int = 0, part_label: str = "",
+                      fail_marker: str = "") -> pa.Table:
     """Fetch + SINK in one task: write this batch's completed documents
     (the heavy span payload) as a parquet fragment from inside the
     worker, return only the small control columns to the driver.
@@ -70,6 +71,9 @@ def fetch_store_batch(batch: pa.Table, *, seed: int = 42, max_depth: int = 2,
     from ..functions.hashing import rolling_fingerprint
     from .dedup import simhash64
 
+    if fail_marker and any(fail_marker in u for u in batch["url"].to_pylist()):
+        # fault-injection hook (tests): simulates a worker crash mid-lease
+        raise RuntimeError(f"injected worker crash (marker={fail_marker!r})")
     fetched = FetchSim(seed=seed, max_depth=max_depth, num_hosts=num_hosts)(batch)
     ok = fetched.filter(pa.compute.equal(fetched["status"], "completed"))
     if ok.num_rows and docs_dir:

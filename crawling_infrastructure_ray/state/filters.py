@@ -178,3 +178,72 @@ class CuckooFilter:
         f.table = np.frombuffer(st["table"], dtype=np.uint16).reshape(f.nbuckets, cls.SLOTS).copy()
         f._rng = np.random.default_rng(f.seed ^ 0xC0C0)
         return f
+
+
+class ScalableSeenFilter:
+    """Unbounded-capacity membership: a chain of cuckoo filters.
+
+    Cuckoo/bloom filters cannot grow in place (growing needs original
+    keys, which are deliberately not stored). The standard fix
+    (Almeida et al., 'Scalable Bloom Filters', 2007) is a chain: query
+    every filter; insert into the newest; when the newest reaches its
+    load limit, open a new filter with 2x capacity. Lookup cost grows
+    O(log(total/initial)) — bounded and cheap.
+
+    This is what lets a frontier shard absorb an unplanned number of
+    URLs (10^10-scale runs) without a hard capacity failure.
+    """
+
+    GROWTH = 2
+    LOAD_LIMIT = 0.9
+
+    def __init__(self, capacity: int = 1 << 20, seed: int = 0):
+        self.seed = seed
+        self.initial_capacity = capacity
+        self.filters: list[CuckooFilter] = [CuckooFilter(capacity, seed)]
+        self._cap = capacity
+
+    @property
+    def count(self) -> int:
+        return sum(f.count for f in self.filters)
+
+    def contains_hash(self, key_hash: int) -> bool:
+        return any(f.contains_hash(key_hash) for f in self.filters)
+
+    def add_hash(self, key_hash: int) -> bool:
+        if self.contains_hash(key_hash):
+            return False
+        newest = self.filters[-1]
+        if newest.count >= self.LOAD_LIMIT * newest.nbuckets * newest.SLOTS:
+            self._cap *= self.GROWTH
+            newest = CuckooFilter(self._cap, self.seed ^ len(self.filters))
+            self.filters.append(newest)
+        try:
+            return newest.add_hash(key_hash)
+        except RuntimeError:
+            # eviction-loop failure before the load limit — open the
+            # next tier and retry
+            self._cap *= self.GROWTH
+            nxt = CuckooFilter(self._cap, self.seed ^ len(self.filters))
+            self.filters.append(nxt)
+            return nxt.add_hash(key_hash)
+
+    def add(self, key: str) -> bool:
+        return self.add_hash(stable_hash64(key, self.seed))
+
+    def contains(self, key: str) -> bool:
+        return self.contains_hash(stable_hash64(key, self.seed))
+
+    def state(self) -> dict:
+        return {"kind": "scalable", "seed": self.seed,
+                "initial_capacity": self.initial_capacity, "cap": self._cap,
+                "filters": [f.state() for f in self.filters]}
+
+    @classmethod
+    def from_state(cls, st: dict) -> "ScalableSeenFilter":
+        f = cls.__new__(cls)
+        f.seed = st["seed"]
+        f.initial_capacity = st["initial_capacity"]
+        f._cap = st["cap"]
+        f.filters = [CuckooFilter.from_state(s) for s in st["filters"]]
+        return f

@@ -50,7 +50,7 @@ import ray
 
 from ..functions.hashing import stable_hash64
 from ..functions.urltools import canonicalize_and_host, canonicalize_url, parse_host
-from .filters import BloomFilter, CuckooFilter
+from .filters import BloomFilter, CuckooFilter, ScalableSeenFilter
 from .politeness import HostPoliteness, RobotsCache
 
 # per-item states — values match the reference enum (lib/types/queue.ts:13)
@@ -94,7 +94,9 @@ class FrontierShardCore:
         self.next_local_seq = (shard_id + 1) * 10 ** 12
         self.seen = None
         if dedup:
-            self.seen = (CuckooFilter(filter_capacity, seed) if use_cuckoo
+            # scalable cuckoo chain: no hard capacity ceiling (grows by
+            # tiers as the frontier exceeds the initial estimate)
+            self.seen = (ScalableSeenFilter(filter_capacity, seed) if use_cuckoo
                          else BloomFilter(filter_capacity, 0.001, seed))
         # per-host budget table (FIXTURES F5): host → (rate, burst)
         self.politeness = (HostPoliteness(default_rate, default_burst,
@@ -518,6 +520,8 @@ class FrontierShardCore:
         st = ctrl["seen"]
         if st is None:
             self.seen = None
+        elif st["kind"] == "scalable":
+            self.seen = ScalableSeenFilter.from_state(st)
         elif st["kind"] == "cuckoo":
             self.seen = CuckooFilter.from_state(st)
         else:
