@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # num_partitions 2..32 at num_cpus=4) and is ~4x slower than the
         # explicit bucketed join at 32 cpus — see its docstring.
         "q1_pricing_summary": qa.q_q1_pricing_summary,
+        "q6_revenue_delta": qa.q_q6_revenue_delta,
+        "q3_shipping_priority": qa.q_q3_shipping_priority,
         # per-record maps (§2.3)
         "m3_clean_html": qa.q_m3_clean_html,
         "m5_extract_links": qa.q_m5_extract_links,

@@ -376,6 +376,83 @@ def q_q1_pricing_summary(sf_dir: str):
                 "avg_price_e4", "avg_disc_e4", "count_order"]]
 
 
+def q_q6_revenue_delta(sf_dir: str):
+    """TPC-H Q6 shape: selective filter + single scalar aggregate in
+    exact integer units (one pass, partial sums, no shuffle)."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_quantity", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+    lo = pa.scalar(np.datetime64("1995-01-01T00:00:00", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01T00:00:00", "us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                            pc.less(batch["l_shipdate"], hi)),
+                    pc.and_(pc.less(batch["l_quantity"], 24.0),
+                            pc.and_(pc.greater_equal(batch["l_discount"], 0.05),
+                                    pc.less_equal(batch["l_discount"], 0.07))))
+        b = batch.filter(m)
+        price_c = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        rev = int(pc.sum(pc.multiply(price_c, disc_c)).as_py() or 0)
+        return pa.table({"revenue_e4": pa.array([rev], pa.int64()),
+                         "n_rows": pa.array([b.num_rows], pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    return pd.DataFrame([{"revenue_e4": int(out["revenue_e4"]),
+                          "n_rows": int(out["n_rows"])}])
+
+
+def q_q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: 3-way join (segment-filtered customers →
+    broadcast keys → date-filtered orders → broadcast order set →
+    lineitem partial revenue) + groupby + top-10."""
+    cutoff = pa.scalar(np.datetime64("1995-03-15T00:00:00", "us"))
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    ckeys = set(cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+                   .select(["c_custkey"]), batch_format="pyarrow")
+        .unique("c_custkey"))
+    ckeys_ref = ray.put(ckeys)
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ckeys_ref)
+        m = pc.and_(pc.less(batch["o_orderdate"], cutoff),
+                    pa.array([k in ks for k in batch["o_custkey"].to_pylist()]))
+        return batch.filter(m).select(["o_orderkey", "o_orderdate"])
+
+    sel_orders = orders.map_batches(ord_filter, batch_format="pyarrow").to_pandas()
+    odate = dict(zip(sel_orders["o_orderkey"], sel_orders["o_orderdate"]))
+    odate_ref = ray.put(odate)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ks = ray.get(odate_ref)
+        m = pc.and_(pc.greater(batch["l_shipdate"], cutoff),
+                    pa.array([k in ks for k in batch["l_orderkey"].to_pylist()]))
+        b = batch.filter(m)
+        price_c = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "revenue_e4": rev})
+        g = t.group_by("l_orderkey").aggregate([("revenue_e4", "sum")])
+        return g.rename_columns(["l_orderkey", "revenue_e4"])
+
+    agg = (li.map_batches(li_partial, batch_format="pyarrow")
+           .groupby("l_orderkey").aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+           .to_pandas())
+    agg["o_orderdate"] = agg["l_orderkey"].map(odate)
+    agg["revenue_e4"] = agg["revenue_e4"].astype("int64")
+    agg = agg.sort_values(["revenue_e4", "l_orderkey"],
+                          ascending=[False, True]).head(10)
+    return agg[["l_orderkey", "revenue_e4", "o_orderdate"]].reset_index(drop=True)
+
+
 # ----------------------------------------------------------------------
 # per-record maps (M3, M5, M7, M10)
 # ----------------------------------------------------------------------
@@ -635,6 +712,21 @@ ORACLE_SQL: dict[str, str] = {
         "CAST((sum(price_c) * 100) // count(*) AS BIGINT) AS avg_price_e4, "
         "CAST((sum(disc_c) * 100) // count(*) AS BIGINT) AS avg_disc_e4, "
         "count(*) AS count_order FROM c GROUP BY l_returnflag, l_linestatus",
+    "q6_revenue_delta":
+        "SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4, "
+        "count(*) AS n_rows FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07",
+    "q3_shipping_priority":
+        "SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4, "
+        "o_orderdate FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15' "
+        "AND l_shipdate > TIMESTAMP '1995-03-15' "
+        "GROUP BY l_orderkey, o_orderdate "
+        "ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10",
     "m3_clean_html":
         "SELECT doc_id, length(regexp_replace(regexp_replace(regexp_replace("
         "'<p>' || text || '</p><script>var x=1;</script><style>.a{b:1}</style><!--c-->', "
