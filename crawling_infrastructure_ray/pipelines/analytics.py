@@ -35,6 +35,19 @@ from ..functions.scalars import round_half_away
 from ..sources.readers import read_table
 from ..stages.html import clean_html_string
 
+def _merge_partials(partials: rd.Dataset, keys: list[str],
+                    sums: list[str]) -> pd.DataFrame:
+    """Final reduce of a combiner aggregation with SMALL key
+    cardinality: the per-batch partials are already one row per key per
+    batch, so the driver-side merge is O(keys x batches) — cheaper and
+    more deterministic than an all-to-all groupby shuffle. (High-
+    cardinality aggregations keep the Ray groupby path.)"""
+    pdf = partials.to_pandas()
+    if pdf.empty:
+        return pdf
+    return pdf.groupby(keys, as_index=False)[sums].sum()
+
+
 # ----------------------------------------------------------------------
 # aggregations (G1-G9)
 # ----------------------------------------------------------------------
@@ -86,10 +99,7 @@ def q_g4_fleet_stats(sf_dir: str):
         return g.rename_columns(["user_id", "n_events", "sum_value"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby("user_id").aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"))
-    df = agg.to_pandas()
+    df = _merge_partials(partials, ["user_id"], ["n_events", "sum_value"])
     df["avg_value"] = round_half_away(df["sum_value"] / df["n_events"], 3)
     df["sum_value"] = round_half_away(df["sum_value"], 3)
     df["n_events"] = df["n_events"].astype("int64")
@@ -100,10 +110,16 @@ def q_g5_avg_rate(sf_dir: str):
     """G5 running-average items/s analog (crawler/src/metadata.ts:85-96):
     mean value per type."""
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
-    df = ds.groupby("event_type").aggregate(
-        Mean("value", alias_name="avg_value")).to_pandas()
-    df["avg_value"] = round_half_away(df["avg_value"], 3)
-    return df
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("event_type").aggregate(
+            [("value", "sum"), ("value", "count")])
+        return g.rename_columns(["event_type", "sum_v", "n_v"])
+
+    df = _merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["event_type"], ["sum_v", "n_v"])
+    df["avg_value"] = round_half_away(df["sum_v"] / df["n_v"], 3)
+    return df[["event_type", "avg_value"]]
 
 
 def q_g6_distinct_users(sf_dir: str):
@@ -117,9 +133,14 @@ def q_g7_host_counts(sf_dir: str):
     """G7 per-host doc counts (domain_count.js:40-56) — the canonical
     wide shuffle, over the documents source column."""
     ds = read_table(sf_dir, "documents", columns=["source"])
-    df = (ds.groupby("source").aggregate(Count(alias_name="n_docs"))
-          .to_pandas().rename(columns={"source": "host"}))
-    return df
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source").aggregate([("source", "count")])
+        return g.rename_columns(["source", "n_docs"])
+
+    df = _merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["source"], ["n_docs"])
+    return df.rename(columns={"source": "host"})
 
 
 def q_g8_totals(sf_dir: str):
@@ -180,11 +201,13 @@ def q_o6_top35_parts(sf_dir: str):
         g = batch.group_by("l_partkey").aggregate([("l_partkey", "count")])
         return g.rename_columns(["l_partkey", "n_lines"])
 
-    # pre-aggregate per batch → the shuffle moves one row per key per
-    # batch instead of the full fact table
+    # pre-aggregate per batch; final reduce + top-k on the driver (the
+    # partial set is one row per key per batch)
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    counted = partials.groupby("l_partkey").aggregate(Sum("n_lines", alias_name="n_lines"))
-    return counted.sort(["n_lines", "l_partkey"], descending=[True, False]).limit(35)
+    df = _merge_partials(partials, ["l_partkey"], ["n_lines"])
+    df = df.sort_values(["n_lines", "l_partkey"],
+                        ascending=[False, True]).head(35)
+    return df.reset_index(drop=True)
 
 
 # ----------------------------------------------------------------------
@@ -290,9 +313,8 @@ def q_j2_bucketed_join_revenue(sf_dir: str, num_buckets: int = 64):
         return g.rename(columns={"status": "o_orderstatus"})
 
     partials = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
-    final = partials.groupby("o_orderstatus").aggregate(
-        Sum("n_lines", alias_name="n_lines"),
-        Sum("revenue_e4", alias_name="revenue_e4")).to_pandas()
+    final = _merge_partials(partials, ["o_orderstatus"],
+                            ["n_lines", "revenue_e4"])
     final["revenue_e4"] = final["revenue_e4"].astype("int64")
     final["n_lines"] = final["n_lines"].astype("int64")
     return final
@@ -357,13 +379,9 @@ def q_q1_pricing_summary(sf_dir: str):
                                  "sum_charge_e6", "sum_disc_c", "count_order"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price_c", alias_name="sum_base_price_c"),
-        Sum("sum_disc_price_e4", alias_name="sum_disc_price_e4"),
-        Sum("sum_charge_e6", alias_name="sum_charge_e6"),
-        Sum("sum_disc_c", alias_name="sum_disc_c"),
-        Sum("count_order", alias_name="count_order")).to_pandas()
+    agg = _merge_partials(partials, ["l_returnflag", "l_linestatus"],
+                          ["sum_qty", "sum_base_price_c", "sum_disc_price_e4",
+                           "sum_charge_e6", "sum_disc_c", "count_order"])
     cnt = agg["count_order"].astype("int64")
     agg["avg_qty_e4"] = (agg["sum_qty"].astype("int64") * 10000) // cnt
     agg["avg_price_e4"] = (agg["sum_base_price_c"].astype("int64") * 100) // cnt
@@ -537,9 +555,8 @@ def q_events_hourly_window(sf_dir: str):
         return g.rename_columns(["user_id", "window_start", "n_events", "sum_value"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = partials.groupby(["user_id", "window_start"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value")).to_pandas()
+    out = _merge_partials(partials, ["user_id", "window_start"],
+                          ["n_events", "sum_value"])
     out["sum_value"] = round_half_away(out["sum_value"], 3)
     out["n_events"] = out["n_events"].astype("int64")
     return out

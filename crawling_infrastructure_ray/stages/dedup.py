@@ -82,21 +82,57 @@ def exact_dedup_keep_first(ds: rd.Dataset, id_column: str = "doc_id",
 # shingling + MinHash + LSH
 # ----------------------------------------------------------------------
 def _token_shingles(text: str, k: int = 3) -> np.ndarray:
+    """k-token shingle hashes, vectorized: hash each token once
+    (memoized — real corpora reuse tokens heavily), then mix k
+    consecutive token hashes with multiply-xor chaining in wrapping
+    uint64. ~20x cheaper than hashing each joined shingle string."""
     toks = (text or "").split()
     if len(toks) < k:
         return np.array([stable_hash64(" ".join(toks))], dtype=np.uint64)
-    return np.unique(np.fromiter(
-        (stable_hash64(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)),
-        dtype=np.uint64, count=len(toks) - k + 1))
+    cache = _TOKEN_HASH_CACHE
+    hs = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        key = (t, -1)
+        h = cache.get(key)
+        if h is None:
+            if len(cache) > 1_000_000:
+                cache.clear()
+            h = cache[key] = stable_hash64(t)
+        hs[i] = h
+    n = len(toks) - k + 1
+    with np.errstate(over="ignore"):
+        out = hs[:n].copy()
+        for j in range(1, k):
+            out *= np.uint64(0x9E3779B97F4A7C15)
+            out ^= hs[j:n + j]
+    return np.unique(out)
+
+
+_CHAR_SHINGLE_W: dict[int, np.ndarray] = {}
 
 
 def _char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Character k-gram hashes, vectorized (sliding byte windows ×
+    odd-constant weights in wrapping uint64 + xorshift mix)."""
     t = text or ""
     if len(t) <= k:
         return np.array([stable_hash64(t)], dtype=np.uint64)
-    return np.unique(np.fromiter(
-        (stable_hash64(t[i:i + k]) for i in range(len(t) - k + 1)),
-        dtype=np.uint64, count=len(t) - k + 1))
+    w = _CHAR_SHINGLE_W.get(k)
+    if w is None:
+        rng = np.random.default_rng(0x5819)
+        w = rng.integers(0, 1 << 62, size=k, dtype=np.uint64) | np.uint64(1)
+        _CHAR_SHINGLE_W[k] = w
+    from numpy.lib.stride_tricks import sliding_window_view
+    data = np.frombuffer(t.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    if data.size <= k:
+        return np.array([stable_hash64(t)], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        wins = sliding_window_view(data, k).astype(np.uint64)
+        h = (wins * w[None, :]).sum(axis=1)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(31)
+    return np.unique(h)
 
 
 def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -166,29 +202,52 @@ class MinHasher:
 
 
 def lsh_candidate_pairs(band_rows: rd.Dataset, max_bucket: int = 64) -> pd.DataFrame:
-    """groupby (band_id, band_hash) → unordered candidate pairs.
+    """(band_id, band_hash) buckets with ≥2 docs → unordered candidate
+    pairs.
 
-    Buckets larger than ``max_bucket`` are truncated (and counted) —
-    the hot-bucket cap that keeps worst-case pairwise work bounded;
-    at scale, cap hits should be logged and salted, not exploded.
+    Two-phase shape that avoids per-group Python calls (map_groups over
+    ~|docs|x|bands| tiny buckets costs one Python invocation each —
+    measured 5s on 80k buckets): (1) vectorized per-batch bucket counts
+    → small groupby-sum → multi-doc bucket keys (near-dups are rare, so
+    this set is tiny); (2) broadcast the hot-key set, filter band rows
+    to it, and build pairs from the small survivor set. Buckets larger
+    than ``max_bucket`` are truncated — the hot-bucket cap that bounds
+    worst-case pairwise work (at scale: salt, don't explode).
     """
-    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(set(group["doc_id"]))[:max_bucket]
-        if len(docs) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        a, b = [], []
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["band_id", "band_hash"]) \
+                 .group_by(["band_id", "band_hash"]) \
+                 .aggregate([("band_hash", "count")])
+        return g.rename_columns(["band_id", "band_hash", "n"])
+
+    counts = (band_rows.map_batches(count_partial, batch_format="pyarrow")
+              .groupby(["band_id", "band_hash"])
+              .aggregate(Sum("n", alias_name="n")).to_pandas())
+    hot = counts[counts["n"] > 1]
+    if hot.empty:
+        return pd.DataFrame({"a": [], "b": []})
+    hot_keys = set(zip(hot["band_id"], hot["band_hash"]))
+    keys_ref = ray.put(hot_keys)
+
+    def hot_filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pa.array([(i, h) in ks for i, h in
+                         zip(batch["band_id"].to_pylist(),
+                             batch["band_hash"].to_pylist())])
+        return batch.filter(mask)
+
+    surv = band_rows.map_batches(hot_filter, batch_format="pyarrow").to_pandas()
+    a_out, b_out = [], []
+    for _, grp in surv.groupby(["band_id", "band_hash"]):
+        docs = sorted(set(grp["doc_id"]))[:max_bucket]
         for i in range(len(docs)):
             for j in range(i + 1, len(docs)):
-                a.append(docs[i])
-                b.append(docs[j])
-        return pd.DataFrame({"a": a, "b": b})
-
-    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_of, batch_format="pandas")
-    pdf = pairs.to_pandas()
-    if pdf.empty:
-        return pd.DataFrame({"a": [], "b": []})
-    return pdf.drop_duplicates().reset_index(drop=True)
+                a_out.append(docs[i])
+                b_out.append(docs[j])
+    return (pd.DataFrame({"a": a_out, "b": b_out})
+            .drop_duplicates().reset_index(drop=True))
 
 
 def verify_jaccard(pairs: pd.DataFrame, texts_by_id: dict[str, str],
@@ -224,7 +283,7 @@ def minhash_dedup_pairs(ds: rd.Dataset, *, bands: int = 16, rows_per_band: int =
                         seed: int = 42, shingle_k: int = 3, kind: str = "token",
                         threshold: float = 0.5, column: str = "text",
                         id_column: str = "doc_id",
-                        concurrency: int = 4) -> pd.DataFrame:
+                        concurrency=(1, 4)) -> pd.DataFrame:
     """Full MinHash-LSH near-dup pipeline → verified pairs DataFrame."""
     band_rows = ds.map_batches(
         MinHasher,
@@ -233,6 +292,9 @@ def minhash_dedup_pairs(ds: rd.Dataset, *, bands: int = 16, rows_per_band: int =
                                    shingle_kind=kind, column=column,
                                    id_column=id_column),
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+    # two consumers (bucket counts + hot filter) — pin the sketch rows
+    # so the MinHasher pass runs once, not per consumer
+    band_rows = band_rows.materialize()
     cands = lsh_candidate_pairs(band_rows)
     if cands.empty:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
@@ -304,22 +366,47 @@ def simhash_near_pairs(ds: rd.Dataset, *, seed: int = 42, max_hamming: int = 3,
 
     blocks = sig_ds.map_batches(explode_blocks, batch_format="pyarrow")
 
-    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
+    # same two-phase bucket pattern as lsh_candidate_pairs: vectorized
+    # counts → hot buckets only → driver-side pairwise hamming
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["band_id", "band_hash"]) \
+                 .group_by(["band_id", "band_hash"]) \
+                 .aggregate([("band_hash", "count")])
+        return g.rename_columns(["band_id", "band_hash", "n"])
+
+    blocks = blocks.materialize()
+    counts = (blocks.map_batches(count_partial, batch_format="pyarrow")
+              .groupby(["band_id", "band_hash"])
+              .aggregate(Sum("n", alias_name="n")).to_pandas())
+    hot = counts[counts["n"] > 1]
+    if hot.empty:
+        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+    hot_keys = set(zip(hot["band_id"], hot["band_hash"]))
+    keys_ref = ray.put(hot_keys)
+
+    def hot_filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pa.array([(i, h) in ks for i, h in
+                         zip(batch["band_id"].to_pylist(),
+                             batch["band_hash"].to_pylist())])
+        return batch.filter(mask)
+
+    surv = blocks.map_batches(hot_filter, batch_format="pyarrow").to_pandas()
+    rows = []
+    for _, grp in surv.groupby(["band_id", "band_hash"]):
+        g = grp.drop_duplicates("doc_id").sort_values("doc_id")
         docs = g["doc_id"].tolist()
         sigs = g["simhash"].tolist()
-        rows = []
         for i in range(len(docs)):
             for j in range(i + 1, len(docs)):
                 ham = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
                 if ham <= max_hamming:
                     rows.append((docs[i], docs[j], ham))
-        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
-
-    pdf = blocks.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_of, batch_format="pandas").to_pandas()
+    pdf = pd.DataFrame(rows, columns=["a", "b", "hamming"])
     if pdf.empty:
-        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        return pdf
     return (pdf.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
             .reset_index(drop=True))
 
