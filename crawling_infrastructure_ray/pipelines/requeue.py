@@ -11,7 +11,7 @@ host hash (the same routing as enqueue — no broadcast scan of shards).
 
 from __future__ import annotations
 
-import pyarrow as pa
+
 import ray
 import ray.data as rd
 

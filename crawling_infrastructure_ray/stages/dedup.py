@@ -46,7 +46,7 @@ def content_hash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
 def exact_dedup_groups(ds: rd.Dataset, id_column: str = "doc_id",
                        column: str = "text") -> rd.Dataset:
     """(content_hash, keep_doc_id, n_dups): first (min id) per content."""
-    from ray.data.aggregate import Count, Min, Sum
+    from ray.data.aggregate import Min, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         # per-batch combine: one row per hash per batch (pre-aggregation

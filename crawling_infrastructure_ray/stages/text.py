@@ -19,7 +19,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import rolling_fingerprint, stable_hash64
+from ..functions.hashing import rolling_fingerprint
 
 _WS_RE = re.compile(r"\s+")
 # BPE-ish pre-tokenizer: word pieces, numbers, punctuation runs (the
