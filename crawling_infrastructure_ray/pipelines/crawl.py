@@ -223,7 +223,7 @@ def run_crawl(seed_urls: list[str] | None = None, *,
               now_fn=None,
               use_actors: bool = False,
               fetch_via: str = "tasks",
-              preserve_order: bool = True) -> CrawlResult:
+              order: str = "fifo") -> CrawlResult:
     """Run a crawl to drain (or ``max_waves``). Returns CrawlResult.
 
     ``resume=True`` restores the frontier from ``out_dir/ckpt`` and
@@ -276,7 +276,7 @@ def run_crawl(seed_urls: list[str] | None = None, *,
             frontier = Frontier(num_shards, seed=seed, dedup=dedup,
                                 politeness=politeness, robots=robots,
                                 default_rate=default_rate,
-                                max_retries=max_retries, order="fifo")
+                                max_retries=max_retries, order=order)
         if seed_urls:
             frontier.enqueue(seed_urls)
 
@@ -464,6 +464,7 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                    evict_every_commits: int = 0,
                    max_lost_leases: int = 10,
                    fetch_fail_marker: str = "",
+                   order: str = "fifo",
                    now_fn=None) -> CrawlResult:
     """Asynchronous frontier pump — the throughput mode.
 
@@ -512,7 +513,7 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                                 politeness_overrides=politeness_overrides,
                                 robots=robots,
                                 default_rate=default_rate,
-                                max_retries=max_retries, order="fifo",
+                                max_retries=max_retries, order=order,
                                 track_seen_urls=track_seen)
         if seed_urls:
             # ramp overlap: land the first slice synchronously so leasing

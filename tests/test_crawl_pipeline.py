@@ -144,3 +144,18 @@ def test_kill_and_resume_byte_identical(ray_session, seeds, tmp_path):
                          "enqueue_seq")
     assert t_full.equals(t_res)
     assert resumed.histogram == full.histogram
+
+
+def test_priority_order_engine(ray_session, tmp_path):
+    """North-star priority heap end to end: order='priority' claims
+    shallow (low-depth) items before deep ones across waves."""
+    import pyarrow.parquet as pq
+    fr = Frontier(1, seed=SEED, dedup=True, order="priority")
+    fr.enqueue(["http://hp.example/deep1", "http://hp.example/deep2"], [2, 2])
+    fr.enqueue(["http://hp.example/shallow"], [0])
+    res = run_crawl(None, frontier=fr, seed=SEED, max_depth=0,
+                    items_per_wave=1, max_waves=3,
+                    out_dir=str(tmp_path / "prio"), order="priority")
+    claims = _read_sorted(str(tmp_path / "prio" / "claims" / "*.parquet"),
+                          [("wave", "ascending")])
+    assert claims["url"].to_pylist()[0] == "http://hp.example/shallow"
