@@ -159,3 +159,13 @@ def test_priority_order_engine(ray_session, tmp_path):
     claims = _read_sorted(str(tmp_path / "prio" / "claims" / "*.parquet"),
                           [("wave", "ascending")])
     assert claims["url"].to_pylist()[0] == "http://hp.example/shallow"
+
+
+def test_actor_pool_fetch_mode(ray_session, tmp_path, seeds, golden):
+    """use_actors=True (FetchStoreActor pool — the stateful-fetcher
+    A1/A2 shape) produces the same results as the task paths."""
+    res = run_crawl(seeds, seed=SEED, num_shards=1, dedup=True, max_depth=1,
+                    items_per_wave=WAVE, out_dir=str(tmp_path / "actors"),
+                    use_actors=True, fetch_concurrency=2)
+    assert res.histogram == golden["histogram"]
+    assert res.seen_set_size == len(golden["seen_set"])
