@@ -80,7 +80,12 @@ def seeded_rng(seed: int, *streams) -> np.random.Generator:
 
     Replaces the reference's unseeded UA/viewport/locale randomizers
     (crawler/src/helpers.ts:28-59) with reproducible randomness keyed by
-    (seed, *streams) so parallel runs are replayable.
+    (seed, *streams) so parallel runs are replayable. Stream keys are
+    derived with the process-stable ``stable_hash64`` (Python's
+    ``hash()`` is salted per process, which would give each Ray worker
+    a different stream for the same key).
     """
-    ss = np.random.SeedSequence([seed & 0xFFFFFFFF, *[abs(hash(s)) & 0xFFFFFFFF for s in streams]])
+    from .hashing import stable_hash64
+    ss = np.random.SeedSequence(
+        [seed & 0xFFFFFFFF, *[stable_hash64(str(s)) & 0xFFFFFFFF for s in streams]])
     return np.random.default_rng(ss)

@@ -1,14 +1,22 @@
 """Fleet-sizing / lease-sizing formulas (reference feedback controller).
 
 Exact reimplementation of the reference's scheduling math:
-- fleet size = floor(max_items_per_second / avg measured per-worker
-  rate), min 1, with cold-start assumptions 0.5 (http) / 0.2 (browser)
-  items/s and the MIN_AVG_IPS=0.01 clamp
-  (master/src/models/crawltask.model.ts:449-478,
-   constants/crawlTaskApi.constants.ts:6)
-- lease size = floor(max_crawling_time / seconds_per_item) once ≥7
-  rate measurements exist, else the configured defaults 15/30; docker
-  caps 100/200 (master/scheduler/runner.ts:302-329).
+
+- fleet size (``maxWorkersConcurrentlyRunning``,
+  master/src/models/crawltask.model.ts:449-478): when ANY rate
+  measurements exist (length > 0) use their average; with none, assume
+  cold-start 0.5 (http) / 0.2 (browser) items/s; clamp the average up
+  to MIN_AVG_IPS=0.01 when it is smaller
+  (constants/crawlTaskApi.constants.ts:6); workers =
+  max_items_per_second / avg, floor'd when > 1, min 1.
+- lease size (``getNumItems``, master/scheduler/runner.ts:302-329):
+  configured defaults 15 browser / 30 http until ≥7 measurements
+  exist; then avg = average(measurements), falling back to the
+  cold-start value when avg ≤ 0 (NOT a MIN_AVG_IPS clamp), and
+  num_items = floor(max_crawling_time / (1/avg)). The
+  whitelisted-proxies/docker hard limit OVERWRITES num_items to
+  100 (browser) / 200 (http) — it can raise a smaller computed value,
+  it is not a cap. ``max_items_per_worker`` is a min-cap applied last.
 
 In the Ray rebuild these numbers size the actor-pool ``concurrency``
 and ``chunk_size`` instead of a Lambda fleet, but the control law is
@@ -24,39 +32,51 @@ from .scalars import average
 
 COLD_START_IPS = {"http": 0.5, "browser": 0.2}  # crawltask.model.ts:454
 DEFAULT_LEASE = {"http": 30, "browser": 15}     # scheduler.conf.json:6-7
-DOCKER_LEASE_CAP = {"http": 200, "browser": 100}  # runner.ts:320-322
-MIN_MEASUREMENTS = 7                             # runner.ts:306
+WHITELISTED_LEASE = {"http": 200, "browser": 100}  # runner.ts:320-322
+MIN_MEASUREMENTS = 7                             # runner.ts:305
 
 
 def avg_items_per_second(measurements: list[float], worker_type: str = "http") -> float:
-    """Measured average rate with cold-start fallback + MIN clamp."""
-    if len(measurements) < MIN_MEASUREMENTS:
+    """Fleet-sizing rate (crawltask.model.ts:450-467): measured average
+    whenever any measurements exist, else cold-start; MIN_AVG_IPS
+    clamp applied to tiny averages."""
+    if len(measurements) <= 0:
         return COLD_START_IPS.get(worker_type, 0.5)
-    return max(average(measurements), MIN_AVG_IPS)
+    rate = average(measurements)
+    if rate < MIN_AVG_IPS:
+        rate = MIN_AVG_IPS
+    return rate
 
 
 def fleet_size(max_items_per_second: float, measurements: list[float],
                worker_type: str = "http",
                max_workers: int = HARD_LIMIT_MAX_WORKERS) -> int:
-    """Reference fleet controller (crawltask.model.ts:449-478)."""
+    """Reference fleet controller (crawltask.model.ts:449-478), plus the
+    scheduler's max_workers / HARD_LIMIT_MAX_WORKERS caps applied at
+    launch time (daemon.ts:363-376)."""
     rate = avg_items_per_second(measurements, worker_type)
-    n = math.floor(max_items_per_second / rate)
-    return max(1, min(n, max_workers, HARD_LIMIT_MAX_WORKERS))
+    n = max_items_per_second / rate
+    n = 1 if n <= 1 else math.floor(n)
+    return min(n, max_workers, HARD_LIMIT_MAX_WORKERS)
 
 
 def lease_size(measurements: list[float], worker_type: str = "http",
-               max_crawling_time_s: int = 240, docker: bool = False,
+               max_crawling_time_s: int = 240, whitelisted: bool = False,
                max_items_per_worker: int | None = None) -> int:
-    """Reference getNumItems (runner.ts:302-329)."""
-    if len(measurements) < MIN_MEASUREMENTS:
-        n = DEFAULT_LEASE.get(worker_type, 30)
-    else:
-        rate = max(average(measurements), MIN_AVG_IPS)
+    """Reference getNumItems (runner.ts:302-329).
+
+    ``whitelisted`` mirrors ``task.whitelisted_proxies`` (the docker
+    path): it OVERWRITES the computed size with 100/200.
+    """
+    n = DEFAULT_LEASE.get(worker_type, 30)
+    if len(measurements) >= MIN_MEASUREMENTS:
+        rate = average(measurements)
+        if rate <= 0:
+            rate = COLD_START_IPS.get(worker_type, 0.5)
         seconds_per_item = 1.0 / rate
         n = math.floor(max_crawling_time_s / seconds_per_item)
-        n = max(1, n)
-    if docker:
-        n = min(n, DOCKER_LEASE_CAP.get(worker_type, 200))
+    if whitelisted:
+        n = WHITELISTED_LEASE.get(worker_type, 200)
     if max_items_per_worker:
         n = min(n, max_items_per_worker)
     return n

@@ -90,11 +90,17 @@ def _fetch_commit_task(tbl: pa.Table, shard_handle, lease_id: int,
             per: dict[int, tuple[list, list]] = {}
             host_shard: dict[str, int] = {}
             for u, d in zip(flat.to_pylist(), depths.tolist()):
+                # SAME host extraction as Frontier._route (strip
+                # userinfo/port, lowercase BEFORE memoizing) — a
+                # divergent router would send ports/userinfo/uppercase
+                # hosts to the wrong shard, breaking shard-local URL
+                # dedup and splitting per-host politeness state
                 rest = u.split("://", 1)[-1]
-                host = rest.split("/", 1)[0]
+                host = (rest.split("/", 1)[0].rsplit("@", 1)[-1]
+                        .split(":", 1)[0].lower())
                 sh = host_shard.get(host)
                 if sh is None:
-                    sh = stable_hash64(host.lower(), route_seed) % k
+                    sh = stable_hash64(host, route_seed) % k
                     host_shard[host] = sh
                 b = per.get(sh)
                 if b is None:
@@ -464,6 +470,7 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                    evict_every_commits: int = 0,
                    max_lost_leases: int = 10,
                    fetch_fail_marker: str = "",
+                   fetch_fail_after_store_marker: str = "",
                    order: str = "fifo",
                    now_fn=None) -> CrawlResult:
     """Asynchronous frontier pump — the throughput mode.
@@ -542,9 +549,21 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
     lost_tasks = 0
     fetch_kwargs = {"seed": seed, "max_depth": max_depth,
                     "num_hosts": num_hosts, "docs_dir": docs_dir,
-                    "fail_marker": fetch_fail_marker}
+                    "fail_marker": fetch_fail_marker,
+                    "fail_after_store_marker": fetch_fail_after_store_marker}
 
     pending_enq: list = list(_seed_tail_refs)
+
+    def drop_orphan_fragment(lease_id: int) -> None:
+        """A task that died between its fragment write and its commit
+        leaves an orphan part-<lease_id>.parquet; the lease rolls back
+        and the retry writes a NEW part-<new_lease_id> fragment, so the
+        orphan would double-count those docs within the run. Delete it
+        on the rollback path (the reference analog is the merged-sink
+        all-or-nothing rollback, crawler/src/index.ts:237-243)."""
+        p = os.path.join(docs_dir, f"part-{lease_id:015d}.parquet")
+        if os.path.exists(p):
+            os.remove(p)
 
     def flush_discovered(block: bool = False):
         nonlocal disc_urls, disc_depths
@@ -656,9 +675,11 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                 counts, children = ray.get(ref)
             except Exception:
                 # lost worker (reference J5/R3): the task died before
-                # committing — roll its lease back to INITIAL and trip
+                # committing — roll its lease back to INITIAL, delete
+                # any orphan fragment it wrote pre-commit, and trip
                 # the circuit breaker if thresholds are exceeded
                 frontier.rollback(shard, lease_id)
+                drop_orphan_fragment(lease_id)
                 lost_tasks += 1
                 c = frontier.counters()
                 c["expired_leases"] = c.get("expired_leases", 0) + lost_tasks
@@ -691,6 +712,7 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                         counts, children = ray.get(ref)
                     except Exception:
                         frontier.rollback(shard, lease_id)
+                        drop_orphan_fragment(lease_id)
                         lost_tasks += 1
                         continue
                     docs_written += counts["n_ok"]

@@ -48,7 +48,8 @@ def fetch_sim_batch(batch: pa.Table, *, seed: int = 42, max_depth: int = 2,
 def fetch_store_batch(batch: pa.Table, *, seed: int = 42, max_depth: int = 2,
                       num_hosts: int = 64, docs_dir: str = "",
                       wave: int = 0, part_label: str = "",
-                      fail_marker: str = "") -> pa.Table:
+                      fail_marker: str = "",
+                      fail_after_store_marker: str = "") -> pa.Table:
     """Fetch + SINK in one task: write this batch's completed documents
     (the heavy span payload) as a parquet fragment from inside the
     worker, return only the small control columns to the driver.
@@ -108,6 +109,15 @@ def fetch_store_batch(batch: pa.Table, *, seed: int = 42, max_depth: int = 2,
         os.close(fd)
         pq.write_table(doc_tbl, tmp, compression="snappy")
         os.replace(tmp, os.path.join(out_dir, fname))
+    if fail_after_store_marker and "attempt" in batch.column_names \
+            and any(fail_after_store_marker in u for u in batch["url"].to_pylist()) \
+            and min(batch["attempt"].to_pylist() or [1]) == 0:
+        # fault-injection hook (tests): worker dies AFTER the fragment
+        # write but BEFORE the commit — first attempt only, so the
+        # re-leased retry succeeds and would double-count unless the
+        # rollback path deletes the orphan fragment
+        raise RuntimeError(
+            f"injected post-store crash (marker={fail_after_store_marker!r})")
     return fetched.select(["enqueue_seq", "depth", "shard", "lease_id",
                            "status", "error", "discovered"])
 

@@ -132,11 +132,17 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.count += 1
                 return True
-        # evict loop
+        # evict loop — record the kick path so a failed insert can be
+        # rolled back atomically: without the rollback, the last
+        # displaced victim fingerprint would be dropped from the table,
+        # turning a previously-seen key into a false negative (possible
+        # duplicate crawl) when the caller opens a new filter tier.
         i = i1 if self._rng.integers(2) == 0 else i2
+        kicks: list[tuple[int, int, int]] = []  # (bucket, slot, displaced_fp)
         for _ in range(self.MAX_KICKS):
             slot = int(self._rng.integers(self.SLOTS))
             fp, self.table[i, slot] = int(self.table[i, slot]), fp
+            kicks.append((i, slot, fp))
             i = self._alt_index(i, fp)
             row = self.table[i]
             empty = np.flatnonzero(row == 0)
@@ -144,6 +150,10 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.count += 1
                 return True
+        # undo every kick in reverse: each step put the new/previous fp
+        # into (bucket, slot) and took the old one in hand — restore it
+        for bucket, slot, displaced in reversed(kicks):
+            self.table[bucket, slot] = displaced
         raise RuntimeError("cuckoo filter full; grow capacity or add shards")
 
     def delete_hash(self, key_hash: int) -> bool:

@@ -571,7 +571,12 @@ class Frontier:
         self.shards = [FrontierShard.remote(i, **self.shard_kwargs)
                        for i in range(num_shards)]
         self.next_seq = 0
-        self._host_shard: dict[str, int] = {}  # memoized host → shard
+        # memoized host → shard; bounded (web-scale host sets reach
+        # 10^7-10^8 — an unbounded driver-side memo would be its own
+        # memory cliff). Cleared wholesale past the cap: rehashing a
+        # host is cheap, correctness never depends on the memo.
+        self._host_shard: dict[str, int] = {}
+        self._host_shard_cap = 1 << 20
 
     def _route(self, url: str) -> int:
         # hot path: cheap host extraction (full canonicalization happens
@@ -581,6 +586,8 @@ class Frontier:
         host = rest.split("/", 1)[0].rsplit("@", 1)[-1].split(":", 1)[0].lower()
         sh = self._host_shard.get(host)
         if sh is None:
+            if len(self._host_shard) >= self._host_shard_cap:
+                self._host_shard.clear()
             sh = stable_hash64(host, self.seed) % self.num_shards
             self._host_shard[host] = sh
         return sh
@@ -627,6 +634,8 @@ class Frontier:
             hh = h.rsplit("@", 1)[-1].split(":", 1)[0]
             sh = self._host_shard.get(hh)
             if sh is None:
+                if len(self._host_shard) >= self._host_shard_cap:
+                    self._host_shard.clear()
                 sh = stable_hash64(hh, self.seed) % self.num_shards
                 self._host_shard[hh] = sh
             shard_list.append(sh)
@@ -769,6 +778,7 @@ class Frontier:
         fr.shard_kwargs = meta["shard_kwargs"]
         fr.next_seq = meta["next_seq"]
         fr._host_shard = {}
+        fr._host_shard_cap = 1 << 20
         fr.shards = [FrontierShard.remote(i, **fr.shard_kwargs)
                      for i in range(fr.num_shards)]
         ray.get([sh.restore.remote(os.path.join(ckpt_dir, f"shard_{i:04d}"))

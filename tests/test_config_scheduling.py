@@ -40,16 +40,18 @@ def test_jobconfig_json_passthrough():
 
 
 def test_cold_start_rates():
-    # crawltask.model.ts:454 — assumed rates before 7 measurements
+    # crawltask.model.ts:450-457 — cold-start only with ZERO
+    # measurements; any measurements at all (even < 7) use the average
     assert avg_items_per_second([], "http") == 0.5
-    assert avg_items_per_second([1.0] * 6, "browser") == 0.2
+    assert avg_items_per_second([], "browser") == 0.2
+    assert avg_items_per_second([1.0] * 6, "browser") == 1.0
     assert avg_items_per_second([2.0] * 7, "http") == 2.0
-    # MIN_AVG_IPS clamp
+    # MIN_AVG_IPS clamp (crawltask.model.ts:460-466)
     assert avg_items_per_second([0.0] * 7, "http") == 0.01
 
 
 def test_fleet_size_formula():
-    # floor(max_ips / rate), min 1 (crawltask.model.ts:449-478)
+    # max_ips / rate: 1 when <= 1, else floor (crawltask.model.ts:468-476)
     assert fleet_size(1.0, [], "http") == 2          # 1.0 / 0.5
     assert fleet_size(1.0, [], "browser") == 5       # 1.0 / 0.2
     assert fleet_size(10.0, [2.0] * 7) == 5
@@ -58,13 +60,23 @@ def test_fleet_size_formula():
 
 
 def test_lease_size_formula():
-    # defaults before 7 measurements (scheduler.conf.json:6-7)
+    # defaults until 7 measurements exist (runner.ts:304-305,
+    # scheduler.conf.json:6-7) — 6 measurements still use the default
     assert lease_size([], "http") == 30
     assert lease_size([], "browser") == 15
-    # floor(240 / seconds_per_item) (runner.ts:302-329)
+    assert lease_size([10.0] * 6, "http") == 30
+    # floor(240 / seconds_per_item) (runner.ts:306-317)
     assert lease_size([0.5] * 7, "http") == 120
-    # docker caps 100/200 (runner.ts:320-322)
-    assert lease_size([10.0] * 7, "http", docker=True) == 200
-    assert lease_size([10.0] * 7, "browser", docker=True) == 100
-    # max_items_per_worker cap
+    # avg <= 0 falls back to the cold-start rate, not a clamp
+    # (runner.ts:308-310): 240 / (1/0.5) = 120
+    assert lease_size([0.0] * 7, "http") == 120
+    assert lease_size([0.0] * 7, "browser") == 48    # 240 * 0.2
+    # whitelisted-proxies OVERWRITES to 100/200 (runner.ts:320-322) —
+    # it can RAISE a smaller computed value, it is not a min-cap
+    assert lease_size([10.0] * 7, "http", whitelisted=True) == 200
+    assert lease_size([10.0] * 7, "browser", whitelisted=True) == 100
+    assert lease_size([0.1] * 7, "http", whitelisted=True) == 200  # raised from 24
+    # max_items_per_worker cap applied last (runner.ts:324-326)
     assert lease_size([0.5] * 7, "http", max_items_per_worker=50) == 50
+    assert lease_size([10.0] * 7, "http", whitelisted=True,
+                      max_items_per_worker=50) == 50

@@ -49,3 +49,25 @@ def test_scalable_filter_state_roundtrip():
     g = ScalableSeenFilter.from_state(f.state())
     assert g.count == f.count
     assert all(g.contains(f"k{i}") for i in range(2000))
+
+
+def test_post_store_crash_leaves_no_orphan_fragment(ray_session, tmp_path):
+    # worker dies AFTER writing its document fragment but BEFORE the
+    # commit: the lease rolls back, the retry (attempt=1) succeeds and
+    # writes a NEW part-<lease_id> fragment — the rollback path must
+    # delete the orphan so the documents table never double-counts
+    import pyarrow.parquet as pq
+    from crawling_infrastructure_ray.pipelines.crawl import read_documents
+
+    urls = [f"http://orph.example/ok{i}" for i in range(30)] + \
+           ["http://orph.example/POISON"]
+    out = str(tmp_path / "orphan")
+    res = run_crawl_pump(urls, seed=42, num_shards=1, dedup=True, max_depth=0,
+                         chunk_size=64, out_dir=out,
+                         fetch_fail_after_store_marker="POISON",
+                         max_lost_leases=50)
+    assert res.histogram["completed"] == 31
+    docs = read_documents(out).to_pandas()
+    # every document exactly once — the orphan fragment was removed
+    assert len(docs) == 31
+    assert docs["doc_id"].is_unique
