@@ -37,15 +37,31 @@ from ..stages.html import clean_html_string
 
 def _merge_partials(partials: rd.Dataset, keys: list[str],
                     sums: list[str]) -> pd.DataFrame:
-    """Final reduce of a combiner aggregation with SMALL key
-    cardinality: the per-batch partials are already one row per key per
-    batch, so the driver-side merge is O(keys x batches) — cheaper and
-    more deterministic than an all-to-all groupby shuffle. (High-
-    cardinality aggregations keep the Ray groupby path.)"""
+    """Final reduce of a combiner aggregation with PROVABLY-SMALL key
+    cardinality (enum-like keys: order statuses, return flags, event
+    types — bounded by the schema, not the data): the per-batch
+    partials are already one row per key per batch, so the driver-side
+    merge is O(keys x batches). Anything whose key set grows with the
+    data (hosts, users, parts) must use ``_merge_partials_ray``
+    instead — at web scale those keys number 10^7+ and a driver-side
+    pandas merge is a memory cliff."""
     pdf = partials.to_pandas()
     if pdf.empty:
         return pdf
     return pdf.groupby(keys, as_index=False)[sums].sum()
+
+
+def _merge_partials_ray(partials: rd.Dataset, keys: list[str],
+                        sums: list[str]) -> rd.Dataset:
+    """Final reduce of a combiner aggregation IN RAY: a
+    ``groupby().aggregate(Sum...)`` over the pre-aggregated partials.
+    The shuffle moves one row per key per batch (the map-side combine
+    already collapsed duplicates within each batch), and the merge
+    itself is distributed — the driver never holds the partial set.
+    This is the scale path for data-dependent key sets (per-host
+    counts, per-user stats, per-part counts)."""
+    aggs = [Sum(c, alias_name=c) for c in sums]
+    return partials.groupby(keys[0] if len(keys) == 1 else keys).aggregate(*aggs)
 
 
 # ----------------------------------------------------------------------
@@ -89,8 +105,10 @@ def q_g3_window_progress(sf_dir: str):
 
 def q_g4_fleet_stats(sf_dir: str):
     """G4 worker-meta fleet stats analog (workermeta.model.ts:78-117):
-    per-worker counts/averages — pre-aggregated per batch, then a
-    small groupby over partials."""
+    per-worker counts/averages — pre-aggregated per batch, final
+    reduce as a Ray groupby (workers number 10^4+ at fleet scale; the
+    key set is data-dependent so the merge must not land on the
+    driver), then a vectorized per-batch finisher for the averages."""
     ds = read_table(sf_dir, "events", columns=["user_id", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -99,11 +117,18 @@ def q_g4_fleet_stats(sf_dir: str):
         return g.rename_columns(["user_id", "n_events", "sum_value"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    df = _merge_partials(partials, ["user_id"], ["n_events", "sum_value"])
-    df["avg_value"] = round_half_away(df["sum_value"] / df["n_events"], 3)
-    df["sum_value"] = round_half_away(df["sum_value"], 3)
-    df["n_events"] = df["n_events"].astype("int64")
-    return df[["user_id", "n_events", "sum_value", "avg_value"]]
+    merged = _merge_partials_ray(partials, ["user_id"], ["n_events", "sum_value"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["sum_value"].to_numpy(zero_copy_only=False)
+        n = batch["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "n_events": pa.array(n, pa.int64()),
+            "sum_value": pa.array(round_half_away(s, 3), pa.float64()),
+            "avg_value": pa.array(round_half_away(s / n, 3), pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
 
 
 def q_g5_avg_rate(sf_dir: str):
@@ -131,16 +156,21 @@ def q_g6_distinct_users(sf_dir: str):
 
 def q_g7_host_counts(sf_dir: str):
     """G7 per-host doc counts (domain_count.js:40-56) — the canonical
-    wide shuffle, over the documents source column."""
+    wide shuffle. Hosts are the reference's signature HIGH-cardinality
+    key (10^7-10^8 at web scale), so the final reduce is a Ray groupby
+    over the per-batch partials — the driver never materializes the
+    partial set."""
     ds = read_table(sf_dir, "documents", columns=["source"])
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by("source").aggregate([("source", "count")])
         return g.rename_columns(["source", "n_docs"])
 
-    df = _merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
-                         ["source"], ["n_docs"])
-    return df.rename(columns={"source": "host"})
+    merged = _merge_partials_ray(
+        ds.map_batches(partial, batch_format="pyarrow"), ["source"], ["n_docs"])
+    return merged.map_batches(
+        lambda t: pa.table({"host": t["source"], "n_docs": t["n_docs"]}),
+        batch_format="pyarrow")
 
 
 def q_g8_totals(sf_dir: str):
@@ -201,13 +231,13 @@ def q_o6_top35_parts(sf_dir: str):
         g = batch.group_by("l_partkey").aggregate([("l_partkey", "count")])
         return g.rename_columns(["l_partkey", "n_lines"])
 
-    # pre-aggregate per batch; final reduce + top-k on the driver (the
-    # partial set is one row per key per batch)
+    # pre-aggregate per batch; final reduce as a Ray groupby (partkeys
+    # are a data-sized key set), then distributed sort + limit for the
+    # top-k with deterministic tie-break
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    df = _merge_partials(partials, ["l_partkey"], ["n_lines"])
-    df = df.sort_values(["n_lines", "l_partkey"],
-                        ascending=[False, True]).head(35)
-    return df.reset_index(drop=True)
+    merged = _merge_partials_ray(partials, ["l_partkey"], ["n_lines"])
+    return (merged.sort(["n_lines", "l_partkey"], descending=[True, False])
+            .limit(35))
 
 
 # ----------------------------------------------------------------------
@@ -219,13 +249,23 @@ def q_j1_order_customer_join(sf_dir: str):
     (crawltask.service.ts:374-504): small side broadcast via ray.put,
     dict lookup inside map_batches — no shuffle."""
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    # broadcast the small side as SORTED parallel arrays: probe via
+    # np.searchsorted (vectorized binary search) instead of a per-row
+    # Python dict lookup
+    order_idx = np.argsort(cust["c_custkey"].to_numpy())
+    keys_sorted = cust["c_custkey"].to_numpy()[order_idx]
+    names_sorted = cust["c_name"].to_numpy()[order_idx]
+    lookup_ref = ray.put((keys_sorted, names_sorted))
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lookup_ref)
-        names = [lut.get(k) for k in batch["o_custkey"].to_pylist()]
+        ks, vs = ray.get(lookup_ref)
+        probe = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, probe)
+        pos = np.clip(pos, 0, len(ks) - 1)
+        hit = ks[pos] == probe
+        names = np.where(hit, vs[pos], None)
         return pa.table({"o_orderkey": batch["o_orderkey"],
                          "c_name": pa.array(names, pa.string()),
                          "o_totalprice": batch["o_totalprice"]})
@@ -242,13 +282,12 @@ def q_j4_customers_without_p_orders(sf_dir: str):
     p_orders = p_orders.map_batches(
         lambda t: t.filter(pc.equal(t["o_orderstatus"], "P")).select(["o_custkey"]),
         batch_format="pyarrow")
-    keys = set(p_orders.unique("o_custkey"))
-    keys_ref = ray.put(keys)
+    keys_ref = ray.put(pa.array(sorted(p_orders.unique("o_custkey"))))
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
 
     def anti(batch: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
-        mask = pa.array([k not in ks for k in batch["c_custkey"].to_pylist()])
+        mask = pc.invert(pc.is_in(batch["c_custkey"], value_set=ks))
         return batch.filter(mask)
 
     return cust.map_batches(anti, batch_format="pyarrow")
@@ -427,32 +466,31 @@ def q_q3_shipping_priority(sf_dir: str):
     lineitem partial revenue) + groupby + top-10."""
     cutoff = pa.scalar(np.datetime64("1995-03-15T00:00:00", "us"))
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    ckeys = set(cust.map_batches(
+    ckeys_ref = ray.put(pa.array(sorted(cust.map_batches(
         lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
                    .select(["c_custkey"]), batch_format="pyarrow")
-        .unique("c_custkey"))
-    ckeys_ref = ray.put(ckeys)
+        .unique("c_custkey"))))
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
     def ord_filter(batch: pa.Table) -> pa.Table:
         ks = ray.get(ckeys_ref)
         m = pc.and_(pc.less(batch["o_orderdate"], cutoff),
-                    pa.array([k in ks for k in batch["o_custkey"].to_pylist()]))
+                    pc.is_in(batch["o_custkey"], value_set=ks))
         return batch.filter(m).select(["o_orderkey", "o_orderdate"])
 
     sel_orders = orders.map_batches(ord_filter, batch_format="pyarrow").to_pandas()
     odate = dict(zip(sel_orders["o_orderkey"], sel_orders["o_orderdate"]))
-    odate_ref = ray.put(odate)
+    okeys_ref = ray.put(pa.array(sorted(odate)))
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_extendedprice", "l_discount",
                              "l_shipdate"])
 
     def li_partial(batch: pa.Table) -> pa.Table:
-        ks = ray.get(odate_ref)
+        ks = ray.get(okeys_ref)
         m = pc.and_(pc.greater(batch["l_shipdate"], cutoff),
-                    pa.array([k in ks for k in batch["l_orderkey"].to_pylist()]))
+                    pc.is_in(batch["l_orderkey"], value_set=ks))
         b = batch.filter(m)
         price_c = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
         disc_c = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
@@ -555,11 +593,19 @@ def q_events_hourly_window(sf_dir: str):
         return g.rename_columns(["user_id", "window_start", "n_events", "sum_value"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = _merge_partials(partials, ["user_id", "window_start"],
-                          ["n_events", "sum_value"])
-    out["sum_value"] = round_half_away(out["sum_value"], 3)
-    out["n_events"] = out["n_events"].astype("int64")
-    return out
+    # (user x hour) is a data-sized key set → final reduce in Ray
+    merged = _merge_partials_ray(partials, ["user_id", "window_start"],
+                                 ["n_events", "sum_value"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["sum_value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "window_start": batch["window_start"],
+            "n_events": pc.cast(batch["n_events"], pa.int64()),
+            "sum_value": pa.array(round_half_away(s, 3), pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------------

@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -68,13 +69,12 @@ def exact_dedup_keep_first(ds: rd.Dataset, id_column: str = "doc_id",
                            column: str = "text") -> rd.Dataset:
     """Dataset filtered to the kept representative per content hash."""
     groups = exact_dedup_groups(ds, id_column, column)
-    keep = set(groups.select_columns(["keep_doc_id"]).to_pandas()["keep_doc_id"])
-    keep_ref = ray.put(keep)
+    keep_ref = ray.put(pa.array(sorted(
+        groups.select_columns(["keep_doc_id"]).to_pandas()["keep_doc_id"])))
 
     def filt(batch: pa.Table) -> pa.Table:
         ks = ray.get(keep_ref)
-        mask = pa.array([d in ks for d in batch[id_column].to_pylist()])
-        return batch.filter(mask)
+        return batch.filter(pc.is_in(batch[id_column], value_set=ks))
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
