@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o3_recent_topk": qa.q_o3_recent_topk,
         "o5_sample_topk_docs": qa.q_o5_sample_topk_docs,
         "o6_top35_parts": qa.q_o6_top35_parts,
+        "o7_latency_stats": qa.q_o7_latency_stats,
         # joins (§2.5)
         "j1_order_customer_join": qa.q_j1_order_customer_join,
         "j4_customers_without_p_orders": qa.q_j4_customers_without_p_orders,
@@ -93,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_documents": qc.q_curate_documents,
         "crawl_simhash_audit": qt.q_crawl_simhash_audit,
         "media_spans": qt.q_media_spans,
+        "k7_sample_export": qt.q_k7_sample_export,
+        "m8_randomizers": qt.q_m8_randomizers,
     }
 
 

@@ -240,6 +240,29 @@ def q_o6_top35_parts(sf_dir: str):
             .limit(35))
 
 
+def q_o7_latency_stats(sf_dir: str):
+    """O7 latency-stats sort (master/scheduler/runner.ts:266: sort the
+    invocation latencies, report mean/median/p95): per event_type over
+    the events value column. Quantiles are exact order statistics
+    (inverted-CDF / quantile_disc semantics — element selection, so the
+    values are bit-identical across engines); computed per group inside
+    ``map_groups`` (groups are per-type latency arrays, the same shape
+    the reference sorts driver-side)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        return pd.DataFrame([{
+            "event_type": g["event_type"].iloc[0],
+            "n_lat": np.int64(v.size),
+            "avg_value": float(round_half_away(v.mean(), 3)),
+            "p50_value": float(np.quantile(v, 0.5, method="inverted_cdf")),
+            "p95_value": float(np.quantile(v, 0.95, method="inverted_cdf")),
+            "max_value": float(v.max())}])
+
+    return ds.groupby("event_type").map_groups(stats, batch_format="pandas")
+
+
 # ----------------------------------------------------------------------
 # joins (J1, J4, bucketed large-large)
 # ----------------------------------------------------------------------
@@ -749,6 +772,11 @@ ORACLE_SQL: dict[str, str] = {
     "o6_top35_parts":
         "SELECT l_partkey, count(*) AS n_lines FROM lineitem GROUP BY l_partkey "
         "ORDER BY n_lines DESC, l_partkey LIMIT 35",
+    "o7_latency_stats":
+        "SELECT event_type, count(*) AS n_lat, round(avg(value), 3) AS avg_value, "
+        "quantile_disc(value, 0.5) AS p50_value, "
+        "quantile_disc(value, 0.95) AS p95_value, max(value) AS max_value "
+        "FROM events GROUP BY event_type",
     "j1_order_customer_join":
         "SELECT o_orderkey, c_name, o_totalprice FROM orders "
         "JOIN customer ON o_custkey = c_custkey",

@@ -71,10 +71,15 @@ def _fetch_commit_task(tbl: pa.Table, shard_handle, lease_id: int,
 
     t_start = time.time()
     ctl = fetch_store_batch(tbl, **kwargs)
-    statuses = ctl["status"].to_pylist()
+    # itemwise storage failures are NOT reported in the commit — the
+    # lease's unreported members roll back to INITIAL (R5) without
+    # consuming a retry, mirroring the reference's per-item upload
+    # failure reset (crawler/src/index.ts:265-268, R7)
+    rep = ctl.filter(pc.not_equal(ctl["status"], "storage_failed"))
+    statuses = rep["status"].to_pylist()
     ray.get(shard_handle.commit.remote(
-        lease_id, ctl["enqueue_seq"].to_pylist(), statuses,
-        ctl["error"].to_pylist(), now, True))
+        lease_id, rep["enqueue_seq"].to_pylist(), statuses,
+        rep["error"].to_pylist(), now, True))
     n_ok = statuses.count("completed")
     flat = pc.list_flatten(ctl["discovered"])
     children = pa.table({"url": pa.array([], pa.string()),
@@ -229,8 +234,15 @@ def run_crawl(seed_urls: list[str] | None = None, *,
               now_fn=None,
               use_actors: bool = False,
               fetch_via: str = "tasks",
-              order: str = "fifo") -> CrawlResult:
+              order: str = "fifo",
+              storage_policy: str = "merged",
+              store_fail_marker: str = "",
+              config=None) -> CrawlResult:
     """Run a crawl to drain (or ``max_waves``). Returns CrawlResult.
+
+    ``config`` (a ``JobConfig``) supplies ``storage_policy`` (K1/K2
+    failure granularity — see ``fetch_store_batch``) and
+    ``retry_failed_items`` when given.
 
     ``resume=True`` restores the frontier from ``out_dir/ckpt`` and
     skips waves whose parquet fragments already exist (north rule:
@@ -251,6 +263,9 @@ def run_crawl(seed_urls: list[str] | None = None, *,
     ``use_actors=True`` additionally routes 'dataset' mode through the
     FetchStoreActor pool (the stateful-fetcher A1/A2 shape).
     """
+    if config is not None:
+        storage_policy = config.storage_policy
+        max_retries = config.retry_failed_items
     docs_dir = os.path.join(out_dir, "documents")
     claims_dir = os.path.join(out_dir, "claims")
     ckpt_dir = os.path.join(out_dir, "ckpt")
@@ -345,7 +360,8 @@ def run_crawl(seed_urls: list[str] | None = None, *,
         phase["mkds"] = round(time.perf_counter() - t, 3)
         fetch_kwargs = {"seed": seed, "max_depth": max_depth,
                         "num_hosts": num_hosts, "docs_dir": docs_dir,
-                        "wave": wave}
+                        "wave": wave, "storage_policy": storage_policy,
+                        "store_fail_marker": store_fail_marker}
         # fetch tasks write their own document fragments (commit-after-
         # store, reference R7) and return ONLY control columns — span
         # payloads never cross the driver. The control set is bounded
@@ -396,8 +412,14 @@ def run_crawl(seed_urls: list[str] | None = None, *,
         lease_np = fetched["lease_id"].to_numpy(zero_copy_only=False)
         status_np = np.asarray(fetched["status"].to_pylist(), dtype=object)
         error_np = np.asarray(fetched["error"].to_pylist(), dtype=object)
-        for lid in np.unique(lease_np):
-            idx = np.flatnonzero(lease_np == lid)
+        reported = status_np != "storage_failed"  # itemwise R7: omit →
+        for lid in np.unique(lease_np):           # R5 rollback to initial
+            idx = np.flatnonzero((lease_np == lid) & reported)
+            if idx.size == 0:
+                idx_all = np.flatnonzero(lease_np == lid)
+                commit_refs.append(frontier.commit(
+                    int(shard_np[idx_all[0]]), int(lid), [], [], [], now))
+                continue
             commit_refs.append(frontier.commit(
                 int(shard_np[idx[0]]), int(lid), seqs_np[idx].tolist(),
                 status_np[idx].tolist(), error_np[idx].tolist(), now))
@@ -472,6 +494,9 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                    fetch_fail_marker: str = "",
                    fetch_fail_after_store_marker: str = "",
                    order: str = "fifo",
+                   storage_policy: str = "merged",
+                   store_fail_marker: str = "",
+                   config=None,
                    now_fn=None) -> CrawlResult:
     """Asynchronous frontier pump — the throughput mode.
 
@@ -495,6 +520,11 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
     (lease_id ≥ the snapshot's per-shard next_lease_id) are deleted
     before continuing, so the documents table never double-counts.
     """
+    if config is not None:
+        storage_policy = config.storage_policy
+        max_retries = config.retry_failed_items
+        max_lost_leases = config.max_lost_workers
+        longliving = longliving or config.longliving
     docs_dir = os.path.join(out_dir, "documents")
     ckpt_dir = os.path.join(out_dir, "ckpt")
     manifest = os.path.join(out_dir, "manifest.jsonl")
@@ -549,6 +579,8 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
     lost_tasks = 0
     fetch_kwargs = {"seed": seed, "max_depth": max_depth,
                     "num_hosts": num_hosts, "docs_dir": docs_dir,
+                    "storage_policy": storage_policy,
+                    "store_fail_marker": store_fail_marker,
                     "fail_marker": fetch_fail_marker,
                     "fail_after_store_marker": fetch_fail_after_store_marker}
 
@@ -755,8 +787,11 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
 
 
 def read_documents(out_dir: str) -> rd.Dataset:
-    """The crawled documents table as a Dataset (one fragment per wave)."""
-    return rd.read_parquet(os.path.join(out_dir, "documents"))
+    """The crawled documents table as a Dataset (one fragment per
+    lease/wave). Goes through the storage seam — Lance when available,
+    parquet in this container (see sources/storage.py)."""
+    from ..sources.storage import read_dataset
+    return read_dataset(os.path.join(out_dir, "documents"))
 
 
 def direct_crawl(items: list[str], *, seed: int = 42,

@@ -62,13 +62,18 @@ def q_dedup_simhash_pairs(sf_dir: str):
 
 
 def q_dedup_embedding_pairs(sf_dir: str):
-    """Embedding-cosine near-dup pairs via exact pairwise (rows-only).
+    """Embedding-cosine near-dup pairs via multi-table hyperplane LSH
+    (rows-only) — the SCALE path: bucketed in-group pairwise, never a
+    whole-table n² matmul. bits=4 x tables=12 gives ~0.9 recall at this
+    threshold (the brute lsh_bits=0 path is kept as the verification
+    oracle in tests/test_dedup.py).
 
     The synthetic embeddings are random (no true near-dups), so the
     threshold is set at the top of the cosine distribution to return a
     small non-empty candidate set — exercising the full pipeline."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return dd.embedding_near_dup_pairs(ds, threshold=0.45, lsh_bits=0)
+    return dd.embedding_near_dup_pairs(ds, threshold=0.45, lsh_bits=4,
+                                       tables=12, seed=42)
 
 
 def q_dedup_ngram_pairs(sf_dir: str):
@@ -231,6 +236,37 @@ def q_crawl_simhash_audit(sf_dir: str):
     return (docs.map_batches(proj, batch_format="pyarrow")
             .groupby("simhash").aggregate(Count(alias_name="n_docs"),
                                           Min("doc_id", alias_name="first_doc")))
+
+
+def q_k7_sample_export(sf_dir: str):
+    """K7 export bundling (crawltask.service.ts:208-253): tar the 20
+    most recent documents of the flagship crawl; returns the member
+    listing (rows-only — tar side effect + audit record)."""
+    from .crawl import read_documents
+    from .export import export_sample_tar
+    out = _crawl_out_dir(sf_dir)
+    if not os.path.isdir(os.path.join(out, "documents")):
+        q_crawl_documents(sf_dir)
+    docs = read_documents(out)
+    return export_sample_tar(docs, os.path.join(out, "sample_export.tar.gz"),
+                             n=20)
+
+
+def q_m8_randomizers(sf_dir: str):
+    """M8 UA/accept-language/viewport randomizer columns
+    (crawler/src/helpers.ts:28-59) over a deterministic seed list —
+    per-URL hash draws replace the reference's unseeded randomness
+    (rows-only: hash-derived, not SQL-expressible)."""
+    from ..functions.randomizers import randomize_batch
+    import ray.data as rd
+    seeds = make_seed_urls(500, seed=42)
+    ds = rd.from_arrow(seeds.select(["url"]))
+    out = ds.map_batches(randomize_batch, fn_kwargs={"seed": 42},
+                         batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.select(["url", "user_agent", "accept_language",
+                            "viewport_w", "viewport_h"]),
+        batch_format="pyarrow")
 
 
 def q_media_spans(sf_dir: str):

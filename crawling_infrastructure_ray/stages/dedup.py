@@ -201,82 +201,152 @@ class MinHasher:
                          "doc_id": pa.array(doc_ids, pa.string())})
 
 
-def lsh_candidate_pairs(band_rows: rd.Dataset, max_bucket: int = 64) -> pd.DataFrame:
+def _tag_bucket_partition(num_parts: int):
+    """Batch fn: append ``part = mix64(band_hash, band_id) % num_parts``
+    — the coarse shuffle key that co-locates every row of an LSH bucket
+    (same (band_id, band_hash)) in one partition while keeping the
+    number of map_groups Python invocations at O(num_parts), not
+    O(buckets). This is the partitioning assumption the distributed
+    pairing relies on: bucket → exactly one partition."""
+    def tag(batch: pa.Table) -> pa.Table:
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bi = batch["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = bh * np.uint64(0x9E3779B97F4A7C15)
+            key ^= bi + np.uint64(0x517CC1B727220A95)
+            key ^= key >> np.uint64(29)
+        part = (key % np.uint64(num_parts)).astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+    return tag
+
+
+def lsh_candidate_pairs_ds(band_rows: rd.Dataset, *, num_parts: int = 64,
+                           max_bucket: int = 64) -> rd.Dataset:
     """(band_id, band_hash) buckets with ≥2 docs → unordered candidate
-    pairs.
+    pairs, FULLY DISTRIBUTED.
 
-    Two-phase shape that avoids per-group Python calls (map_groups over
-    ~|docs|x|bands| tiny buckets costs one Python invocation each —
-    measured 5s on 80k buckets): (1) vectorized per-batch bucket counts
-    → small groupby-sum → multi-doc bucket keys (near-dups are rare, so
-    this set is tiny); (2) broadcast the hot-key set, filter band rows
-    to it, and build pairs from the small survivor set. Buckets larger
-    than ``max_bucket`` are truncated — the hot-bucket cap that bounds
-    worst-case pairwise work (at scale: salt, don't explode).
+    Shape: hash-partition band rows on the bucket key (num_parts
+    coarse partitions so the per-group Python cost is O(num_parts),
+    not O(buckets)) → build pairs inside ``map_groups`` with a
+    vectorized pandas groupby per partition → global pair dedup via a
+    Ray groupby (a pair found by several bands collapses to one row).
+    The driver never materializes bucket counts or band rows — only
+    the final pair set leaves the cluster. Buckets larger than
+    ``max_bucket`` are truncated (hot-bucket cap: bound the worst-case
+    pairwise work; at scale salt hot buckets, don't explode them).
     """
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Count
 
-    def count_partial(batch: pa.Table) -> pa.Table:
-        g = batch.select(["band_id", "band_hash"]) \
-                 .group_by(["band_id", "band_hash"]) \
-                 .aggregate([("band_hash", "count")])
-        return g.rename_columns(["band_id", "band_hash", "n"])
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out = [], []
+        for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
+            if len(grp) < 2:
+                continue
+            docs = sorted(set(grp["doc_id"]))[:max_bucket]
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    a_out.append(docs[i])
+                    b_out.append(docs[j])
+        return (pd.DataFrame({"a": a_out, "b": b_out})
+                .drop_duplicates() if a_out else
+                pd.DataFrame({"a": pd.Series([], dtype=object),
+                              "b": pd.Series([], dtype=object)}))
 
-    counts = (band_rows.map_batches(count_partial, batch_format="pyarrow")
-              .groupby(["band_id", "band_hash"])
-              .aggregate(Sum("n", alias_name="n")).to_pandas())
-    hot = counts[counts["n"] > 1]
-    if hot.empty:
-        return pd.DataFrame({"a": [], "b": []})
-    hot_keys = set(zip(hot["band_id"], hot["band_hash"]))
-    keys_ref = ray.put(hot_keys)
-
-    def hot_filter(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        mask = pa.array([(i, h) in ks for i, h in
-                         zip(batch["band_id"].to_pylist(),
-                             batch["band_hash"].to_pylist())])
-        return batch.filter(mask)
-
-    surv = band_rows.map_batches(hot_filter, batch_format="pyarrow").to_pandas()
-    a_out, b_out = [], []
-    for _, grp in surv.groupby(["band_id", "band_hash"]):
-        docs = sorted(set(grp["doc_id"]))[:max_bucket]
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                a_out.append(docs[i])
-                b_out.append(docs[j])
-    return (pd.DataFrame({"a": a_out, "b": b_out})
-            .drop_duplicates().reset_index(drop=True))
+    cands = (band_rows.map_batches(_tag_bucket_partition(num_parts),
+                                   batch_format="pyarrow")
+             .groupby("part").map_groups(pairs_in_partition,
+                                         batch_format="pandas"))
+    # cross-band dedup: the same pair surfaces once per agreeing band
+    uniq = cands.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+    return uniq.map_batches(lambda t: t.select(["a", "b"]),
+                            batch_format="pyarrow")
 
 
-def verify_jaccard(pairs: pd.DataFrame, texts_by_id: dict[str, str],
-                   shingle_k: int = 3, kind: str = "token",
-                   threshold: float = 0.5) -> pd.DataFrame:
-    """Exact Jaccard over shingle sets for candidate pairs.
+def verify_jaccard_ds(ds: rd.Dataset, cand_pairs: pd.DataFrame, *,
+                      shingle_k: int = 3, kind: str = "token",
+                      threshold: float = 0.5, column: str = "text",
+                      id_column: str = "doc_id",
+                      num_vbuckets: int = 64) -> pd.DataFrame:
+    """Exact-Jaccard verification of candidate pairs, DISTRIBUTED.
 
-    ``texts_by_id`` is the broadcast small side (ray.put once); at
-    scale replace with a bucketed join of pair ids against the docs
-    table partitioned on doc_id hash.
+    The candidate set is output-sized (small by construction); the
+    corpus is not. Each pair is assigned a verification bucket; the
+    docs table is semi-join-filtered to candidate ids (broadcast
+    ``pc.is_in`` — O(pairs) driver memory, never O(corpus)) and each
+    candidate text is routed to the buckets of the pairs that need it.
+    Verification runs per-bucket inside ``map_groups`` with a local
+    shingle cache. No whole-corpus dict ever exists anywhere.
     """
-    rows = []
-    cache: dict[str, np.ndarray] = {}
+    if cand_pairs.empty:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    ds = ds.select_columns([id_column, column])  # prune before the scan
+    pairs = cand_pairs.sort_values(["a", "b"]).reset_index(drop=True)
+    vb = np.fromiter((stable_hash64(a + "\x00" + b) % num_vbuckets
+                      for a, b in zip(pairs["a"], pairs["b"])),
+                     dtype=np.int64, count=len(pairs))
+    doc_vb: dict[str, list[int]] = {}
+    for a, b, v in zip(pairs["a"], pairs["b"], vb):
+        doc_vb.setdefault(a, []).append(int(v))
+        doc_vb.setdefault(b, []).append(int(v))
+    for d in doc_vb:
+        doc_vb[d] = sorted(set(doc_vb[d]))
+    cand_arr = pa.array(sorted(doc_vb))
+    route_ref = ray.put((cand_arr, doc_vb))
 
-    def sh(doc):
-        if doc not in cache:
-            t = texts_by_id.get(doc, "")
-            cache[doc] = (_token_shingles(t, shingle_k) if kind == "token"
-                          else _char_shingles(t, shingle_k))
-        return cache[doc]
+    def texts_to_buckets(batch: pa.Table) -> pa.Table:
+        arr, routes = ray.get(route_ref)
+        b = batch.filter(pc.is_in(batch[id_column], value_set=arr))
+        vbs, ids, txts = [], [], []
+        for i, t in zip(b[id_column].to_pylist(), b[column].to_pylist()):
+            for v in routes.get(i, ()):
+                vbs.append(v)
+                ids.append(i)
+                txts.append(t)
+        return pa.table({"vbucket": pa.array(vbs, pa.int64()),
+                         "role": pa.array(["t"] * len(vbs), pa.string()),
+                         "a": pa.array(ids, pa.string()),
+                         "b": pa.array([""] * len(vbs), pa.string()),
+                         "text": pa.array(txts, pa.string())})
 
-    for a, b in zip(pairs["a"], pairs["b"]):
-        sa, sb = sh(a), sh(b)
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = sa.size + sb.size - inter
-        j = inter / union if union else 0.0
-        if j >= threshold:
-            rows.append((a, b, round(j, 4)))
-    return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+    text_rows = ds.map_batches(texts_to_buckets, batch_format="pyarrow")
+    pair_rows = rd.from_arrow(pa.table({
+        "vbucket": pa.array(vb, pa.int64()),
+        "role": pa.array(["p"] * len(pairs), pa.string()),
+        "a": pa.array(pairs["a"], pa.string()),
+        "b": pa.array(pairs["b"], pa.string()),
+        "text": pa.array([""] * len(pairs), pa.string())}))
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        texts = dict(zip(g.loc[g["role"] == "t", "a"],
+                         g.loc[g["role"] == "t", "text"]))
+        cache: dict[str, np.ndarray] = {}
+
+        def sh(doc):
+            s = cache.get(doc)
+            if s is None:
+                t = texts.get(doc, "")
+                s = cache[doc] = (_token_shingles(t, shingle_k)
+                                  if kind == "token"
+                                  else _char_shingles(t, shingle_k))
+            return s
+
+        rows = []
+        p = g[g["role"] == "p"]
+        for a, b in zip(p["a"], p["b"]):
+            sa, sb = sh(a), sh(b)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                rows.append((a, b, round(j, 4)))
+        return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+
+    out = (text_rows.union(pair_rows)
+           .groupby("vbucket").map_groups(verify_group, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def minhash_dedup_pairs(ds: rd.Dataset, *, bands: int = 16, rows_per_band: int = 8,
@@ -284,7 +354,13 @@ def minhash_dedup_pairs(ds: rd.Dataset, *, bands: int = 16, rows_per_band: int =
                         threshold: float = 0.5, column: str = "text",
                         id_column: str = "doc_id",
                         concurrency=(1, 4)) -> pd.DataFrame:
-    """Full MinHash-LSH near-dup pipeline → verified pairs DataFrame."""
+    """Full MinHash-LSH near-dup pipeline → verified pairs DataFrame.
+
+    shingle → minhash → band rows (actor pool) → distributed bucket
+    pairing (``lsh_candidate_pairs_ds``) → distributed exact-Jaccard
+    verification (``verify_jaccard_ds``). Only the final pair set is
+    driver-side; everything corpus-sized stays in the cluster.
+    """
     band_rows = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(bands=bands, rows_per_band=rows_per_band,
@@ -292,18 +368,12 @@ def minhash_dedup_pairs(ds: rd.Dataset, *, bands: int = 16, rows_per_band: int =
                                    shingle_kind=kind, column=column,
                                    id_column=id_column),
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
-    # two consumers (bucket counts + hot filter) — pin the sketch rows
-    # so the MinHasher pass runs once, not per consumer
-    band_rows = band_rows.materialize()
-    cands = lsh_candidate_pairs(band_rows)
+    cands = lsh_candidate_pairs_ds(band_rows).to_pandas()
     if cands.empty:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    texts = {}
-    for b in ds.select_columns([id_column, column]).iter_batches(
-            batch_size=8192, batch_format="pyarrow"):
-        texts.update(zip(b[id_column].to_pylist(), b[column].to_pylist()))
-    return (verify_jaccard(cands, texts, shingle_k, kind, threshold)
-            .sort_values(["a", "b"]).reset_index(drop=True))
+    return verify_jaccard_ds(ds, cands, shingle_k=shingle_k, kind=kind,
+                             threshold=threshold, column=column,
+                             id_column=id_column)
 
 
 # ----------------------------------------------------------------------
@@ -311,6 +381,19 @@ def minhash_dedup_pairs(ds: rd.Dataset, *, bands: int = 16, rows_per_band: int =
 # ----------------------------------------------------------------------
 _TOKEN_HASH_CACHE: dict[tuple[str, int], int] = {}
 _BIT_POS = np.arange(64, dtype=np.uint64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR bit-twiddling) for hamming
+    distances over simhash signatures."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+        x = (x & np.uint64(0x3333333333333333)) + \
+            ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    return x.astype(np.int64)
 
 
 def simhash64(text: str, seed: int = 42) -> int:
@@ -366,63 +449,65 @@ def simhash_near_pairs(ds: rd.Dataset, *, seed: int = 42, max_hamming: int = 3,
 
     blocks = sig_ds.map_batches(explode_blocks, batch_format="pyarrow")
 
-    # same two-phase bucket pattern as lsh_candidate_pairs: vectorized
-    # counts → hot buckets only → driver-side pairwise hamming
-    from ray.data.aggregate import Sum
+    # distributed bucket pairing (same shape as lsh_candidate_pairs_ds):
+    # coarse-partition on the block key, vectorized pairwise hamming
+    # inside map_groups, then a Ray groupby for cross-block pair dedup —
+    # nothing corpus-sized touches the driver
+    from ray.data.aggregate import Min
 
-    def count_partial(batch: pa.Table) -> pa.Table:
-        g = batch.select(["band_id", "band_hash"]) \
-                 .group_by(["band_id", "band_hash"]) \
-                 .aggregate([("band_hash", "count")])
-        return g.rename_columns(["band_id", "band_hash", "n"])
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b, rows_h = [], [], []
+        for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
+            if len(grp) < 2:
+                continue
+            gg = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            docs = gg["doc_id"].tolist()
+            sigs = gg["simhash"].to_numpy().astype(np.uint64)
+            n = len(docs)
+            if n < 2:
+                continue
+            ham = _popcount64(sigs[:, None] ^ sigs[None, :])
+            iu, ju = np.triu_indices(n, k=1)
+            ok = ham[iu, ju] <= max_hamming
+            for i, j, h in zip(iu[ok], ju[ok], ham[iu, ju][ok]):
+                rows_a.append(docs[i])
+                rows_b.append(docs[j])
+                rows_h.append(int(h))
+        return pd.DataFrame({"a": pd.Series(rows_a, dtype=object),
+                             "b": pd.Series(rows_b, dtype=object),
+                             "hamming": pd.Series(rows_h, dtype="int64")})
 
-    blocks = blocks.materialize()
-    counts = (blocks.map_batches(count_partial, batch_format="pyarrow")
-              .groupby(["band_id", "band_hash"])
-              .aggregate(Sum("n", alias_name="n")).to_pandas())
-    hot = counts[counts["n"] > 1]
-    if hot.empty:
-        return pd.DataFrame({"a": [], "b": [], "hamming": []})
-    hot_keys = set(zip(hot["band_id"], hot["band_hash"]))
-    keys_ref = ray.put(hot_keys)
-
-    def hot_filter(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        mask = pa.array([(i, h) in ks for i, h in
-                         zip(batch["band_id"].to_pylist(),
-                             batch["band_hash"].to_pylist())])
-        return batch.filter(mask)
-
-    surv = blocks.map_batches(hot_filter, batch_format="pyarrow").to_pandas()
-    rows = []
-    for _, grp in surv.groupby(["band_id", "band_hash"]):
-        g = grp.drop_duplicates("doc_id").sort_values("doc_id")
-        docs = g["doc_id"].tolist()
-        sigs = g["simhash"].tolist()
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                ham = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
-                if ham <= max_hamming:
-                    rows.append((docs[i], docs[j], ham))
-    pdf = pd.DataFrame(rows, columns=["a", "b", "hamming"])
+    cands = (blocks.map_batches(_tag_bucket_partition(64),
+                                batch_format="pyarrow")
+             .groupby("part").map_groups(pairs_in_partition,
+                                         batch_format="pandas"))
+    pdf = (cands.groupby(["a", "b"])
+           .aggregate(Min("hamming", alias_name="hamming")).to_pandas())
     if pdf.empty:
-        return pdf
-    return (pdf.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
-            .reset_index(drop=True))
+        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+    pdf["hamming"] = pdf["hamming"].astype("int64")
+    return pdf.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ----------------------------------------------------------------------
 # embedding near-dup
 # ----------------------------------------------------------------------
 def embedding_near_dup_pairs(ds: rd.Dataset, *, threshold: float = 0.95,
-                             lsh_bits: int = 0, seed: int = 42,
+                             lsh_bits: int = 0, tables: int = 1,
+                             seed: int = 42,
                              id_column: str = "vec_id",
                              column: str = "embedding") -> pd.DataFrame:
     """Pairs with cosine ≥ threshold.
 
-    lsh_bits=0 → exact brute-force (small inputs / verification);
-    lsh_bits>0 → random-hyperplane buckets then in-bucket pairwise
-    (the scale path: shuffle key = bucket, pairwise only in-bucket).
+    lsh_bits=0 → exact brute-force (verification oracle / tiny
+    inputs ONLY: whole-table n² — never the registered path);
+    lsh_bits>0 → multi-table random-hyperplane LSH, the scale path:
+    each vector emits one (table_id, bucket) row per table; shuffle
+    key = bucket, exact pairwise cosine only in-bucket inside
+    ``map_groups``, cross-table pair dedup via a Ray groupby. Recall
+    for a pair at angle θ is 1-(1-(1-θ/π)^bits)^tables (Charikar 2002
+    hyperplane LSH; tune bits↑ for tighter thresholds, tables↑ for
+    recall). The driver only ever holds the final pair set.
     """
     def normalize(batch: pa.Table) -> pa.Table:
         mat = np.asarray(batch[column].to_pylist(), dtype=np.float64)
@@ -447,30 +532,57 @@ def embedding_near_dup_pairs(ds: rd.Dataset, *, threshold: float = 0.95,
 
     rng = np.random.default_rng(seed)
     dim = len(ds.take(1)[0][column])
-    planes = rng.standard_normal((dim, lsh_bits))
+    planes = rng.standard_normal((tables, dim, lsh_bits))
     planes_ref = ray.put(planes)
+    weights = (1 << np.arange(lsh_bits)).astype(np.int64)
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        # one (band_id=table, band_hash=bucket) row per vector per table
         pl = ray.get(planes_ref)
         mat = np.stack([np.asarray(v) for v in batch["nvec"].to_pylist()])
-        bits = (mat @ pl) > 0
-        keys = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
-        return batch.append_column("bucket", pa.array(keys.astype(np.int64)))
+        n = mat.shape[0]
+        tids, keys = [], []
+        for t in range(pl.shape[0]):
+            bits = (mat @ pl[t]) > 0
+            keys.append((bits * weights).sum(axis=1).astype(np.uint64))
+            tids.append(np.full(n, t, dtype=np.int64))
+        reps = pl.shape[0]
+        return pa.table({
+            "band_id": pa.array(np.concatenate(tids)),
+            "band_hash": pa.array(np.concatenate(keys), pa.uint64()),
+            id_column: pa.concat_arrays([batch[id_column].combine_chunks()] * reps),
+            "nvec": pa.concat_arrays([batch["nvec"].combine_chunks()] * reps)})
 
-    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_column)
-        ids = g[id_column].to_numpy()
-        mat = np.stack(g["nvec"].to_numpy())
-        sims = mat @ mat.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        mask = sims[iu, ju] >= threshold
-        return pd.DataFrame({"a": ids[iu[mask]], "b": ids[ju[mask]],
-                             "cosine": np.round(sims[iu, ju][mask], 4)})
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
+            if len(grp) < 2:
+                continue
+            gg = grp.drop_duplicates(id_column).sort_values(id_column)
+            if len(gg) < 2:
+                continue
+            ids = gg[id_column].to_numpy()
+            mat = np.stack(gg["nvec"].to_numpy())
+            sims = mat @ mat.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            mask = sims[iu, ju] >= threshold
+            if mask.any():
+                frames.append(pd.DataFrame({
+                    "a": ids[iu[mask]], "b": ids[ju[mask]],
+                    "cosine": np.round(sims[iu, ju][mask], 4)}))
+        if not frames:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        return pd.concat(frames, ignore_index=True).drop_duplicates(["a", "b"])
 
-    pdf = (norm_ds.map_batches(bucketize, batch_format="pyarrow")
-           .groupby("bucket").map_groups(pairs_of, batch_format="pandas")
-           .to_pandas())
+    from ray.data.aggregate import Max
+    cands = (norm_ds.map_batches(bucketize, batch_format="pyarrow")
+             .map_batches(_tag_bucket_partition(64), batch_format="pyarrow")
+             .groupby("part").map_groups(pairs_in_partition,
+                                         batch_format="pandas"))
+    pdf = (cands.groupby(["a", "b"])
+           .aggregate(Max("cosine", alias_name="cosine")).to_pandas())
     if pdf.empty:
         return pd.DataFrame({"a": [], "b": [], "cosine": []})
-    return (pdf.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
-            .reset_index(drop=True))
+    return pdf.sort_values(["a", "b"]).reset_index(drop=True)

@@ -48,34 +48,74 @@ def fetch_sim_batch(batch: pa.Table, *, seed: int = 42, max_depth: int = 2,
 def fetch_store_batch(batch: pa.Table, *, seed: int = 42, max_depth: int = 2,
                       num_hosts: int = 64, docs_dir: str = "",
                       wave: int = 0, part_label: str = "",
+                      storage_policy: str = "merged",
                       fail_marker: str = "",
-                      fail_after_store_marker: str = "") -> pa.Table:
+                      fail_after_store_marker: str = "",
+                      store_fail_marker: str = "") -> pa.Table:
     """Fetch + SINK in one task: write this batch's completed documents
     (the heavy span payload) as a parquet fragment from inside the
     worker, return only the small control columns to the driver.
 
-    This is the scale-critical shape (reference K1 itemwise sink,
-    crawler/src/index.ts:244-273 — each worker uploads its own
-    results): the driver never holds span payloads, only
-    (seq, status, error, discovered). The fragment name is the batch's
-    min enqueue_seq — deterministic, unique within a wave — so resumed
-    runs reproduce the identical file set. Write happens BEFORE the
-    control rows are returned (commit-after-store, reference R7).
+    This is the scale-critical shape (each reference worker uploads its
+    own results, crawler/src/index.ts:220-276): the driver never holds
+    span payloads, only (seq, status, error, discovered). The fragment
+    name is the batch's min enqueue_seq — deterministic, unique within
+    a wave — so resumed runs reproduce the identical file set. Write
+    happens BEFORE the control rows are returned (commit-after-store,
+    reference R7).
+
+    ``storage_policy`` selects the reference's failure granularity
+    (lib/types/common.ts:18-23; consumed from ``JobConfig``):
+      'merged'   (K2, crawler/src/index.ts:224-243) — one consolidated
+                 fragment per lease/worker, ALL-OR-NOTHING: a storage
+                 failure raises before anything is written, the caller
+                 rolls back the ENTIRE lease to initial.
+      'itemwise' (K1, crawler/src/index.ts:244-273) — per-item failure
+                 granularity: an item whose store fails is EXCLUDED
+                 from the fragment and returned with status
+                 'storage_failed'; the caller omits it from the commit
+                 so it rolls back to initial ALONE (R5/R7 — the
+                 reference resets just that item, index.ts:265-268)
+                 without consuming a retry. Layout note: rows are still
+                 batched into one parquet fragment (the columnar analog
+                 of per-item S3 objects; one FILE per item would be a
+                 filesystem anti-pattern at 10^10 scale).
+    ``store_fail_marker`` injects a simulated storage failure for
+    matching URLs on their first attempt (tests).
     """
     import os
-    import tempfile
 
-    import pyarrow.parquet as pq
-
-    from ..functions.hashing import stable_hash64
-
-    from ..functions.hashing import rolling_fingerprint
+    from ..functions.hashing import rolling_fingerprint, stable_hash64
     from .dedup import simhash64
 
     if fail_marker and any(fail_marker in u for u in batch["url"].to_pylist()):
         # fault-injection hook (tests): simulates a worker crash mid-lease
         raise RuntimeError(f"injected worker crash (marker={fail_marker!r})")
     fetched = FetchSim(seed=seed, max_depth=max_depth, num_hosts=num_hosts)(batch)
+    if store_fail_marker:
+        # simulated storage failure (first attempt only, so the retry
+        # succeeds): merged → all-or-nothing abort; itemwise → demote
+        # just the affected rows to 'storage_failed'
+        urls = fetched["url"].to_pylist()
+        sts = fetched["status"].to_pylist()
+        atts = (fetched["attempt"].to_pylist()
+                if "attempt" in fetched.column_names else [0] * len(urls))
+        hit = [store_fail_marker in u and s == "completed" and a == 0
+               for u, s, a in zip(urls, sts, atts)]
+        if any(hit):
+            if storage_policy == "merged":
+                # one blob per worker, all-or-nothing: the reference
+                # CATCHES the upload error and resets EVERY lease item
+                # to initial (index.ts:237-243) — mirror by demoting
+                # the whole batch so nothing is written or reported
+                new_status = pa.array(["storage_failed"] * len(sts),
+                                      pa.string())
+            else:
+                new_status = pa.array(
+                    ["storage_failed" if h else s for h, s in zip(hit, sts)],
+                    pa.string())
+            fetched = fetched.set_column(
+                fetched.column_names.index("status"), "status", new_status)
     ok = fetched.filter(pa.compute.equal(fetched["status"], "completed"))
     if ok.num_rows and docs_dir:
         part_col = pa.array([stable_hash64(u, seed) % 1024
@@ -97,18 +137,15 @@ def fetch_store_batch(batch: pa.Table, *, seed: int = 42, max_depth: int = 2,
             "fingerprint": fps,
             "spans": ok["spans"],
         })
+        from ..sources.storage import write_fragment
         if part_label:
             # async-pump layout: one flat fragment per lease
-            out_dir, fname = docs_dir, f"part-{part_label}.parquet"
+            out_dir, fname = docs_dir, f"part-{part_label}"
         else:
             min_seq = pa.compute.min(ok["enqueue_seq"]).as_py()
             out_dir = os.path.join(docs_dir, f"wave_{wave:05d}")
-            fname = f"part-{min_seq:012d}.parquet"
-        os.makedirs(out_dir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
-        os.close(fd)
-        pq.write_table(doc_tbl, tmp, compression="snappy")
-        os.replace(tmp, os.path.join(out_dir, fname))
+            fname = f"part-{min_seq:012d}"
+        write_fragment(doc_tbl, out_dir, fname)
     if fail_after_store_marker and "attempt" in batch.column_names \
             and any(fail_after_store_marker in u for u in batch["url"].to_pylist()) \
             and min(batch["attempt"].to_pylist() or [1]) == 0:

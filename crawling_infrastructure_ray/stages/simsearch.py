@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -118,25 +119,63 @@ class IVFIndex:
 
     def search(self, queries: np.ndarray, query_ids: list, k: int = 10,
                nprobe: int = 4) -> pd.DataFrame:
+        """Distributed probe: prune to the probed centroid partitions
+        with a vectorized ``pc.is_in`` filter (NOT a per-row Python
+        lambda), compute per-batch partial top-k for every query in one
+        matmul per batch, and merge partials per query in map_groups —
+        the same partial-top-k shape as ``brute_force_topk``, restricted
+        to the probed partitions. The full index is never collected."""
         qn = _normalize(np.asarray(queries, dtype=np.float64))
         probe = np.argsort(-(qn @ self.centroids.T), axis=1)[:, :nprobe]
-        rows = []
-        # one filtered scan per probed partition set (partition pruning)
-        wanted = sorted({int(c) for row in probe for c in row})
-        part = self.assigned.filter(
-            lambda r, w=set(wanted): r["centroid"] in w).to_pandas()
-        by_cent = {c: g for c, g in part.groupby("centroid")}
-        for qi in range(qn.shape[0]):
-            frames = [by_cent[c] for c in probe[qi] if c in by_cent]
-            if not frames:
-                continue
-            cand = pd.concat(frames)
-            mat = np.stack(cand["nvec"].to_numpy())
-            sims = mat @ qn[qi]
-            cand = cand.assign(cosine=sims).sort_values(
-                ["cosine", self.id_column], ascending=[False, True]).head(k)
-            for rank, (_, r) in enumerate(cand.iterrows(), 1):
-                rows.append((query_ids[qi], r[self.id_column],
-                             round(float(r["cosine"]), 4), rank))
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id",
-                                           "cosine", "rank"])
+        wanted_arr = pa.array(sorted({int(c) for row in probe for c in row}),
+                              pa.int32())
+        # per-query probed-centroid sets, broadcast once
+        probe_sets = [set(int(c) for c in probe[qi])
+                      for qi in range(qn.shape[0])]
+        bcast = ray.put((qn, list(query_ids), probe_sets, wanted_arr))
+        id_column = self.id_column
+
+        def partial_topk(batch: pa.Table) -> pa.Table:
+            q, qids, psets, warr = ray.get(bcast)
+            b = batch.filter(pc.is_in(batch["centroid"], value_set=warr))
+            if b.num_rows == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            ids = np.asarray(b[id_column].to_pylist())
+            cents = b["centroid"].to_numpy(zero_copy_only=False)
+            mat = np.stack([np.asarray(v) for v in b["nvec"].to_pylist()])
+            sims = q @ mat.T                      # (nq, batch)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(q.shape[0]):
+                m = np.isin(cents, list(psets[qi]))
+                if not m.any():
+                    continue
+                s = sims[qi][m]
+                kk = min(k, s.size)
+                idx = np.argpartition(-s, kk - 1)[:kk]
+                out_q.extend([qids[qi]] * kk)
+                out_n.extend(ids[m][idx].tolist())
+                out_s.extend(s[idx].tolist())
+            return pa.table({"query_id": pa.array(out_q),
+                             "neighbor_id": pa.array(out_n),
+                             "cosine": pa.array(out_s, pa.float64())})
+
+        partials = self.assigned.map_batches(partial_topk,
+                                             batch_format="pyarrow")
+
+        def merge(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.sort_values(["cosine", "neighbor_id"],
+                                  ascending=[False, True]).head(k).copy()
+            g["rank"] = np.arange(1, len(g) + 1)
+            g["cosine"] = np.round(g["cosine"], 4)
+            return g
+
+        out = (partials.groupby("query_id")
+               .map_groups(merge, batch_format="pandas").to_pandas())
+        if out.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                                 "cosine": [], "rank": []})
+        return (out.sort_values(["query_id", "rank"])
+                [["query_id", "neighbor_id", "cosine", "rank"]]
+                .reset_index(drop=True))
