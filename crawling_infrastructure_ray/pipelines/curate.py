@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -25,6 +26,52 @@ from ray.data.aggregate import Count, Min
 
 from ..functions.hashing import md5_id
 from ..stages.text import langid_batch, quality_score_batch
+
+
+def _bucketed_semi_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,
+                        num_buckets: int = 64) -> rd.Dataset:
+    """Distributed semi-join: keep ``data`` rows whose ``on`` value
+    appears in ``keys`` (a single-column Dataset named ``on``).
+
+    Both sides are hash-bucketed on the join key; the key side is
+    padded to the data schema with nulls so the union shuffles one
+    stream; per-bucket membership is a vectorized pandas ``isin``
+    inside ``map_groups``. One shuffle of the (already filtered) data,
+    zero driver-side key sets — the portable semi-join shape for
+    data-sized key sets (same family as q_j2's bucketed hash join).
+    """
+    from ..functions.hashing import stable_hash64
+    schema = data.schema()
+    names, types = list(schema.names), list(schema.types)
+
+    def tag_data(t: pa.Table) -> pa.Table:
+        b = np.fromiter((stable_hash64(x) % num_buckets
+                         for x in t[on].to_pylist()),
+                        dtype=np.int64, count=t.num_rows)
+        return (t.append_column("jbucket", pa.array(b))
+                .append_column("is_key", pa.array([False] * t.num_rows)))
+
+    def tag_keys(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        b = np.fromiter((stable_hash64(x) % num_buckets
+                         for x in t[on].to_pylist()),
+                        dtype=np.int64, count=n)
+        cols = {}
+        for name, typ in zip(names, types):
+            cols[name] = t[on] if name == on else pa.nulls(n, typ)
+        cols["jbucket"] = pa.array(b)
+        cols["is_key"] = pa.array([True] * n)
+        return pa.table(cols)
+
+    both = (data.map_batches(tag_data, batch_format="pyarrow")
+            .union(keys.map_batches(tag_keys, batch_format="pyarrow")))
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        ks = set(g.loc[g["is_key"], on])
+        out = g[~g["is_key"] & g[on].isin(ks)]
+        return out.drop(columns=["jbucket", "is_key"])
+
+    return both.groupby("jbucket").map_groups(semi, batch_format="pandas")
 
 
 def flatten_text_batch(batch: pa.Table) -> pa.Table:
@@ -78,29 +125,40 @@ def curate_documents(docs: rd.Dataset, out_dir: str, *,
              .aggregate([("doc_id", "min")])
         return g.rename_columns(["content_hash", "keep_doc_id"])
 
-    keep_exact = set(filtered.map_batches(hash_partial, batch_format="pyarrow")
-                     .groupby("content_hash")
-                     .aggregate(Min("keep_doc_id", alias_name="keep_doc_id"))
-                     .to_pandas()["keep_doc_id"])
+    keep_exact = (filtered.map_batches(hash_partial, batch_format="pyarrow")
+                  .groupby("content_hash")
+                  .aggregate(Min("keep_doc_id", alias_name="keep_doc_id")))
 
     # near-dup removal via ingest-time simhash: exact-collision groups
     # (hamming 0 — the conservative tier; banded hamming≤k is
     # stages.dedup.simhash_near_pairs)
-    sim_groups = (filtered.map_batches(
+    keep_sim = (filtered.map_batches(
         lambda t: t.select(["simhash", "doc_id"]), batch_format="pyarrow")
         .groupby("simhash").aggregate(Min("doc_id", alias_name="keep_doc_id"),
                                       Count(alias_name="n")))
-    keep_sim = set(sim_groups.to_pandas()["keep_doc_id"])
 
-    keep = keep_exact & keep_sim
-    keep_ref = ray.put(keep)
+    # keep set = intersection of the two keep sets, computed IN RAY
+    # (a doc survives iff it is the representative of BOTH its exact
+    # group and its simhash group): union the keep-id streams, count
+    # per id, keep n==2 — no driver-side set of O(kept docs)
+    def ids_only(t: pa.Table) -> pa.Table:
+        return pa.table({"keep_doc_id": t["keep_doc_id"]})
 
-    def final_filter(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keep_ref)
-        return batch.filter(
-            pa.array([d in ks for d in batch["doc_id"].to_pylist()]))
+    both = (keep_exact.map_batches(ids_only, batch_format="pyarrow")
+            .union(keep_sim.map_batches(ids_only, batch_format="pyarrow"))
+            .groupby("keep_doc_id").aggregate(Count(alias_name="n_sources")))
 
-    curated = filtered.map_batches(final_filter, batch_format="pyarrow")
+    # final filter = bucketed SEMI-JOIN of the filtered docs against the
+    # keep ids (hash both sides on doc_id into jbuckets, per-bucket
+    # vectorized isin inside map_groups) — the scale path; a broadcast
+    # keep-set would be O(all kept doc ids) driver memory
+    curated = _bucketed_semi_join(
+        filtered,
+        both.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t.filter(pc.equal(t["n_sources"], 2))["keep_doc_id"]}),
+            batch_format="pyarrow"),
+        on="doc_id")
     os.makedirs(out_dir, exist_ok=True)
     curated.write_parquet(out_dir)
     n_curated = curated.count()
