@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_spans": qt.q_media_spans,
         "k7_sample_export": qt.q_k7_sample_export,
         "m8_randomizers": qt.q_m8_randomizers,
+        "a3_warm_crawl": qt.q_a3_warm_crawl,
     }
 
 

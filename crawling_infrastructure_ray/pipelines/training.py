@@ -269,6 +269,29 @@ def q_m8_randomizers(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_a3_warm_crawl(sf_dir: str):
+    """A3 warm persistent handler (persistant_handler.ts:25-157): a
+    long-lived actor pool serves three consecutive crawl calls; the
+    fetcher is built once per actor and stays warm across calls
+    (rows-only — stateful service semantics)."""
+    from ..stages.warm import WarmCrawlPool
+    seeds = make_seed_urls(120, seed=42)["url"].to_pylist()
+    pool = WarmCrawlPool(size=2, seed=42)
+    try:
+        frames = []
+        for i in range(3):
+            out = pool.crawl(seeds[i * 40:(i + 1) * 40])
+            frames.append(pd.DataFrame(out).assign(call=i))
+        stats = pool.stats()
+        df = pd.concat(frames, ignore_index=True)
+        # audit columns: the pool stayed warm (one construction per actor)
+        df["pool_cache_misses"] = sum(s["cache_misses"] for s in stats)
+        df["pool_calls"] = sum(s["counter"] for s in stats)
+        return df.sort_values(["call", "url"]).reset_index(drop=True)
+    finally:
+        pool.shutdown()
+
+
 def q_media_spans(sf_dir: str):
     """Multimodal plumbing: media spans of the crawl output exploded to
     typed rows (doc_id, media_ref, media_type, width, height,
