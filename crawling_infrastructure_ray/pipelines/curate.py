@@ -25,53 +25,9 @@ import ray.data as rd
 from ray.data.aggregate import Count, Min
 
 from ..functions.hashing import md5_id
+from ..stages.joins import bucketed_semi_join
 from ..stages.text import langid_batch, quality_score_batch
 
-
-def _bucketed_semi_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,
-                        num_buckets: int = 64) -> rd.Dataset:
-    """Distributed semi-join: keep ``data`` rows whose ``on`` value
-    appears in ``keys`` (a single-column Dataset named ``on``).
-
-    Both sides are hash-bucketed on the join key; the key side is
-    padded to the data schema with nulls so the union shuffles one
-    stream; per-bucket membership is a vectorized pandas ``isin``
-    inside ``map_groups``. One shuffle of the (already filtered) data,
-    zero driver-side key sets — the portable semi-join shape for
-    data-sized key sets (same family as q_j2's bucketed hash join).
-    """
-    from ..functions.hashing import stable_hash64
-    schema = data.schema()
-    names, types = list(schema.names), list(schema.types)
-
-    def tag_data(t: pa.Table) -> pa.Table:
-        b = np.fromiter((stable_hash64(x) % num_buckets
-                         for x in t[on].to_pylist()),
-                        dtype=np.int64, count=t.num_rows)
-        return (t.append_column("jbucket", pa.array(b))
-                .append_column("is_key", pa.array([False] * t.num_rows)))
-
-    def tag_keys(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        b = np.fromiter((stable_hash64(x) % num_buckets
-                         for x in t[on].to_pylist()),
-                        dtype=np.int64, count=n)
-        cols = {}
-        for name, typ in zip(names, types):
-            cols[name] = t[on] if name == on else pa.nulls(n, typ)
-        cols["jbucket"] = pa.array(b)
-        cols["is_key"] = pa.array([True] * n)
-        return pa.table(cols)
-
-    both = (data.map_batches(tag_data, batch_format="pyarrow")
-            .union(keys.map_batches(tag_keys, batch_format="pyarrow")))
-
-    def semi(g: pd.DataFrame) -> pd.DataFrame:
-        ks = set(g.loc[g["is_key"], on])
-        out = g[~g["is_key"] & g[on].isin(ks)]
-        return out.drop(columns=["jbucket", "is_key"])
-
-    return both.groupby("jbucket").map_groups(semi, batch_format="pandas")
 
 
 def flatten_text_batch(batch: pa.Table) -> pa.Table:
@@ -152,7 +108,7 @@ def curate_documents(docs: rd.Dataset, out_dir: str, *,
     # keep ids (hash both sides on doc_id into jbuckets, per-bucket
     # vectorized isin inside map_groups) — the scale path; a broadcast
     # keep-set would be O(all kept doc ids) driver memory
-    curated = _bucketed_semi_join(
+    curated = bucketed_semi_join(
         filtered,
         both.map_batches(
             lambda t: pa.table(

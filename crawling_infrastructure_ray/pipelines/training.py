@@ -42,7 +42,7 @@ def q_dedup_minhash_pairs(sf_dir: str):
         lambda t: pa.table({"doc_id": pa.array([str(x) for x in t["doc_id"].to_pylist()]),
                             "text": t["text"]}), batch_format="pyarrow")
     return dd.minhash_dedup_pairs(ds, bands=16, rows_per_band=4, threshold=0.4,
-                                  shingle_k=3, concurrency=(1, 8))
+                                  shingle_k=3, concurrency=(2, 16))
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -84,7 +84,7 @@ def q_dedup_ngram_pairs(sf_dir: str):
         lambda t: pa.table({"doc_id": pa.array([str(x) for x in t["doc_id"].to_pylist()]),
                             "text": t["text"]}), batch_format="pyarrow")
     return dd.minhash_dedup_pairs(ds, bands=16, rows_per_band=4, threshold=0.3,
-                                  shingle_k=5, kind="char", concurrency=(1, 8))
+                                  shingle_k=5, kind="char", concurrency=(2, 16))
 
 
 # ----------------------------------------------------------------------

@@ -1,0 +1,63 @@
+"""Reusable distributed join operators.
+
+Ray Data has no semi/anti-join primitive, and this Ray version's
+native ``Dataset.join`` measured slower and hang-prone at low CPU
+(see pipelines/analytics.q_j3_native_hash_join); these are the
+explicit bucketed shapes the engine standardizes on (SURVEY.md §2.5
+J1/J4 RD mapping): hash both sides on the join key into a bounded
+number of buckets, resolve membership per bucket inside
+``map_groups`` with vectorized pandas — one shuffle, zero driver-side
+key sets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+def bucketed_semi_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,
+                        num_buckets: int = 64) -> rd.Dataset:
+    """Distributed semi-join: keep ``data`` rows whose ``on`` value
+    appears in ``keys`` (a single-column Dataset named ``on``).
+
+    Both sides are hash-bucketed on the join key; the key side is
+    padded to the data schema with nulls so the union shuffles one
+    stream; per-bucket membership is a vectorized pandas ``isin``
+    inside ``map_groups``. One shuffle of the (already filtered) data,
+    zero driver-side key sets — the portable semi-join shape for
+    data-sized key sets (same family as q_j2's bucketed hash join).
+    """
+    from ..functions.hashing import stable_hash64
+    schema = data.schema()
+    names, types = list(schema.names), list(schema.types)
+
+    def tag_data(t: pa.Table) -> pa.Table:
+        b = np.fromiter((stable_hash64(x) % num_buckets
+                         for x in t[on].to_pylist()),
+                        dtype=np.int64, count=t.num_rows)
+        return (t.append_column("jbucket", pa.array(b))
+                .append_column("is_key", pa.array([False] * t.num_rows)))
+
+    def tag_keys(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        b = np.fromiter((stable_hash64(x) % num_buckets
+                         for x in t[on].to_pylist()),
+                        dtype=np.int64, count=n)
+        cols = {}
+        for name, typ in zip(names, types):
+            cols[name] = t[on] if name == on else pa.nulls(n, typ)
+        cols["jbucket"] = pa.array(b)
+        cols["is_key"] = pa.array([True] * n)
+        return pa.table(cols)
+
+    both = (data.map_batches(tag_data, batch_format="pyarrow")
+            .union(keys.map_batches(tag_keys, batch_format="pyarrow")))
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        ks = set(g.loc[g["is_key"], on])
+        out = g[~g["is_key"] & g[on].isin(ks)]
+        return out.drop(columns=["jbucket", "is_key"])
+
+    return both.groupby("jbucket").map_groups(semi, batch_format="pandas")
