@@ -375,13 +375,22 @@ def q_j2_bucketed_join_revenue(sf_dir: str, num_buckets: int = 64):
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
 
     def tag_li(batch: pa.Table) -> pa.Table:
-        b = pc.cast(pc.bit_wise_and(batch["l_orderkey"], num_buckets - 1), pa.int32())
         # exact integer 1e-4 units (see q_q1 determinism note)
         price_c = (np.asarray(batch["l_extendedprice"].to_pylist()) * 100).round().astype(np.int64)
         disc_c = (np.asarray(batch["l_discount"].to_pylist()) * 100).round().astype(np.int64)
         rev = pa.array(price_c * (100 - disc_c), pa.int64())
-        return pa.table({"key": batch["l_orderkey"], "bucket": b,
-                         "revenue_e4": rev, "side": pa.array(["l"] * len(b))})
+        # map-side combine BEFORE the shuffle: lineitem has ~4 rows per
+        # orderkey, so pre-summing (revenue, n_lines) per key per batch
+        # shrinks the bucket exchange ~4x
+        t = pa.table({"key": batch["l_orderkey"], "revenue_e4": rev})
+        g = t.group_by("key").aggregate([("revenue_e4", "sum"),
+                                         ("revenue_e4", "count")])
+        g = g.rename_columns(["key", "revenue_e4", "n_lines"])
+        b = pc.cast(pc.bit_wise_and(g["key"], num_buckets - 1), pa.int32())
+        return pa.table({"key": g["key"], "bucket": b,
+                         "revenue_e4": g["revenue_e4"],
+                         "n_lines": pc.cast(g["n_lines"], pa.int64()),
+                         "side": pa.array(["l"] * g.num_rows)})
 
     def tag_o(batch: pa.Table) -> pa.Table:
         b = pc.cast(pc.bit_wise_and(batch["o_orderkey"], num_buckets - 1), pa.int32())
@@ -396,6 +405,7 @@ def q_j2_bucketed_join_revenue(sf_dir: str, num_buckets: int = 64):
         n = batch.num_rows
         return pa.table({"key": batch["key"], "bucket": batch["bucket"],
                          "revenue_e4": batch["revenue_e4"],
+                         "n_lines": batch["n_lines"],
                          "status": pa.array([None] * n, pa.string()),
                          "side": batch["side"]})
 
@@ -403,6 +413,7 @@ def q_j2_bucketed_join_revenue(sf_dir: str, num_buckets: int = 64):
         n = batch.num_rows
         return pa.table({"key": batch["key"], "bucket": batch["bucket"],
                          "revenue_e4": pa.array([None] * n, pa.int64()),
+                         "n_lines": pa.array([None] * n, pa.int64()),
                          "status": batch["status"],
                          "side": pa.array(["o"] * n)})
 
@@ -410,13 +421,13 @@ def q_j2_bucketed_join_revenue(sf_dir: str, num_buckets: int = 64):
         o_t.map_batches(widen_o, batch_format="pyarrow"))
 
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        left = group[group["side"] == "l"][["key", "revenue_e4"]]
+        left = group[group["side"] == "l"][["key", "revenue_e4", "n_lines"]]
         right = group[group["side"] == "o"][["key", "status"]]
         m = left.merge(right, on="key", how="inner")
         if m.empty:
             return pd.DataFrame({"o_orderstatus": [], "n_lines": [], "revenue_e4": []})
         g = m.groupby("status", as_index=False).agg(
-            n_lines=("key", "size"), revenue_e4=("revenue_e4", "sum"))
+            n_lines=("n_lines", "sum"), revenue_e4=("revenue_e4", "sum"))
         return g.rename(columns={"status": "o_orderstatus"})
 
     partials = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
@@ -567,13 +578,22 @@ def q_q3_shipping_priority(sf_dir: str):
         g = t.group_by("l_orderkey").aggregate([("revenue_e4", "sum")])
         return g.rename_columns(["l_orderkey", "revenue_e4"])
 
-    agg = (li.map_batches(li_partial, batch_format="pyarrow")
-           .groupby("l_orderkey").aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
-           .to_pandas())
-    agg["o_orderdate"] = agg["l_orderkey"].map(odate)
+    # final reduce distributed (selected orderkeys are data-sized),
+    # then per-block partial top-10 — only ~10 x blocks rows reach the
+    # driver, where the (tiny) winner set picks up o_orderdate
+    merged = _merge_partials_ray(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        ["l_orderkey"], ["revenue_e4"])
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        return batch.sort_by([("revenue_e4", "descending"),
+                              ("l_orderkey", "ascending")]).slice(0, 10)
+
+    agg = merged.map_batches(topk_block, batch_format="pyarrow").to_pandas()
     agg["revenue_e4"] = agg["revenue_e4"].astype("int64")
     agg = agg.sort_values(["revenue_e4", "l_orderkey"],
                           ascending=[False, True]).head(10)
+    agg["o_orderdate"] = agg["l_orderkey"].map(odate)
     return agg[["l_orderkey", "revenue_e4", "o_orderdate"]].reset_index(drop=True)
 
 

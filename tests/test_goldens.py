@@ -120,3 +120,22 @@ def test_golden_ann_ivf(ray_session):
     pd.testing.assert_frame_equal(
         full.reset_index(drop=True),
         brute.reset_index(drop=True), check_dtype=False)
+
+
+def test_golden_minhash_pairs_sound(ray_session, docs_pdf):
+    """Soundness oracle for the MinHash pipeline: every returned pair's
+    TRUE token-shingle Jaccard (computed sequentially) must be >= the
+    threshold — the verification stage may never let a false positive
+    through. (Completeness is probabilistic by LSH design.)"""
+    import numpy as np
+    from crawling_infrastructure_ray.pipelines.training import q_dedup_minhash_pairs
+    from crawling_infrastructure_ray.stages.dedup import _token_shingles
+    out = q_dedup_minhash_pairs(SF)
+    assert len(out) > 0
+    texts = dict(zip(docs_pdf["doc_id"].astype(str), docs_pdf["text"]))
+    for a, b, j in zip(out["a"], out["b"], out["jaccard"]):
+        sa, sb = _token_shingles(texts[a], 3), _token_shingles(texts[b], 3)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        true_j = inter / (sa.size + sb.size - inter)
+        assert true_j >= 0.4                      # threshold holds
+        assert abs(true_j - j) < 5e-5             # reported value exact

@@ -65,3 +65,31 @@ def test_politeness_overrides(ray_session, tmp_path):
     assert res.histogram["completed"] + res.histogram["failed"] == 24
     # slow host: (12-2 burst)/10 per sec = ≥1.0s; fast host unconstrained
     assert elapsed >= 0.9
+
+
+def test_pump_matches_wave_mode(ray_session, tmp_path):
+    """Equivalence drive (verify skill surface 2): the async pump and
+    the deterministic wave mode must agree on the final seen SET,
+    histogram, and per-document content — only enqueue_seq assignment
+    of discovered children may differ (documented pump trade-off)."""
+    from crawling_infrastructure_ray.pipelines.crawl import (read_documents,
+                                                             run_crawl,
+                                                             run_crawl_pump)
+    from crawling_infrastructure_ray.sources.corpus import make_seed_urls
+    seeds = make_seed_urls(120, seed=42)["url"].to_pylist()
+    wave_out = str(tmp_path / "wave")
+    pump_out = str(tmp_path / "pump")
+    rw = run_crawl(seeds, seed=42, num_shards=2, dedup=True, max_depth=1,
+                   items_per_wave=64, out_dir=wave_out)
+    rp = run_crawl_pump(seeds, seed=42, num_shards=2, dedup=True, max_depth=1,
+                        chunk_size=32, out_dir=pump_out)
+    assert rw.histogram == rp.histogram
+    assert rw.seen_set_size == rp.seen_set_size
+    dw = read_documents(wave_out).to_pandas().sort_values("doc_id")
+    dp = read_documents(pump_out).to_pandas().sort_values("doc_id")
+    assert dw["doc_id"].tolist() == dp["doc_id"].tolist()
+    # documents are a pure function of (seed, url): spans identical
+    for (_, a), (_, b) in zip(dw.iterrows(), dp.iterrows()):
+        assert a["url"] == b["url"] and a["simhash"] == b["simhash"]
+        assert [tuple(s.values()) for s in a["spans"]] == \
+            [tuple(s.values()) for s in b["spans"]]
