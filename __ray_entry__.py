@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup suite (training-data additions; §2.8 R9 north star)
         "dedup_exact": qt.q_dedup_exact,
         "dedup_minhash_pairs": qt.q_dedup_minhash_pairs,
+        "dedup_minhash_remove": qt.q_dedup_minhash_remove,
         "dedup_simhash": qt.q_dedup_simhash,
         "dedup_simhash_pairs": qt.q_dedup_simhash_pairs,
         "dedup_embedding_pairs": qt.q_dedup_embedding_pairs,

@@ -108,13 +108,15 @@ def curate_documents(docs: rd.Dataset, out_dir: str, *,
     # keep ids (hash both sides on doc_id into jbuckets, per-bucket
     # vectorized isin inside map_groups) — the scale path; a broadcast
     # keep-set would be O(all kept doc ids) driver memory
+    # materialize ONCE: the semi-join would otherwise re-execute for
+    # the write AND the count (lazy Dataset re-run)
     curated = bucketed_semi_join(
         filtered,
         both.map_batches(
             lambda t: pa.table(
                 {"doc_id": t.filter(pc.equal(t["n_sources"], 2))["keep_doc_id"]}),
             batch_format="pyarrow"),
-        on="doc_id")
+        on="doc_id").materialize()
     os.makedirs(out_dir, exist_ok=True)
     curated.write_parquet(out_dir)
     n_curated = curated.count()

@@ -45,6 +45,22 @@ def q_dedup_minhash_pairs(sf_dir: str):
                                   shingle_k=3, concurrency=(2, 16))
 
 
+def q_dedup_minhash_remove(sf_dir: str):
+    """Near-dup REMOVAL end to end (rows-only): MinHash pairs →
+    union-find components → distributed anti-join keeps one
+    representative per cluster. Returns the kept doc ids."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda t: pa.table({"doc_id": pa.array([str(x) for x in t["doc_id"].to_pylist()]),
+                            "text": t["text"]}), batch_format="pyarrow")
+    kept = dd.minhash_dedup_remove(ds, bands=16, rows_per_band=4,
+                                   threshold=0.4, shingle_k=3,
+                                   concurrency=(2, 16))
+    out = kept.map_batches(lambda t: t.select(["doc_id"]),
+                           batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash signatures (rows-only; deterministic)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])

@@ -380,6 +380,31 @@ def minhash_dedup_pairs(ds: rd.Dataset, *, bands: int = 16, rows_per_band: int =
                              id_column=id_column)
 
 
+def minhash_dedup_remove(ds: rd.Dataset, *, bands: int = 16,
+                         rows_per_band: int = 8, seed: int = 42,
+                         shingle_k: int = 3, kind: str = "token",
+                         threshold: float = 0.5, column: str = "text",
+                         id_column: str = "doc_id",
+                         concurrency=(1, 4)) -> rd.Dataset:
+    """End-to-end near-dup REMOVAL: verified pairs → connected
+    components (union-find over the output-sized edge list, smallest
+    id is each cluster's representative) → distributed ANTI-join drops
+    every non-representative from the corpus. The returned Dataset is
+    the deduplicated corpus; only the pair list and the drop-id set
+    (both output-sized) ever live on the driver."""
+    from .joins import bucketed_anti_join, union_find_components
+    pairs = minhash_dedup_pairs(ds, bands=bands, rows_per_band=rows_per_band,
+                                seed=seed, shingle_k=shingle_k, kind=kind,
+                                threshold=threshold, column=column,
+                                id_column=id_column, concurrency=concurrency)
+    if pairs.empty:
+        return ds
+    roots = union_find_components(zip(pairs["a"], pairs["b"]))
+    drop = sorted(x for x, r in roots.items() if x != r)
+    drop_ds = rd.from_arrow(pa.table({id_column: pa.array(drop, pa.string())}))
+    return bucketed_anti_join(ds, drop_ds, on=id_column)
+
+
 # ----------------------------------------------------------------------
 # SimHash
 # ----------------------------------------------------------------------

@@ -61,3 +61,67 @@ def bucketed_semi_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,
         return out.drop(columns=["jbucket", "is_key"])
 
     return both.groupby("jbucket").map_groups(semi, batch_format="pandas")
+
+
+def bucketed_anti_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,
+                       num_buckets: int = 64) -> rd.Dataset:
+    """Distributed anti-join: keep ``data`` rows whose ``on`` value
+    does NOT appear in ``keys`` — same bucketed shape as
+    ``bucketed_semi_join`` with the membership inverted (the J4
+    truly-failed-audit shape at data-sized key cardinality)."""
+    from ..functions.hashing import stable_hash64
+    schema = data.schema()
+    names, types = list(schema.names), list(schema.types)
+
+    def tag_data(t: pa.Table) -> pa.Table:
+        b = np.fromiter((stable_hash64(x) % num_buckets
+                         for x in t[on].to_pylist()),
+                        dtype=np.int64, count=t.num_rows)
+        return (t.append_column("jbucket", pa.array(b))
+                .append_column("is_key", pa.array([False] * t.num_rows)))
+
+    def tag_keys(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        b = np.fromiter((stable_hash64(x) % num_buckets
+                         for x in t[on].to_pylist()),
+                        dtype=np.int64, count=n)
+        cols = {}
+        for name, typ in zip(names, types):
+            cols[name] = t[on] if name == on else pa.nulls(n, typ)
+        cols["jbucket"] = pa.array(b)
+        cols["is_key"] = pa.array([True] * n)
+        return pa.table(cols)
+
+    both = (data.map_batches(tag_data, batch_format="pyarrow")
+            .union(keys.map_batches(tag_keys, batch_format="pyarrow")))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        ks = set(g.loc[g["is_key"], on])
+        out = g[~g["is_key"] & ~g[on].isin(ks)]
+        return out.drop(columns=["jbucket", "is_key"])
+
+    return both.groupby("jbucket").map_groups(anti, batch_format="pandas")
+
+
+def union_find_components(pairs) -> dict:
+    """Connected components over an edge list (path-halving union-find;
+    public algorithm). ``pairs`` is an iterable of (a, b). Returns
+    node → root. Driver-side by design: the edge list is the OUTPUT of
+    an LSH pairing pipeline, i.e. output-sized, not corpus-sized."""
+    parent: dict = {}
+
+    def find(x):
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]   # path halving
+            r = parent[r]
+        parent[x] = r
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # deterministic root: smaller id wins (keep-first semantics)
+            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}

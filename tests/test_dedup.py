@@ -84,3 +84,16 @@ def test_embedding_near_dup_exact_vs_lsh(ray_session):
     assert list(zip(exact["a"], exact["b"])) == [(0, 1)]
     lsh = dd.embedding_near_dup_pairs(ds, threshold=0.95, lsh_bits=4, seed=1)
     assert (0, 1) in set(zip(lsh["a"], lsh["b"]))  # recall on the true pair
+
+
+def test_minhash_dedup_remove_keeps_representatives(ray_session):
+    # d0~d1 (near-dup), d2==d3 (exact dup) → keep d0, d2; drop d1, d3
+    kept = dd.minhash_dedup_remove(_corpus(), bands=32, rows_per_band=2,
+                                   threshold=0.5, shingle_k=3).to_pandas()
+    assert sorted(kept["doc_id"]) == ["d0", "d2", "d4", "d5"]
+
+
+def test_union_find_components_deterministic():
+    from crawling_infrastructure_ray.stages.joins import union_find_components
+    roots = union_find_components([("b", "c"), ("a", "b"), ("x", "y")])
+    assert roots == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
