@@ -78,9 +78,13 @@ class IVFIndex:
     """IVF-flat index: seeded sampled centroids; assignment via one
     matmul per batch; queries probe nprobe partitions.
 
-    At cluster scale the assignment stage writes one parquet partition
-    per centroid (shuffle keyed on centroid id) and query fan-out reads
-    only the probed partitions.
+    Two physical layouts:
+    - in-memory (default): the assigned Dataset is materialized and
+      every search prunes it with a vectorized ``pc.is_in`` filter;
+    - on-disk (``save``/``load``): one parquet PARTITION DIRECTORY per
+      centroid (``centroid=<c>/``), so a search only READS the probed
+      partitions — storage-level partition pruning, the layout that
+      matters when the index is 100 TB and nprobe/n_centroids is small.
     """
 
     def __init__(self, ds: rd.Dataset, n_centroids: int = 16, seed: int = 42,
@@ -116,6 +120,68 @@ class IVFIndex:
 
         self.assigned = ds.map_batches(assign_batch,
                                        batch_format="pyarrow").materialize()
+
+    # -- on-disk partition layout (the scale path) ---------------------
+    def save(self, path: str) -> str:
+        """Write the index hive-partitioned by centroid: one directory
+        ``centroid=<c>/`` per centroid (Ray writes one file set per
+        partition value). Probed searches then read ONLY those
+        directories — no full-index scan, no full-index memory."""
+        self.assigned.write_parquet(path, partition_cols=["centroid"])
+        import json
+        import os
+        with open(os.path.join(path, "_centroids.json"), "w") as f:
+            json.dump({"centroids": self.centroids.tolist(),
+                       "id_column": self.id_column}, f)
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        """Rebuild a handle from a saved partition layout (no data
+        read happens here — partitions load lazily at search time)."""
+        import json
+        import os
+        with open(os.path.join(path, "_centroids.json")) as f:
+            meta = json.load(f)
+        idx = cls.__new__(cls)
+        idx.id_column = meta["id_column"]
+        idx.column = "nvec"
+        idx.centroids = np.asarray(meta["centroids"], dtype=np.float64)
+        idx.assigned = None
+        idx._path = path
+        return idx
+
+    def search_partitions(self, queries: np.ndarray, query_ids: list,
+                          k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+        """Search the on-disk layout: read ONLY the probed
+        ``centroid=<c>/`` partition directories (storage-level pruning),
+        then the same partial-top-k merge as ``search``."""
+        import os
+        qn = _normalize(np.asarray(queries, dtype=np.float64))
+        probe = np.argsort(-(qn @ self.centroids.T), axis=1)[:, :nprobe]
+        wanted = sorted({int(c) for row in probe for c in row})
+        paths = [os.path.join(self._path, f"centroid={c}") for c in wanted]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                                 "cosine": [], "rank": []})
+        # read each probed partition dir (hive column re-inferred from
+        # the dir name — as a STRING, so cast back) and union —
+        # unprobed partitions never leave disk
+        def fix_types(t: pa.Table) -> pa.Table:
+            i = t.column_names.index("centroid")
+            return t.set_column(i, "centroid",
+                                pc.cast(t["centroid"], pa.int32()))
+
+        parts = [rd.read_parquet(p).map_batches(fix_types,
+                                                batch_format="pyarrow")
+                 for p in paths]
+        part = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+        saved_assigned, self.assigned = self.assigned, part
+        try:
+            return self.search(queries, query_ids, k=k, nprobe=nprobe)
+        finally:
+            self.assigned = saved_assigned
 
     def search(self, queries: np.ndarray, query_ids: list, k: int = 10,
                nprobe: int = 4) -> pd.DataFrame:

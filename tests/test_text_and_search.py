@@ -1,5 +1,6 @@
 import numpy as np
 import pandas as pd
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -82,3 +83,26 @@ def test_ivf_recall(ray_session):
     assert out["neighbor_id"].tolist() == _exact_topk(mat, q, 5)
     part = index.search(q[None, :], [0], k=5, nprobe=1)  # probe 1 → still finds self
     assert 7 in part["neighbor_id"].tolist()
+
+
+def test_ivf_disk_partition_layout(ray_session, tmp_path):
+    """save/load round-trip: the on-disk per-centroid partition layout
+    must return IDENTICAL results to the in-memory search while only
+    reading the probed partition directories."""
+    import os
+    ds, mat = _emb_ds(128, 16)
+    index = IVFIndex(ds, n_centroids=4, seed=0)
+    path = str(tmp_path / "ivf")
+    index.save(path)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("centroid="))
+    assert len(dirs) == 4
+    loaded = IVFIndex.load(path)
+    q = mat[7]
+    mem = index.search(q[None, :], [0], k=5, nprobe=2)
+    disk = loaded.search_partitions(q[None, :], [0], k=5, nprobe=2)
+    pd.testing.assert_frame_equal(mem.reset_index(drop=True),
+                                  disk.reset_index(drop=True),
+                                  check_dtype=False)
+    # full probe from disk == exact brute
+    full = loaded.search_partitions(q[None, :], [0], k=5, nprobe=4)
+    assert full["neighbor_id"].tolist() == _exact_topk(mat, q, 5)
