@@ -18,14 +18,14 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import rolling_fingerprint
 
-_WS_RE = re.compile(r"\s+")
-# BPE-ish pre-tokenizer: word pieces, numbers, punctuation runs (the
-# GPT-2 pre-tokenizer pattern family, public)
-_BPEISH_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
-_PUNCT_RE = re.compile(r"[^\w\s]")
+_WS_RE = re.compile(r"\s+")   # langid tokenization (per-row model scoring)
+# token/quality counting uses Arrow RE2 kernels (count_substring_regex)
+# — the BPE-ish pattern ("[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+", the GPT-2
+# pre-tokenizer family, public) and the punct class live inline there
 
 _STOPWORDS = {
     "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"},
@@ -35,14 +35,26 @@ _STOPWORDS = {
 }
 
 
+def _ws_token_counts(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Whitespace token counts, fully vectorized: tokens of
+    ``split(strip(t))`` = (number of interior ``\\s+`` runs) + 1 for
+    non-empty stripped text, 0 otherwise — all Arrow RE2 kernels."""
+    stripped = pc.utf8_trim_whitespace(pc.fill_null(col, ""))
+    runs = pc.count_substring_regex(stripped, r"\s+") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    nonempty = pc.not_equal(stripped, "").to_numpy(zero_copy_only=False)
+    return np.where(nonempty, runs + 1, 0)
+
+
 def token_count_batch(batch: pa.Table, column: str = "text") -> pa.Table:
-    """(doc_id, n_tokens, n_bpeish) — whitespace and BPE-ish counts."""
-    texts = batch[column].to_pylist()
-    n_ws = np.fromiter(
-        (len(_WS_RE.split(t.strip())) if t and t.strip() else 0 for t in texts),
-        dtype=np.int64, count=len(texts))
-    n_bpe = np.fromiter((len(_BPEISH_RE.findall(t or "")) for t in texts),
-                        dtype=np.int64, count=len(texts))
+    """(doc_id, n_tokens, n_bpeish) — whitespace and BPE-ish counts.
+
+    Vectorized: Arrow RE2 `count_substring_regex` kernels, no per-row
+    Python."""
+    col = pc.fill_null(batch[column], "")
+    n_ws = _ws_token_counts(col)
+    n_bpe = pc.count_substring_regex(col, r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({"doc_id": batch["doc_id"],
                      "n_tokens": pa.array(n_ws),
                      "n_bpeish": pa.array(n_bpe)})
@@ -56,18 +68,16 @@ def quality_score_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     avg_token_len_e3 = floor(1000 * mean whitespace-token length);
     punct_ratio_e4   = floor(10000 * punctuation chars / total chars).
     """
-    texts = batch[column].to_pylist()
-    avg_len = np.zeros(len(texts), dtype=np.int64)
-    punct = np.zeros(len(texts), dtype=np.int64)
-    nchars = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        t = t or ""
-        toks = _WS_RE.split(t.strip()) if t.strip() else []
-        if toks:
-            avg_len[i] = (sum(len(x) for x in toks) * 1000) // len(toks)
-        if t:
-            punct[i] = (len(_PUNCT_RE.findall(t)) * 10000) // len(t)
-        nchars[i] = len(t)
+    col = pc.fill_null(batch[column], "")
+    nchars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_toks = _ws_token_counts(col)
+    # sum of token lengths == non-whitespace character count
+    non_ws = pc.utf8_length(pc.replace_substring_regex(col, r"\s", "")) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    n_punct = pc.count_substring_regex(col, r"[^\w\s]") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    avg_len = np.where(n_toks > 0, (non_ws * 1000) // np.maximum(n_toks, 1), 0)
+    punct = np.where(nchars > 0, (n_punct * 10000) // np.maximum(nchars, 1), 0)
     return pa.table({"doc_id": batch["doc_id"],
                      "n_chars_q": pa.array(nchars),
                      "avg_token_len_e3": pa.array(avg_len),
