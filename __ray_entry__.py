@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k7_sample_export": qt.q_k7_sample_export,
         "m8_randomizers": qt.q_m8_randomizers,
         "a3_warm_crawl": qt.q_a3_warm_crawl,
+        "o4_multi_task_schedule": qt.q_o4_multi_task_schedule,
     }
 
 

@@ -285,6 +285,28 @@ def q_m8_randomizers(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_o4_multi_task_schedule(sf_dir: str):
+    """O4 multi-task priority scheduling end to end (daemon cycle,
+    daemon.ts:220-241/308-391): two tasks under the absolute policy —
+    the allocation log shows the low-priority task starved until the
+    high-priority one finishes (rows-only: stateful scheduler)."""
+    import shutil
+    from ..config import JobConfig
+    from .scheduler import run_multi_task
+    out_root = f"/tmp/ci_ray_multi_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_root, ignore_errors=True)
+    tasks = [
+        (JobConfig(name="hi", priority=5, priority_policy="absolute"),
+         [f"http://mt-hi.example/a{i}" for i in range(60)]),
+        (JobConfig(name="lo", priority=2, priority_policy="absolute"),
+         [f"http://mt-lo.example/b{i}" for i in range(30)]),
+    ]
+    res = run_multi_task(tasks, seed=42, chunk_size=8,
+                         total_chunks_per_cycle=4, out_root=out_root)
+    return pd.DataFrame(res["alloc_log"],
+                        columns=["cycle", "task", "n_chunks"])
+
+
 def q_a3_warm_crawl(sf_dir: str):
     """A3 warm persistent handler (persistant_handler.ts:25-157): a
     long-lived actor pool serves three consecutive crawl calls; the

@@ -59,3 +59,29 @@ def test_longliving_pump_receives_late_items(ray_session, tmp_path):
     h = res.histogram
     assert h["completed"] + h["failed"] == 10   # both batches crawled
     assert h["initial"] == 0
+
+
+def test_run_multi_task_absolute_priority_e2e(ray_session, tmp_path):
+    """Daemon-cycle conformance (daemon.ts:220-241 + 308-391): under
+    the absolute policy a lower-priority task receives ZERO fetch
+    capacity until every max-priority task has finished; all tasks
+    still complete."""
+    from crawling_infrastructure_ray.pipelines.scheduler import run_multi_task
+    tasks = [
+        (JobConfig(name="hi", priority=5, priority_policy="absolute"),
+         [f"http://mt-hi.example/a{i}" for i in range(40)]),
+        (JobConfig(name="lo", priority=2, priority_policy="absolute"),
+         [f"http://mt-lo.example/b{i}" for i in range(20)]),
+    ]
+    out = run_multi_task(tasks, seed=42, chunk_size=8,
+                         total_chunks_per_cycle=4,
+                         out_root=str(tmp_path / "mt"))
+    for name, h in out["histograms"].items():
+        assert h["initial"] == 0 and h["running"] == 0, (name, h)
+        assert h["completed"] > 0
+    hi_cycles = [c for c, n, _ in out["alloc_log"] if n == "hi"]
+    lo_cycles = [c for c, n, _ in out["alloc_log"] if n == "lo"]
+    assert hi_cycles and lo_cycles
+    # absolute policy: every 'lo' allocation happens strictly after the
+    # last 'hi' allocation (lo was starved while hi was runnable)
+    assert min(lo_cycles) > max(hi_cycles)
