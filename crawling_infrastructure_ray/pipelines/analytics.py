@@ -51,23 +51,13 @@ def _merge_partials(partials: rd.Dataset, keys: list[str],
     return pdf.groupby(keys, as_index=False)[sums].sum()
 
 
-def _merge_partials_ray(partials: rd.Dataset, keys: list[str],
-                        sums: list[str], num_buckets: int = 32) -> rd.Dataset:
-    """Final reduce of a combiner aggregation IN RAY, for
-    data-dependent key sets (per-host counts, per-user stats, per-part
-    counts): the driver never holds the partial set.
-
-    Shape: consolidate the fragmented partial blocks
-    (``repartition`` — partials are one small block per input block),
-    tag each row with an integer bucket = hash(keys) % B (vectorized;
-    string keys are dictionary-encoded so only distinct values are
-    hashed), then ``groupby(bucket).map_groups`` with a vectorized
-    pandas reduce per bucket. Every key lands wholly in one bucket, so
-    per-bucket sums are exact global sums. Measured ~4.5x faster than
-    ``groupby(keys).aggregate(Sum...)`` on this Ray version (sorting
-    one small-int column beats sorting composite keys, and 32
-    consolidated partitions beat hundreds of tiny shuffle blocks) —
-    same all-to-all scalability."""
+def _tag_bucket(keys: list[str], num_buckets: int = 32,
+                col_name: str = "_kb"):
+    """Batch fn: append an integer bucket column = hash(keys) % B.
+    Vectorized — string keys are dictionary-encoded so only distinct
+    values are hashed; numeric/timestamp keys use a splitmix-style
+    multiply. Every key combination lands wholly in ONE bucket, which
+    is the invariant the bucketed reduces/joins/windows rely on."""
     from ..functions.hashing import stable_hash64
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -89,13 +79,33 @@ def _merge_partials_ray(partials: rd.Dataset, keys: list[str],
                     h ^= h >> np.uint64(33)
                 acc = acc * np.uint64(0x9E3779B97F4A7C15) ^ h
         kb = (acc % np.uint64(num_buckets)).astype(np.int64)
-        return batch.append_column("_kb", pa.array(kb))
+        return batch.append_column(col_name, pa.array(kb))
 
+    return tag
+
+
+def _merge_partials_ray(partials: rd.Dataset, keys: list[str],
+                        sums: list[str], num_buckets: int = 32) -> rd.Dataset:
+    """Final reduce of a combiner aggregation IN RAY, for
+    data-dependent key sets (per-host counts, per-user stats, per-part
+    counts): the driver never holds the partial set.
+
+    Shape: consolidate the fragmented partial blocks
+    (``repartition`` — partials are one small block per input block),
+    tag each row with an integer bucket = hash(keys) % B (vectorized;
+    string keys are dictionary-encoded so only distinct values are
+    hashed), then ``groupby(bucket).map_groups`` with a vectorized
+    pandas reduce per bucket. Every key lands wholly in one bucket, so
+    per-bucket sums are exact global sums. Measured ~4.5x faster than
+    ``groupby(keys).aggregate(Sum...)`` on this Ray version (sorting
+    one small-int column beats sorting composite keys, and 32
+    consolidated partitions beat hundreds of tiny shuffle blocks) —
+    same all-to-all scalability."""
     def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(keys, as_index=False)[sums].sum()
 
     return (partials.repartition(num_buckets)
-            .map_batches(tag, batch_format="pyarrow")
+            .map_batches(_tag_bucket(keys, num_buckets), batch_format="pyarrow")
             .groupby("_kb").map_groups(reduce_bucket, batch_format="pandas"))
 
 
@@ -183,10 +193,26 @@ def q_g5_avg_rate(sf_dir: str):
 
 
 def q_g6_distinct_users(sf_dir: str):
-    """G6 distinct worker IPs analog (stats.service.ts:132-157)."""
+    """G6 distinct worker IPs analog (stats.service.ts:132-157).
+
+    Exact distinct count, distributed: per-batch distinct (one row per
+    value per batch) → bucketed merge → per-bucket distinct COUNT —
+    the driver receives one integer per bucket, never the distinct
+    value list (``len(ds.unique())`` would ship all 10^? values)."""
     ds = read_table(sf_dir, "events", columns=["user_id"])
-    n = len(ds.unique("user_id"))
-    return pd.DataFrame([{"n_distinct_users": n}])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.unique(batch["user_id"].combine_chunks())})
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"n": np.int64(g["user_id"].nunique())}])
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .repartition(32)
+              .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow")
+              .groupby("_kb").map_groups(count_bucket, batch_format="pandas")
+              .to_pandas())
+    return pd.DataFrame([{"n_distinct_users": int(counts["n"].sum())}])
 
 
 def q_g7_host_counts(sf_dir: str):
@@ -244,17 +270,34 @@ def q_o2_proxy_claim_order(sf_dir: str):
 
 
 def q_o3_recent_topk(sf_dir: str):
-    """O3 recent-completed top-k (queue.model.ts:201-207):
-    sort desc ts, limit 100."""
+    """O3 recent-completed top-k (queue.model.ts:201-207): top-100 by
+    ts desc — per-batch partial top-k then a tiny driver merge (a
+    top-k never needs the full distributed sort; ≤100 x blocks rows
+    reach the driver)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
-    return ds.sort(["ts", "event_id"], descending=[True, False]).limit(100)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        return batch.sort_by([("ts", "descending"),
+                              ("event_id", "ascending")]).slice(0, 100)
+
+    df = ds.map_batches(topk, batch_format="pyarrow").to_pandas()
+    return (df.sort_values(["ts", "event_id"], ascending=[False, True])
+            .head(100).reset_index(drop=True))
 
 
 def q_o5_sample_topk_docs(sf_dir: str):
     """O5/K7 result sampling — N 'largest/most recent' docs
-    (crawltask.service.ts:564-601)."""
+    (crawltask.service.ts:564-601): partial top-k per batch + tiny
+    driver merge (same shape as o3)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(50)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        return batch.sort_by([("n_chars", "descending"),
+                              ("doc_id", "ascending")]).slice(0, 50)
+
+    df = ds.map_batches(topk, batch_format="pyarrow").to_pandas()
+    return (df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .head(50).reset_index(drop=True))
 
 
 def q_o6_top35_parts(sf_dir: str):
@@ -703,50 +746,78 @@ def q_events_hourly_window(sf_dir: str):
 
 def q_events_session_window(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization: per user, a new session starts when
-    the inter-event gap exceeds ``gap_minutes``. groupby(user) →
-    map_groups over the ts-sorted group (the ray_guide streaming-shaped
-    pattern; event-time order within partition is the stated
-    assumption)."""
+    the inter-event gap exceeds ``gap_minutes``.
+
+    Scale shape: users are hash-bucketed into 32 coarse partitions
+    (``groupby(user)``-then-``map_groups`` would make one Python call
+    PER USER — 10^8 calls at fleet scale); inside each bucket the
+    whole sessionization is vectorized pandas over the (user, ts)-
+    sorted frame — break detection via shift/diff masked at user
+    boundaries, per-user session ids via a grouped cumsum, session
+    aggregates via one groupby. Every user lives wholly in one bucket,
+    so per-bucket results are exact."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
     gap = np.timedelta64(gap_minutes, "m")
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        brk = (g["ts"].diff() > gap).astype("int64")
-        g["session_id"] = brk.cumsum()
-        out = g.groupby("session_id", as_index=False).agg(
+    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"]).reset_index(drop=True)
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        brk = (g["ts"].diff().gt(gap) & same_user).astype("int64")
+        g["session_id"] = brk.groupby(g["user_id"], sort=False).cumsum()
+        out = g.groupby(["user_id", "session_id"], as_index=False).agg(
             n_events=("ts", "size"), session_start=("ts", "min"),
             session_end=("ts", "max"))
-        out["user_id"] = g["user_id"].iloc[0]
         return out[["user_id", "session_id", "n_events",
                     "session_start", "session_end"]]
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return (ds.repartition(32)
+            .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow")
+            .groupby("_kb").map_groups(sessionize_bucket,
+                                       batch_format="pandas"))
 
 
 def q_latest_event_per_user(sf_dir: str):
-    """Window top-1 (row_number over ts desc): the last event per user."""
+    """Window top-1 (row_number over ts desc): the last event per user.
+
+    Scale shape: per-BATCH reduce first (keep each user's latest row
+    within the batch — shrinks the shuffle to one row per user per
+    batch), then bucketed merge with the same vectorized
+    sort + drop_duplicates reduce per bucket. No per-user Python calls."""
     ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts",
                                                "event_type"])
 
-    def head1(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts", "event_id"],
-                             ascending=[False, True]).head(1)
+    def latest_in(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["user_id", "ts", "event_id"],
+                               ascending=[True, False, True])
+                .drop_duplicates("user_id"))
 
-    return ds.groupby("user_id").map_groups(head1, batch_format="pandas")
+    partials = ds.map_batches(latest_in, batch_format="pandas")
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return latest_in(g)[["user_id", "event_id", "ts", "event_type"]]
+
+    return (partials.repartition(32)
+            .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow")
+            .groupby("_kb").map_groups(reduce_bucket, batch_format="pandas"))
 
 
 def q_events_cumsum(sf_dir: str):
     """Running per-user cumulative count ordered by ts (window frame
-    rows unbounded preceding)."""
+    rows unbounded preceding).
+
+    Scale shape: hash-bucket users into coarse partitions, then one
+    vectorized grouped ``cumcount`` per bucket — no per-user Python."""
     ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def cum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        g["running_n"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    def cum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        g["running_n"] = (g.groupby("user_id", sort=False).cumcount()
+                          .astype("int64") + 1)
         return g[["user_id", "event_id", "running_n"]]
 
-    return ds.groupby("user_id").map_groups(cum, batch_format="pandas")
+    return (ds.repartition(32)
+            .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow")
+            .groupby("_kb").map_groups(cum_bucket, batch_format="pandas"))
 
 
 def q_part_stats_by_brand(sf_dir: str):
