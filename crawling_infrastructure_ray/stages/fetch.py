@@ -173,7 +173,7 @@ class FetchStoreActor:
 class FetchSim:
     def __init__(self, seed: int = 42, max_depth: int = 2, num_hosts: int = 64,
                  simulate_latency: bool = False, proxy_pool=None,
-                 proxy_change_every: int = 50):
+                 proxy_change_every: int = 50, randomize: bool = False):
         # once-per-actor setup (reference setup(), crawler/src/worker.ts:231-260)
         self.seed = seed
         self.max_depth = max_depth
@@ -186,6 +186,10 @@ class FetchSim:
         self.proxy_pool = proxy_pool
         self.proxy_change_every = proxy_change_every
         self.current_proxy = None
+        # M8: per-URL UA/locale/viewport draws (reference picks them
+        # per crawl, crawler/src/worker.ts:264-305 via helpers.ts:28-59;
+        # maps to CrawlOptions.random_user_agent/random_accept_language)
+        self.randomize = randomize
 
     def _maybe_rotate_proxy(self, n_fetches: int) -> None:
         if self.proxy_pool is None:
@@ -240,4 +244,8 @@ class FetchSim:
         cols["doc_id"] = pa.array(doc_ids, pa.string())
         cols["spans"] = pa.array(spans, spans_arrow_type())
         cols["discovered"] = pa.array(discovered, pa.list_(pa.string()))
-        return pa.table(cols)
+        out = pa.table(cols)
+        if self.randomize:
+            from ..functions.randomizers import randomize_batch
+            out = randomize_batch(out, seed=self.seed)
+        return out

@@ -70,3 +70,24 @@ def test_fetchsim_batch_schema():
     for i in ok_rows:
         assert out["doc_id"][i].as_py() == doc_id_for_url(urls[i])
         assert len(out["spans"][i].as_py()) >= 1
+
+
+def test_fetchsim_randomize_columns(ray_session):
+    """M8 in the fetch stage: FetchSim(randomize=True) emits the same
+    deterministic per-URL draws as the standalone randomize_batch."""
+    import pyarrow as pa
+    from crawling_infrastructure_ray.functions.randomizers import randomize_batch
+    from crawling_infrastructure_ray.stages.fetch import FetchSim
+    urls = [f"http://rz.example/u{i}" for i in range(20)]
+    batch = pa.table({"url": pa.array(urls),
+                      "depth": pa.array([0] * 20, pa.int32()),
+                      "retries": pa.array([0] * 20, pa.int32())})
+    out = FetchSim(seed=42, randomize=True)(batch)
+    for c in ("user_agent", "accept_language", "viewport_w", "viewport_h"):
+        assert c in out.column_names
+    want = randomize_batch(pa.table({"url": pa.array(urls)}), seed=42)
+    assert out["user_agent"].to_pylist() == want["user_agent"].to_pylist()
+    assert out["viewport_w"].to_pylist() == want["viewport_w"].to_pylist()
+    # default path emits no randomizer columns (schema unchanged)
+    plain = FetchSim(seed=42)(batch)
+    assert "user_agent" not in plain.column_names
