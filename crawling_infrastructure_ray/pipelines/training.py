@@ -137,10 +137,12 @@ def q_text_fingerprint(sf_dir: str):
 
 def _load_queries(sf_dir: str, n: int = 4) -> tuple[np.ndarray, list[int]]:
     import pyarrow.parquet as pq
+    # predicate pushdown: only the n query rows leave storage (row-group
+    # pruning) — never the whole embedding table
     tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
-    df = tbl.to_pandas()
-    df = df[df["vec_id"] < n].sort_values("vec_id")
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", n)])
+    df = tbl.to_pandas().sort_values("vec_id")
     return np.stack(df["embedding"].to_numpy()).astype(np.float64), \
         df["vec_id"].tolist()
 
