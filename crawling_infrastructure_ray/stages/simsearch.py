@@ -91,8 +91,28 @@ class IVFIndex:
                  id_column: str = "vec_id", column: str = "embedding"):
         self.id_column = id_column
         self.column = column
-        sample = ds.random_sample(min(1.0, (n_centroids * 40) / max(1, ds.count())),
-                                  seed=seed).to_pandas()
+        # deterministic hash-based sample for the k-means seed set:
+        # Dataset.random_sample seeds PER BLOCK, so its row set shifts
+        # with block boundaries/scheduling — a hash draw on the row id
+        # is block-independent and exactly reproducible
+        frac = min(1.0, (n_centroids * 40) / max(1, ds.count()))
+        thresh = np.uint64(int(frac * 65536))
+        sseed = np.uint64(seed & 0xFFFFFFFF)
+
+        def sample_batch(t: pa.Table) -> pa.Table:
+            v = t[id_column].to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = (v + sseed) * np.uint64(0xFF51AFD7ED558CCD)
+                h ^= h >> np.uint64(33)
+                h *= np.uint64(0xC4CEB9FE1A85EC53)
+                h ^= h >> np.uint64(33)
+            return t.filter(pa.array((h % np.uint64(65536)) < thresh))
+
+        # sort by id: to_pandas row ORDER follows block arrival, which
+        # varies with scheduling — k-means init (rng.choice over row
+        # positions) needs a canonical order to be reproducible
+        sample = (ds.map_batches(sample_batch, batch_format="pyarrow")
+                  .to_pandas().sort_values(id_column).reset_index(drop=True))
         mat = _normalize(np.stack(sample[column].to_numpy()).astype(np.float64))
         rng = np.random.default_rng(seed)
         # k-means with a few Lloyd iterations over the sample
