@@ -48,6 +48,10 @@ def _merge_partials(partials: rd.Dataset, keys: list[str],
     pdf = partials.to_pandas()
     if pdf.empty:
         return pdf
+    # canonical row order before summing: to_pandas row order follows
+    # block ARRIVAL (scheduling-dependent) and float addition is not
+    # associative — sorting makes the reduce bit-reproducible
+    pdf = pdf.sort_values(keys + sums).reset_index(drop=True)
     return pdf.groupby(keys, as_index=False)[sums].sum()
 
 
@@ -102,6 +106,9 @@ def _merge_partials_ray(partials: rd.Dataset, keys: list[str],
     consolidated partitions beat hundreds of tiny shuffle blocks) —
     same all-to-all scalability."""
     def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # canonical order: group row order follows block arrival and
+        # float sums are order-sensitive — sort for bit-reproducibility
+        g = g.sort_values(keys + sums).reset_index(drop=True)
         return g.groupby(keys, as_index=False)[sums].sum()
 
     return (partials.repartition(num_buckets)
