@@ -219,8 +219,10 @@ def run_crawl(seed_urls: list[str] | None = None, *,
               num_shards: int = 1,
               dedup: bool = True,
               politeness: bool = False,
+              politeness_overrides: dict | None = None,
               robots: bool = False,
               default_rate: float = 1.0,
+              default_burst: float = 4.0,
               max_depth: int = 2,
               max_retries: int = 3,
               num_hosts: int = 64,
@@ -295,8 +297,11 @@ def run_crawl(seed_urls: list[str] | None = None, *,
         os.makedirs(docs_dir, exist_ok=True)
         if frontier is None:
             frontier = Frontier(num_shards, seed=seed, dedup=dedup,
-                                politeness=politeness, robots=robots,
+                                politeness=politeness,
+                                politeness_overrides=politeness_overrides,
+                                robots=robots,
                                 default_rate=default_rate,
+                                default_burst=default_burst,
                                 max_retries=max_retries, order=order)
         if seed_urls:
             frontier.enqueue(seed_urls)

@@ -24,10 +24,24 @@ from ..state.frontier import FrontierShardCore
 
 
 def oracle_crawl(seed_urls: list[str], *, seed: int = 42, dedup: bool = True,
-                 robots: bool = False, max_depth: int = 2, max_retries: int = 3,
+                 robots: bool = False, politeness: bool = False,
+                 default_rate: float = 1.0, default_burst: float = 4.0,
+                 politeness_overrides: dict | None = None,
+                 now_fn=None,
+                 max_depth: int = 2, max_retries: int = 3,
                  num_hosts: int = 64, items_per_wave: int = 4096,
                  max_waves: int | None = None) -> dict:
+    """``politeness`` + ``now_fn`` let the oracle replay the ordering
+    under a host token-bucket budget on a VIRTUAL clock: the loop calls
+    ``now_fn`` once per iteration exactly like ``run_crawl``, so an
+    engine run driven by an identical step clock sees the same token
+    states and must claim in the same order (north rule: identical
+    crawl ordering under the same seed list AND politeness budget)."""
     shard = FrontierShardCore(0, dedup=dedup, robots=robots,
+                              politeness=politeness,
+                              default_rate=default_rate,
+                              default_burst=default_burst,
+                              politeness_overrides=politeness_overrides,
                               max_retries=max_retries, order="fifo", seed=seed)
     next_seq = 0
     shard.enqueue(list(range(len(seed_urls))), seed_urls, [0] * len(seed_urls))
@@ -40,7 +54,8 @@ def oracle_crawl(seed_urls: list[str], *, seed: int = 42, dedup: bool = True,
     while True:
         if max_waves is not None and waves >= max_waves:
             break
-        lease = shard.lease(items_per_wave, now=0.0)
+        now = now_fn() if now_fn else 0.0
+        lease = shard.lease(items_per_wave, now=now)
         if not lease["seq"]:
             if shard.status_histogram()["running"] == 0 and shard.retry_failed() > 0:
                 continue
@@ -60,7 +75,7 @@ def oracle_crawl(seed_urls: list[str], *, seed: int = 42, dedup: bool = True,
                              "spans": make_spans(url, seed)})
                 for c in link_children(url, depth, seed, max_depth, num_hosts):
                     disc.append((c, depth + 1))
-        shard.commit(lease["lease_id"], lease["seq"], statuses, errors, now=0.0)
+        shard.commit(lease["lease_id"], lease["seq"], statuses, errors, now=now)
         if disc:
             seqs = list(range(next_seq, next_seq + len(disc)))
             shard.enqueue(seqs, [u for u, _ in disc], [d for _, d in disc])
