@@ -142,8 +142,32 @@ def run_scaling(pair: tuple[int, int] = (8, 32)) -> dict:
             f"queries_{hi}": results[hi]["queries"]}
 
 
+def run_stats(name: str) -> None:
+    """Print ``ds.stats()`` for one registered query — the per-stage
+    wall/cpu/rows breakdown used to tune batch sizes and shuffle
+    shapes (stderr; the JSON contract stays on stdout)."""
+    import warnings
+    warnings.filterwarnings("ignore")
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import __ray_entry__ as entrymod
+    out = entrymod.queries()[name](SF_DIR)
+    if hasattr(out, "stats"):
+        log(out.stats())
+        out = out.to_pandas()
+    else:
+        log(f"(query {name} returns {type(out).__name__}; no Dataset stats)")
+    print(json.dumps({"metric": "stats", "query": name, "rows": len(out)}))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
-    if "--scaling-pair" in sys.argv:
+    if "--stats" in sys.argv:
+        run_stats(sys.argv[sys.argv.index("--stats") + 1])
+    elif "--scaling-pair" in sys.argv:
         i = sys.argv.index("--scaling-pair")
         print(json.dumps(run_scaling((int(sys.argv[i + 1]),
                                       int(sys.argv[i + 2])))))
