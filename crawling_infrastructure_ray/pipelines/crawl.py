@@ -557,7 +557,12 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                                 default_rate=default_rate,
                                 max_retries=max_retries, order=order,
                                 track_seen_urls=track_seen)
-        if seed_urls:
+        if seed_urls is not None and hasattr(seed_urls, "map_batches"):
+            # Dataset seed list (S1/S2 at 10^10 scale): distributed
+            # ingest — map_batches tasks route straight to the shards,
+            # the driver never holds the seed list
+            frontier.enqueue_dataset(seed_urls)
+        elif seed_urls:
             # ramp overlap: land the first slice synchronously so leasing
             # can start, stream the rest in asynchronously (the refs join
             # pending_enq below, so drained-ness checks stay correct)

@@ -675,6 +675,50 @@ class Frontier:
         refs = [self.shards[sh].enqueue.remote(*b) for sh, b in per_shard.items()]
         return sum(ray.get(refs))
 
+    def enqueue_dataset(self, ds, url_column: str = "url",
+                        depth_column: str | None = None) -> int:
+        """DISTRIBUTED seed ingest (S1/S2 at 10^10 scale): consume a
+        ``ray.data.Dataset`` of URLs with map_batches tasks that route
+        each batch straight to the owning shards — the driver never
+        reads the seed list. Shards allocate their own seq blocks
+        (``enqueue_discovered``), so per-shard FIFO holds while global
+        interleaving follows block scheduling — the same documented
+        trade as async-pump child routing; use ``enqueue`` (driver
+        seqs) when exact global FIFO conformance is required.
+        Returns the number of URLs inserted (after dedup)."""
+        import pyarrow.compute as _pc
+
+        shards = self.shards
+        seed = self.seed
+        k = self.num_shards
+
+        def route(batch: pa.Table) -> pa.Table:
+            urls = batch[url_column].to_pylist()
+            depths = (batch[depth_column].to_pylist() if depth_column
+                      else [0] * len(urls))
+            per: dict[int, tuple[list, list]] = {}
+            memo: dict[str, int] = {}
+            for u, d in zip(urls, depths):
+                rest = u.split("://", 1)[-1]
+                host = (rest.split("/", 1)[0].rsplit("@", 1)[-1]
+                        .split(":", 1)[0].lower())
+                sh = memo.get(host)
+                if sh is None:
+                    sh = stable_hash64(host, seed) % k
+                    memo[host] = sh
+                b = per.get(sh)
+                if b is None:
+                    b = per.setdefault(sh, ([], []))
+                b[0].append(u)
+                b[1].append(d)
+            refs = [shards[sh].enqueue_discovered.remote(us, ds_)
+                    for sh, (us, ds_) in per.items()]
+            inserted = sum(ray.get(refs))  # await: consumption == landed
+            return pa.table({"inserted": pa.array([inserted], pa.int64())})
+
+        out = ds.map_batches(route, batch_format="pyarrow").to_pandas()
+        return int(out["inserted"].sum())
+
     def lease_wave(self, n_per_shard: int, now: float | None = None) -> list[dict]:
         """One synchronized claim across all shards (deterministic shard
         order). Returns non-empty lease dicts tagged with 'shard'."""

@@ -236,3 +236,39 @@ def test_snapshot_restore_roundtrip(tmp_path):
     assert sh2.enqueue([99], ["http://h0.example/0"], [0]) == 0
     # FIFO resumes at correct position (healed 3 first, then 4..)
     assert sh2.lease(3, now=2.0)["seq"] == [3, 4, 5]
+
+
+def test_enqueue_dataset_distributed_ingest(ray_session, tmp_path):
+    """S1/S2 at scale: Dataset-driven ingest routes batches to shards
+    from inside map_batches tasks — same final state as driver-side
+    enqueue (histogram totals, dedup, host→shard affinity), and the
+    crawl over it drains normally."""
+    import ray.data as rd
+    import pyarrow as pa
+    from crawling_infrastructure_ray.pipelines.crawl import run_crawl_pump
+    from crawling_infrastructure_ray.sources.corpus import make_seed_urls
+
+    seeds = make_seed_urls(2000, seed=7, num_hosts=64)
+    urls = seeds["url"].to_pylist()
+    n_distinct = len(set(urls))
+
+    from crawling_infrastructure_ray.state.frontier import Frontier
+    fr = Frontier(4, seed=42, dedup=True)
+    ds = rd.from_arrow(pa.table({"url": seeds["url"]}))
+    inserted = fr.enqueue_dataset(ds)
+    assert inserted == n_distinct               # dedup inside shards
+    assert fr.status_histogram()["initial"] == n_distinct
+
+    # same totals as the driver-side path
+    from crawling_infrastructure_ray.state.frontier import Frontier
+    fr2 = Frontier(4, seed=42, dedup=True)
+    assert fr2.enqueue(urls) == n_distinct
+
+    # host→shard affinity: re-inserting a URL (any route) dedups
+    assert fr.enqueue([urls[0]]) == 0
+
+    res = run_crawl_pump(None, frontier=fr, seed=42, max_depth=0,
+                         chunk_size=256, out_dir=str(tmp_path / "di"))
+    h = res.histogram
+    assert h["initial"] == 0 and h["running"] == 0
+    assert h["completed"] + h["failed"] == n_distinct

@@ -93,3 +93,19 @@ def test_pump_matches_wave_mode(ray_session, tmp_path):
         assert a["url"] == b["url"] and a["simhash"] == b["simhash"]
         assert [tuple(s.values()) for s in a["spans"]] == \
             [tuple(s.values()) for s in b["spans"]]
+
+
+def test_pump_accepts_seed_dataset(ray_session, tmp_path):
+    """run_crawl_pump(seed_ds) — the fully driver-free ingest path."""
+    import pyarrow as pa
+    import ray.data as rd
+    from crawling_infrastructure_ray.pipelines.crawl import run_crawl_pump
+    from crawling_infrastructure_ray.sources.corpus import make_seed_urls
+    seeds = make_seed_urls(500, seed=11)
+    ds = rd.from_arrow(pa.table({"url": seeds["url"]}))
+    res = run_crawl_pump(ds, seed=42, num_shards=2, dedup=True, max_depth=0,
+                         chunk_size=128, out_dir=str(tmp_path / "sd"))
+    n_distinct = len(set(seeds["url"].to_pylist()))
+    h = res.histogram
+    assert h["completed"] + h["failed"] == n_distinct
+    assert h["initial"] == 0 and h["running"] == 0
