@@ -169,3 +169,23 @@ def test_actor_pool_fetch_mode(ray_session, tmp_path, seeds, golden):
                     use_actors=True, fetch_concurrency=2)
     assert res.histogram == golden["histogram"]
     assert res.seen_set_size == len(golden["seen_set"])
+
+
+def test_robots_ordering_matches_oracle(ray_session, seeds, tmp_path):
+    """Conformance with robots enabled: robots-denied URLs go terminal
+    at claim time in both the oracle and the engine, and the claim
+    sequence still matches exactly."""
+    golden = oracle_crawl(seeds, seed=SEED, dedup=True, robots=True,
+                          max_depth=0, items_per_wave=WAVE)
+    out = str(tmp_path / "rob_conf")
+    res = run_crawl(seeds, seed=SEED, num_shards=1, dedup=True, robots=True,
+                    max_depth=0, items_per_wave=WAVE, out_dir=out)
+    claims = _read_sorted(os.path.join(out, "claims", "*.parquet"),
+                          [("wave", "ascending"), ("enqueue_seq", "ascending")])
+    got = list(zip(claims["enqueue_seq"].to_pylist(),
+                   claims["url"].to_pylist(),
+                   claims["attempt"].to_pylist()))
+    want = [(s, u, a) for (_, s, u, a) in golden["claim_order"]]
+    assert got == want
+    assert res.histogram == golden["histogram"]
+    assert res.histogram["failed"] > 0          # robots actually denied some
