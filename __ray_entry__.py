@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_order": qt.q_crawl_order,
         "crawl_status_histogram": qt.q_crawl_status_histogram,
         "crawl_host_counts": qt.q_crawl_host_counts,
+        "crawl_wave_stats": qt.q_crawl_wave_stats,
         "curate_documents": qc.q_curate_documents,
         "crawl_simhash_audit": qt.q_crawl_simhash_audit,
         "media_spans": qt.q_media_spans,

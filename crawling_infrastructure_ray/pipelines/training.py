@@ -287,6 +287,27 @@ def q_m8_randomizers(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_crawl_wave_stats(sf_dir: str):
+    """G4/K5 on the ENGINE's own lineage: per-wave worker-meta rows
+    (leased / completed / failed / discovered) from the flagship
+    crawl's manifest — the reference's worker_meta fleet-stats surface
+    (workermeta.model.ts:78-117) over our own run record. Deterministic
+    (wave mode). Rows-only."""
+    import json as _json
+    out = _crawl_out_dir(sf_dir)
+    manifest = os.path.join(out, "manifest.jsonl")
+    if not os.path.exists(manifest):
+        q_crawl_documents(sf_dir)
+    rows = []
+    with open(manifest) as f:
+        for line in f:
+            r = _json.loads(line)
+            rows.append({"wave": r["wave"], "leased": r["leased"],
+                         "completed": r["completed"], "failed": r["failed"],
+                         "discovered": r["discovered"]})
+    return pd.DataFrame(rows).sort_values("wave").reset_index(drop=True)
+
+
 def q_o4_multi_task_schedule(sf_dir: str):
     """O4 multi-task priority scheduling end to end (daemon cycle,
     daemon.ts:220-241/308-391): two tasks under the absolute policy —
