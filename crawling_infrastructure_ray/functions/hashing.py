@@ -73,8 +73,10 @@ def rolling_fingerprint(text: str, window: int = 16, keep: int = 8) -> list[int]
         _FP_WEIGHTS[window] = w
     from numpy.lib.stride_tricks import sliding_window_view
     with np.errstate(over="ignore"):
-        wins = sliding_window_view(data, window).astype(np.uint64)
-        h = (wins * w[None, :]).sum(axis=1)
+        wins = sliding_window_view(data, window)
+        # matmul on the strided uint8 view via einsum with uint64
+        # accumulation — no (n, window) uint64 intermediate copy
+        h = np.einsum("ij,j->i", wins, w, dtype=np.uint64, casting="unsafe")
         h ^= h >> np.uint64(33)
         h *= np.uint64(0xFF51AFD7ED558CCD)
         h ^= h >> np.uint64(29)

@@ -107,12 +107,24 @@ def link_children(url: str, depth: int, seed: int = 42, max_depth: int = 2,
     return out
 
 
+_VOCAB_ARR = np.asarray(_VOCAB, dtype=object)
+_SPAN_J = np.arange(96 + 192, dtype=np.uint64)          # max ntok
+_SPAN_SHIFTS = (_SPAN_J % np.uint64(48))
+_SPAN_MULT = ((_SPAN_J + np.uint64(1)) % np.uint64(len(_VOCAB)))
+
+
 def make_spans(url: str, seed: int = 42) -> list[dict]:
     """FIXTURES F1 interleaved text+media spans for one document.
 
     n_spans = 1 + (id_hash * 2654435761 mod 13); spans alternate
     text/media starting with text; offsets are cumulative text char
     offsets; all content is a pure function of (seed, doc_id, span_idx).
+
+    Token selection is vectorized (numpy shift/mod over precomputed
+    index tables — bit-identical to the scalar expression
+    ``(sh >> (j % 48)) * (j + 1) % V`` via modular decomposition);
+    this function runs once per fetched document in the crawl hot
+    path, so its cost IS the simulated per-URL work.
     """
     doc_id = doc_id_for_url(url)
     idh = stable_hash64(doc_id, seed ^ _SPAN_SALT)
@@ -126,8 +138,9 @@ def make_spans(url: str, seed: int = 42) -> list[dict]:
             # text (realistic page-scale payloads; exercises the
             # streaming/write path and the per-doc signature cost)
             ntok = 96 + sh % 192
-            toks = [_VOCAB[(sh >> (j % 48)) * (j + 1) % len(_VOCAB)] for j in range(ntok)]
-            text = " ".join(toks)
+            shifted = (np.uint64(sh) >> _SPAN_SHIFTS[:ntok]) % np.uint64(len(_VOCAB))
+            idx = (shifted * _SPAN_MULT[:ntok]) % np.uint64(len(_VOCAB))
+            text = " ".join(_VOCAB_ARR[idx.astype(np.int64)])
             spans.append({"kind": "text", "text": text, "media_ref": "",
                           "offset": offset})
             offset += len(text)
