@@ -437,9 +437,8 @@ def simhash64(text: str, seed: int = 42) -> int:
     toks = (text or "").split()
     if not toks:
         return 0
-    counts: dict[str, int] = {}
-    for t in toks:
-        counts[t] = counts.get(t, 0) + 1
+    from collections import Counter
+    counts = Counter(toks)        # C-accelerated distinct counting
     cache = _TOKEN_HASH_CACHE
     n = len(counts)
     hs = np.empty(n, dtype=np.uint64)
