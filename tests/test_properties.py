@@ -124,3 +124,72 @@ def test_frontier_conservation_under_arbitrary_ops(n_items, ops):
     h = sh.status_histogram()
     assert h["initial"] == 0 or h["running"] == 0
     assert sum(h.values()) == n_items
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_data=st.integers(1, 60),
+    n_keys=st.integers(0, 30),
+    seed=st.integers(0, 10_000),
+)
+def test_union_find_matches_reference_components(n_data, n_keys, seed):
+    """union_find_components == brute-force component labeling with
+    smallest-id representative, for random edge lists."""
+    import numpy as np
+    from crawling_infrastructure_ray.stages.joins import union_find_components
+    rng = np.random.default_rng(seed)
+    nodes = [f"n{i:03d}" for i in range(n_data)]
+    edges = [(nodes[rng.integers(n_data)], nodes[rng.integers(n_data)])
+             for _ in range(n_keys)]
+    roots = union_find_components(edges)
+    # brute force: BFS components over the same edges
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for start in sorted(adj):
+        if start in want:
+            continue
+        comp, queue = {start}, [start]
+        while queue:
+            x = queue.pop()
+            for y in adj.get(x, ()):
+                if y not in comp:
+                    comp.add(y)
+                    queue.append(y)
+        rep = min(comp)
+        for x in comp:
+            want[x] = rep
+    assert roots == want
+
+
+def test_bucketed_semi_anti_join_match_pandas(ray_session):
+    """semi/anti joins == pandas isin on random tables (partition
+    invariant: every key wholly in one bucket)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from crawling_infrastructure_ray.stages.joins import (bucketed_anti_join,
+                                                          bucketed_semi_join)
+    rng = np.random.default_rng(5)
+    data = pd.DataFrame({
+        "doc_id": [f"d{int(i):04d}" for i in rng.integers(0, 300, 400)],
+        "payload": rng.integers(0, 1000, 400)}).drop_duplicates("doc_id")
+    keys = pd.DataFrame({
+        "doc_id": [f"d{int(i):04d}" for i in rng.integers(0, 300, 100)]
+    }).drop_duplicates()
+    dds = rd.from_arrow(pa.Table.from_pandas(data, preserve_index=False))
+    kds = rd.from_arrow(pa.Table.from_pandas(keys, preserve_index=False))
+    semi = (bucketed_semi_join(dds, kds, on="doc_id", num_buckets=8)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    anti = (bucketed_anti_join(dds, kds, on="doc_id", num_buckets=8)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    in_keys = data["doc_id"].isin(set(keys["doc_id"]))
+    want_semi = data[in_keys].sort_values("doc_id").reset_index(drop=True)
+    want_anti = data[~in_keys].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(semi, want_semi, check_dtype=False)
+    pd.testing.assert_frame_equal(anti, want_anti, check_dtype=False)
+    # partition: semi+anti == data (no row lost or duplicated)
+    assert len(semi) + len(anti) == len(data)
