@@ -83,3 +83,22 @@ def test_retries_not_consumed_by_storage_failure(ray_session, tmp_path):
     # the storage-failed item was leased twice (attempt counter)
     fail_rows = tbl.filter(pc.match_substring(tbl["url"], "STOREFAIL"))
     assert fail_rows["attempts"].to_pylist() == [2]
+
+
+def test_storage_policies_in_pump_mode(ray_session, tmp_path):
+    """Same K1/K2 semantics through the async pump: both policies
+    recover to full completion with unique docs; merged rolls the whole
+    lease back (rolled_back == lease size), itemwise only the item."""
+    from crawling_infrastructure_ray.pipelines.crawl import run_crawl_pump
+
+    urls = _urls(7)   # 7 clean + 1 STOREFAIL, all complete on attempt 0
+    for policy, min_rb in (("itemwise", 1), ("merged", len(urls))):
+        out = str(tmp_path / f"p_{policy}")
+        res = run_crawl_pump(urls, seed=42, num_shards=1, dedup=True,
+                             max_depth=0, chunk_size=64, out_dir=out,
+                             storage_policy=policy,
+                             store_fail_marker="STOREFAIL")
+        assert res.histogram["completed"] == len(urls), policy
+        assert res.counters["rolled_back"] >= min_rb, policy
+        docs = read_documents(out).to_pandas()
+        assert len(docs) == len(urls) and docs["doc_id"].is_unique, policy
