@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_documents": qc.q_curate_documents,
         "crawl_simhash_audit": qt.q_crawl_simhash_audit,
         "media_spans": qt.q_media_spans,
+        "media_ann_topk": qt.q_media_ann_topk,
         "k7_sample_export": qt.q_k7_sample_export,
         "m8_randomizers": qt.q_m8_randomizers,
         "a3_warm_crawl": qt.q_a3_warm_crawl,

@@ -364,6 +364,39 @@ def q_media_spans(sf_dir: str):
     return docs.map_batches(mm.media_rows_from_spans, batch_format="pyarrow")
 
 
+def q_media_ann_topk(sf_dir: str):
+    """Multimodal → similarity-search END TO END: media spans exploded
+    to typed rows, feature extraction through the decode ACTOR POOL
+    (deterministic fake — codecs absent from this container, stub
+    declared in stages/multimodal.py), then exact cosine top-5 over the
+    feature column for 3 deterministic query refs via the partial-top-k
+    ANN stage. Exercises the full multimodal plumbing chain the way a
+    real image-embedding pipeline would run (rows-only)."""
+    import numpy as np
+    from .crawl import read_documents
+    out = _crawl_out_dir(sf_dir)
+    if not os.path.isdir(os.path.join(out, "documents")):
+        q_crawl_documents(sf_dir)
+    docs = read_documents(out)
+    media = docs.map_batches(mm.media_rows_from_spans, batch_format="pyarrow")
+    feats = media.map_batches(
+        mm.DecodeStub, fn_constructor_kwargs={"mode": "fake"},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+    # query set: the 3 lexicographically-smallest media refs (partial
+    # min-3 per batch → tiny driver merge), features recomputed via the
+    # same deterministic stub
+    def min3(batch: pa.Table) -> pa.Table:
+        return batch.select(["media_ref"]).sort_by("media_ref").slice(0, 3)
+
+    refs = sorted(media.map_batches(min3, batch_format="pyarrow")
+                  .to_pandas()["media_ref"])[:3]
+    qtbl = mm.DecodeStub("fake")(pa.table({"media_ref": pa.array(refs)}))
+    qmat = np.asarray(qtbl["features"].to_pylist(), dtype=np.float64)
+    return ss.brute_force_topk(feats, qmat, refs, k=5,
+                               id_column="media_ref", column="features")
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
     "dedup_exact":
         "SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, "
