@@ -71,3 +71,20 @@ def test_o7_latency_stats_matches_numpy(ray_session):
         assert r["p50_value"] == np.quantile(v, 0.5, method="inverted_cdf")
         assert r["p95_value"] == np.quantile(v, 0.95, method="inverted_cdf")
         assert r["max_value"] == v.max()
+
+
+def test_media_ann_and_wave_stats_queries(ray_session):
+    """The two newest rows-only queries: media→ANN end-to-end (self is
+    rank-1 per query ref) and the per-wave lineage stats."""
+    from crawling_infrastructure_ray.pipelines.training import (
+        q_crawl_wave_stats, q_media_ann_topk)
+    sf = "/root/testdata/sf0.001"
+    ann = q_media_ann_topk(sf)
+    assert len(ann) == 15 and ann["rank"].max() == 5
+    top = ann[ann["rank"] == 1]
+    assert (top["query_id"] == top["neighbor_id"]).all()
+    assert (top["cosine"] == 1.0).all()
+    ws = q_crawl_wave_stats(sf)
+    assert len(ws) >= 1
+    assert (ws["leased"] >= ws["completed"]).all()
+    assert int(ws["completed"].sum()) > 0
