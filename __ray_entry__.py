@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": qa.q_q1_pricing_summary,
         "q6_revenue_delta": qa.q_q6_revenue_delta,
         "q3_shipping_priority": qa.q_q3_shipping_priority,
+        "q4_priority_exists": qa.q_q4_priority_exists,
+        "q14_promo_share": qa.q_q14_promo_share,
         # per-record maps (§2.3)
         "m3_clean_html": qa.q_m3_clean_html,
         "m5_extract_links": qa.q_m5_extract_links,

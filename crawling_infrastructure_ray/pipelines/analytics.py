@@ -647,6 +647,83 @@ def q_q3_shipping_priority(sf_dir: str):
     return agg[["l_orderkey", "revenue_e4", "o_orderdate"]].reset_index(drop=True)
 
 
+def q_q4_priority_exists(sf_dir: str):
+    """TPC-H Q4 shape: EXISTS semi-join + priority histogram — orders
+    in a date window having at least one heavy lineitem (qty > 45),
+    counted per o_orderpriority. The semi-join runs through the
+    DISTRIBUTED bucketed operator (stages/joins — both sides
+    data-sized), then an enum-keyed count merge."""
+    from ..stages.joins import bucketed_semi_join
+    lo = pa.scalar(np.datetime64("1996-01-01T00:00:00", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01T00:00:00", "us"))
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                                   pc.less(t["o_orderdate"], hi))),
+        batch_format="pyarrow")
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def heavy_keys(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch["l_quantity"], 45.0))
+        return pa.table({"o_orderkey": pc.unique(b["l_orderkey"].combine_chunks())})
+
+    keys = li.map_batches(heavy_keys, batch_format="pyarrow")
+    sel = bucketed_semi_join(orders, keys, on="o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["o_orderpriority"]).group_by("o_orderpriority") \
+                 .aggregate([("o_orderpriority", "count")])
+        return g.rename_columns(["o_orderpriority", "n_orders"])
+
+    df = _merge_partials(sel.map_batches(partial, batch_format="pyarrow"),
+                         ["o_orderpriority"], ["n_orders"])
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_q14_promo_share(sf_dir: str):
+    """TPC-H Q14 shape: conditional revenue share — the fraction of
+    one month's revenue from 'promo' parts (p_size < 25 stands in for
+    the p_type LIKE 'PROMO%' class; the testdata has no p_type promo
+    tags). Part side broadcast as sorted arrays (np.searchsorted
+    probe); exact integer units end to end, ratio as an integer e6."""
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_size"]).to_pandas()
+    order_idx = np.argsort(part["p_partkey"].to_numpy())
+    pkeys = part["p_partkey"].to_numpy()[order_idx]
+    promo = (part["p_size"].to_numpy()[order_idx] < 25)
+    bcast = ray.put((pkeys, promo))
+    lo = pa.scalar(np.datetime64("1995-09-01T00:00:00", "us"))
+    hi = pa.scalar(np.datetime64("1995-10-01T00:00:00", "us"))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks, pm = ray.get(bcast)
+        b = batch.filter(pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                                 pc.less(batch["l_shipdate"], hi)))
+        price_c = (np.asarray(b["l_extendedprice"].to_pylist()) * 100).round().astype(np.int64)
+        disc_c = (np.asarray(b["l_discount"].to_pylist()) * 100).round().astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        probe = b["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ks, probe), 0, len(ks) - 1)
+        is_promo = (ks[pos] == probe) & pm[pos]
+        return pa.table({
+            "promo_revenue_e4": pa.array([int(rev[is_promo].sum())], pa.int64()),
+            "total_revenue_e4": pa.array([int(rev.sum())], pa.int64())})
+
+    out = li.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    promo_e4, total_e4 = int(out["promo_revenue_e4"]), int(out["total_revenue_e4"])
+    share_e6 = (promo_e4 * 1_000_000) // total_e4 if total_e4 else 0
+    return pd.DataFrame([{"promo_revenue_e4": promo_e4,
+                          "total_revenue_e4": total_e4,
+                          "promo_share_e6": share_e6}])
+
+
 # ----------------------------------------------------------------------
 # per-record maps (M3, M5, M7, M10)
 # ----------------------------------------------------------------------
@@ -952,6 +1029,20 @@ ORACLE_SQL: dict[str, str] = {
         "count(*) AS n_rows FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
         "AND l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07",
+    "q4_priority_exists":
+        "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45) "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "q14_promo_share":
+        "WITH f AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4, p_size "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01') "
+        "SELECT CAST(sum(rev_e4) FILTER (p_size < 25) AS BIGINT) AS promo_revenue_e4, "
+        "CAST(sum(rev_e4) AS BIGINT) AS total_revenue_e4, "
+        "CAST((sum(rev_e4) FILTER (p_size < 25) * 1000000) // sum(rev_e4) AS BIGINT) "
+        "AS promo_share_e6 FROM f",
     "q3_shipping_priority":
         "SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
         "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4, "

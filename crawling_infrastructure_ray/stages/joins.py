@@ -34,7 +34,7 @@ def bucketed_semi_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,
     names, types = list(schema.names), list(schema.types)
 
     def tag_data(t: pa.Table) -> pa.Table:
-        b = np.fromiter((stable_hash64(x) % num_buckets
+        b = np.fromiter((stable_hash64(str(x)) % num_buckets
                          for x in t[on].to_pylist()),
                         dtype=np.int64, count=t.num_rows)
         return (t.append_column("jbucket", pa.array(b))
@@ -42,7 +42,7 @@ def bucketed_semi_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,
 
     def tag_keys(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        b = np.fromiter((stable_hash64(x) % num_buckets
+        b = np.fromiter((stable_hash64(str(x)) % num_buckets
                          for x in t[on].to_pylist()),
                         dtype=np.int64, count=n)
         cols = {}
@@ -74,7 +74,7 @@ def bucketed_anti_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,
     names, types = list(schema.names), list(schema.types)
 
     def tag_data(t: pa.Table) -> pa.Table:
-        b = np.fromiter((stable_hash64(x) % num_buckets
+        b = np.fromiter((stable_hash64(str(x)) % num_buckets
                          for x in t[on].to_pylist()),
                         dtype=np.int64, count=t.num_rows)
         return (t.append_column("jbucket", pa.array(b))
@@ -82,7 +82,7 @@ def bucketed_anti_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,
 
     def tag_keys(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        b = np.fromiter((stable_hash64(x) % num_buckets
+        b = np.fromiter((stable_hash64(str(x)) % num_buckets
                          for x in t[on].to_pylist()),
                         dtype=np.int64, count=n)
         cols = {}
