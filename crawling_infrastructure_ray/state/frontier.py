@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 import ray
 
 from ..functions.hashing import stable_hash64
-from ..functions.urltools import canonicalize_and_host, canonicalize_url, parse_host
+from ..functions.urltools import canonicalize_and_host
 from .filters import BloomFilter, CuckooFilter, ScalableSeenFilter
 from .politeness import HostPoliteness, RobotsCache
 
@@ -686,8 +686,6 @@ class Frontier:
         trade as async-pump child routing; use ``enqueue`` (driver
         seqs) when exact global FIFO conformance is required.
         Returns the number of URLs inserted (after dedup)."""
-        import pyarrow.compute as _pc
-
         shards = self.shards
         seed = self.seed
         k = self.num_shards

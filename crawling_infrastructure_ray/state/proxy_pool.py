@@ -14,7 +14,6 @@ side, never a shuffle side); claims are O(log n) heap operations.
 
 from __future__ import annotations
 
-import heapq
 
 import ray
 
