@@ -122,9 +122,18 @@ def _merge_partials_ray(partials: rd.Dataset, keys: list[str],
 
 def q_g1_status_histogram(sf_dir: str):
     """G1 queue-status histogram analog (queue.model.ts:98-106):
-    groupby status → count."""
+    per-batch status counts → tiny enum-keyed driver merge (3 statuses;
+    no all-to-all needed for a histogram)."""
     ds = read_table(sf_dir, "orders", columns=["o_orderstatus"])
-    return ds.groupby("o_orderstatus").aggregate(Count(alias_name="n_items"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_orderstatus").aggregate([("o_orderstatus", "count")])
+        return g.rename_columns(["o_orderstatus", "n_items"])
+
+    df = _merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["o_orderstatus"], ["n_items"])
+    df["n_items"] = df["n_items"].astype("int64")
+    return df.reset_index(drop=True)
 
 
 def q_g2_task_finished(sf_dir: str):
@@ -147,12 +156,20 @@ def q_g2_task_finished(sf_dir: str):
 
 def q_g3_window_progress(sf_dir: str):
     """G3 time-window progress (queue.model.ts:172-199): completed
-    newer than a cutoff, per type."""
+    newer than a cutoff, per type — filter + per-batch count + tiny
+    enum-keyed merge."""
     ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
     cutoff = pa.scalar(np.datetime64("2024-01-24T00:00:00", "us"))
-    ds = ds.map_batches(lambda t: t.filter(pc.greater_equal(t["ts"], cutoff)),
-                        batch_format="pyarrow")
-    return ds.groupby("event_type").aggregate(Count(alias_name="n_recent"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater_equal(batch["ts"], cutoff))
+        g = b.group_by("event_type").aggregate([("event_type", "count")])
+        return g.rename_columns(["event_type", "n_recent"])
+
+    df = _merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["event_type"], ["n_recent"])
+    df["n_recent"] = df["n_recent"].astype("int64")
+    return df.reset_index(drop=True)
 
 
 def q_g4_fleet_stats(sf_dir: str):
@@ -905,12 +922,23 @@ def q_events_cumsum(sf_dir: str):
 
 
 def q_part_stats_by_brand(sf_dir: str):
-    """Multi-aggregate groupby with min/max (exact on any engine)."""
+    """Multi-aggregate groupby with min/max (exact on any engine):
+    per-batch count/min/max partials → enum-keyed driver merge
+    (brands are a bounded catalog key)."""
     ds = read_table(sf_dir, "part", columns=["p_brand", "p_size"])
-    return ds.groupby("p_brand").aggregate(
-        Count(alias_name="n_parts"),
-        Min("p_size", alias_name="min_size"),
-        Max("p_size", alias_name="max_size"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("p_brand").aggregate(
+            [("p_size", "count"), ("p_size", "min"), ("p_size", "max")])
+        return g.rename_columns(["p_brand", "n_parts", "min_size", "max_size"])
+
+    pdf = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .sort_values(["p_brand", "n_parts", "min_size", "max_size"]))
+    out = pdf.groupby("p_brand", as_index=False).agg(
+        n_parts=("n_parts", "sum"), min_size=("min_size", "min"),
+        max_size=("max_size", "max"))
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return out.reset_index(drop=True)
 
 
 def q_union_names(sf_dir: str):
