@@ -285,7 +285,10 @@ def q_g9_bytes_total(sf_dir: str):
 
 def q_o2_proxy_claim_order(sf_dir: str):
     """O2 proxy claim ordering (crawler/src/proxy.ts:129-144): rank by
-    asc (fail analog, recency analog, id)."""
+    asc (fail analog, recency analog, id). The full sort + driver
+    collect is deliberate: a proxy POOL is a config-scale table
+    (hundreds to low thousands of rows in the reference), and the
+    global rank IS the output — not a data-sized shuffle."""
     ds = read_table(sf_dir, "supplier",
                     columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"])
     df = ds.sort(["s_acctbal", "s_nationkey", "s_suppkey"]).to_pandas()
