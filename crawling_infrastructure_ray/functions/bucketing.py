@@ -1,0 +1,47 @@
+"""The engine's ONE bucket tagger.
+
+Every shuffle-by-hash stage (final reduces in pipelines/analytics,
+semi/anti joins in stages/joins, LSH bucket→partition routing in
+stages/dedup) tags rows with the same vectorized batch fn so the
+"key combination → exactly one bucket" invariant is enforced in a
+single place and no shuffle-tag stage ever hashes per row in Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import stable_hash64
+
+
+def tag_bucket_fn(keys: list[str], num_buckets: int = 32,
+                  col_name: str = "_kb"):
+    """Batch fn: append an integer bucket column = hash(keys) % B.
+    Vectorized — string keys are dictionary-encoded so only distinct
+    values are hashed; numeric/timestamp keys use a splitmix-style
+    multiply. Every key combination lands wholly in ONE bucket, which
+    is the invariant the bucketed reduces/joins/windows rely on."""
+    def tag(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        acc = np.zeros(n, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in keys:
+                col = batch[c]
+                if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                    enc = pc.dictionary_encode(col.combine_chunks())
+                    dh = np.fromiter(
+                        (stable_hash64(v) for v in enc.dictionary.to_pylist()),
+                        dtype=np.uint64, count=len(enc.dictionary))
+                    h = dh[enc.indices.to_numpy(zero_copy_only=False)]
+                else:
+                    v = col.to_numpy(zero_copy_only=False)
+                    h = v.astype("int64", copy=False).astype(np.uint64)
+                    h = h * np.uint64(0xFF51AFD7ED558CCD)
+                    h ^= h >> np.uint64(33)
+                acc = acc * np.uint64(0x9E3779B97F4A7C15) ^ h
+        kb = (acc % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column(col_name, pa.array(kb))
+
+    return tag

@@ -31,6 +31,10 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
+# the engine's single vectorized shuffle tagger — shared with
+# stages/joins and stages/dedup so the bucket invariant and the
+# no-per-row-Python rule are enforced in one place
+from ..functions.bucketing import tag_bucket_fn as _tag_bucket
 from ..functions.scalars import round_half_away
 from ..sources.readers import read_table
 from ..stages.html import clean_html_string
@@ -53,39 +57,6 @@ def _merge_partials(partials: rd.Dataset, keys: list[str],
     # associative — sorting makes the reduce bit-reproducible
     pdf = pdf.sort_values(keys + sums).reset_index(drop=True)
     return pdf.groupby(keys, as_index=False)[sums].sum()
-
-
-def _tag_bucket(keys: list[str], num_buckets: int = 32,
-                col_name: str = "_kb"):
-    """Batch fn: append an integer bucket column = hash(keys) % B.
-    Vectorized — string keys are dictionary-encoded so only distinct
-    values are hashed; numeric/timestamp keys use a splitmix-style
-    multiply. Every key combination lands wholly in ONE bucket, which
-    is the invariant the bucketed reduces/joins/windows rely on."""
-    from ..functions.hashing import stable_hash64
-
-    def tag(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        acc = np.zeros(n, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for c in keys:
-                col = batch[c]
-                if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-                    enc = pc.dictionary_encode(col.combine_chunks())
-                    dh = np.fromiter(
-                        (stable_hash64(v) for v in enc.dictionary.to_pylist()),
-                        dtype=np.uint64, count=len(enc.dictionary))
-                    h = dh[enc.indices.to_numpy(zero_copy_only=False)]
-                else:
-                    v = col.to_numpy(zero_copy_only=False)
-                    h = v.astype("int64", copy=False).astype(np.uint64)
-                    h = h * np.uint64(0xFF51AFD7ED558CCD)
-                    h ^= h >> np.uint64(33)
-                acc = acc * np.uint64(0x9E3779B97F4A7C15) ^ h
-        kb = (acc % np.uint64(num_buckets)).astype(np.int64)
-        return batch.append_column(col_name, pa.array(kb))
-
-    return tag
 
 
 def _merge_partials_ray(partials: rd.Dataset, keys: list[str],
@@ -366,7 +337,11 @@ def q_o7_latency_stats(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
 
     def stats(g: pd.DataFrame) -> pd.DataFrame:
-        v = g["value"].to_numpy()
+        # canonical order before the float mean: group row order follows
+        # block arrival and float addition is order-sensitive (same
+        # convention as _merge_partials/_merge_partials_ray); sorting
+        # also feeds the exact order-statistic quantiles directly
+        v = np.sort(g["value"].to_numpy())
         return pd.DataFrame([{
             "event_type": g["event_type"].iloc[0],
             "n_lat": np.int64(v.size),
@@ -411,24 +386,39 @@ def q_j1_order_customer_join(sf_dir: str):
     return orders.map_batches(join_batch, batch_format="pyarrow")
 
 
-def q_j4_customers_without_p_orders(sf_dir: str):
+def q_j4_customers_without_p_orders(sf_dir: str, *, broadcast: bool = False):
     """J4 anti-join (mergeScript truly-failed audit,
-    crawltask.service.ts:496-503): customers with no 'P'-status order —
-    broadcast key set (built with a filtered read), filter inside
-    map_batches (semi/anti-join via broadcast keys — no shuffle)."""
+    crawltask.service.ts:496-503): customers with no 'P'-status order.
+
+    DEFAULT path: the distributed bucketed anti-join (stages/joins) —
+    both sides stay in the cluster, no driver key set, so the shape
+    holds when the key side is data-sized. ``broadcast=True`` is the
+    documented small-side fast path (key set collected + ``ray.put``,
+    ``pc.is_in`` inside map_batches — no shuffle) for when the key
+    cardinality is known-small (e.g. the reference's failed-item sets)."""
     p_orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
-    p_orders = p_orders.map_batches(
-        lambda t: t.filter(pc.equal(t["o_orderstatus"], "P")).select(["o_custkey"]),
-        batch_format="pyarrow")
-    keys_ref = ray.put(pa.array(sorted(p_orders.unique("o_custkey"))))
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
 
-    def anti(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        mask = pc.invert(pc.is_in(batch["c_custkey"], value_set=ks))
-        return batch.filter(mask)
+    if broadcast:
+        keys_ds = p_orders.map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderstatus"], "P")).select(["o_custkey"]),
+            batch_format="pyarrow")
+        keys_ref = ray.put(pa.array(sorted(keys_ds.unique("o_custkey"))))
 
-    return cust.map_batches(anti, batch_format="pyarrow")
+        def anti(batch: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            mask = pc.invert(pc.is_in(batch["c_custkey"], value_set=ks))
+            return batch.filter(mask)
+
+        return cust.map_batches(anti, batch_format="pyarrow")
+
+    from ..stages.joins import bucketed_anti_join
+    keys_ds = p_orders.map_batches(
+        lambda t: pa.table({"c_custkey": pc.unique(
+            t.filter(pc.equal(t["o_orderstatus"], "P"))["o_custkey"]
+            .combine_chunks())}),
+        batch_format="pyarrow")
+    return bucketed_anti_join(cust, keys_ds, on="c_custkey")
 
 
 def q_j2_bucketed_join_revenue(sf_dir: str, num_buckets: int = 64):
@@ -626,11 +616,14 @@ def q_q3_shipping_priority(sf_dir: str):
         ks = ray.get(ckeys_ref)
         m = pc.and_(pc.less(batch["o_orderdate"], cutoff),
                     pc.is_in(batch["o_custkey"], value_set=ks))
-        return batch.filter(m).select(["o_orderkey", "o_orderdate"])
+        return batch.filter(m).select(["o_orderkey"])
 
-    sel_orders = orders.map_batches(ord_filter, batch_format="pyarrow").to_pandas()
-    odate = dict(zip(sel_orders["o_orderkey"], sel_orders["o_orderdate"]))
-    okeys_ref = ray.put(pa.array(sorted(odate)))
+    # only the KEY LIST comes back for the broadcast build — never the
+    # (data-sized) selected-order rows; the winners' o_orderdate is
+    # fetched at the end with a 10-key filtered read
+    okeys_ref = ray.put(pa.array(sorted(
+        orders.map_batches(ord_filter, batch_format="pyarrow")
+        .unique("o_orderkey"))))
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_extendedprice", "l_discount",
@@ -663,6 +656,16 @@ def q_q3_shipping_priority(sf_dir: str):
     agg["revenue_e4"] = agg["revenue_e4"].astype("int64")
     agg = agg.sort_values(["revenue_e4", "l_orderkey"],
                           ascending=[False, True]).head(10)
+    # o_orderdate for the ≤10 winners only: predicate-pushdown read
+    # (row-group pruning) — the full selected-order set never leaves
+    # the cluster
+    import pyarrow.parquet as pq
+    win = pq.read_table(
+        f"{sf_dir.rstrip('/')}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+        filters=[("o_orderkey", "in", [int(k) for k in agg["l_orderkey"]])]
+    ).to_pandas()
+    odate = dict(zip(win["o_orderkey"], win["o_orderdate"]))
     agg["o_orderdate"] = agg["l_orderkey"].map(odate)
     return agg[["l_orderkey", "revenue_e4", "o_orderdate"]].reset_index(drop=True)
 
@@ -956,7 +959,9 @@ def q_union_names(sf_dir: str):
 def q_approx_distinct_users(sf_dir: str):
     """HLL distinct estimate (mergeable sketch per batch → tiny merge;
     rows-only check — approximate by construction). Returns the
-    estimate AND the exact count for audit."""
+    estimate AND the exact count for audit — the exact side runs the
+    distributed per-bucket distinct shape (q_g6), never a driver-side
+    ``ds.unique`` collect."""
     from ..functions.hashing import stable_hash64
     from ..functions.sketches import HyperLogLog
     ds = read_table(sf_dir, "events", columns=["user_id"])
@@ -971,7 +976,7 @@ def q_approx_distinct_users(sf_dir: str):
             batch_format="pyarrow"):
         for s in b["sketch"].to_pylist():
             merged.merge(HyperLogLog.from_state(s, p=12))
-    exact = len(ds.unique("user_id"))
+    exact = int(q_g6_distinct_users(sf_dir)["n_distinct_users"].iloc[0])
     return pd.DataFrame([{"approx_distinct": round(merged.estimate()),
                           "exact_distinct": exact}])
 

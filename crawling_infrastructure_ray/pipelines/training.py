@@ -313,21 +313,26 @@ def q_o4_multi_task_schedule(sf_dir: str):
     daemon.ts:220-241/308-391): two tasks under the absolute policy —
     the allocation log shows the low-priority task starved until the
     high-priority one finishes (rows-only: stateful scheduler)."""
-    import shutil
+    import tempfile
     from ..config import JobConfig
     from .scheduler import run_multi_task
-    out_root = f"/tmp/ci_ray_multi_{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(out_root, ignore_errors=True)
+    # unique per invocation: a fixed /tmp path keyed on sf_dir lets two
+    # concurrent runs delete each other's in-flight output
+    out_root = tempfile.mkdtemp(prefix="ci_ray_multi_")
     tasks = [
         (JobConfig(name="hi", priority=5, priority_policy="absolute"),
          [f"http://mt-hi.example/a{i}" for i in range(60)]),
         (JobConfig(name="lo", priority=2, priority_policy="absolute"),
          [f"http://mt-lo.example/b{i}" for i in range(30)]),
     ]
-    res = run_multi_task(tasks, seed=42, chunk_size=8,
-                         total_chunks_per_cycle=4, out_root=out_root)
-    return pd.DataFrame(res["alloc_log"],
-                        columns=["cycle", "task", "n_chunks"])
+    import shutil
+    try:
+        res = run_multi_task(tasks, seed=42, chunk_size=8,
+                             total_chunks_per_cycle=4, out_root=out_root)
+        return pd.DataFrame(res["alloc_log"],
+                            columns=["cycle", "task", "n_chunks"])
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
 
 
 def q_a3_warm_crawl(sf_dir: str):

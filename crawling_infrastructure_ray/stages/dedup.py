@@ -204,26 +204,19 @@ class MinHasher:
 
 
 def _tag_bucket_partition(num_parts: int):
-    """Batch fn: append ``part = mix64(band_hash, band_id) % num_parts``
+    """Batch fn: append ``part = hash(band_id, band_hash) % num_parts``
     — the coarse shuffle key that co-locates every row of an LSH bucket
     (same (band_id, band_hash)) in one partition while keeping the
     number of map_groups Python invocations at O(num_parts), not
     O(buckets). This is the partitioning assumption the distributed
-    pairing relies on: bucket → exactly one partition."""
-    def tag(batch: pa.Table) -> pa.Table:
-        bh = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bi = batch["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            key = bh * np.uint64(0x9E3779B97F4A7C15)
-            key ^= bi + np.uint64(0x517CC1B727220A95)
-            key ^= key >> np.uint64(29)
-        part = (key % np.uint64(num_parts)).astype(np.int64)
-        return batch.append_column("part", pa.array(part))
-    return tag
+    pairing relies on: bucket → exactly one partition. Delegates to
+    the engine's single vectorized tagger (functions/bucketing)."""
+    from ..functions.bucketing import tag_bucket_fn
+    return tag_bucket_fn(["band_id", "band_hash"], num_parts, "part")
 
 
 def lsh_candidate_pairs_ds(band_rows: rd.Dataset, *, num_parts: int = 64,
-                           max_bucket: int = 64) -> rd.Dataset:
+                           max_bucket: int | None = 64) -> rd.Dataset:
     """(band_id, band_hash) buckets with ≥2 docs → unordered candidate
     pairs, FULLY DISTRIBUTED.
 
@@ -238,22 +231,25 @@ def lsh_candidate_pairs_ds(band_rows: rd.Dataset, *, num_parts: int = 64,
     groupby over a few hundred pairs costs a whole extra shuffle
     (measured ~2s) for nothing. Buckets larger than ``max_bucket``
     are truncated (hot-bucket cap: bound the worst-case pairwise
-    work; at scale salt hot buckets, don't explode them).
+    work; at scale salt hot buckets, don't explode them);
+    ``max_bucket=None`` disables the cap (exact "shared ≥1 bucket"
+    semantics — the embedding path). Works for any hashable id dtype
+    (string doc ids, int vec ids).
     """
     def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
-        a_out, b_out = [], []
+        frames = []
         for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
             if len(grp) < 2:
                 continue
-            docs = sorted(set(grp["doc_id"]))[:max_bucket]
-            for i in range(len(docs)):
-                for j in range(i + 1, len(docs)):
-                    a_out.append(docs[i])
-                    b_out.append(docs[j])
-        return (pd.DataFrame({"a": a_out, "b": b_out})
-                .drop_duplicates() if a_out else
-                pd.DataFrame({"a": pd.Series([], dtype=object),
-                              "b": pd.Series([], dtype=object)}))
+            docs = np.array(sorted(set(grp["doc_id"])))[:max_bucket]
+            if len(docs) < 2:
+                continue
+            iu, ju = np.triu_indices(len(docs), k=1)
+            frames.append(pd.DataFrame({"a": docs[iu], "b": docs[ju]}))
+        if not frames:
+            return pd.DataFrame({"a": pd.Series([], dtype=g["doc_id"].dtype),
+                                 "b": pd.Series([], dtype=g["doc_id"].dtype)})
+        return pd.concat(frames, ignore_index=True).drop_duplicates()
 
     return (band_rows.map_batches(_tag_bucket_partition(num_parts),
                                   batch_format="pyarrow")
@@ -578,7 +574,11 @@ def embedding_near_dup_pairs(ds: rd.Dataset, *, threshold: float = 0.95,
     weights = (1 << np.arange(lsh_bits)).astype(np.int64)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        # one (band_id=table, band_hash=bucket) row per vector per table
+        # one (band_id=table, band_hash=bucket, id) row per vector per
+        # table — IDS ONLY: the vectors themselves are NOT replicated
+        # tables× through the shuffle (that would be a tables× exchange
+        # amplification at 100 TB); they are semi-joined into the
+        # verification buckets afterwards, once per needed pair bucket.
         pl = ray.get(planes_ref)
         mat = np.stack([np.asarray(v) for v in batch["nvec"].to_pylist()])
         n = mat.shape[0]
@@ -591,40 +591,90 @@ def embedding_near_dup_pairs(ds: rd.Dataset, *, threshold: float = 0.95,
         return pa.table({
             "band_id": pa.array(np.concatenate(tids)),
             "band_hash": pa.array(np.concatenate(keys), pa.uint64()),
-            id_column: pa.concat_arrays([batch[id_column].combine_chunks()] * reps),
-            "nvec": pa.concat_arrays([batch["nvec"].combine_chunks()] * reps)})
+            "doc_id": pa.concat_arrays(
+                [batch[id_column].combine_chunks()] * reps)})
 
-    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
-            if len(grp) < 2:
-                continue
-            gg = grp.drop_duplicates(id_column).sort_values(id_column)
-            if len(gg) < 2:
-                continue
-            ids = gg[id_column].to_numpy()
-            mat = np.stack(gg["nvec"].to_numpy())
-            sims = mat @ mat.T
-            iu, ju = np.triu_indices(len(ids), k=1)
-            mask = sims[iu, ju] >= threshold
-            if mask.any():
-                frames.append(pd.DataFrame({
-                    "a": ids[iu[mask]], "b": ids[ju[mask]],
-                    "cosine": np.round(sims[iu, ju][mask], 4)}))
-        if not frames:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "cosine": pd.Series([], dtype="float64")})
-        return pd.concat(frames, ignore_index=True).drop_duplicates(["a", "b"])
-
-    pdf = (norm_ds.map_batches(bucketize, batch_format="pyarrow")
-           .map_batches(_tag_bucket_partition(64), batch_format="pyarrow")
-           .groupby("part").map_groups(pairs_in_partition,
-                                       batch_format="pandas")
-           .to_pandas())
-    if pdf.empty:
+    bucket_rows = norm_ds.map_batches(bucketize, batch_format="pyarrow")
+    # distributed candidate pairing over id-only rows (the minhash
+    # shape); max_bucket=None — no hot-bucket truncation, so the pair
+    # set is exactly "shared ≥1 LSH bucket" (raise lsh_bits, not the
+    # cap, when buckets run hot at scale)
+    cands = (lsh_candidate_pairs_ds(bucket_rows, max_bucket=None)
+             .to_pandas().drop_duplicates(["a", "b"]))
+    if cands.empty:
         return pd.DataFrame({"a": [], "b": [], "cosine": []})
-    # same cosine regardless of which table found the pair —
-    # output-sized drop_duplicates instead of a Ray groupby shuffle
-    pdf = pdf.drop_duplicates(["a", "b"])
-    return pdf.sort_values(["a", "b"]).reset_index(drop=True)
+    return verify_cosine_ds(norm_ds, cands, threshold=threshold,
+                            id_column=id_column)
+
+
+def verify_cosine_ds(norm_ds: rd.Dataset, cand_pairs: pd.DataFrame, *,
+                     threshold: float, id_column: str = "vec_id",
+                     num_vbuckets: int = 64) -> pd.DataFrame:
+    """Exact-cosine verification of candidate id pairs, DISTRIBUTED —
+    the embedding twin of ``verify_jaccard_ds``: each pair is assigned
+    a verification bucket; the (normalized) vector table is
+    semi-join-filtered to candidate ids with a broadcast ``pc.is_in``
+    (O(pairs) driver memory) and each candidate vector is routed ONCE
+    to each bucket of the pairs that need it — exchange volume is
+    O(candidate-touched vectors), never O(corpus × tables)."""
+    pairs = cand_pairs.sort_values(["a", "b"]).reset_index(drop=True)
+    sch = norm_ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_column]
+    vb = np.fromiter(
+        (stable_hash64(f"{a}\x00{b}") % num_vbuckets
+         for a, b in zip(pairs["a"], pairs["b"])),
+        dtype=np.int64, count=len(pairs))
+    vec_vb: dict = {}
+    for a, b, v in zip(pairs["a"], pairs["b"], vb):
+        vec_vb.setdefault(a, []).append(int(v))
+        vec_vb.setdefault(b, []).append(int(v))
+    for d in vec_vb:
+        vec_vb[d] = sorted(set(vec_vb[d]))
+    cand_arr = pa.array(sorted(vec_vb), id_type)
+    route_ref = ray.put((cand_arr, vec_vb))
+
+    def vectors_to_buckets(batch: pa.Table) -> pa.Table:
+        arr, routes = ray.get(route_ref)
+        b = batch.filter(pc.is_in(batch[id_column], value_set=arr))
+        vbs, ids, vecs = [], [], []
+        for i, vec in zip(b[id_column].to_pylist(), b["nvec"].to_pylist()):
+            for v in routes.get(i, ()):
+                vbs.append(v)
+                ids.append(i)
+                vecs.append(vec)
+        return pa.table({"vbucket": pa.array(vbs, pa.int64()),
+                         "role": pa.array(["v"] * len(vbs), pa.string()),
+                         "a": pa.array(ids, id_type),
+                         "b": pa.array(ids, id_type),   # unused for role=v
+                         "nvec": pa.array(vecs, pa.list_(pa.float64()))})
+
+    vec_rows = norm_ds.map_batches(vectors_to_buckets, batch_format="pyarrow")
+    pair_rows = rd.from_arrow(pa.table({
+        "vbucket": pa.array(vb, pa.int64()),
+        "role": pa.array(["p"] * len(pairs), pa.string()),
+        "a": pa.array(pairs["a"], id_type),
+        "b": pa.array(pairs["b"], id_type),
+        "nvec": pa.array([[]] * len(pairs), pa.list_(pa.float64()))}))
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        vrows = g[g["role"] == "v"].drop_duplicates("a")
+        vecs = {i: np.asarray(v) for i, v in zip(vrows["a"], vrows["nvec"])}
+        p = g[g["role"] == "p"]
+        if p.empty:
+            return pd.DataFrame({"a": pd.Series([], dtype=vrows["a"].dtype),
+                                 "b": pd.Series([], dtype=vrows["a"].dtype),
+                                 "cosine": pd.Series([], dtype="float64")})
+        av = np.stack([vecs[x] for x in p["a"]])
+        bv = np.stack([vecs[x] for x in p["b"]])
+        sims = np.einsum("ij,ij->i", av, bv)
+        mask = sims >= threshold
+        return pd.DataFrame({"a": p["a"].to_numpy()[mask],
+                             "b": p["b"].to_numpy()[mask],
+                             "cosine": np.round(sims[mask], 4)})
+
+    out = (vec_rows.union(pair_rows)
+           .groupby("vbucket").map_groups(verify_group, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"a": [], "b": [], "cosine": []})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -12,10 +12,38 @@ key sets.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+
+from ..functions.bucketing import tag_bucket_fn
+
+
+def _tagged_union(data: rd.Dataset, keys: rd.Dataset, on: str,
+                  num_buckets: int) -> rd.Dataset:
+    """Shared front half of the bucketed semi/anti joins: tag both
+    sides with the engine's vectorized bucket tagger
+    (functions/bucketing — dictionary-encoded string hashing, no
+    per-row Python), pad the key side to the data schema with nulls,
+    and union into ONE shuffle stream keyed on ``jbucket``."""
+    schema = data.schema()
+    names, types = list(schema.names), list(schema.types)
+    tag = tag_bucket_fn([on], num_buckets, "jbucket")
+
+    def tag_data(t: pa.Table) -> pa.Table:
+        return tag(t).append_column("is_key", pa.array([False] * t.num_rows))
+
+    def tag_keys(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for name, typ in zip(names, types):
+            cols[name] = t[on] if name == on else pa.nulls(n, typ)
+        out = tag(pa.table(cols))
+        return out.append_column("is_key", pa.array([True] * n))
+
+    return (data.map_batches(tag_data, batch_format="pyarrow")
+            .union(keys.map_batches(tag_keys, batch_format="pyarrow")))
+
 
 def bucketed_semi_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,
                         num_buckets: int = 64) -> rd.Dataset:
@@ -29,31 +57,7 @@ def bucketed_semi_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,
     zero driver-side key sets — the portable semi-join shape for
     data-sized key sets (same family as q_j2's bucketed hash join).
     """
-    from ..functions.hashing import stable_hash64
-    schema = data.schema()
-    names, types = list(schema.names), list(schema.types)
-
-    def tag_data(t: pa.Table) -> pa.Table:
-        b = np.fromiter((stable_hash64(str(x)) % num_buckets
-                         for x in t[on].to_pylist()),
-                        dtype=np.int64, count=t.num_rows)
-        return (t.append_column("jbucket", pa.array(b))
-                .append_column("is_key", pa.array([False] * t.num_rows)))
-
-    def tag_keys(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        b = np.fromiter((stable_hash64(str(x)) % num_buckets
-                         for x in t[on].to_pylist()),
-                        dtype=np.int64, count=n)
-        cols = {}
-        for name, typ in zip(names, types):
-            cols[name] = t[on] if name == on else pa.nulls(n, typ)
-        cols["jbucket"] = pa.array(b)
-        cols["is_key"] = pa.array([True] * n)
-        return pa.table(cols)
-
-    both = (data.map_batches(tag_data, batch_format="pyarrow")
-            .union(keys.map_batches(tag_keys, batch_format="pyarrow")))
+    both = _tagged_union(data, keys, on, num_buckets)
 
     def semi(g: pd.DataFrame) -> pd.DataFrame:
         ks = set(g.loc[g["is_key"], on])
@@ -69,31 +73,7 @@ def bucketed_anti_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,
     does NOT appear in ``keys`` — same bucketed shape as
     ``bucketed_semi_join`` with the membership inverted (the J4
     truly-failed-audit shape at data-sized key cardinality)."""
-    from ..functions.hashing import stable_hash64
-    schema = data.schema()
-    names, types = list(schema.names), list(schema.types)
-
-    def tag_data(t: pa.Table) -> pa.Table:
-        b = np.fromiter((stable_hash64(str(x)) % num_buckets
-                         for x in t[on].to_pylist()),
-                        dtype=np.int64, count=t.num_rows)
-        return (t.append_column("jbucket", pa.array(b))
-                .append_column("is_key", pa.array([False] * t.num_rows)))
-
-    def tag_keys(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        b = np.fromiter((stable_hash64(str(x)) % num_buckets
-                         for x in t[on].to_pylist()),
-                        dtype=np.int64, count=n)
-        cols = {}
-        for name, typ in zip(names, types):
-            cols[name] = t[on] if name == on else pa.nulls(n, typ)
-        cols["jbucket"] = pa.array(b)
-        cols["is_key"] = pa.array([True] * n)
-        return pa.table(cols)
-
-    both = (data.map_batches(tag_data, batch_format="pyarrow")
-            .union(keys.map_batches(tag_keys, batch_format="pyarrow")))
+    both = _tagged_union(data, keys, on, num_buckets)
 
     def anti(g: pd.DataFrame) -> pd.DataFrame:
         ks = set(g.loc[g["is_key"], on])
@@ -107,7 +87,11 @@ def union_find_components(pairs) -> dict:
     """Connected components over an edge list (path-halving union-find;
     public algorithm). ``pairs`` is an iterable of (a, b). Returns
     node → root. Driver-side by design: the edge list is the OUTPUT of
-    an LSH pairing pipeline, i.e. output-sized, not corpus-sized."""
+    an LSH pairing pipeline, i.e. output-sized, not corpus-sized.
+
+    Keep-first contract: each component's representative is its
+    SMALLEST id under the ids' native ordering, so all ids must be
+    mutually comparable (all str or all int — mixing raises)."""
     parent: dict = {}
 
     def find(x):
@@ -121,7 +105,8 @@ def union_find_components(pairs) -> dict:
     for a, b in pairs:
         ra, rb = find(a), find(b)
         if ra != rb:
-            # deterministic root: smaller id wins (keep-first semantics)
-            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            # deterministic root: smaller id wins (keep-first semantics,
+            # native ordering — 2 beats 10 for ints)
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
             parent[hi] = lo
     return {x: find(x) for x in list(parent)}
