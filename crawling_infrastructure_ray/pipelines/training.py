@@ -35,6 +35,28 @@ def q_dedup_exact(sf_dir: str):
     return dd.exact_dedup_groups(ds)
 
 
+def q_dedup_exact_remove(sf_dir: str):
+    """Exact-dedup REMOVAL end to end, ORACLE-CHECKED: content-hash
+    groups (distributed partial combine → groupby Min) pick the
+    smallest doc_id per content, then the corpus is filtered through
+    the DISTRIBUTED bucketed semi-join (stages/joins) — the same
+    keep-set removal shape the rows-only minhash_remove pipeline uses,
+    here with a DuckDB twin so the driver hash-gates it."""
+    from ..stages.joins import bucketed_semi_join
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    groups = dd.exact_dedup_groups(
+        ds.map_batches(lambda t: t.select(["doc_id", "text"]),
+                       batch_format="pyarrow"))
+    keys = groups.map_batches(
+        lambda t: pa.table({"doc_id": t["keep_doc_id"]}),
+        batch_format="pyarrow")
+    kept = bucketed_semi_join(
+        ds.map_batches(lambda t: t.select(["doc_id", "n_chars"]),
+                       batch_format="pyarrow"),
+        keys, on="doc_id")
+    return kept
+
+
 def q_dedup_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup verified pairs (rows-only check)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -120,7 +142,9 @@ def q_text_quality(sf_dir: str):
 
 
 def q_text_langid(sf_dir: str):
-    """Language-ID heuristic (rows-only — model scoring)."""
+    """Language-ID heuristic — oracle-SQL-checked: integer hit-count
+    argmax + floor-1e4 score make the model scoring expressible as a
+    DuckDB list_filter/greatest query (ORACLE_SQL_TRAINING)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(langid_batch, batch_format="pyarrow")
 
@@ -406,6 +430,9 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "dedup_exact":
         "SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, "
         "count(*) AS n_dups FROM documents GROUP BY md5(text)",
+    "dedup_exact_remove":
+        "SELECT doc_id, n_chars FROM documents WHERE doc_id IN "
+        "(SELECT min(doc_id) FROM documents GROUP BY md5(text))",
     "text_token_count":
         "SELECT doc_id, length(string_split_regex(trim(text), '\\s+')) AS n_tokens "
         "FROM documents",
@@ -416,6 +443,31 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
         "// length(string_split(text, ' ')) AS BIGINT) AS avg_token_len_e3, "
         "CAST((length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 10000) "
         "// length(text) AS BIGINT) AS punct_ratio_e4 FROM documents",
+    # mirrors langid_batch exactly: shared-denominator integer hit-count
+    # argmax (ties first-wins in en>es>de>fr order), CJK short-circuit
+    # over the first 200 chars, floor-1e4 integer score
+    "text_langid":
+        "WITH t AS (SELECT doc_id, "
+        "string_split_regex(trim(lower(coalesce(text,''))), '\\s+') AS toks, "
+        "trim(lower(coalesce(text,''))) = '' AS empty, "
+        "regexp_matches(substr(lower(coalesce(text,'')), 1, 200), '[一-鿿]') AS cjk "
+        "FROM documents), "
+        "h AS (SELECT doc_id, cjk, "
+        "CASE WHEN empty THEN 0 ELSE len(toks) END AS n, "
+        "len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS h_en, "
+        "len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','los','por'))) AS h_es, "
+        "len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','den','ein','zu'))) AS h_de, "
+        "len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une','est','dans'))) AS h_fr "
+        "FROM t) "
+        "SELECT doc_id, "
+        "CASE WHEN cjk THEN 'zh' "
+        "WHEN n = 0 OR greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und' "
+        "WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en' "
+        "WHEN h_es >= h_de AND h_es >= h_fr THEN 'es' "
+        "WHEN h_de >= h_fr THEN 'de' ELSE 'fr' END AS lang_pred, "
+        "CAST(CASE WHEN cjk THEN 10000 WHEN n = 0 THEN 0 "
+        "ELSE (greatest(h_en, h_es, h_de, h_fr) * 10000) // n END AS BIGINT) "
+        "AS lang_score_e4 FROM h",
     "ann_brute_topk":
         "WITH sims AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
         "list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim "

@@ -10,6 +10,15 @@ All are vectorized ``map_batches`` bodies over the ``documents``
 table's ``text`` column; the language model (stopword sets, compiled
 regexes) is module-level state compiled once per worker process —
 or use the ``TextAnalyzer`` class form as an actor pool.
+
+Tokenization contract (INTENDED, documented): counting/splitting uses
+Arrow RE2 kernels, whose ``\\s``/``\\w`` classes are ASCII-only —
+non-ASCII whitespace/word chars are treated as ordinary characters.
+This is a deliberate engine-wide choice: it keeps the Ray kernels, the
+DuckDB oracle SQL (also RE2), and the sequential Python goldens
+byte-identical on the same input, which is what the correctness gate
+hashes. A Unicode-aware tokenizer would be a different operator, not a
+fix to this one.
 """
 
 from __future__ import annotations
@@ -22,7 +31,11 @@ import pyarrow.compute as pc
 
 from ..functions.hashing import rolling_fingerprint
 
-_WS_RE = re.compile(r"\s+")   # langid tokenization (per-row model scoring)
+# langid tokenization (per-row model scoring). ASCII whitespace class
+# spelled out so Python matches RE2's ASCII-only \s (see module note) —
+# a bare Python r"\s+" would be Unicode-aware and diverge from the
+# DuckDB oracle on non-ASCII whitespace
+_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
 # token/quality counting uses Arrow RE2 kernels (count_substring_regex)
 # — the BPE-ish pattern ("[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+", the GPT-2
 # pre-tokenizer family, public) and the punct class live inline there
@@ -85,10 +98,17 @@ def quality_score_batch(batch: pa.Table, column: str = "text") -> pa.Table:
 
 
 def langid_batch(batch: pa.Table, column: str = "text") -> pa.Table:
-    """(doc_id, lang_pred, lang_score) — stopword-hit n-gram heuristic.
+    """(doc_id, lang_pred, lang_score_e4) — stopword-hit heuristic.
 
-    Scores each language by stopword hit-rate; CJK detection by
-    codepoint range. Deterministic; 'und' when no evidence.
+    Scores each language by stopword hit count over the shared token
+    count (same denominator, so the argmax is over INTEGER hit counts
+    — ties break in dict order en>es>de>fr, first-wins); CJK detection
+    by codepoint range over the first 200 chars. Deterministic; 'und'
+    when no evidence. ``lang_score_e4`` = floor(10000 * best hit-rate)
+    in exact integer 1e-4 units (cross-engine float rounding at binary
+    midpoints is non-deterministic — the engine-wide convention), which
+    is what makes this query oracle-SQL-checkable (DuckDB twin in
+    pipelines/training.ORACLE_SQL_TRAINING).
     """
     texts = batch[column].to_pylist()
     preds, scores = [], []
@@ -96,20 +116,19 @@ def langid_batch(batch: pa.Table, column: str = "text") -> pa.Table:
         t = (t or "").lower()
         if any("一" <= c <= "鿿" for c in t[:200]):
             preds.append("zh")
-            scores.append(1.0)
+            scores.append(10000)
             continue
         toks = _WS_RE.split(t.strip()) if t.strip() else []
-        best_lang, best = "und", 0.0
+        best_lang, best = "und", 0
         for lang, sw in _STOPWORDS.items():
             hits = sum(1 for w in toks if w in sw)
-            rate = hits / len(toks) if toks else 0.0
-            if rate > best:
-                best_lang, best = lang, rate
-        preds.append(best_lang if best > 0.0 else "und")
-        scores.append(round(best, 4))
+            if hits > best:
+                best_lang, best = lang, hits
+        preds.append(best_lang if best > 0 else "und")
+        scores.append((best * 10000) // len(toks) if toks else 0)
     return pa.table({"doc_id": batch["doc_id"],
                      "lang_pred": pa.array(preds, pa.string()),
-                     "lang_score": pa.array(scores, pa.float64())})
+                     "lang_score_e4": pa.array(scores, pa.int64())})
 
 
 def fingerprint_batch(batch: pa.Table, column: str = "text",

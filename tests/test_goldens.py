@@ -26,24 +26,26 @@ def test_golden_text_langid(ray_session, docs_pdf):
     out = (q_text_langid(SF).to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
 
-    # sequential oracle: stopword hit-rate argmax, CJK short-circuit
+    # sequential oracle: stopword hit-count argmax (shared denominator),
+    # CJK short-circuit, floor-1e4 integer score
     def oracle(t):
         t = (t or "").lower()
         if any("一" <= c <= "鿿" for c in t[:200]):
-            return "zh", 1.0
+            return "zh", 10000
         toks = t.split()
-        best_lang, best = "und", 0.0
+        best_lang, best = "und", 0
         for lang, sw in _STOPWORDS.items():
-            rate = (sum(1 for w in toks if w in sw) / len(toks)) if toks else 0.0
-            if rate > best:
-                best_lang, best = lang, rate
-        return (best_lang if best > 0 else "und"), round(best, 4)
+            hits = sum(1 for w in toks if w in sw)
+            if hits > best:
+                best_lang, best = lang, hits
+        return (best_lang if best > 0 else "und"), \
+            (best * 10000) // len(toks) if toks else 0
 
     g = docs_pdf.sort_values("doc_id").reset_index(drop=True)
     want = [oracle(t) for t in g["text"]]
     assert out["doc_id"].tolist() == g["doc_id"].tolist()
     assert out["lang_pred"].tolist() == [w[0] for w in want]
-    assert out["lang_score"].tolist() == [w[1] for w in want]
+    assert out["lang_score_e4"].tolist() == [w[1] for w in want]
 
 
 def test_golden_text_fingerprint(ray_session, docs_pdf):
