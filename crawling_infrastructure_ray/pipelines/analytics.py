@@ -479,6 +479,11 @@ def q_j2_bucketed_join_revenue(sf_dir: str, num_buckets: int = 64):
 
     both = li_t.map_batches(widen_l, batch_format="pyarrow").union(
         o_t.map_batches(widen_o, batch_format="pyarrow"))
+    # consolidate the two sides' many small blocks before the sort-based
+    # groupby: Ray's sort pays per-block overhead, and 32 consolidated
+    # partitions measured ~1.7x faster end-to-end than feeding the raw
+    # union (same trick as _merge_partials_ray); same all-to-all volume
+    both = both.repartition(32)
 
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
         left = group[group["side"] == "l"][["key", "revenue_e4", "n_lines"]]

@@ -251,8 +251,12 @@ def lsh_candidate_pairs_ds(band_rows: rd.Dataset, *, num_parts: int = 64,
                                  "b": pd.Series([], dtype=g["doc_id"].dtype)})
         return pd.concat(frames, ignore_index=True).drop_duplicates()
 
+    # consolidate the actor pool's many small band-row blocks before
+    # the sort-based groupby (per-block sort overhead dominates at
+    # small batch_size; same trick as analytics._merge_partials_ray)
     return (band_rows.map_batches(_tag_bucket_partition(num_parts),
                                   batch_format="pyarrow")
+            .repartition(32)
             .groupby("part").map_groups(pairs_in_partition,
                                         batch_format="pandas"))
 
@@ -337,6 +341,7 @@ def verify_jaccard_ds(ds: rd.Dataset, cand_pairs: pd.DataFrame, *,
         return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
 
     out = (text_rows.union(pair_rows)
+           .repartition(32)   # consolidate before the sort-based groupby
            .groupby("vbucket").map_groups(verify_group, batch_format="pandas")
            .to_pandas())
     if out.empty:
@@ -514,6 +519,7 @@ def simhash_near_pairs(ds: rd.Dataset, *, seed: int = 42, max_hamming: int = 3,
 
     pdf = (blocks.map_batches(_tag_bucket_partition(64),
                               batch_format="pyarrow")
+           .repartition(32)   # consolidate before the sort-based groupby
            .groupby("part").map_groups(pairs_in_partition,
                                        batch_format="pandas")
            .to_pandas())
@@ -673,6 +679,7 @@ def verify_cosine_ds(norm_ds: rd.Dataset, cand_pairs: pd.DataFrame, *,
                              "cosine": np.round(sims[mask], 4)})
 
     out = (vec_rows.union(pair_rows)
+           .repartition(32)   # consolidate before the sort-based groupby
            .groupby("vbucket").map_groups(verify_group, batch_format="pandas")
            .to_pandas())
     if out.empty:

@@ -41,8 +41,12 @@ def _tagged_union(data: rd.Dataset, keys: rd.Dataset, on: str,
         out = tag(pa.table(cols))
         return out.append_column("is_key", pa.array([True] * n))
 
+    # consolidate before the sort-based groupby: Ray's sort pays
+    # per-block overhead and the union of two map stages yields many
+    # small blocks (measured ~1.7x on the j2-shaped join at sf0.1)
     return (data.map_batches(tag_data, batch_format="pyarrow")
-            .union(keys.map_batches(tag_keys, batch_format="pyarrow")))
+            .union(keys.map_batches(tag_keys, batch_format="pyarrow"))
+            .repartition(32))
 
 
 def bucketed_semi_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""sf1-scale oracle sweep (VERDICT r02 item 9): run every
+oracle-SQL-checked query through BOTH the Ray engine and DuckDB over
+an sf1-scale synthetic table set (tools/make_sf.py) and compare —
+proving the bucketed/combined shapes hold an order of magnitude above
+the driver's sf0.1 bench data.
+
+Usage: python tools/sf1_gate.py [out_dir] [scale]
+Prints one JSON line; non-zero exit on any mismatch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df):
+    import pandas as pd
+    df = pd.DataFrame(df)
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]) and df[c].abs().max() < 1e9:
+            df[c] = df[c].round(6)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    scale = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+
+    if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
+        from tools.make_sf import make_tables
+        t0 = time.perf_counter()
+        counts = make_tables(out_dir, scale)
+        print(f"generated {counts} in {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+
+    import ray
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import duckdb
+    import pandas as pd
+    import __ray_entry__ as em
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{out_dir}/{t}.parquet')")
+
+    qs, sqls = em.queries(), em.oracle_sql()
+    results, failed = {}, []
+    for name in [k for k in qs if k in sqls]:
+        t0 = time.perf_counter()
+        try:
+            res = qs[name](out_dir)
+            if hasattr(res, "to_pandas"):
+                res = res.to_pandas()
+            got = norm(pd.DataFrame(res))
+            ray_sec = round(time.perf_counter() - t0, 2)
+            t1 = time.perf_counter()
+            want = norm(con.execute(sqls[name]).fetchdf())
+            duck_sec = round(time.perf_counter() - t1, 2)
+            ok = list(got.columns) == list(want.columns) and len(got) == len(want)
+            if ok:
+                try:
+                    pd.testing.assert_frame_equal(
+                        got, want, check_dtype=False, check_exact=False,
+                        rtol=0, atol=1e-9)
+                except AssertionError:
+                    ok = False
+            results[name] = {"ok": ok, "rows": len(got),
+                             "ray_sec": ray_sec, "duck_sec": duck_sec}
+            if not ok:
+                failed.append(name)
+            print(f"{name}: {'OK' if ok else 'MISMATCH'} rows={len(got)} "
+                  f"ray={ray_sec}s duck={duck_sec}s", file=sys.stderr)
+        except Exception as ex:
+            results[name] = {"ok": False, "err": f"{type(ex).__name__}: {ex}"}
+            failed.append(name)
+            print(f"{name}: ERROR {ex}", file=sys.stderr)
+    ray.shutdown()
+    n_ok = sum(1 for v in results.values() if v.get("ok"))
+    print(json.dumps({"metric": "sf1_gate", "scale": scale,
+                      "checked": len(results), "ok": n_ok,
+                      "failed": failed, "results": results}))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
