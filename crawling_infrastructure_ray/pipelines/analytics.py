@@ -35,7 +35,6 @@ from ray.data.aggregate import Count, Max, Min, Sum
 # stages/joins and stages/dedup so the bucket invariant and the
 # no-per-row-Python rule are enforced in one place
 from ..functions.bucketing import tag_bucket_fn as _tag_bucket
-from ..functions.scalars import round_half_away
 from ..sources.readers import read_table
 from ..stages.html import clean_html_string
 
@@ -151,22 +150,31 @@ def q_g4_fleet_stats(sf_dir: str):
     driver), then a vectorized per-batch finisher for the averages."""
     ds = read_table(sf_dir, "events", columns=["user_id", "value"])
 
+    # exact-integer units (repo convention, README "why the hashes
+    # hold"): per-row cents are exact for the 2-decimal value column,
+    # integer sums are associative, and the half-away average is pure
+    # integer arithmetic — no float-sum order sensitivity, so the
+    # reduce is bit-identical to DuckDB on ANY data, not just data
+    # whose averages dodge the .0005 rounding midpoints
     def partial(batch: pa.Table) -> pa.Table:
-        g = batch.select(["user_id", "value"]).group_by("user_id").aggregate(
-            [("value", "count"), ("value", "sum")])
-        return g.rename_columns(["user_id", "n_events", "sum_value"])
+        v_c = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        t = pa.table({"user_id": batch["user_id"], "v_c": v_c})
+        g = t.group_by("user_id").aggregate([("v_c", "count"), ("v_c", "sum")])
+        return g.rename_columns(["user_id", "n_events", "sum_value_c"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    merged = _merge_partials_ray(partials, ["user_id"], ["n_events", "sum_value"])
+    merged = _merge_partials_ray(partials, ["user_id"],
+                                 ["n_events", "sum_value_c"])
 
     def finish(batch: pa.Table) -> pa.Table:
-        s = batch["sum_value"].to_numpy(zero_copy_only=False)
+        s = batch["sum_value_c"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = batch["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # avg_value_e3 = round-half-away(1000 * (s/100) / n), in integers
         return pa.table({
             "user_id": batch["user_id"],
             "n_events": pa.array(n, pa.int64()),
-            "sum_value": pa.array(round_half_away(s, 3), pa.float64()),
-            "avg_value": pa.array(round_half_away(s / n, 3), pa.float64())})
+            "sum_value_c": pa.array(s, pa.int64()),
+            "avg_value_e3": pa.array((20 * s + n) // (2 * n), pa.int64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
 
@@ -176,15 +184,21 @@ def q_g5_avg_rate(sf_dir: str):
     mean value per type."""
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
 
+    # exact-integer cents (see q_g4_fleet_stats): integer sums +
+    # integer half-away average — order-insensitive, hash-stable
     def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by("event_type").aggregate(
-            [("value", "sum"), ("value", "count")])
-        return g.rename_columns(["event_type", "sum_v", "n_v"])
+        v_c = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "v_c": v_c})
+        g = t.group_by("event_type").aggregate(
+            [("v_c", "sum"), ("v_c", "count")])
+        return g.rename_columns(["event_type", "sum_c", "n_v"])
 
     df = _merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
-                         ["event_type"], ["sum_v", "n_v"])
-    df["avg_value"] = round_half_away(df["sum_v"] / df["n_v"], 3)
-    return df[["event_type", "avg_value"]]
+                         ["event_type"], ["sum_c", "n_v"])
+    s = df["sum_c"].to_numpy().astype(np.int64)
+    n = df["n_v"].to_numpy().astype(np.int64)
+    df["avg_value_e3"] = (20 * s + n) // (2 * n)
+    return df[["event_type", "avg_value_e3"]]
 
 
 def q_g6_distinct_users(sf_dir: str):
@@ -337,15 +351,16 @@ def q_o7_latency_stats(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
 
     def stats(g: pd.DataFrame) -> pd.DataFrame:
-        # canonical order before the float mean: group row order follows
-        # block arrival and float addition is order-sensitive (same
-        # convention as _merge_partials/_merge_partials_ray); sorting
-        # also feeds the exact order-statistic quantiles directly
+        # sorted values feed the exact order-statistic quantiles; the
+        # mean is exact-integer cents (see q_g4_fleet_stats) so it is
+        # order-insensitive and bit-identical to DuckDB on any data
         v = np.sort(g["value"].to_numpy())
+        s_c = np.round(v * 100.0).astype(np.int64).sum()
+        n = np.int64(v.size)
         return pd.DataFrame([{
             "event_type": g["event_type"].iloc[0],
-            "n_lat": np.int64(v.size),
-            "avg_value": float(round_half_away(v.mean(), 3)),
+            "n_lat": n,
+            "avg_value_e3": np.int64((20 * s_c + n) // (2 * n)),
             "p50_value": float(np.quantile(v, 0.5, method="inverted_cdf")),
             "p95_value": float(np.quantile(v, 0.95, method="inverted_cdf")),
             "max_value": float(v.max())}])
@@ -827,26 +842,29 @@ def q_events_hourly_window(sf_dir: str):
     partial per-batch combine, small final groupby."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
+    # exact-integer cents (see q_g4_fleet_stats): the partial sums are
+    # integers, so the two-level reduce is order-insensitive
     def partial(batch: pa.Table) -> pa.Table:
         win = pc.floor_temporal(batch["ts"], unit="hour")
+        v_c = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
         t = pa.table({"user_id": batch["user_id"], "window_start": win,
-                      "value": batch["value"]})
+                      "v_c": v_c})
         g = t.group_by(["user_id", "window_start"]).aggregate(
-            [("value", "count"), ("value", "sum")])
-        return g.rename_columns(["user_id", "window_start", "n_events", "sum_value"])
+            [("v_c", "count"), ("v_c", "sum")])
+        return g.rename_columns(["user_id", "window_start", "n_events",
+                                 "sum_value_c"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     # (user x hour) is a data-sized key set → final reduce in Ray
     merged = _merge_partials_ray(partials, ["user_id", "window_start"],
-                                 ["n_events", "sum_value"])
+                                 ["n_events", "sum_value_c"])
 
     def finish(batch: pa.Table) -> pa.Table:
-        s = batch["sum_value"].to_numpy(zero_copy_only=False)
         return pa.table({
             "user_id": batch["user_id"],
             "window_start": batch["window_start"],
             "n_events": pc.cast(batch["n_events"], pa.int64()),
-            "sum_value": pa.array(round_half_away(s, 3), pa.float64())})
+            "sum_value_c": pc.cast(batch["sum_value_c"], pa.int64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
 
@@ -1010,10 +1028,16 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT event_type, count(*) AS n_recent FROM events "
         "WHERE ts >= TIMESTAMP '2024-01-24 00:00:00' GROUP BY event_type",
     "g4_fleet_stats":
-        "SELECT user_id, count(*) AS n_events, round(sum(value), 3) AS sum_value, "
-        "round(sum(value) / count(*), 3) AS avg_value FROM events GROUP BY user_id",
+        "WITH c AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v_c "
+        "FROM events) SELECT user_id, count(*) AS n_events, "
+        "CAST(sum(v_c) AS BIGINT) AS sum_value_c, "
+        "CAST((20 * sum(v_c) + count(*)) // (2 * count(*)) AS BIGINT) "
+        "AS avg_value_e3 FROM c GROUP BY user_id",
     "g5_avg_rate":
-        "SELECT event_type, round(avg(value), 3) AS avg_value FROM events GROUP BY event_type",
+        "WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c "
+        "FROM events) SELECT event_type, "
+        "CAST((20 * sum(v_c) + count(*)) // (2 * count(*)) AS BIGINT) "
+        "AS avg_value_e3 FROM c GROUP BY event_type",
     "g6_distinct_users":
         "SELECT count(DISTINCT user_id) AS n_distinct_users FROM events",
     "g7_host_counts":
@@ -1034,7 +1058,9 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT l_partkey, count(*) AS n_lines FROM lineitem GROUP BY l_partkey "
         "ORDER BY n_lines DESC, l_partkey LIMIT 35",
     "o7_latency_stats":
-        "SELECT event_type, count(*) AS n_lat, round(avg(value), 3) AS avg_value, "
+        "SELECT event_type, count(*) AS n_lat, "
+        "CAST((20 * sum(CAST(round(value * 100) AS BIGINT)) + count(*)) "
+        "// (2 * count(*)) AS BIGINT) AS avg_value_e3, "
         "quantile_disc(value, 0.5) AS p50_value, "
         "quantile_disc(value, 0.95) AS p95_value, max(value) AS max_value "
         "FROM events GROUP BY event_type",
@@ -1108,7 +1134,8 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events",
     "events_hourly_window":
         "SELECT user_id, date_trunc('hour', ts) AS window_start, count(*) AS n_events, "
-        "round(sum(value), 3) AS sum_value FROM events GROUP BY user_id, date_trunc('hour', ts)",
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c "
+        "FROM events GROUP BY user_id, date_trunc('hour', ts)",
     "events_session_window":
         "WITH g AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
         "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
