@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": qt.q_text_quality,
         "text_langid": qt.q_text_langid,
         "ann_brute_topk": qt.q_ann_brute_topk,
+        # M8 randomizer draw, mirrored bit-for-bit in SQL (r03)
+        "m8_randomizers": qt.q_m8_randomizers,
         # ---- rows-only: engine surfaces with no r02 driver row ----
         # crawl engine (frontier semantics)
         "crawl_documents": qt.q_crawl_documents,
@@ -97,7 +99,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_spans": qt.q_media_spans,
         "media_ann_topk": qt.q_media_ann_topk,
         "k7_sample_export": qt.q_k7_sample_export,
-        "m8_randomizers": qt.q_m8_randomizers,
         "a3_warm_crawl": qt.q_a3_warm_crawl,
         "o4_multi_task_schedule": qt.q_o4_multi_task_schedule,
         # ---- rows-only: r02-graded + golden-pinned (test_goldens) ----

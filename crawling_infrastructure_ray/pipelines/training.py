@@ -296,19 +296,25 @@ def q_k7_sample_export(sf_dir: str):
 
 def q_m8_randomizers(sf_dir: str):
     """M8 UA/accept-language/viewport randomizer columns
-    (crawler/src/helpers.ts:28-59) over a deterministic seed list —
-    per-URL hash draws replace the reference's unseeded randomness
-    (rows-only: hash-derived, not SQL-expressible)."""
+    (crawler/src/helpers.ts:28-59) over the documents-derived URL
+    universe (same construction as m5's oracle) — per-URL hash draws
+    replace the reference's unseeded randomness. ORACLE-CHECKED: the
+    FNV-1a + splitmix64 draw is mirrored bit-for-bit in DuckDB (a
+    recursive CTE over the URL bytes with HUGEINT mod-2^64 arithmetic
+    — see _m8_oracle_sql), so the hash gate verifies every row's draw
+    independently of Ray's batching."""
     from ..functions.randomizers import randomize_batch
-    import ray.data as rd
-    seeds = make_seed_urls(500, seed=42)
-    ds = rd.from_arrow(seeds.select(["url"]))
-    out = ds.map_batches(randomize_batch, fn_kwargs={"seed": 42},
-                         batch_format="pyarrow")
-    return out.map_batches(
-        lambda t: t.select(["url", "user_agent", "accept_language",
-                            "viewport_w", "viewport_h"]),
-        batch_format="pyarrow")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        urls = [f"http://{s}.example/d{d}"
+                for d, s in zip(batch["doc_id"].to_pylist(),
+                                batch["source"].to_pylist())]
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    return (ds.map_batches(build, batch_format="pyarrow")
+            .map_batches(randomize_batch, fn_kwargs={"seed": 42},
+                         batch_format="pyarrow"))
 
 
 def q_crawl_wave_stats(sf_dir: str):
@@ -426,7 +432,85 @@ def q_media_ann_topk(sf_dir: str):
                                id_column="media_ref", column="features")
 
 
+def _m8_oracle_sql() -> str:
+    """DuckDB twin of randomize_batch: recompute stable_hash64
+    (FNV-1a over utf-8 bytes + splitmix64 finalizer, hashing.py:23-35)
+    per URL for the three salted seeds, entirely in SQL.
+
+    64-bit wrapping arithmetic is expressed as HUGEINT products
+    reduced mod 2^64; the two finalizer constants exceed 2^63 so their
+    products are decomposed into 32-bit halves (a*c mod 2^64 =
+    (a*c_lo mod 2^64 + (a*c_hi mod 2^32)<<32) mod 2^64 — every
+    intermediate fits HUGEINT). The recursive CTE walks the URL bytes
+    (ASCII by construction) carrying one hash column per salt."""
+    from ..functions.randomizers import (ACCEPT_LANGUAGES, USER_AGENTS,
+                                         VIEWPORTS, _LANG_SALT, _UA_SALT,
+                                         _VP_SALT)
+    M64 = 1 << 64
+    FNV_OFF, FNV_P = 0xcbf29ce484222325, 0x100000001b3
+    GOLD = 0x9E3779B97F4A7C15
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    SEED = 42
+
+    def mul(a: str, c: int) -> str:
+        if c < (1 << 63):  # product of two <2^64 x <2^63 fits HUGEINT
+            return f"CAST((CAST({a} AS HUGEINT) * {c}) % {M64} AS UBIGINT)"
+        chi, clo = c >> 32, c & 0xFFFFFFFF
+        return (f"CAST(((CAST({a} AS HUGEINT) * {clo}) % {M64} + "
+                f"((CAST({a} AS HUGEINT) * {chi}) % {1 << 32}) * {1 << 32}) "
+                f"% {M64} AS UBIGINT)")
+
+    def mix(col: str) -> list[str]:
+        return [
+            f"CAST((CAST({col} AS HUGEINT) + {GOLD}) % {M64} AS UBIGINT)",
+            f"xor({col}, {col} >> 30)",
+            mul(col, C1),
+            f"xor({col}, {col} >> 27)",
+            mul(col, C2),
+            f"xor({col}, {col} >> 31)",
+        ]
+
+    def lst(values) -> str:
+        inner = ", ".join("'" + str(v).replace("'", "''") + "'"
+                          for v in values)
+        return f"[{inner}]"
+
+    cols = {"hua": SEED ^ _UA_SALT, "hlg": SEED ^ _LANG_SALT,
+            "hvp": SEED ^ _VP_SALT}
+    step = {c: (f"CAST((CAST(xor({c}, CAST(ord(substr(url, i, 1)) AS UBIGINT))"
+                f" AS HUGEINT) * {FNV_P}) % {M64} AS UBIGINT)")
+            for c in cols}
+    init = ", ".join(f"CAST({(FNV_OFF ^ s) & (M64 - 1)} AS UBIGINT) AS {c}"
+                     for c, s in cols.items())
+    steps = ", ".join(f"{step[c]} AS {c}" for c in cols)
+    sql = (
+        "WITH RECURSIVE u AS (SELECT 'http://' || source || '.example/d' || "
+        "CAST(doc_id AS VARCHAR) AS url FROM documents), "
+        f"f AS (SELECT url, 1 AS i, {init} FROM u "
+        f"UNION ALL SELECT url, i + 1, {steps} FROM f WHERE i <= length(url)), "
+        "d AS (SELECT url, hua, hlg, hvp FROM f WHERE i = length(url) + 1)")
+    prev = "d"
+    for k in range(6):
+        exprs = ", ".join(f"{mix(c)[k]} AS {c}" for c in cols)
+        sql += f", s{k} AS (SELECT url, {exprs} FROM {prev})"
+        prev = f"s{k}"
+    vw = [v[0] for v in VIEWPORTS]
+    vh = [v[1] for v in VIEWPORTS]
+    sql += (
+        f" SELECT url, "
+        f"list_extract({lst(USER_AGENTS)}, 1 + CAST(hua % {len(USER_AGENTS)} "
+        f"AS INT)) AS user_agent, "
+        f"list_extract({lst(ACCEPT_LANGUAGES)}, 1 + CAST(hlg % "
+        f"{len(ACCEPT_LANGUAGES)} AS INT)) AS accept_language, "
+        f"list_extract([{', '.join(map(str, vw))}], 1 + CAST(hvp % "
+        f"{len(VIEWPORTS)} AS INT)) AS viewport_w, "
+        f"list_extract([{', '.join(map(str, vh))}], 1 + CAST(hvp % "
+        f"{len(VIEWPORTS)} AS INT)) AS viewport_h FROM {prev}")
+    return sql
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
+    "m8_randomizers": _m8_oracle_sql(),
     "dedup_exact":
         "SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, "
         "count(*) AS n_dups FROM documents GROUP BY md5(text)",
