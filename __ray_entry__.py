@@ -88,6 +88,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_topk": qt.q_ann_brute_topk,
         # M8 randomizer draw, mirrored bit-for-bit in SQL (r03)
         "m8_randomizers": qt.q_m8_randomizers,
+        # HLL sketch registers, mirrored bit-for-bit in SQL (r03)
+        "approx_distinct_users": qa.q_approx_distinct_users,
+        # exact all-pairs Jaccard via shingle inverted index (r03)
+        "dedup_jaccard_exact": qt.q_dedup_jaccard_exact,
         # ---- rows-only: engine surfaces with no r02 driver row ----
         # crawl engine (frontier semantics)
         "crawl_documents": qt.q_crawl_documents,
@@ -111,7 +115,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_pairs": qt.q_dedup_ngram_pairs,
         "text_fingerprint": qt.q_text_fingerprint,
         "ann_ivf_topk": qt.q_ann_ivf_topk,
-        "approx_distinct_users": qa.q_approx_distinct_users,
         "crawl_direct": qa.q_crawl_direct,
     }
 

@@ -49,14 +49,35 @@ class HyperLogLog:
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
+    def stats(self) -> tuple[int, int]:
+        """Exact-integer sketch summary: (n_zero_registers,
+        harmonic_scaled) with harmonic_scaled = sum over NON-zero
+        registers of 2^(S - rank), S = 64 - p + 1 (the max possible
+        rank, so every term is an integer >= 1). Pure Python-int
+        arithmetic — no float summation, so the value is
+        order-insensitive and bit-identical across engines (the SQL
+        oracle recomputes it with the same integer terms)."""
+        S = 64 - self.p + 1
+        nz = self.registers[self.registers > 0]
+        zeros = int(self.registers.size - nz.size)
+        harmonic = sum(1 << (S - int(r)) for r in nz)
+        return zeros, harmonic
+
     def estimate(self) -> float:
+        """HLL estimate from the exact-integer harmonic sum: the
+        float expression tree (literal-constant numerator / one
+        integer-derived double, then the linear-counting branch on
+        libm log) is kept IDENTICAL to the DuckDB oracle SQL so both
+        engines produce the same IEEE double."""
+        import math
         m = self.m
+        S = 64 - self.p + 1
+        zeros, harmonic = self.stats()
         alpha = 0.7213 / (1 + 1.079 / m)
-        inv = np.power(2.0, -self.registers.astype(np.float64))
-        e = alpha * m * m / inv.sum()
-        zeros = int((self.registers == 0).sum())
+        total_scaled = harmonic + zeros * (1 << S)  # rank-0 term = 2^S
+        e = alpha * m * m * float(1 << S) / float(total_scaled)
         if e <= 2.5 * m and zeros:
-            e = m * np.log(m / zeros)   # linear counting correction
+            e = m * math.log(m / zeros)   # linear counting correction
         return float(e)
 
     def state(self) -> bytes:

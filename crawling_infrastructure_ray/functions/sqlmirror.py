@@ -1,0 +1,80 @@
+"""DuckDB transliteration of stable_hash64 (hashing.py:23-35).
+
+The oracle-SQL gate needs DuckDB to recompute the engine's
+deterministic hash draws (M8 randomizers, HLL registers) bit-for-bit.
+64-bit wrapping arithmetic is expressed as HUGEINT products reduced
+mod 2^64; constants >= 2^63 are decomposed into 32-bit halves
+(a*c mod 2^64 = (a*c_lo mod 2^64 + (a*c_hi mod 2^32) << 32) mod 2^64
+— every intermediate fits HUGEINT). FNV-1a walks the string bytes in
+a recursive CTE (inputs are ASCII by construction); the splitmix64
+finalizer is 6 chained CTE stages.
+"""
+
+from __future__ import annotations
+
+M64 = 1 << 64
+FNV_OFF = 0xcbf29ce484222325
+FNV_P = 0x100000001b3
+_GOLD = 0x9E3779B97F4A7C15
+_C1, _C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+
+def mul_mod64(a: str, c: int) -> str:
+    """SQL expr: (a * c) mod 2^64 for a UBIGINT expr ``a`` (< 2^64)
+    and a Python-int constant ``c``."""
+    if c < (1 << 63):  # (<2^64) x (<2^63) fits HUGEINT
+        return f"CAST((CAST({a} AS HUGEINT) * {c}) % {M64} AS UBIGINT)"
+    chi, clo = c >> 32, c & 0xFFFFFFFF
+    return (f"CAST(((CAST({a} AS HUGEINT) * {clo}) % {M64} + "
+            f"((CAST({a} AS HUGEINT) * {chi}) % {1 << 32}) * {1 << 32}) "
+            f"% {M64} AS UBIGINT)")
+
+
+def splitmix_stage_exprs(col: str) -> list[str]:
+    """The 6 splitmix64 finalizer steps as SQL exprs over column
+    ``col`` — apply one per chained CTE stage."""
+    return [
+        f"CAST((CAST({col} AS HUGEINT) + {_GOLD}) % {M64} AS UBIGINT)",
+        f"xor({col}, {col} >> 30)",
+        mul_mod64(col, _C1),
+        f"xor({col}, {col} >> 27)",
+        mul_mod64(col, _C2),
+        f"xor({col}, {col} >> 31)",
+    ]
+
+
+def stable_hash64_cte(source_sql: str, text_col: str,
+                      seeds: dict[str, int],
+                      carry_cols: tuple[str, ...] = ()) -> tuple[str, str]:
+    """Build ``WITH RECURSIVE ...`` SQL computing stable_hash64 of
+    ``text_col`` (an ASCII string column of the single-SELECT
+    ``source_sql``) for each (output column -> seed) in ``seeds``.
+
+    Returns (with_clause, final_cte_name); the final CTE has columns
+    (text_col, *carry_cols, *seeds-keys) with each seed column holding
+    the finished 64-bit hash as UBIGINT.
+    """
+    cols = list(seeds)
+    carry = "".join(f", {c}" for c in carry_cols)
+    init = ", ".join(
+        f"CAST({(FNV_OFF ^ s) & (M64 - 1)} AS UBIGINT) AS {c}"
+        for c, s in seeds.items())
+    step = ", ".join(
+        f"CAST((CAST(xor({c}, CAST(ord(substr({text_col}, i, 1)) AS UBIGINT))"
+        f" AS HUGEINT) * {FNV_P}) % {M64} AS UBIGINT) AS {c}"
+        for c in cols)
+    sql = (
+        f"WITH RECURSIVE __src AS ({source_sql}), "
+        f"__fnv AS (SELECT {text_col}{carry}, 1 AS i, {init} FROM __src "
+        f"UNION ALL SELECT {text_col}{carry}, i + 1, {step} FROM __fnv "
+        f"WHERE i <= length({text_col})), "
+        f"__done AS (SELECT {text_col}{carry}, {', '.join(cols)} FROM __fnv "
+        f"WHERE i = length({text_col}) + 1)")
+    prev = "__done"
+    for k in range(6):
+        exprs = ", ".join(f"{splitmix_stage_exprs(c)[k]} AS {c}"
+                          for c in cols)
+        sql += (f", __mix{k} AS (SELECT {text_col}{carry}, {exprs} "
+                f"FROM {prev})")
+        prev = f"__mix{k}"
+    return sql, prev

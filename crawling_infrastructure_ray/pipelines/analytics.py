@@ -980,12 +980,16 @@ def q_union_names(sf_dir: str):
 
 
 def q_approx_distinct_users(sf_dir: str):
-    """HLL distinct estimate (mergeable sketch per batch → tiny merge;
-    rows-only check — approximate by construction). Returns the
-    estimate AND the exact count for audit — the exact side runs the
-    distributed per-bucket distinct shape (q_g6), never a driver-side
-    ``ds.unique`` collect."""
-    from ..functions.hashing import stable_hash64
+    """HLL distinct estimate (mergeable sketch per batch → tiny
+    merge). ORACLE-CHECKED end to end: the sketch registers are a
+    deterministic function of the hashed values, so DuckDB recomputes
+    them (stable_hash64 via the m8-style recursive-CTE mirror, then
+    register index / leading-zero rank / per-register max in SQL) and
+    the query exposes exact-integer register summaries (hll_zeros,
+    hll_harmonic_e) alongside the estimate — the hash gate thereby
+    verifies the DISTRIBUTED register construction, not just the final
+    scalar. The exact audit count runs the distributed per-bucket
+    distinct shape (q_g6), never a driver-side ``ds.unique``."""
     from ..functions.sketches import HyperLogLog
     ds = read_table(sf_dir, "events", columns=["user_id"])
 
@@ -1000,8 +1004,13 @@ def q_approx_distinct_users(sf_dir: str):
         for s in b["sketch"].to_pylist():
             merged.merge(HyperLogLog.from_state(s, p=12))
     exact = int(q_g6_distinct_users(sf_dir)["n_distinct_users"].iloc[0])
-    return pd.DataFrame([{"approx_distinct": round(merged.estimate()),
-                          "exact_distinct": exact}])
+    zeros, harmonic = merged.stats()
+    import math
+    return pd.DataFrame([{
+        "approx_distinct": math.floor(merged.estimate() + 0.5),
+        "exact_distinct": exact,
+        "hll_zeros": zeros,
+        "hll_harmonic_e": harmonic}])
 
 
 def q_crawl_direct(sf_dir: str):
@@ -1018,7 +1027,58 @@ def q_crawl_direct(sf_dir: str):
 # oracle SQL (column names and rounding MUST match the fns above)
 # ----------------------------------------------------------------------
 
+def _hll_oracle_sql(p: int = 12) -> str:
+    """DuckDB twin of the HLL sketch (functions/sketches.py): recompute
+    stable_hash64(str(user_id)) per DISTINCT user via the shared SQL
+    hash mirror, derive register index (top p bits) and rank (leading
+    zeros of the sentinel-padded remainder + 1, via a binary-search
+    msb chain — no float log2), take the per-register max, and emit
+    the same exact-integer summaries (hll_zeros, hll_harmonic_e) plus
+    the estimate with an expression tree kept IDENTICAL to
+    HyperLogLog.estimate() so the IEEE doubles agree."""
+    from ..functions.sqlmirror import stable_hash64_cte
+    m = 1 << p
+    S = 64 - p + 1                       # max rank; 2^(S-rank) >= 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    numer = alpha * m * m * float(1 << S)
+    with_sql, last = stable_hash64_cte(
+        "SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events",
+        "s", {"h": 0})
+    # rest = (h << p | 2^(p-1)) mod 2^64; msb via 6-step binary search
+    sql = with_sql + (
+        f", __rest AS (SELECT CAST(h >> {64 - p} AS BIGINT) AS idx, "
+        f"CAST((CAST(h AS HUGEINT) * {1 << p}) % {1 << 64} AS UBIGINT) "
+        f"| {1 << (p - 1)} AS x FROM {last})")
+    prev, shift, msb_terms = "__rest", 32, []
+    for k in range(6):
+        t = f"t{k}"
+        sql += (f", __m{k} AS (SELECT idx, "
+                f"CASE WHEN x >= {1 << shift} THEN {shift} ELSE 0 END AS {t}, "
+                f"x >> (CASE WHEN x >= {1 << shift} THEN {shift} ELSE 0 END) "
+                f"AS x{''.join(f', {c}' for c in msb_terms)} FROM {prev})")
+        msb_terms.append(t)
+        prev = f"__m{k}"
+        shift //= 2
+    msb = " + ".join(msb_terms)
+    sql += (
+        f", __reg AS (SELECT idx, MAX(64 - ({msb})) AS r FROM {prev} "
+        f"GROUP BY idx), "
+        f"__agg AS (SELECT CAST({m} - count(*) AS BIGINT) AS hll_zeros, "
+        f"CAST(sum(CAST(1 AS BIGINT) << ({S} - r)) AS BIGINT) "
+        f"AS hll_harmonic_e FROM __reg), "
+        f"__est AS (SELECT hll_zeros, hll_harmonic_e, "
+        f"{numer!r} / CAST(CAST(hll_harmonic_e AS HUGEINT) + "
+        f"CAST(hll_zeros AS HUGEINT) * {1 << S} AS DOUBLE) AS e0 FROM __agg) "
+        f"SELECT CAST(floor(CASE WHEN e0 <= {2.5 * m!r} AND hll_zeros > 0 "
+        f"THEN {m} * ln(CAST({m} AS DOUBLE) / hll_zeros) ELSE e0 END + 0.5) "
+        f"AS BIGINT) AS approx_distinct, "
+        f"(SELECT count(DISTINCT user_id) FROM events) AS exact_distinct, "
+        f"hll_zeros, hll_harmonic_e FROM __est")
+    return sql
+
+
 ORACLE_SQL: dict[str, str] = {
+    "approx_distinct_users": _hll_oracle_sql(),
     "g1_status_histogram":
         "SELECT o_orderstatus, count(*) AS n_items FROM orders GROUP BY o_orderstatus",
     "g2_task_finished":

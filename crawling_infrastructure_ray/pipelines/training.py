@@ -125,6 +125,18 @@ def q_dedup_ngram_pairs(sf_dir: str):
                                   shingle_k=5, kind="char", concurrency=(2, 16))
 
 
+def q_dedup_jaccard_exact(sf_dir: str):
+    """EXACT all-pairs token-3-gram Jaccard >= 0.5 via the distributed
+    shingle inverted index (dedup.jaccard_exact_pairs_ds) — the
+    no-recall-gap exactness baseline for the MinHash/LSH path.
+    ORACLE-CHECKED: DuckDB recomputes the same pairs with a shingle
+    self-join (distinct token trigrams, |A ∩ B| by equi-join count,
+    integer-units Jaccard)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dd.jaccard_exact_pairs_ds(ds, shingle_k=3, kind="token",
+                                     threshold_e6=500_000)
+
+
 # ----------------------------------------------------------------------
 # text analysis
 # ----------------------------------------------------------------------
@@ -433,70 +445,28 @@ def q_media_ann_topk(sf_dir: str):
 
 
 def _m8_oracle_sql() -> str:
-    """DuckDB twin of randomize_batch: recompute stable_hash64
-    (FNV-1a over utf-8 bytes + splitmix64 finalizer, hashing.py:23-35)
-    per URL for the three salted seeds, entirely in SQL.
-
-    64-bit wrapping arithmetic is expressed as HUGEINT products
-    reduced mod 2^64; the two finalizer constants exceed 2^63 so their
-    products are decomposed into 32-bit halves (a*c mod 2^64 =
-    (a*c_lo mod 2^64 + (a*c_hi mod 2^32)<<32) mod 2^64 — every
-    intermediate fits HUGEINT). The recursive CTE walks the URL bytes
-    (ASCII by construction) carrying one hash column per salt."""
+    """DuckDB twin of randomize_batch: recompute stable_hash64 per URL
+    for the three salted seeds via the shared SQL hash mirror
+    (functions/sqlmirror.py), then draw from the literal lists."""
     from ..functions.randomizers import (ACCEPT_LANGUAGES, USER_AGENTS,
                                          VIEWPORTS, _LANG_SALT, _UA_SALT,
                                          _VP_SALT)
-    M64 = 1 << 64
-    FNV_OFF, FNV_P = 0xcbf29ce484222325, 0x100000001b3
-    GOLD = 0x9E3779B97F4A7C15
-    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    from ..functions.sqlmirror import stable_hash64_cte
     SEED = 42
-
-    def mul(a: str, c: int) -> str:
-        if c < (1 << 63):  # product of two <2^64 x <2^63 fits HUGEINT
-            return f"CAST((CAST({a} AS HUGEINT) * {c}) % {M64} AS UBIGINT)"
-        chi, clo = c >> 32, c & 0xFFFFFFFF
-        return (f"CAST(((CAST({a} AS HUGEINT) * {clo}) % {M64} + "
-                f"((CAST({a} AS HUGEINT) * {chi}) % {1 << 32}) * {1 << 32}) "
-                f"% {M64} AS UBIGINT)")
-
-    def mix(col: str) -> list[str]:
-        return [
-            f"CAST((CAST({col} AS HUGEINT) + {GOLD}) % {M64} AS UBIGINT)",
-            f"xor({col}, {col} >> 30)",
-            mul(col, C1),
-            f"xor({col}, {col} >> 27)",
-            mul(col, C2),
-            f"xor({col}, {col} >> 31)",
-        ]
 
     def lst(values) -> str:
         inner = ", ".join("'" + str(v).replace("'", "''") + "'"
                           for v in values)
         return f"[{inner}]"
 
-    cols = {"hua": SEED ^ _UA_SALT, "hlg": SEED ^ _LANG_SALT,
-            "hvp": SEED ^ _VP_SALT}
-    step = {c: (f"CAST((CAST(xor({c}, CAST(ord(substr(url, i, 1)) AS UBIGINT))"
-                f" AS HUGEINT) * {FNV_P}) % {M64} AS UBIGINT)")
-            for c in cols}
-    init = ", ".join(f"CAST({(FNV_OFF ^ s) & (M64 - 1)} AS UBIGINT) AS {c}"
-                     for c, s in cols.items())
-    steps = ", ".join(f"{step[c]} AS {c}" for c in cols)
-    sql = (
-        "WITH RECURSIVE u AS (SELECT 'http://' || source || '.example/d' || "
-        "CAST(doc_id AS VARCHAR) AS url FROM documents), "
-        f"f AS (SELECT url, 1 AS i, {init} FROM u "
-        f"UNION ALL SELECT url, i + 1, {steps} FROM f WHERE i <= length(url)), "
-        "d AS (SELECT url, hua, hlg, hvp FROM f WHERE i = length(url) + 1)")
-    prev = "d"
-    for k in range(6):
-        exprs = ", ".join(f"{mix(c)[k]} AS {c}" for c in cols)
-        sql += f", s{k} AS (SELECT url, {exprs} FROM {prev})"
-        prev = f"s{k}"
+    with_sql, last = stable_hash64_cte(
+        "SELECT 'http://' || source || '.example/d' || "
+        "CAST(doc_id AS VARCHAR) AS url FROM documents", "url",
+        {"hua": SEED ^ _UA_SALT, "hlg": SEED ^ _LANG_SALT,
+         "hvp": SEED ^ _VP_SALT})
     vw = [v[0] for v in VIEWPORTS]
     vh = [v[1] for v in VIEWPORTS]
-    sql += (
+    return with_sql + (
         f" SELECT url, "
         f"list_extract({lst(USER_AGENTS)}, 1 + CAST(hua % {len(USER_AGENTS)} "
         f"AS INT)) AS user_agent, "
@@ -505,12 +475,32 @@ def _m8_oracle_sql() -> str:
         f"list_extract([{', '.join(map(str, vw))}], 1 + CAST(hvp % "
         f"{len(VIEWPORTS)} AS INT)) AS viewport_w, "
         f"list_extract([{', '.join(map(str, vh))}], 1 + CAST(hvp % "
-        f"{len(VIEWPORTS)} AS INT)) AS viewport_h FROM {prev}")
-    return sql
+        f"{len(VIEWPORTS)} AS INT)) AS viewport_h FROM {last}")
 
 
 ORACLE_SQL_TRAINING: dict[str, str] = {
     "m8_randomizers": _m8_oracle_sql(),
+    # mirrors jaccard_exact_pairs_ds: distinct token-trigram shingles
+    # per doc (docs with < 3 tokens contribute the whole joined text
+    # as their single shingle), |A ∩ B| via shingle equi-join,
+    # integer-units Jaccard filter
+    "dedup_jaccard_exact":
+        "WITH toks AS (SELECT doc_id, "
+        "string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+        "sh AS (SELECT doc_id, unnest(CASE WHEN len(t) < 3 "
+        "THEN [array_to_string(t, ' ')] "
+        "ELSE list_distinct(list_transform(range(1, len(t) - 1), "
+        "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) END) AS s "
+        "FROM toks), "
+        "sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        "p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter "
+        "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT a, b, CAST(inter AS BIGINT) AS inter, "
+        "CAST((inter * 1000000) // (sa.n_sh + sb.n_sh - inter) AS BIGINT) "
+        "AS jaccard_e6 FROM p "
+        "JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id "
+        "WHERE (inter * 1000000) // (sa.n_sh + sb.n_sh - inter) >= 500000",
     "dedup_exact":
         "SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, "
         "count(*) AS n_dups FROM documents GROUP BY md5(text)",

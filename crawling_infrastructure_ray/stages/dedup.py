@@ -349,6 +349,111 @@ def verify_jaccard_ds(ds: rd.Dataset, cand_pairs: pd.DataFrame, *,
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def jaccard_exact_pairs_ds(ds: rd.Dataset, *, shingle_k: int = 3,
+                           kind: str = "token",
+                           threshold_e6: int = 500_000,
+                           num_parts: int = 64,
+                           num_pair_buckets: int = 32,
+                           id_column: str = "doc_id",
+                           column: str = "text") -> rd.Dataset:
+    """EXACT all-pairs n-gram Jaccard >= threshold, fully distributed
+    (shingle inverted-index join; no LSH recall gap, no driver state).
+
+    Shape: (1) explode each doc into (shingle-hash, id, n_shingles)
+    rows partitioned by shingle hash — the inverted index; (2) per
+    shingle-partition ``map_groups`` emits one (a, b, na, nb) row per
+    co-occurrence (each pair of docs sharing that shingle); (3)
+    per-block partial count, then a bucketed Ray reduce sums
+    co-occurrences into |A ∩ B| — the per-doc set sizes ride along in
+    the pair key, so the final Jaccard needs NO join back to the
+    corpus; (4) integer-units filter
+    jaccard_e6 = 1e6 * inter // (na + nb - inter) >= threshold_e6
+    (exact integer arithmetic — hash-gate stable, mirrored by a
+    DuckDB shingle self-join oracle).
+
+    Exactness costs what it costs: a shingle shared by m docs emits
+    O(m^2) co-occurrence rows, so a document-frequency-skewed corpus
+    (stopword shingles) grows quadratically — inherent to exact
+    all-pairs semantics, not to this implementation. At 100 TB use
+    the MinHash/LSH path (minhash_dedup_pairs); keep this operator
+    for bounded-df corpora and as the exactness baseline.
+    """
+    from ..functions.bucketing import tag_bucket_fn
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_pylist()
+        texts = batch[column].to_pylist()
+        shs = [(_token_shingles(t, shingle_k) if kind == "token"
+                else _char_shingles(t, shingle_k)) for t in texts]
+        counts = np.fromiter((s.size for s in shs), dtype=np.int64,
+                             count=len(shs))
+        sh = (np.concatenate(shs) if shs
+              else np.array([], dtype=np.uint64))
+        rid = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        id_arr = pc.take(batch[id_column].combine_chunks(),
+                         pa.array(rid, pa.int64()))
+        return pa.table({
+            "part": pa.array((sh % np.uint64(num_parts)).astype(np.int64)),
+            "shingle": pa.array(sh, pa.uint64()),
+            id_column: id_arr,
+            "n_sh": pa.array(counts[rid], pa.int64())})
+
+    rows = ds.select_columns([id_column, column]).map_batches(
+        explode, batch_format="pyarrow")
+
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        id_dtype = g[id_column].dtype
+        # vectorized pre-filter: almost all shingles occur in ONE doc;
+        # drop them before the per-group Python loop so the loop runs
+        # only over genuinely shared shingles
+        g = g[g["shingle"].duplicated(keep=False)]
+        frames = []
+        for _, grp in g.groupby("shingle", sort=False):
+            if len(grp) < 2:
+                continue
+            # per-doc shingles are pre-deduped (np.unique), so each doc
+            # appears once per shingle group
+            order = np.argsort(grp[id_column].to_numpy())
+            docs = grp[id_column].to_numpy()[order]
+            ns = grp["n_sh"].to_numpy()[order]
+            iu, ju = np.triu_indices(len(docs), k=1)
+            frames.append(pd.DataFrame({"a": docs[iu], "b": docs[ju],
+                                        "na": ns[iu], "nb": ns[ju]}))
+        if not frames:
+            return pd.DataFrame({"a": pd.Series([], dtype=id_dtype),
+                                 "b": pd.Series([], dtype=id_dtype),
+                                 "na": pd.Series([], dtype=np.int64),
+                                 "nb": pd.Series([], dtype=np.int64)})
+        return pd.concat(frames, ignore_index=True)
+
+    co = (rows.repartition(32)
+          .groupby("part").map_groups(pairs_in_part, batch_format="pandas"))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["a", "b", "na", "nb"]).aggregate(
+            [("na", "count")])
+        return g.rename_columns(["a", "b", "na", "nb", "inter"])
+
+    partials = co.map_batches(combine, batch_format="pyarrow")
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b", "na", "nb"], as_index=False)["inter"].sum()
+        inter = out["inter"].to_numpy().astype(np.int64)
+        union = (out["na"].to_numpy() + out["nb"].to_numpy()
+                 - inter).astype(np.int64)
+        jac = inter * 1_000_000 // union
+        keep = jac >= threshold_e6
+        out = out[keep].drop(columns=["na", "nb"]).reset_index(drop=True)
+        out["jaccard_e6"] = jac[keep]
+        return out[["a", "b", "inter", "jaccard_e6"]]
+
+    return (partials.repartition(num_pair_buckets)
+            .map_batches(tag_bucket_fn(["a", "b"], num_pair_buckets),
+                         batch_format="pyarrow")
+            .groupby("_kb").map_groups(reduce_bucket,
+                                       batch_format="pandas"))
+
+
 def minhash_dedup_pairs(ds: rd.Dataset, *, bands: int = 16, rows_per_band: int = 8,
                         seed: int = 42, shingle_k: int = 3, kind: str = "token",
                         threshold: float = 0.5, column: str = "text",
