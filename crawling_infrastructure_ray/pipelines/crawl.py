@@ -482,6 +482,7 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                    politeness_overrides: dict | None = None,
                    robots: bool = False,
                    default_rate: float = 1.0,
+                   default_burst: float = 4.0,
                    max_depth: int = 2,
                    max_retries: int = 3,
                    num_hosts: int = 64,
@@ -555,6 +556,7 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                                 politeness_overrides=politeness_overrides,
                                 robots=robots,
                                 default_rate=default_rate,
+                                default_burst=default_burst,
                                 max_retries=max_retries, order=order,
                                 track_seen_urls=track_seen)
         if seed_urls is not None and hasattr(seed_urls, "map_batches"):

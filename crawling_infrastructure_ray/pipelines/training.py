@@ -84,7 +84,11 @@ def q_dedup_minhash_remove(sf_dir: str):
 
 
 def q_dedup_simhash(sf_dir: str):
-    """SimHash signatures (rows-only; deterministic)."""
+    """SimHash signatures. ORACLE-CHECKED: DuckDB recomputes the
+    64-bit signature per doc — distinct-token stable_hash64 via the
+    shared recursive-CTE mirror, count-weighted per-bit majority over
+    an unnested 64-bit lattice, UBIGINT bit reassembly — so the hash
+    gate verifies every signature bit-for-bit."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(dd.simhash_batch, fn_kwargs={"seed": 42},
                           batch_format="pyarrow")
@@ -478,8 +482,42 @@ def _m8_oracle_sql() -> str:
         f"{len(VIEWPORTS)} AS INT)) AS viewport_h FROM {last}")
 
 
+def _simhash_oracle_sql(seed: int = 42) -> str:
+    """DuckDB twin of simhash64 (stages/dedup.py:534-564): hash each
+    DISTINCT token with the shared recursive-CTE stable_hash64 mirror,
+    take the count-weighted majority per bit (bit j set iff
+    2 * Σ c·bit_j(h) > Σ c — identical integer arithmetic to the
+    numpy signed column sums), and reassemble the 64-bit signature in
+    UBIGINT (HUGEINT sums lose exactness in pandas, so the final sum
+    is cast back). Empty/whitespace-only docs get signature 0 via the
+    LEFT JOIN, matching the Python early-return."""
+    from ..functions.sqlmirror import stable_hash64_cte
+    with_sql, last = stable_hash64_cte(
+        "SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS s "
+        "FROM documents WHERE trim(text) <> ''", "s", {"h": seed})
+    return with_sql + (
+        ", __tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), "
+        "'\\s+')) AS tok FROM documents WHERE trim(text) <> ''), "
+        "__tc AS (SELECT doc_id, tok, count(*) AS c FROM __tk "
+        "GROUP BY doc_id, tok), "
+        "__tt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM __tc "
+        "GROUP BY doc_id), "
+        f"__bt AS (SELECT doc_id, j, CAST(sum(c * CAST((h >> CAST(j AS INT)) "
+        f"& 1 AS BIGINT)) AS BIGINT) AS s1 FROM "
+        f"(SELECT tc.doc_id, tc.c, hh.h, unnest(range(0, 64)) AS j "
+        f"FROM __tc tc JOIN {last} hh ON tc.tok = hh.s) GROUP BY doc_id, j), "
+        "__sig AS (SELECT bt.doc_id, CAST(sum(CASE WHEN 2 * bt.s1 > tt.n "
+        "THEN CAST(1 AS UBIGINT) << CAST(bt.j AS INT) ELSE "
+        "CAST(0 AS UBIGINT) END) AS UBIGINT) AS sig "
+        "FROM __bt bt JOIN __tt tt ON bt.doc_id = tt.doc_id "
+        "GROUP BY bt.doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(s.sig, 0) AS UBIGINT) AS simhash "
+        "FROM documents d LEFT JOIN __sig s ON d.doc_id = s.doc_id")
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
     "m8_randomizers": _m8_oracle_sql(),
+    "dedup_simhash": _simhash_oracle_sql(),
     # mirrors jaccard_exact_pairs_ds: distinct token-trigram shingles
     # per doc (docs with < 3 tokens contribute the whole joined text
     # as their single shingle), |A ∩ B| via shingle equi-join,

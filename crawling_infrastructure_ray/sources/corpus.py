@@ -29,12 +29,22 @@ _VOCAB = [f"tok{i:03d}" for i in range(512)]
 
 
 def make_seed_urls(n: int, seed: int = 42, num_hosts: int | None = None,
-                   dup_rate: float = 0.02) -> pa.Table:
-    """FIXTURES F2 seed list: (enqueue_seq, url, host, depth, priority)."""
+                   dup_rate: float = 0.02,
+                   host_dist: str = "zipf") -> pa.Table:
+    """FIXTURES F2 seed list: (enqueue_seq, url, host, depth, priority).
+
+    ``host_dist``: 'zipf' (default — realistic skew; the hottest host
+    carries ~18% of URLs, so per-host politeness budgets BIND) or
+    'uniform' (no hot host — used by the politeness-ON bench to
+    measure the token-bucket machinery instead of the synthetic
+    hot-host wait)."""
     num_hosts = num_hosts or max(8, n // 50)
     rng = np.random.default_rng(seed)
-    # Zipf(a=1.2) host ids truncated to num_hosts
-    host_ids = rng.zipf(1.2, size=n) % num_hosts
+    if host_dist == "uniform":
+        host_ids = rng.integers(0, num_hosts, size=n)
+    else:
+        # Zipf(a=1.2) host ids truncated to num_hosts
+        host_ids = rng.zipf(1.2, size=n) % num_hosts
     path_ids = rng.integers(0, max(4, n * 4), size=n)
     urls = [f"http://h{h}.example/p{p:06x}" for h, p in zip(host_ids, path_ids)]
     # ~dup_rate duplicates: overwrite a slot with an earlier URL

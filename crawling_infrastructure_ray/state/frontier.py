@@ -178,7 +178,17 @@ class FrontierShardCore:
         now = time.monotonic() if now is None else now
         claimed: list[int] = []
         deferred: list[tuple] = []  # politeness-skipped heap entries to restore
-        while self.heap and len(claimed) < n:
+        # bounded defer-scan: when the heap's head is dominated by
+        # hosts whose buckets are empty (hot-host tail), an unbounded
+        # scan walks the WHOLE remaining frontier per claim call and
+        # the pump's poll loop turns that into a busy-scan (measured:
+        # shard actors pinned at ~90% cpu while rate-bound). Tokens
+        # refill with TIME, not heap position, so scanning past a
+        # window of deferrals buys nothing — stop and let the next
+        # poll retry. Window >= any conformance-test frontier, so
+        # claim-order semantics there are unchanged.
+        max_defer = max(8 * n, 1024)
+        while self.heap and len(claimed) < n and len(deferred) < max_defer:
             entry = heapq.heappop(self.heap)
             seq = entry[-1]
             it = self.items.get(seq)
