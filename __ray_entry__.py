@@ -92,8 +92,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": qa.q_approx_distinct_users,
         # exact all-pairs Jaccard via shingle inverted index (r03)
         "dedup_jaccard_exact": qt.q_dedup_jaccard_exact,
-        # SimHash signatures, mirrored bit-for-bit in SQL (r03)
+        # SimHash signatures + complete-by-construction pairs,
+        # mirrored bit-for-bit in SQL (r03)
         "dedup_simhash": qt.q_dedup_simhash,
+        "dedup_simhash_pairs": qt.q_dedup_simhash_pairs,
         # ---- rows-only: engine surfaces with no r02 driver row ----
         # crawl engine (frontier semantics)
         "crawl_documents": qt.q_crawl_documents,
@@ -111,7 +113,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_status_histogram": qt.q_crawl_status_histogram,
         "dedup_minhash_pairs": qt.q_dedup_minhash_pairs,
         "dedup_minhash_remove": qt.q_dedup_minhash_remove,
-        "dedup_simhash_pairs": qt.q_dedup_simhash_pairs,
         "dedup_embedding_pairs": qt.q_dedup_embedding_pairs,
         "dedup_ngram_pairs": qt.q_dedup_ngram_pairs,
         "text_fingerprint": qt.q_text_fingerprint,

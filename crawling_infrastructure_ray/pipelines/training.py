@@ -95,7 +95,9 @@ def q_dedup_simhash(sf_dir: str):
 
 
 def q_dedup_simhash_pairs(sf_dir: str):
-    """SimHash hamming≤6 near-dup pairs (rows-only)."""
+    """SimHash hamming≤6 near-dup pairs via 7-block pigeonhole LSH —
+    COMPLETE for ≤6 by construction, so ORACLE-CHECKED against a
+    DuckDB bit_count(xor) self-join over the mirrored signatures."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(
         lambda t: pa.table({"doc_id": pa.array([str(x) for x in t["doc_id"].to_pylist()]),
@@ -119,14 +121,15 @@ def q_dedup_embedding_pairs(sf_dir: str):
 
 
 def q_dedup_ngram_pairs(sf_dir: str):
-    """Character 5-gram Jaccard near-dup pairs via MinHash-LSH
-    (rows-only) — the n-gram variant of the token pipeline."""
+    """Character 5-gram Jaccard near-dup pairs, EXACT via the
+    distributed shingle inverted index (jaccard_exact_pairs_ds,
+    kind='char') — ORACLE-CHECKED against a DuckDB substring
+    self-join. The MinHash-LSH char variant remains available as
+    ``minhash_dedup_pairs(kind='char')`` (the 100-TB scale path; its
+    recall against this exact baseline is pinned in test_dedup)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(
-        lambda t: pa.table({"doc_id": pa.array([str(x) for x in t["doc_id"].to_pylist()]),
-                            "text": t["text"]}), batch_format="pyarrow")
-    return dd.minhash_dedup_pairs(ds, bands=16, rows_per_band=4, threshold=0.3,
-                                  shingle_k=5, kind="char", concurrency=(2, 16))
+    return dd.jaccard_exact_pairs_ds(ds, shingle_k=5, kind="char",
+                                     threshold_e6=300_000)
 
 
 def q_dedup_jaccard_exact(sf_dir: str):
@@ -482,7 +485,7 @@ def _m8_oracle_sql() -> str:
         f"{len(VIEWPORTS)} AS INT)) AS viewport_h FROM {last}")
 
 
-def _simhash_oracle_sql(seed: int = 42) -> str:
+def _simhash_sig_cte(seed: int = 42) -> tuple[str, str]:
     """DuckDB twin of simhash64 (stages/dedup.py:534-564): hash each
     DISTINCT token with the shared recursive-CTE stable_hash64 mirror,
     take the count-weighted majority per bit (bit j set iff
@@ -490,7 +493,8 @@ def _simhash_oracle_sql(seed: int = 42) -> str:
     numpy signed column sums), and reassemble the 64-bit signature in
     UBIGINT (HUGEINT sums lose exactness in pandas, so the final sum
     is cast back). Empty/whitespace-only docs get signature 0 via the
-    LEFT JOIN, matching the Python early-return."""
+    LEFT JOIN, matching the Python early-return. Returns
+    (with_clause, cte_name) where the CTE has (doc_id, simhash)."""
     from ..functions.sqlmirror import stable_hash64_cte
     with_sql, last = stable_hash64_cte(
         "SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS s "
@@ -510,14 +514,38 @@ def _simhash_oracle_sql(seed: int = 42) -> str:
         "THEN CAST(1 AS UBIGINT) << CAST(bt.j AS INT) ELSE "
         "CAST(0 AS UBIGINT) END) AS UBIGINT) AS sig "
         "FROM __bt bt JOIN __tt tt ON bt.doc_id = tt.doc_id "
-        "GROUP BY bt.doc_id) "
-        "SELECT d.doc_id, CAST(COALESCE(s.sig, 0) AS UBIGINT) AS simhash "
-        "FROM documents d LEFT JOIN __sig s ON d.doc_id = s.doc_id")
+        "GROUP BY bt.doc_id), "
+        "__allsig AS (SELECT d.doc_id, "
+        "CAST(COALESCE(s.sig, 0) AS UBIGINT) AS simhash "
+        "FROM documents d LEFT JOIN __sig s ON d.doc_id = s.doc_id)"
+    ), "__allsig"
+
+
+def _simhash_oracle_sql(seed: int = 42) -> str:
+    with_sql, cte = _simhash_sig_cte(seed)
+    return with_sql + f" SELECT doc_id, simhash FROM {cte}"
+
+
+def _simhash_pairs_oracle_sql(max_hamming: int = 6, seed: int = 42) -> str:
+    """DuckDB twin of simhash_near_pairs: exact hamming self-join over
+    the mirrored signatures (valid as an oracle because the k+1-block
+    pigeonhole LSH is COMPLETE for hamming <= k). Ids compare as
+    VARCHAR — the Ray query casts doc_id to string, so pair order is
+    lexicographic on both sides."""
+    with_sql, cte = _simhash_sig_cte(seed)
+    return with_sql + (
+        f" SELECT CAST(x.doc_id AS VARCHAR) AS a, "
+        f"CAST(y.doc_id AS VARCHAR) AS b, "
+        f"CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming "
+        f"FROM {cte} x JOIN {cte} y "
+        f"ON CAST(x.doc_id AS VARCHAR) < CAST(y.doc_id AS VARCHAR) "
+        f"WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}")
 
 
 ORACLE_SQL_TRAINING: dict[str, str] = {
     "m8_randomizers": _m8_oracle_sql(),
     "dedup_simhash": _simhash_oracle_sql(),
+    "dedup_simhash_pairs": _simhash_pairs_oracle_sql(),
     # mirrors jaccard_exact_pairs_ds: distinct token-trigram shingles
     # per doc (docs with < 3 tokens contribute the whole joined text
     # as their single shingle), |A ∩ B| via shingle equi-join,
@@ -539,6 +567,22 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
         "AS jaccard_e6 FROM p "
         "JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id "
         "WHERE (inter * 1000000) // (sa.n_sh + sb.n_sh - inter) >= 500000",
+    # same shape over DISTINCT character 5-grams (docs of <= 5 chars
+    # contribute the whole text as their single shingle)
+    "dedup_ngram_pairs":
+        "WITH sh AS (SELECT doc_id, unnest(CASE WHEN length(text) <= 5 "
+        "THEN [text] ELSE list_distinct(list_transform("
+        "range(1, length(text) - 3), i -> substr(text, i, 5))) END) AS s "
+        "FROM documents), "
+        "sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        "p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter "
+        "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT a, b, CAST(inter AS BIGINT) AS inter, "
+        "CAST((inter * 1000000) // (sa.n_sh + sb.n_sh - inter) AS BIGINT) "
+        "AS jaccard_e6 FROM p "
+        "JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id "
+        "WHERE (inter * 1000000) // (sa.n_sh + sb.n_sh - inter) >= 300000",
     "dedup_exact":
         "SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, "
         "count(*) AS n_dups FROM documents GROUP BY md5(text)",

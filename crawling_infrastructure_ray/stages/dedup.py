@@ -573,25 +573,34 @@ def simhash_batch(batch: pa.Table, seed: int = 42, column: str = "text",
 
 def simhash_near_pairs(ds: rd.Dataset, *, seed: int = 42, max_hamming: int = 3,
                        column: str = "text", id_column: str = "doc_id") -> pd.DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ k via 4×16-bit block LSH
-    (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 blocks identical)."""
+    """Near-dup pairs with hamming(simhash) ≤ k, COMPLETE by
+    construction: block LSH with k+1 contiguous bit blocks
+    (pigeonhole: ≤ k differing bits across k+1 blocks ⇒ at least one
+    block identical), so the output is EXACTLY the ≤-k pair set — no
+    recall gap at any threshold, which is what lets the DuckDB
+    bit_count self-join serve as the hash-gate oracle."""
     sig_ds = ds.map_batches(simhash_batch, fn_kwargs={"seed": seed, "column": column,
                                                       "id_column": id_column},
                             batch_format="pyarrow")
 
+    n_blocks = max_hamming + 1
+    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0)
+              for i in range(n_blocks)]
+    starts = np.cumsum([0] + widths[:-1])
+
     def explode_blocks(batch: pa.Table) -> pa.Table:
-        ids, sigs = batch[id_column].to_pylist(), batch["simhash"].to_pylist()
-        b_id, b_key, d, s = [], [], [], []
-        for doc, sig in zip(ids, sigs):
-            for blk in range(4):
-                b_id.append(blk)
-                b_key.append((sig >> (16 * blk)) & 0xFFFF)
-                d.append(doc)
-                s.append(sig)
-        return pa.table({"band_id": pa.array(b_id, pa.int32()),
-                         "band_hash": pa.array(b_key, pa.uint64()),
-                         "doc_id": pa.array(d, pa.string()),
-                         "simhash": pa.array(s, pa.uint64())})
+        ids = batch[id_column].to_pylist()
+        sigs = np.array(batch["simhash"].to_pylist(), dtype=np.uint64)
+        n = len(ids)
+        b_id = np.repeat(np.arange(n_blocks, dtype=np.int32), n)
+        keys = np.concatenate([
+            (sigs >> np.uint64(st)) & np.uint64((1 << w) - 1)
+            for st, w in zip(starts, widths)]) if n else np.array([], np.uint64)
+        return pa.table({"band_id": pa.array(b_id),
+                         "band_hash": pa.array(keys, pa.uint64()),
+                         "doc_id": pa.array(ids * n_blocks, pa.string()),
+                         "simhash": pa.array(np.tile(sigs, n_blocks),
+                                             pa.uint64())})
 
     blocks = sig_ds.map_batches(explode_blocks, batch_format="pyarrow")
 

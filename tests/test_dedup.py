@@ -97,3 +97,44 @@ def test_union_find_components_deterministic():
     from crawling_infrastructure_ray.stages.joins import union_find_components
     roots = union_find_components([("b", "c"), ("a", "b"), ("x", "y")])
     assert roots == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_jaccard_exact_pairs_matches_brute(ray_session):
+    """jaccard_exact_pairs_ds == brute-force all-pairs over the same
+    shingle sets (token and char kinds), including the exact integer
+    jaccard_e6 values."""
+    ds = _corpus()
+    for kind, k, thr in (("token", 3, 300_000), ("char", 5, 300_000)):
+        out = dd.jaccard_exact_pairs_ds(
+            ds, shingle_k=k, kind=kind, threshold_e6=thr).to_pandas()
+        got = {(a, b): (i, j) for a, b, i, j in
+               zip(out["a"], out["b"], out["inter"], out["jaccard_e6"])}
+        docs = _corpus().to_pandas().sort_values("doc_id")
+        sh = {r["doc_id"]: set(
+            (dd._token_shingles(r["text"], k) if kind == "token"
+             else dd._char_shingles(r["text"], k)).tolist())
+            for _, r in docs.iterrows()}
+        want = {}
+        ids = sorted(sh)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a] | sh[b])
+                je6 = inter * 1_000_000 // union
+                if je6 >= thr:
+                    want[(a, b)] = (inter, je6)
+        assert got == want, f"kind={kind}"
+
+
+def test_minhash_recall_vs_exact_baseline(ray_session):
+    """The LSH scale path finds every pair the exact operator reports
+    at a threshold comfortably above the LSH S-curve midpoint."""
+    ds = _corpus()
+    exact = dd.jaccard_exact_pairs_ds(
+        ds, shingle_k=3, kind="token", threshold_e6=500_000).to_pandas()
+    lsh = dd.minhash_dedup_pairs(_corpus(), bands=32, rows_per_band=2,
+                                 threshold=0.5, shingle_k=3)
+    exact_pairs = set(zip(exact["a"], exact["b"]))
+    lsh_pairs = set(zip(lsh["a"], lsh["b"]))
+    assert exact_pairs <= lsh_pairs  # 100% recall on this corpus

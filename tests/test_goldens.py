@@ -71,10 +71,9 @@ def test_golden_dedup_simhash(ray_session, docs_pdf):
 
 
 def test_golden_dedup_simhash_pairs_sound_and_complete(ray_session, docs_pdf):
-    """Sequential all-pairs oracle over the 16-bit-block LSH guarantee:
-    the pipeline must return EXACTLY the pairs with hamming <= 6 that
-    share at least one of the 4 blocks (pigeonhole: hamming <= 3 is
-    always caught; 4-6 caught iff a block agrees)."""
+    """Sequential all-pairs oracle: the 7-block pigeonhole LSH is
+    COMPLETE for hamming <= 6, so the pipeline must return EXACTLY
+    the brute-force <=6 pair set — no block condition."""
     from crawling_infrastructure_ray.pipelines.training import q_dedup_simhash_pairs
     from crawling_infrastructure_ray.stages.dedup import simhash64
     out = q_dedup_simhash_pairs(SF)
@@ -89,11 +88,8 @@ def test_golden_dedup_simhash_pairs_sound_and_complete(ray_session, docs_pdf):
         ham = np.array([bin(int(v)).count("1") for v in x])
         for off in np.flatnonzero(ham <= 6):
             j = i + 1 + off
-            blocks_i = [(int(sigs[i]) >> (16 * k)) & 0xFFFF for k in range(4)]
-            blocks_j = [(int(sigs[j]) >> (16 * k)) & 0xFFFF for k in range(4)]
-            if any(bi == bj for bi, bj in zip(blocks_i, blocks_j)):
-                a, b = sorted((ids[i], ids[j]))
-                want[(a, b)] = int(ham[off])
+            a, b = sorted((ids[i], ids[j]))
+            want[(a, b)] = int(ham[off])
     assert got == want
 
 
