@@ -50,6 +50,19 @@ def md5_id(s: str | bytes) -> str:
 _FP_WEIGHTS: dict[int, np.ndarray] = {}
 
 
+def fp_weights(window: int) -> np.ndarray:
+    """The winnowing window's odd uint64 weights — deterministic per
+    window size; single source for rolling_fingerprint AND its DuckDB
+    oracle mirror (training._fingerprint_oracle_sql)."""
+    w = _FP_WEIGHTS.get(window)
+    if w is None:
+        rng = np.random.default_rng(0xF19E)
+        w = (rng.integers(0, 1 << 62, size=window, dtype=np.uint64)
+             | np.uint64(1))
+        _FP_WEIGHTS[window] = w
+    return w
+
+
 def rolling_fingerprint(text: str, window: int = 16, keep: int = 8) -> list[int]:
     """Winnowing-style document fingerprint.
 
@@ -65,12 +78,7 @@ def rolling_fingerprint(text: str, window: int = 16, keep: int = 8) -> list[int]
     n = data.size
     if n <= window:
         return [stable_hash64(data.tobytes())]
-    w = _FP_WEIGHTS.get(window)
-    if w is None:
-        rng = np.random.default_rng(0xF19E)
-        w = (rng.integers(0, 1 << 62, size=window, dtype=np.uint64)
-             | np.uint64(1))
-        _FP_WEIGHTS[window] = w
+    w = fp_weights(window)
     from numpy.lib.stride_tricks import sliding_window_view
     with np.errstate(over="ignore"):
         wins = sliding_window_view(data, window)

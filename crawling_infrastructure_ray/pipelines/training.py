@@ -169,9 +169,27 @@ def q_text_langid(sf_dir: str):
 
 
 def q_text_fingerprint(sf_dir: str):
-    """Winnowing fingerprints (rows-only)."""
+    """Winnowing fingerprints, exploded to scalar rows
+    (doc_id, fp_rank, fp_hash) — ORACLE-CHECKED: DuckDB recomputes
+    every window hash (16-term weighted byte sum mod 2^64 + xorshift
+    mix, weights shared via functions.hashing.fp_weights) and keeps
+    the 8 smallest distinct per doc with row_number()."""
+    from ..functions.hashing import rolling_fingerprint
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_rank, out_h = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            for r, h in enumerate(rolling_fingerprint(t or ""), 1):
+                out_id.append(d)
+                out_rank.append(r)
+                out_h.append(h)
+        return pa.table({"doc_id": pa.array(out_id),
+                         "fp_rank": pa.array(out_rank, pa.int64()),
+                         "fp_hash": pa.array(out_h, pa.uint64())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------------
@@ -542,7 +560,44 @@ def _simhash_pairs_oracle_sql(max_hamming: int = 6, seed: int = 42) -> str:
         f"WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}")
 
 
+def _fingerprint_oracle_sql(window: int = 16, keep: int = 8) -> str:
+    """DuckDB twin of rolling_fingerprint (hashing.py): texts longer
+    than the window hash every byte window as a 16-term weighted sum
+    mod 2^64 (HUGEINT accumulation) followed by the xorshift mix;
+    texts of 1..window bytes hash whole via the shared stable_hash64
+    mirror; empty texts contribute NO rows (the Python early-return).
+    Distinct hashes per doc, 8 smallest kept via row_number()."""
+    from ..functions.hashing import fp_weights
+    from ..functions.sqlmirror import M64, mul_mod64, stable_hash64_cte
+    w = [int(x) for x in fp_weights(window)]
+    terms = " + ".join(
+        f"ord(substr(text, i + {k}, 1)) * CAST({wk} AS HUGEINT)"
+        for k, wk in enumerate(w))
+    short_with, short_cte = stable_hash64_cte(
+        f"SELECT text, doc_id FROM documents "
+        f"WHERE length(text) BETWEEN 1 AND {window}", "text", {"h": 0},
+        carry_cols=("doc_id",))
+    mix_mul = mul_mod64("h", 0xFF51AFD7ED558CCD)
+    return short_with + (
+        f", __win AS (SELECT doc_id, unnest(range(1, length(text) - "
+        f"{window - 2})) AS i, text FROM documents "
+        f"WHERE length(text) > {window}), "
+        f"__wh AS (SELECT doc_id, CAST(({terms}) % {M64} AS UBIGINT) AS h "
+        f"FROM __win), "
+        f"__x1 AS (SELECT doc_id, xor(h, h >> 33) AS h FROM __wh), "
+        f"__x2 AS (SELECT doc_id, {mix_mul} AS h FROM __x1), "
+        f"__x3 AS (SELECT doc_id, xor(h, h >> 29) AS h FROM __x2), "
+        f"__all AS (SELECT DISTINCT doc_id, h FROM "
+        f"(SELECT doc_id, h FROM __x3 UNION ALL "
+        f"SELECT doc_id, h FROM {short_cte})), "
+        f"__rk AS (SELECT doc_id, h, row_number() OVER "
+        f"(PARTITION BY doc_id ORDER BY h) AS fp_rank FROM __all) "
+        f"SELECT doc_id, CAST(fp_rank AS BIGINT) AS fp_rank, "
+        f"h AS fp_hash FROM __rk WHERE fp_rank <= {keep}")
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
+    "text_fingerprint": _fingerprint_oracle_sql(),
     "m8_randomizers": _m8_oracle_sql(),
     "dedup_simhash": _simhash_oracle_sql(),
     "dedup_simhash_pairs": _simhash_pairs_oracle_sql(),

@@ -49,14 +49,18 @@ def test_golden_text_langid(ray_session, docs_pdf):
 
 
 def test_golden_text_fingerprint(ray_session, docs_pdf):
+    """The exploded (doc_id, fp_rank, fp_hash) rows reassemble into
+    exactly the sequential rolling_fingerprint per doc."""
     from crawling_infrastructure_ray.functions.hashing import rolling_fingerprint
     from crawling_infrastructure_ray.pipelines.training import q_text_fingerprint
     out = (q_text_fingerprint(SF).to_pandas()
-           .sort_values("doc_id").reset_index(drop=True))
+           .sort_values(["doc_id", "fp_rank"]).reset_index(drop=True))
+    got = {d: grp["fp_hash"].tolist()
+           for d, grp in out.groupby("doc_id", sort=True)}
     g = docs_pdf.sort_values("doc_id").reset_index(drop=True)
-    assert out["doc_id"].tolist() == g["doc_id"].tolist()
-    for got, text in zip(out["fingerprint"], g["text"]):
-        assert list(got) == rolling_fingerprint(text or "")
+    for d, text in zip(g["doc_id"], g["text"]):
+        want = rolling_fingerprint(text or "")
+        assert got.get(d, []) == want, d
 
 
 def test_golden_dedup_simhash(ray_session, docs_pdf):

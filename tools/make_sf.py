@@ -37,7 +37,12 @@ LANG_WORDS = {
     "es": "el la de que y en un una los por mesa fila datos".split(),
     "de": "der die das und ist von mit den ein zu tabelle zeile".split(),
     "fr": "le la de et les des un une est dans table ligne".split(),
-    "zh": list("数据表行查询扫描排序"),
+    # romanized, matching the driver corpus (pure ASCII — checked):
+    # the engine's text stack documents an ASCII tokenization contract
+    # (stages/text.py) and the byte-level SQL hash mirrors
+    # (simhash/fingerprint) rely on char==byte; langid's actual CJK
+    # short-circuit is pinned by tests/test_text_and_search.py
+    "zh": "shuju biao hang chaxun saomiao paixu neirong wendang".split(),
 }
 
 
@@ -152,7 +157,7 @@ def make_tables(out_dir: str, scale: float, seed: int = 7) -> dict[str, int]:
         if rng.random() < 0.05 and i > 0:     # exact dups for dedup gates
             texts.append(texts[-1])
         else:
-            texts.append((" " if langs[i] != "zh" else "").join(words))
+            texts.append(" ".join(words))
     write("documents", pa.table({
         "doc_id": pa.array(np.arange(n), pa.int64()),
         "text": pa.array(texts),
