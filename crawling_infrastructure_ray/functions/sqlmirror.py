@@ -45,14 +45,19 @@ def splitmix_stage_exprs(col: str) -> list[str]:
 
 def stable_hash64_cte(source_sql: str, text_col: str,
                       seeds: dict[str, int],
-                      carry_cols: tuple[str, ...] = ()) -> tuple[str, str]:
+                      carry_cols: tuple[str, ...] = (),
+                      prefix: str = "__",
+                      include_with: bool = True) -> tuple[str, str]:
     """Build ``WITH RECURSIVE ...`` SQL computing stable_hash64 of
     ``text_col`` (an ASCII string column of the single-SELECT
     ``source_sql``) for each (output column -> seed) in ``seeds``.
 
     Returns (with_clause, final_cte_name); the final CTE has columns
     (text_col, *carry_cols, *seeds-keys) with each seed column holding
-    the finished 64-bit hash as UBIGINT.
+    the finished 64-bit hash as UBIGINT. Pass distinct ``prefix``es
+    (and ``include_with=False`` on all but the first) to compose
+    several hash recursions in one query — DuckDB allows multiple
+    recursive members under one WITH RECURSIVE.
     """
     cols = list(seeds)
     carry = "".join(f", {c}" for c in carry_cols)
@@ -63,18 +68,20 @@ def stable_hash64_cte(source_sql: str, text_col: str,
         f"CAST((CAST(xor({c}, CAST(ord(substr({text_col}, i, 1)) AS UBIGINT))"
         f" AS HUGEINT) * {FNV_P}) % {M64} AS UBIGINT) AS {c}"
         for c in cols)
+    head = "WITH RECURSIVE " if include_with else ", "
     sql = (
-        f"WITH RECURSIVE __src AS ({source_sql}), "
-        f"__fnv AS (SELECT {text_col}{carry}, 1 AS i, {init} FROM __src "
-        f"UNION ALL SELECT {text_col}{carry}, i + 1, {step} FROM __fnv "
-        f"WHERE i <= length({text_col})), "
-        f"__done AS (SELECT {text_col}{carry}, {', '.join(cols)} FROM __fnv "
-        f"WHERE i = length({text_col}) + 1)")
-    prev = "__done"
+        f"{head}{prefix}src AS ({source_sql}), "
+        f"{prefix}fnv AS (SELECT {text_col}{carry}, 1 AS i, {init} "
+        f"FROM {prefix}src "
+        f"UNION ALL SELECT {text_col}{carry}, i + 1, {step} "
+        f"FROM {prefix}fnv WHERE i <= length({text_col})), "
+        f"{prefix}done AS (SELECT {text_col}{carry}, {', '.join(cols)} "
+        f"FROM {prefix}fnv WHERE i = length({text_col}) + 1)")
+    prev = f"{prefix}done"
     for k in range(6):
         exprs = ", ".join(f"{splitmix_stage_exprs(c)[k]} AS {c}"
                           for c in cols)
-        sql += (f", __mix{k} AS (SELECT {text_col}{carry}, {exprs} "
+        sql += (f", {prefix}mix{k} AS (SELECT {text_col}{carry}, {exprs} "
                 f"FROM {prev})")
-        prev = f"__mix{k}"
+        prev = f"{prefix}mix{k}"
     return sql, prev

@@ -58,13 +58,20 @@ def q_dedup_exact_remove(sf_dir: str):
 
 
 def q_dedup_minhash_pairs(sf_dir: str):
-    """MinHash+LSH near-dup verified pairs (rows-only check)."""
+    """MinHash+LSH near-dup verified pairs. ORACLE-CHECKED end to end:
+    DuckDB re-runs the WHOLE pipeline — token hashes via the shared
+    recursive-CTE mirror, shingle chains, the 64 permutation minima
+    against the same (a, b) draw, band-tuple candidate join, exact
+    integer Jaccard — so the hash gate verifies banding, candidate
+    generation AND verification, not just the final pair set
+    (_minhash_pairs_oracle_sql)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(
         lambda t: pa.table({"doc_id": pa.array([str(x) for x in t["doc_id"].to_pylist()]),
                             "text": t["text"]}), batch_format="pyarrow")
-    return dd.minhash_dedup_pairs(ds, bands=16, rows_per_band=4, threshold=0.4,
-                                  shingle_k=3, concurrency=(2, 16))
+    out = dd.minhash_dedup_pairs(ds, bands=16, rows_per_band=4, threshold=0.4,
+                                 shingle_k=3, concurrency=(2, 16))
+    return out[["a", "b", "jaccard_e6"]]
 
 
 def q_dedup_minhash_remove(sf_dir: str):
@@ -560,6 +567,91 @@ def _simhash_pairs_oracle_sql(max_hamming: int = 6, seed: int = 42) -> str:
         f"WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}")
 
 
+def _minhash_pairs_oracle_sql(bands: int = 16, rows_per_band: int = 4,
+                              threshold_e6: int = 400_000,
+                              seed: int = 42, k: int = 3) -> str:
+    """DuckDB twin of the FULL MinHash-LSH pipeline
+    (minhash_dedup_pairs): token hashes via the shared recursive-CTE
+    stable_hash64 mirror, k-token shingle chains via window lead()
+    (s = ((h_i·G ⊕ h_{i+1})·G) ⊕ h_{i+2}, the _token_shingles mix),
+    per-permutation minima of mix(sh·a+b) against the embedded
+    (a, b) literal table (same np.default_rng draw), band keys as the
+    ORDERED LIST of per-band minima (tuple equality == band-hash
+    equality, no byte-level band hash needed), candidate pairs via
+    band self-join, and exact integer Jaccard over the same shingle
+    sets. Float-threshold equivalence: j >= t/1e6 with j = n/d and
+    d bounded far below 1e6 means the integer floor test
+    (1e6·n)//d >= t is exact — no boundary risk.
+
+    Cost scales as docs × distinct-shingles × permutations (the
+    literal MinHash work) — fine at the driver gate scale, skipped by
+    the sf1 gate like the other intentionally-heavy mirrors."""
+    from ..functions.sqlmirror import M64, mul_mod64, stable_hash64_cte
+    from ..stages.dedup import _minhash_params
+    a, b = _minhash_params(bands * rows_per_band, seed)
+    perms = ", ".join(f"({p}, {int(a[p])}, {int(b[p])})"
+                      for p in range(bands * rows_per_band))
+    GOLD = 0x9E3779B97F4A7C15
+    MIX = 0xFF51AFD7ED558CCD
+    # token-hash recursion over the corpus-wide DISTINCT token set
+    tok_with, tok_cte = stable_hash64_cte(
+        "SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS s "
+        f"FROM documents WHERE len(string_split_regex(trim(text), "
+        f"'\\s+')) >= {k}", "s", {"h": 0}, prefix="__t")
+    # short docs (< k tokens): single shingle = hash of the re-joined
+    # token string (whitespace-normalized), like the Python branch
+    short_with, short_cte = stable_hash64_cte(
+        "SELECT regexp_replace(trim(text), '\\s+', ' ', 'g') AS s, "
+        "CAST(doc_id AS VARCHAR) AS doc_id FROM documents "
+        f"WHERE len(string_split_regex(trim(text), '\\s+')) < {k}",
+        "s", {"h": 0}, carry_cols=("doc_id",), prefix="__s",
+        include_with=False)
+    chain = "h"
+    for step in range(1, k):
+        chain = f"xor({mul_mod64(chain, GOLD)}, h{step})"
+    leads = ", ".join(f"lead(h, {j}) OVER (PARTITION BY doc_id ORDER BY i) "
+                      f"AS h{j}" for j in range(1, k))
+    v0 = f"CAST((CAST(h AS HUGEINT) * pa + pb) % {M64} AS UBIGINT)"
+    x1 = f"xor({v0}, {v0} >> 33)"
+    x2 = mul_mod64(x1, MIX)
+    mixed = f"xor({x2}, {x2} >> 33)"
+    return tok_with + short_with + (
+        f", __pos AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+        f"unnest(range(1, len(t) + 1)) AS i, t FROM "
+        f"(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t "
+        f"FROM documents WHERE len(string_split_regex(trim(text), "
+        f"'\\s+')) >= {k})), "
+        f"__tokh AS (SELECT p.doc_id, p.i, th.h FROM "
+        f"(SELECT doc_id, i, t[i] AS tok FROM __pos) p "
+        f"JOIN {tok_cte} th ON p.tok = th.s), "
+        f"__lead AS (SELECT doc_id, h, {leads} FROM __tokh), "
+        f"__shl AS (SELECT DISTINCT doc_id, {chain} AS h FROM __lead "
+        f"WHERE h{k - 1} IS NOT NULL), "
+        f"__sh AS (SELECT doc_id, h FROM __shl UNION ALL "
+        f"SELECT doc_id, h FROM {short_cte}), "
+        f"__perms(p, pa, pb) AS (SELECT * FROM (VALUES {perms})), "
+        f"__minh AS (SELECT doc_id, p, MIN({mixed}) AS m "
+        f"FROM __sh CROSS JOIN __perms GROUP BY doc_id, p), "
+        f"__band AS (SELECT doc_id, p // {rows_per_band} AS band, "
+        f"list(m ORDER BY p) AS key FROM __minh "
+        f"GROUP BY doc_id, p // {rows_per_band}), "
+        f"__cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
+        f"FROM __band x JOIN __band y ON x.band = y.band "
+        f"AND x.key = y.key AND x.doc_id < y.doc_id), "
+        f"__isz AS (SELECT doc_id, count(*) AS n FROM __sh "
+        f"GROUP BY doc_id), "
+        f"__inter AS (SELECT c.a, c.b, count(*) AS inter FROM __cand c "
+        f"JOIN __sh sa ON sa.doc_id = c.a "
+        f"JOIN __sh sb ON sb.doc_id = c.b AND sa.h = sb.h "
+        f"GROUP BY c.a, c.b) "
+        f"SELECT a, b, jaccard_e6 FROM "
+        f"(SELECT i.a, i.b, CAST(i.inter * 1000000 // "
+        f"(za.n + zb.n - i.inter) AS BIGINT) AS jaccard_e6 "
+        f"FROM __inter i JOIN __isz za ON i.a = za.doc_id "
+        f"JOIN __isz zb ON i.b = zb.doc_id) "
+        f"WHERE jaccard_e6 >= {threshold_e6}")
+
+
 def _fingerprint_oracle_sql(window: int = 16, keep: int = 8) -> str:
     """DuckDB twin of rolling_fingerprint (hashing.py): texts longer
     than the window hash every byte window as a 16-term weighted sum
@@ -598,6 +690,7 @@ def _fingerprint_oracle_sql(window: int = 16, keep: int = 8) -> str:
 
 ORACLE_SQL_TRAINING: dict[str, str] = {
     "text_fingerprint": _fingerprint_oracle_sql(),
+    "dedup_minhash_pairs": _minhash_pairs_oracle_sql(),
     "m8_randomizers": _m8_oracle_sql(),
     "dedup_simhash": _simhash_oracle_sql(),
     "dedup_simhash_pairs": _simhash_pairs_oracle_sql(),

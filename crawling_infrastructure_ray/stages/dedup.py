@@ -337,15 +337,20 @@ def verify_jaccard_ds(ds: rd.Dataset, cand_pairs: pd.DataFrame, *,
             union = sa.size + sb.size - inter
             j = inter / union if union else 0.0
             if j >= threshold:
-                rows.append((a, b, round(j, 4)))
-        return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+                # jaccard_e6 is the hash-gate column (exact integer,
+                # cross-engine stable); the rounded float is for humans
+                rows.append((a, b, round(j, 4),
+                             inter * 1_000_000 // union if union else 0))
+        return pd.DataFrame(rows, columns=["a", "b", "jaccard",
+                                           "jaccard_e6"])
 
     out = (text_rows.union(pair_rows)
            .repartition(32)   # consolidate before the sort-based groupby
            .groupby("vbucket").map_groups(verify_group, batch_format="pandas")
            .to_pandas())
     if out.empty:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        return pd.DataFrame({"a": [], "b": [], "jaccard": [],
+                             "jaccard_e6": []})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 

@@ -135,9 +135,9 @@ def test_golden_minhash_pairs_sound(ray_session, docs_pdf):
     out = q_dedup_minhash_pairs(SF)
     assert len(out) > 0
     texts = dict(zip(docs_pdf["doc_id"].astype(str), docs_pdf["text"]))
-    for a, b, j in zip(out["a"], out["b"], out["jaccard"]):
+    for a, b, je6 in zip(out["a"], out["b"], out["jaccard_e6"]):
         sa, sb = _token_shingles(texts[a], 3), _token_shingles(texts[b], 3)
         inter = np.intersect1d(sa, sb, assume_unique=True).size
-        true_j = inter / (sa.size + sb.size - inter)
-        assert true_j >= 0.4                      # threshold holds
-        assert abs(true_j - j) < 5e-5             # reported value exact
+        union = sa.size + sb.size - inter
+        assert inter / union >= 0.4               # threshold holds
+        assert je6 == inter * 1_000_000 // union  # reported value exact

@@ -73,7 +73,10 @@ def main() -> int:
     # driver scale (sf0.01 testdata, where they are hash-green) and
     # skip here above scale 0.1.
     skip_quadratic = {"dedup_jaccard_exact", "dedup_ngram_pairs",
-                      "dedup_simhash_pairs"} if scale > 0.1 else set()
+                      "dedup_simhash_pairs",
+                      # the SQL mirror literally re-runs MinHash
+                      # (docs x shingles x 64 perms) — driver-scale gate
+                      "dedup_minhash_pairs"} if scale > 0.1 else set()
     if skip_quadratic:
         print(f"skipping at scale {scale} (exact all-pairs, quadratic "
               f"by design): {sorted(skip_quadratic)}", file=sys.stderr)
