@@ -100,8 +100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": qt.q_dedup_simhash_pairs,
         # winnowing fingerprints, window hashes mirrored in SQL (r03)
         "text_fingerprint": qt.q_text_fingerprint,
-        # the FULL MinHash-LSH pipeline re-run in SQL (r03)
+        # the FULL MinHash-LSH pipeline re-run in SQL (r03), and the
+        # removal path via a recursive transitive-closure CTE
         "dedup_minhash_pairs": qt.q_dedup_minhash_pairs,
+        "dedup_minhash_remove": qt.q_dedup_minhash_remove,
         # ---- rows-only: engine surfaces with NO driver row yet ----
         # (ordered first within rows-only so a grading cutoff reaches
         # them before the r02-graded queries below)
@@ -119,7 +121,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_documents": qt.q_crawl_documents,
         "crawl_order": qt.q_crawl_order,
         "crawl_status_histogram": qt.q_crawl_status_histogram,
-        "dedup_minhash_remove": qt.q_dedup_minhash_remove,
         "dedup_embedding_pairs": qt.q_dedup_embedding_pairs,
         "ann_ivf_topk": qt.q_ann_ivf_topk,
         "crawl_direct": qa.q_crawl_direct,

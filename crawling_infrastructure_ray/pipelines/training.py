@@ -567,9 +567,9 @@ def _simhash_pairs_oracle_sql(max_hamming: int = 6, seed: int = 42) -> str:
         f"WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}")
 
 
-def _minhash_pairs_oracle_sql(bands: int = 16, rows_per_band: int = 4,
-                              threshold_e6: int = 400_000,
-                              seed: int = 42, k: int = 3) -> str:
+def _minhash_pairs_cte(bands: int = 16, rows_per_band: int = 4,
+                       threshold_e6: int = 400_000,
+                       seed: int = 42, k: int = 3) -> tuple[str, str]:
     """DuckDB twin of the FULL MinHash-LSH pipeline
     (minhash_dedup_pairs): token hashes via the shared recursive-CTE
     stable_hash64 mirror, k-token shingle chains via window lead()
@@ -643,13 +643,39 @@ def _minhash_pairs_oracle_sql(bands: int = 16, rows_per_band: int = 4,
         f"__inter AS (SELECT c.a, c.b, count(*) AS inter FROM __cand c "
         f"JOIN __sh sa ON sa.doc_id = c.a "
         f"JOIN __sh sb ON sb.doc_id = c.b AND sa.h = sb.h "
-        f"GROUP BY c.a, c.b) "
-        f"SELECT a, b, jaccard_e6 FROM "
+        f"GROUP BY c.a, c.b), "
+        f"__mhp AS (SELECT a, b, jaccard_e6 FROM "
         f"(SELECT i.a, i.b, CAST(i.inter * 1000000 // "
         f"(za.n + zb.n - i.inter) AS BIGINT) AS jaccard_e6 "
         f"FROM __inter i JOIN __isz za ON i.a = za.doc_id "
         f"JOIN __isz zb ON i.b = zb.doc_id) "
-        f"WHERE jaccard_e6 >= {threshold_e6}")
+        f"WHERE jaccard_e6 >= {threshold_e6})"), "__mhp"
+
+
+def _minhash_pairs_oracle_sql(**kw) -> str:
+    with_sql, cte = _minhash_pairs_cte(**kw)
+    return with_sql + f" SELECT a, b, jaccard_e6 FROM {cte}"
+
+
+def _minhash_remove_oracle_sql(**kw) -> str:
+    """DuckDB twin of minhash_dedup_remove: verified pairs (the full
+    mirrored pipeline above) → connected components via a recursive
+    transitive-closure CTE (UNION-dedup recursion terminates; closure
+    size is Σ component² over output-sized clusters) → each node's
+    representative is the LEAST reachable id (lexicographic VARCHAR,
+    matching union_find_components over string ids) → keep documents
+    that are not non-representative members."""
+    with_sql, cte = _minhash_pairs_cte(**kw)
+    return with_sql + (
+        f", __e AS (SELECT a AS u, b AS v FROM {cte} "
+        f"UNION SELECT b, a FROM {cte}), "
+        f"__r AS (SELECT u, v FROM __e "
+        f"UNION SELECT r.u, e.v FROM __r r JOIN __e e ON r.v = e.u), "
+        f"__rep AS (SELECT u, least(u, min(v)) AS rep FROM __r "
+        f"GROUP BY u) "
+        f"SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents "
+        f"WHERE CAST(doc_id AS VARCHAR) NOT IN "
+        f"(SELECT u FROM __rep WHERE rep <> u)")
 
 
 def _fingerprint_oracle_sql(window: int = 16, keep: int = 8) -> str:
@@ -691,6 +717,7 @@ def _fingerprint_oracle_sql(window: int = 16, keep: int = 8) -> str:
 ORACLE_SQL_TRAINING: dict[str, str] = {
     "text_fingerprint": _fingerprint_oracle_sql(),
     "dedup_minhash_pairs": _minhash_pairs_oracle_sql(),
+    "dedup_minhash_remove": _minhash_remove_oracle_sql(),
     "m8_randomizers": _m8_oracle_sql(),
     "dedup_simhash": _simhash_oracle_sql(),
     "dedup_simhash_pairs": _simhash_pairs_oracle_sql(),
