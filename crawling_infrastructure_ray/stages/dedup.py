@@ -110,6 +110,50 @@ def _token_shingles(text: str, k: int = 3) -> np.ndarray:
     return np.unique(out)
 
 
+def _batch_token_shingles(texts: list[str], k: int = 3) -> list[np.ndarray]:
+    """Batch form of _token_shingles with IDENTICAL hashes: factorize
+    the whole batch's token stream once (C path), hash each DISTINCT
+    token once, then chain per doc with two vector ops — replacing
+    ~10^6 per-token dict lookups per batch with ~10^4 distinct-token
+    hashes plus gathers."""
+    tok_lists = [(t or "").split() for t in texts]
+    flat = [t for toks in tok_lists for t in toks]
+    if flat:
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        cache = _TOKEN_HASH_CACHE
+        dh = np.empty(len(uniques), dtype=np.uint64)
+        for i, t in enumerate(uniques):
+            key = (t, -1)
+            h = cache.get(key)
+            if h is None:
+                if len(cache) > 1_000_000:
+                    cache.clear()
+                h = cache[key] = stable_hash64(t)
+            dh[i] = h
+        hs_flat = dh[codes]
+    else:
+        hs_flat = np.empty(0, dtype=np.uint64)
+    out: list[np.ndarray] = []
+    pos = 0
+    G = np.uint64(0x9E3779B97F4A7C15)
+    for toks in tok_lists:
+        m = len(toks)
+        hs = hs_flat[pos:pos + m]
+        pos += m
+        if m < k:
+            out.append(np.array([stable_hash64(" ".join(toks))],
+                                dtype=np.uint64))
+            continue
+        n = m - k + 1
+        with np.errstate(over="ignore"):
+            acc = hs[:n].copy()
+            for j in range(1, k):
+                acc *= G
+                acc ^= hs[j:n + j]
+        out.append(np.unique(acc))
+    return out
+
+
 _CHAR_SHINGLE_W: dict[int, np.ndarray] = {}
 
 
@@ -190,17 +234,43 @@ class MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_column].to_pylist()
         texts = batch[self.column].to_pylist()
-        band_ids, band_hashes, doc_ids = [], [], []
-        for doc, text in zip(ids, texts):
-            sig = self.signature(text)
-            for band in range(self.bands):
-                chunk = sig[band * self.rows:(band + 1) * self.rows]
-                band_ids.append(band)
-                band_hashes.append(stable_hash64(chunk.tobytes()))
-                doc_ids.append(doc)
-        return pa.table({"band_id": pa.array(band_ids, pa.int32()),
-                         "band_hash": pa.array(band_hashes, pa.uint64()),
-                         "doc_id": pa.array(doc_ids, pa.string())})
+        n = len(ids)
+        if n == 0:
+            return pa.table({"band_id": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.string())})
+        # one mixed-hash matrix over the batch's CONCATENATED shingles,
+        # per-doc minima via minimum.reduceat — the per-doc Python work
+        # is only the tokenization; the MinHash math runs once per batch
+        shs = (_batch_token_shingles(texts, self.k)
+               if self.kind == "token"
+               else [_char_shingles(t, self.k) for t in texts])
+        counts = np.fromiter((s.size for s in shs), dtype=np.int64, count=n)
+        cat = np.concatenate(shs)
+        with np.errstate(over="ignore"):
+            h = cat[None, :] * self.a[:, None] + self.b[:, None]
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        sigs = np.minimum.reduceat(h, offsets, axis=1).T  # (n, perms)
+        # vectorized band hashing: fold each band's row values with the
+        # multiply-xor chain (any deterministic equality-preserving
+        # hash of the tuple works — band hashes only bucket rows; the
+        # SQL oracle joins on the raw minima tuples, not this hash).
+        # Replaces n x bands Python stable_hash64(bytes) calls.
+        chunks = sigs.reshape(n, self.bands, self.rows)
+        with np.errstate(over="ignore"):
+            bh = chunks[:, :, 0].copy()
+            for j in range(1, self.rows):
+                bh *= np.uint64(0x9E3779B97F4A7C15)
+                bh ^= chunks[:, :, j]
+        band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        return pa.table({"band_id": pa.array(band_ids),
+                         "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+                         "doc_id": pa.array(np.repeat(np.asarray(ids, dtype=object),
+                                                      self.bands))})
 
 
 def _tag_bucket_partition(num_parts: int):
