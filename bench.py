@@ -86,8 +86,13 @@ def run_bench() -> dict:
     # host bucket forces defer churn during ramp — measured 2.6k vs
     # 4.3k urls/s at 8 cpus on identical input; burst >= tokens-per-
     # poll-interval is the sane operating config for a 200/s budget
+    # chunk 256 (not 1024) when polite: a 1024-item lease outruns a
+    # bucket's burst+refill at a claim instant, shrinking effective
+    # leases and adding rounds — measured 11.1k vs 14.5k urls/s at 32
+    # cpus on identical uniform-host input
     polite_kwargs = dict(politeness=True, robots=True, default_rate=200.0,
-                         default_burst=32.0) if POLITE else {}
+                         default_burst=32.0, chunk_size=256) \
+        if POLITE else dict(chunk_size=1024)
     crawl_sec, crawl_tput, res = None, 0.0, None
     for rep in range(REPS):
         t0 = time.perf_counter()
@@ -95,7 +100,7 @@ def run_bench() -> dict:
         # actors crowd the fetch tasks) and keeps the shard count
         # constant across the 8/32-cpu scaling pair
         r = run_crawl_pump(seeds, seed=42, num_shards=8, dedup=True,
-                           max_depth=1, chunk_size=1024, track_seen=False,
+                           max_depth=1, track_seen=False,
                            evict_every_commits=64,
                            out_dir=f"/tmp/bench_crawl_{NUM_CPUS}_{rep}",
                            **polite_kwargs)
