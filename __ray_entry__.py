@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # removal path via a recursive transitive-closure CTE
         "dedup_minhash_pairs": qt.q_dedup_minhash_pairs,
         "dedup_minhash_remove": qt.q_dedup_minhash_remove,
+        # hyperplane-LSH embedding near-dup re-run in SQL (r03)
+        "dedup_embedding_pairs": qt.q_dedup_embedding_pairs,
         # ---- rows-only: engine surfaces with NO driver row yet ----
         # (ordered first within rows-only so a grading cutoff reaches
         # them before the r02-graded queries below)
@@ -121,7 +123,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_documents": qt.q_crawl_documents,
         "crawl_order": qt.q_crawl_order,
         "crawl_status_histogram": qt.q_crawl_status_histogram,
-        "dedup_embedding_pairs": qt.q_dedup_embedding_pairs,
         "ann_ivf_topk": qt.q_ann_ivf_topk,
         "crawl_direct": qa.q_crawl_direct,
     }

@@ -75,9 +75,11 @@ def q_dedup_minhash_pairs(sf_dir: str):
 
 
 def q_dedup_minhash_remove(sf_dir: str):
-    """Near-dup REMOVAL end to end (rows-only): MinHash pairs →
+    """Near-dup REMOVAL end to end, ORACLE-CHECKED: MinHash pairs →
     union-find components → distributed anti-join keeps one
-    representative per cluster. Returns the kept doc ids."""
+    representative per cluster; DuckDB mirrors the whole chain incl.
+    components via a recursive transitive-closure CTE
+    (_minhash_remove_oracle_sql). Returns the kept doc ids."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(
         lambda t: pa.table({"doc_id": pa.array([str(x) for x in t["doc_id"].to_pylist()]),
@@ -113,8 +115,10 @@ def q_dedup_simhash_pairs(sf_dir: str):
 
 
 def q_dedup_embedding_pairs(sf_dir: str):
-    """Embedding-cosine near-dup pairs via multi-table hyperplane LSH
-    (rows-only) — the SCALE path: bucketed in-group pairwise, never a
+    """Embedding-cosine near-dup pairs via multi-table hyperplane LSH,
+    ORACLE-CHECKED (_embedding_pairs_oracle_sql re-runs hyperplane
+    projection, bucketing, candidate join and cosine verification in
+    DuckDB) — the SCALE path: bucketed in-group pairwise, never a
     whole-table n² matmul. bits=4 x tables=12 gives ~0.9 recall at this
     threshold (the brute lsh_bits=0 path is kept as the verification
     oracle in tests/test_dedup.py).
@@ -123,8 +127,12 @@ def q_dedup_embedding_pairs(sf_dir: str):
     threshold is set at the top of the cosine distribution to return a
     small non-empty candidate set — exercising the full pipeline."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return dd.embedding_near_dup_pairs(ds, threshold=0.45, lsh_bits=4,
-                                       tables=12, seed=42)
+    out = dd.embedding_near_dup_pairs(ds, threshold=0.45, lsh_bits=4,
+                                      tables=12, seed=42)
+    # pairs only: the PAIR SET is float-robust cross-engine (flips
+    # need a projection/cosine within ~1e-15 of a boundary); the
+    # rounded cosine VALUE is not — see _embedding_pairs_oracle_sql
+    return out[["a", "b"]]
 
 
 def q_dedup_ngram_pairs(sf_dir: str):
@@ -678,6 +686,56 @@ def _minhash_remove_oracle_sql(**kw) -> str:
         f"(SELECT u FROM __rep WHERE rep <> u)")
 
 
+def _embedding_pairs_oracle_sql(threshold: float = 0.45, lsh_bits: int = 4,
+                                tables: int = 12, seed: int = 42,
+                                dim: int = 64) -> str:
+    """DuckDB twin of embedding_near_dup_pairs (LSH path): the
+    hyperplanes (same np.default_rng draw) are embedded as a literal
+    (table, dim-index, bit, weight) relation; DuckDB renormalizes each
+    vector, projects it onto every plane (strict > 0 sign, matching
+    the numpy comparison), reassembles the per-table bucket id,
+    self-joins for candidates sharing >= 1 (table, bucket), and
+    verifies cosine >= threshold over the normalized components.
+
+    Float note: the only cross-engine divergence is summation order
+    (numpy pairwise vs DuckDB sequential), i.e. ~1 ulp on dots and
+    norms — a sign/threshold flip needs a projection within ~1e-15 of
+    zero or a cosine within ~1e-15 of the threshold, so the PAIR SET
+    is robust; the rounded cosine VALUE is not (4dp midpoints), which
+    is why the registered query returns pairs only."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((tables, dim, lsh_bits))
+    rows = ", ".join(
+        f"({t}, {k + 1}, {j}, {planes[t, k, j]!r})"
+        for t in range(tables) for k in range(dim) for j in range(lsh_bits))
+    return (
+        f"WITH __pl(t, kk, j, w) AS (SELECT * FROM (VALUES {rows})), "
+        f"__ve AS (SELECT vec_id, unnest(range(1, {dim} + 1)) AS k, "
+        f"embedding FROM embeddings), "
+        f"__vv AS (SELECT vec_id, k, CAST(embedding[k] AS DOUBLE) AS val "
+        f"FROM __ve), "
+        f"__nr AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM __vv "
+        f"GROUP BY vec_id), "
+        f"__nv AS (SELECT v.vec_id, v.k, v.val / "
+        f"(CASE WHEN n.nrm = 0 THEN 1 ELSE n.nrm END) AS nv "
+        f"FROM __vv v JOIN __nr n ON v.vec_id = n.vec_id), "
+        f"__dot AS (SELECT nv.vec_id, pl.t, pl.j, sum(nv.nv * pl.w) AS d "
+        f"FROM __nv nv JOIN __pl pl ON pl.kk = nv.k "
+        f"GROUP BY nv.vec_id, pl.t, pl.j), "
+        f"__bkt AS (SELECT vec_id, t, CAST(sum(CASE WHEN d > 0 "
+        f"THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) "
+        f"AS bucket FROM __dot GROUP BY vec_id, t), "
+        f"__cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b "
+        f"FROM __bkt x JOIN __bkt y ON x.t = y.t AND x.bucket = y.bucket "
+        f"AND x.vec_id < y.vec_id), "
+        f"__cos AS (SELECT c.a, c.b, sum(na.nv * nb.nv) AS cos "
+        f"FROM __cand c JOIN __nv na ON na.vec_id = c.a "
+        f"JOIN __nv nb ON nb.vec_id = c.b AND nb.k = na.k "
+        f"GROUP BY c.a, c.b) "
+        f"SELECT a, b FROM __cos WHERE cos >= {threshold!r}")
+
+
 def _fingerprint_oracle_sql(window: int = 16, keep: int = 8) -> str:
     """DuckDB twin of rolling_fingerprint (hashing.py): texts longer
     than the window hash every byte window as a 16-term weighted sum
@@ -718,6 +776,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "text_fingerprint": _fingerprint_oracle_sql(),
     "dedup_minhash_pairs": _minhash_pairs_oracle_sql(),
     "dedup_minhash_remove": _minhash_remove_oracle_sql(),
+    "dedup_embedding_pairs": _embedding_pairs_oracle_sql(),
     "m8_randomizers": _m8_oracle_sql(),
     "dedup_simhash": _simhash_oracle_sql(),
     "dedup_simhash_pairs": _simhash_pairs_oracle_sql(),

@@ -77,7 +77,9 @@ def main() -> int:
                       # the SQL mirror literally re-runs MinHash
                       # (docs x shingles x 64 perms) — driver-scale gate
                       "dedup_minhash_pairs",
-                      "dedup_minhash_remove"} if scale > 0.1 else set()
+                      "dedup_minhash_remove",
+                      # 20k vecs x 3072 plane terms unnested in SQL
+                      "dedup_embedding_pairs"} if scale > 0.1 else set()
     if skip_quadratic:
         print(f"skipping at scale {scale} (exact all-pairs, quadratic "
               f"by design): {sorted(skip_quadratic)}", file=sys.stderr)
