@@ -18,6 +18,20 @@ FNV_P = 0x100000001b3
 _GOLD = 0x9E3779B97F4A7C15
 _C1, _C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
 
+# Python str.split() for ASCII text == split on this class, dropping
+# empty tokens. NOT '\s+': RE2 \s is [\t\n\f\r ] (no \v), and a bare
+# trim() in DuckDB strips spaces only, so trim+'\s+' silently emits
+# empty edge tokens for '\t'/'\n'-padded text and fails to split on
+# '\v' — both plain-ASCII divergences from the engine's tokenizers.
+SQL_WS_CLASS = r"[ \t\n\r\f\v]+"
+
+
+def tokens_sql(expr: str) -> str:
+    """SQL expr: the token LIST of ``expr`` with Python-str.split()
+    semantics for ASCII input (class split, empties dropped)."""
+    return (f"list_filter(string_split_regex({expr}, '{SQL_WS_CLASS}'), "
+            f"__x -> __x <> '')")
+
 
 def mul_mod64(a: str, c: int) -> str:
     """SQL expr: (a * c) mod 2^64 for a UBIGINT expr ``a`` (< 2^64)

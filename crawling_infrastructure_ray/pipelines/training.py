@@ -20,8 +20,8 @@ from ..sources.readers import read_table
 from ..stages import dedup as dd
 from ..stages import multimodal as mm
 from ..stages import simsearch as ss
-from ..stages.text import (fingerprint_batch, langid_batch,
-                           quality_score_batch, token_count_batch)
+from ..stages.text import (langid_batch, quality_score_batch,
+                           token_count_batch)
 from .crawl import read_documents, run_crawl
 from .oracle import oracle_crawl
 
@@ -69,8 +69,12 @@ def q_dedup_minhash_pairs(sf_dir: str):
     ds = ds.map_batches(
         lambda t: pa.table({"doc_id": pa.array([str(x) for x in t["doc_id"].to_pylist()]),
                             "text": t["text"]}), batch_format="pyarrow")
+    # max_bucket=None: the gate semantics are exact "shared >= 1 band"
+    # (the SQL mirror's self-join has no cap); the capped form stays
+    # the documented hot-bucket option at scale
     out = dd.minhash_dedup_pairs(ds, bands=16, rows_per_band=4, threshold=0.4,
-                                 shingle_k=3, concurrency=(2, 16))
+                                 shingle_k=3, max_bucket=None,
+                                 concurrency=(2, 16))
     return out[["a", "b", "jaccard_e6"]]
 
 
@@ -86,7 +90,7 @@ def q_dedup_minhash_remove(sf_dir: str):
                             "text": t["text"]}), batch_format="pyarrow")
     kept = dd.minhash_dedup_remove(ds, bands=16, rows_per_band=4,
                                    threshold=0.4, shingle_k=3,
-                                   concurrency=(2, 16))
+                                   max_bucket=None, concurrency=(2, 16))
     out = kept.map_batches(lambda t: t.select(["doc_id"]),
                            batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -530,11 +534,11 @@ def _simhash_sig_cte(seed: int = 42) -> tuple[str, str]:
     (with_clause, cte_name) where the CTE has (doc_id, simhash)."""
     from ..functions.sqlmirror import stable_hash64_cte
     with_sql, last = stable_hash64_cte(
-        "SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS s "
-        "FROM documents WHERE trim(text) <> ''", "s", {"h": seed})
+        "SELECT DISTINCT unnest(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), __x -> __x <> '')) AS s "
+        "FROM documents", "s", {"h": seed})
     return with_sql + (
-        ", __tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), "
-        "'\\s+')) AS tok FROM documents WHERE trim(text) <> ''), "
+        ", __tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), __x -> __x <> '')) AS tok "
+        "FROM documents), "
         "__tc AS (SELECT doc_id, tok, count(*) AS c FROM __tk "
         "GROUP BY doc_id, tok), "
         "__tt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM __tc "
@@ -603,15 +607,15 @@ def _minhash_pairs_cte(bands: int = 16, rows_per_band: int = 4,
     MIX = 0xFF51AFD7ED558CCD
     # token-hash recursion over the corpus-wide DISTINCT token set
     tok_with, tok_cte = stable_hash64_cte(
-        "SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS s "
-        f"FROM documents WHERE len(string_split_regex(trim(text), "
-        f"'\\s+')) >= {k}", "s", {"h": 0}, prefix="__t")
+        f"SELECT DISTINCT unnest(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), __x -> __x <> '')) AS s "
+        f"FROM documents WHERE len(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), __x -> __x <> '')) >= {k}",
+        "s", {"h": 0}, prefix="__t")
     # short docs (< k tokens): single shingle = hash of the re-joined
     # token string (whitespace-normalized), like the Python branch
     short_with, short_cte = stable_hash64_cte(
-        "SELECT regexp_replace(trim(text), '\\s+', ' ', 'g') AS s, "
-        "CAST(doc_id AS VARCHAR) AS doc_id FROM documents "
-        f"WHERE len(string_split_regex(trim(text), '\\s+')) < {k}",
+        f"SELECT coalesce(array_to_string(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), __x -> __x <> ''), ' '), '') AS s, "
+        f"CAST(doc_id AS VARCHAR) AS doc_id FROM documents "
+        f"WHERE len(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), __x -> __x <> '')) < {k}",
         "s", {"h": 0}, carry_cols=("doc_id",), prefix="__s",
         include_with=False)
     chain = "h"
@@ -626,9 +630,8 @@ def _minhash_pairs_cte(bands: int = 16, rows_per_band: int = 4,
     return tok_with + short_with + (
         f", __pos AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
         f"unnest(range(1, len(t) + 1)) AS i, t FROM "
-        f"(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t "
-        f"FROM documents WHERE len(string_split_regex(trim(text), "
-        f"'\\s+')) >= {k})), "
+        f"(SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), __x -> __x <> '') AS t "
+        f"FROM documents WHERE len(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), __x -> __x <> '')) >= {k})), "
         f"__tokh AS (SELECT p.doc_id, p.i, th.h FROM "
         f"(SELECT doc_id, i, t[i] AS tok FROM __pos) p "
         f"JOIN {tok_cte} th ON p.tok = th.s), "
@@ -786,9 +789,9 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     # integer-units Jaccard filter
     "dedup_jaccard_exact":
         "WITH toks AS (SELECT doc_id, "
-        "string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+        "list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), __x -> __x <> '') AS t FROM documents), "
         "sh AS (SELECT doc_id, unnest(CASE WHEN len(t) < 3 "
-        "THEN [array_to_string(t, ' ')] "
+        "THEN [coalesce(array_to_string(t, ' '), '')] "
         "ELSE list_distinct(list_transform(range(1, len(t) - 1), "
         "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) END) AS s "
         "FROM toks), "
@@ -824,8 +827,8 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
         "SELECT doc_id, n_chars FROM documents WHERE doc_id IN "
         "(SELECT min(doc_id) FROM documents GROUP BY md5(text))",
     "text_token_count":
-        "SELECT doc_id, length(string_split_regex(trim(text), '\\s+')) AS n_tokens "
-        "FROM documents",
+        "SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), "
+        "__x -> __x <> '')) AS n_tokens FROM documents",
     "text_quality":
         "SELECT doc_id, length(text) AS n_chars_q, "
         "CAST((list_aggregate(list_transform(string_split(text, ' '), "
@@ -838,12 +841,10 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     # over the first 200 chars, floor-1e4 integer score
     "text_langid":
         "WITH t AS (SELECT doc_id, "
-        "string_split_regex(trim(lower(coalesce(text,''))), '\\s+') AS toks, "
-        "trim(lower(coalesce(text,''))) = '' AS empty, "
+        "list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\r\f\v]+'), __x -> __x <> '') AS toks, "
         "regexp_matches(substr(lower(coalesce(text,'')), 1, 200), '[一-鿿]') AS cjk "
         "FROM documents), "
-        "h AS (SELECT doc_id, cjk, "
-        "CASE WHEN empty THEN 0 ELSE len(toks) END AS n, "
+        "h AS (SELECT doc_id, cjk, len(toks) AS n, "
         "len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS h_en, "
         "len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','los','por'))) AS h_es, "
         "len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','den','ein','zu'))) AS h_de, "

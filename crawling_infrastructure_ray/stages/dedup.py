@@ -161,7 +161,12 @@ def _char_shingles(text: str, k: int = 5) -> np.ndarray:
     """Character k-gram hashes, vectorized (sliding byte windows ×
     odd-constant weights in wrapping uint64 + xorshift mix)."""
     t = text or ""
-    if len(t) <= k:
+    # strictly < k: a len==k text IS its single window, and must hash
+    # with the window family — the whole-text stable_hash64 fallback
+    # would put it in a different hash space than an identical k-gram
+    # inside a longer doc (the string-level SQL oracle treats them as
+    # equal, so the engine must too)
+    if len(t) < k:
         return np.array([stable_hash64(t)], dtype=np.uint64)
     w = _CHAR_SHINGLE_W.get(k)
     if w is None:
@@ -170,7 +175,7 @@ def _char_shingles(text: str, k: int = 5) -> np.ndarray:
         _CHAR_SHINGLE_W[k] = w
     from numpy.lib.stride_tricks import sliding_window_view
     data = np.frombuffer(t.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-    if data.size <= k:
+    if data.size < k:
         return np.array([stable_hash64(t)], dtype=np.uint64)
     with np.errstate(over="ignore"):
         wins = sliding_window_view(data, k).astype(np.uint64)
@@ -347,7 +352,8 @@ def verify_jaccard_ds(ds: rd.Dataset, cand_pairs: pd.DataFrame, *,
     shingle cache. No whole-corpus dict ever exists anywhere.
     """
     if cand_pairs.empty:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        return pd.DataFrame({"a": [], "b": [], "jaccard": [],
+                             "jaccard_e6": []})
     ds = ds.select_columns([id_column, column])  # prune before the scan
     pairs = cand_pairs.sort_values(["a", "b"]).reset_index(drop=True)
     vb = np.fromiter((stable_hash64(a + "\x00" + b) % num_vbuckets
@@ -533,6 +539,7 @@ def minhash_dedup_pairs(ds: rd.Dataset, *, bands: int = 16, rows_per_band: int =
                         seed: int = 42, shingle_k: int = 3, kind: str = "token",
                         threshold: float = 0.5, column: str = "text",
                         id_column: str = "doc_id",
+                        max_bucket: int | None = 64,
                         concurrency=(1, 4)) -> pd.DataFrame:
     """Full MinHash-LSH near-dup pipeline → verified pairs DataFrame.
 
@@ -552,10 +559,12 @@ def minhash_dedup_pairs(ds: rd.Dataset, *, bands: int = 16, rows_per_band: int =
         # the default 1024-row batches leave most of the actor pool
         # idle on 5k-row inputs (measured 1.9s → 1.3s at 32 cpus)
         batch_size=128, num_cpus=1)
-    cands = (lsh_candidate_pairs_ds(band_rows).to_pandas()
+    cands = (lsh_candidate_pairs_ds(band_rows, max_bucket=max_bucket)
+             .to_pandas()
              .drop_duplicates(["a", "b"]))   # cross-band dup collapse
     if cands.empty:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        return pd.DataFrame({"a": [], "b": [], "jaccard": [],
+                             "jaccard_e6": []})
     return verify_jaccard_ds(ds, cands, shingle_k=shingle_k, kind=kind,
                              threshold=threshold, column=column,
                              id_column=id_column)
@@ -566,6 +575,7 @@ def minhash_dedup_remove(ds: rd.Dataset, *, bands: int = 16,
                          shingle_k: int = 3, kind: str = "token",
                          threshold: float = 0.5, column: str = "text",
                          id_column: str = "doc_id",
+                         max_bucket: int | None = 64,
                          concurrency=(1, 4)) -> rd.Dataset:
     """End-to-end near-dup REMOVAL: verified pairs → connected
     components (union-find over the output-sized edge list, smallest
@@ -577,7 +587,8 @@ def minhash_dedup_remove(ds: rd.Dataset, *, bands: int = 16,
     pairs = minhash_dedup_pairs(ds, bands=bands, rows_per_band=rows_per_band,
                                 seed=seed, shingle_k=shingle_k, kind=kind,
                                 threshold=threshold, column=column,
-                                id_column=id_column, concurrency=concurrency)
+                                id_column=id_column, max_bucket=max_bucket,
+                                concurrency=concurrency)
     if pairs.empty:
         return ds
     roots = union_find_components(zip(pairs["a"], pairs["b"]))

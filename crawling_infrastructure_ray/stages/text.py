@@ -31,10 +31,13 @@ import pyarrow.compute as pc
 
 from ..functions.hashing import rolling_fingerprint
 
-# langid tokenization (per-row model scoring). ASCII whitespace class
-# spelled out so Python matches RE2's ASCII-only \s (see module note) —
-# a bare Python r"\s+" would be Unicode-aware and diverge from the
-# DuckDB oracle on non-ASCII whitespace
+# langid tokenization (per-row model scoring). Explicit ASCII
+# whitespace class — the engine-wide token contract is Python
+# str.split() semantics restricted to ASCII, and the DuckDB oracles
+# use the SAME class via sqlmirror.tokens_sql (note: RE2's \s is
+# [\t\n\f\r ] WITHOUT \v, so a bare '\s+' on either side would
+# diverge on vertical tabs; a bare Python r"\s+" would additionally
+# be Unicode-aware)
 _WS_RE = re.compile(r"[ \t\n\r\f\v]+")
 # token/quality counting uses Arrow RE2 kernels (count_substring_regex)
 # — the BPE-ish pattern ("[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+", the GPT-2
