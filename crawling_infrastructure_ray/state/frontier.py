@@ -112,6 +112,12 @@ class FrontierShardCore:
         # terminal counts survive eviction so histograms stay exact
         self._evicted_completed = 0
         self._evicted_failed = 0
+        # politeness parking lot (see lease()): host → blocked heap
+        # entries; ready-time heap readmits them; pending guards
+        # against duplicate ready-time rows per host
+        self._parked: dict[str, list[tuple]] = {}
+        self._park_heap: list[tuple] = []
+        self._park_pending: set[str] = set()
         # exact seen-set audit (conformance mode). At 10^10-URL scale
         # this list is the one O(corpus) structure — disable it
         # (track_seen_urls=False) and membership lives only in the
@@ -177,18 +183,28 @@ class FrontierShardCore:
         """
         now = time.monotonic() if now is None else now
         claimed: list[int] = []
-        deferred: list[tuple] = []  # politeness-skipped heap entries to restore
-        # bounded defer-scan: when the heap's head is dominated by
-        # hosts whose buckets are empty (hot-host tail), an unbounded
-        # scan walks the WHOLE remaining frontier per claim call and
-        # the pump's poll loop turns that into a busy-scan (measured:
-        # shard actors pinned at ~90% cpu while rate-bound). Tokens
-        # refill with TIME, not heap position, so scanning past a
-        # window of deferrals buys nothing — stop and let the next
-        # poll retry. Window >= any conformance-test frontier, so
-        # claim-order semantics there are unchanged.
-        max_defer = max(8 * n, 1024)
-        while self.heap and len(claimed) < n and len(deferred) < max_defer:
+        # politeness PARKING LOT: a blocked item leaves the main heap
+        # into a per-host side buffer and only returns when that
+        # host's bucket has a token again (ready-time heap). This is
+        # the classic polite-frontier structure and fixes two failure
+        # modes of scan-and-restore designs at once: the O(frontier)
+        # busy-scan when the heap head is a blocked hot-host run
+        # (every claim call re-walked it), and the starvation of items
+        # queued BEHIND a never-refilling (rate≈0) host's window —
+        # parked items don't block the scan from reaching other hosts.
+        if self.politeness is not None:
+            while self._park_heap and self._park_heap[0][0] <= now:
+                _, h = heapq.heappop(self._park_heap)
+                self._park_pending.discard(h)
+                for entry in self._parked.pop(h, ()):
+                    heapq.heappush(self.heap, entry)
+        blocked_hosts: set[str] = set()
+        # per-call work bound: park at most this many blocked entries
+        # per claim call (the rest stay in the heap for the next call,
+        # which resumes deeper because parked entries are gone)
+        max_park = max(8 * n, 1024)
+        n_parked = 0
+        while self.heap and len(claimed) < n and n_parked < max_park:
             entry = heapq.heappop(self.heap)
             seq = entry[-1]
             it = self.items.get(seq)
@@ -202,14 +218,21 @@ class FrontierShardCore:
                 if self.track_seen_urls:
                     self._terminal_seen.append(it[_URL])
                 continue
-            if self.politeness is not None and not self.politeness.try_take(it[_HOST], now):
-                deferred.append(entry)
-                continue
+            if self.politeness is not None:
+                host = it[_HOST]
+                if host in blocked_hosts or not self.politeness.try_take(host, now):
+                    self._parked.setdefault(host, []).append(entry)
+                    blocked_hosts.add(host)
+                    n_parked += 1
+                    continue
             it[_STATUS] = RUNNING
             it[_ATTEMPTS] += 1
             claimed.append(seq)
-        for entry in deferred:
-            heapq.heappush(self.heap, entry)
+        for h in blocked_hosts:
+            if h not in self._park_pending:
+                self._park_pending.add(h)
+                heapq.heappush(self._park_heap,
+                               (self.politeness.next_available(h, now), h))
         if not claimed:
             return {"lease_id": -1, "seq": [], "url": [], "host": [],
                     "depth": [], "retries": [], "priority": [], "attempt": []}
@@ -520,6 +543,12 @@ class FrontierShardCore:
         self.order = ctrl["order"]
         self.seed = ctrl["seed"]
         self.next_lease_id = ctrl["next_lease_id"]
+        # parking lot resets: parked items are in the item table and
+        # re-enter the rebuilt heap below (ready times are recomputed
+        # lazily on the next blocked claim)
+        self._parked = {}
+        self._park_heap = []
+        self._park_pending = set()
         self.next_local_seq = ctrl.get("next_local_seq",
                                        (self.shard_id + 1) * 10 ** 12)
         self.counters = ctrl["counters"]

@@ -50,6 +50,16 @@ class TokenBucket:
         self._refill(now)
         return self.tokens
 
+    def next_available(self, now: float) -> float:
+        """Earliest time at which one token will exist (inf for
+        rate<=0 — a permanently paused host)."""
+        self._refill(now)
+        if self.tokens >= 1.0:
+            return now
+        if self.rate <= 0:
+            return float("inf")
+        return now + (1.0 - self.tokens) / self.rate
+
     def state(self) -> tuple:
         return (self.rate, self.burst, self.tokens, self.last)
 
@@ -88,6 +98,9 @@ class HostPoliteness:
 
     def try_take(self, host: str, now: float) -> bool:
         return self._bucket(host, now).try_take(now)
+
+    def next_available(self, host: str, now: float) -> float:
+        return self._bucket(host, now).next_available(now)
 
     def state(self) -> dict:
         return {"default_rate": self.default_rate, "default_burst": self.default_burst,

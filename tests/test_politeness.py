@@ -54,3 +54,30 @@ def test_robots_per_prefix_consistency():
     r = RobotsCache(seed=42)
     # same host + same first path segment → same verdict
     assert r.allowed("http://h1.example/s3/a") == r.allowed("http://h1.example/s3/b?z=1")
+
+
+def test_parked_host_does_not_starve_others():
+    """Review regression: >1024 URLs of a never-refilling (rate~0)
+    host at the heap head must not starve items of healthy hosts
+    queued behind them — the parking lot moves blocked entries out of
+    the main heap so later claims reach the healthy hosts."""
+    from crawling_infrastructure_ray.state.frontier import FrontierShardCore
+    core = FrontierShardCore(politeness=True, default_rate=100.0,
+                             default_burst=4.0,
+                             politeness_overrides={"paused.example": (1e-9, 0.0)})
+    urls = [f"http://paused.example/p{i}" for i in range(1500)]
+    urls += [f"http://ok.example/p{i}" for i in range(20)]
+    core.enqueue(list(range(len(urls))), urls,
+                 [0] * len(urls), [1] * len(urls))
+    claimed_hosts = []
+    now = 1000.0
+    for _ in range(8):          # a few pump polls
+        lease = core.lease(64, now)
+        claimed_hosts += lease["host"]
+        now += 0.1
+    assert "ok.example" in claimed_hosts          # healthy host progressed
+    assert claimed_hosts.count("ok.example") == 20  # fully drained
+    assert "paused.example" not in claimed_hosts  # budget honored
+    # and the paused items are parked, not lost
+    hist = core.status_histogram()
+    assert hist["initial"] == 1500
