@@ -16,6 +16,29 @@ import pyarrow.compute as pc
 from .hashing import stable_hash64
 
 
+def u64_as_i64(batch: pa.Table, cols: list[str]) -> pa.Table:
+    """Bit-cast uint64 columns to int64 before a Ray groupby. Ray
+    Data's sort-based aggregate rebuilds key columns from Python ints;
+    a uint64 key ≥ 2^63 overflows the default int64 array build and
+    the block silently degrades to a pickled-object extension column
+    (seen as 'OverflowError: Python int too large to convert to C
+    long' warnings). The view is value-preserving under i64_as_u64."""
+    for c in cols:
+        v = batch[c].to_numpy(zero_copy_only=False).view(np.int64)
+        batch = batch.set_column(batch.schema.get_field_index(c), c,
+                                 pa.array(v, pa.int64()))
+    return batch
+
+
+def i64_as_u64(batch: pa.Table, cols: list[str]) -> pa.Table:
+    """Inverse bit-cast of u64_as_i64 (after the groupby)."""
+    for c in cols:
+        v = batch[c].to_numpy(zero_copy_only=False).view(np.uint64)
+        batch = batch.set_column(batch.schema.get_field_index(c), c,
+                                 pa.array(v, pa.uint64()))
+    return batch
+
+
 def tag_bucket_fn(keys: list[str], num_buckets: int = 32,
                   col_name: str = "_kb"):
     """Batch fn: append an integer bucket column = hash(keys) % B.

@@ -24,6 +24,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
+from ..functions.bucketing import i64_as_u64, u64_as_i64
 from ..functions.hashing import md5_id
 from ..stages.joins import bucketed_semi_join
 from ..stages.text import langid_batch, quality_score_batch
@@ -88,8 +89,11 @@ def curate_documents(docs: rd.Dataset, out_dir: str, *,
     # near-dup removal via ingest-time simhash: exact-collision groups
     # (hamming 0 — the conservative tier; banded hamming≤k is
     # stages.dedup.simhash_near_pairs)
+    # signed view for the uint64 groupby key (see bucketing.u64_as_i64);
+    # the key column is dropped right after, so no inverse view needed
     keep_sim = (filtered.map_batches(
-        lambda t: t.select(["simhash", "doc_id"]), batch_format="pyarrow")
+        lambda t: u64_as_i64(t.select(["simhash", "doc_id"]), ["simhash"]),
+        batch_format="pyarrow")
         .groupby("simhash").aggregate(Min("doc_id", alias_name="keep_doc_id"),
                                       Count(alias_name="n")))
 

@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.bucketing import i64_as_u64, u64_as_i64
 from ..sources.corpus import make_seed_urls
 from ..sources.readers import read_table
 from ..stages import dedup as dd
@@ -329,11 +330,15 @@ def q_crawl_simhash_audit(sf_dir: str):
     docs = read_documents(out)
 
     def proj(batch: pa.Table) -> pa.Table:
-        return batch.select(["doc_id", "simhash"])
+        # signed view for the groupby key: uint64 keys ≥ 2^63 overflow
+        # Ray's aggregate output build into pickled-object columns
+        return u64_as_i64(batch.select(["doc_id", "simhash"]), ["simhash"])
 
     return (docs.map_batches(proj, batch_format="pyarrow")
             .groupby("simhash").aggregate(Count(alias_name="n_docs"),
-                                          Min("doc_id", alias_name="first_doc")))
+                                          Min("doc_id", alias_name="first_doc"))
+            .map_batches(i64_as_u64, fn_kwargs={"cols": ["simhash"]},
+                         batch_format="pyarrow"))
 
 
 def q_k7_sample_export(sf_dir: str):
