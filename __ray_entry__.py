@@ -106,6 +106,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_remove": qt.q_dedup_minhash_remove,
         # hyperplane-LSH embedding near-dup re-run in SQL (r03)
         "dedup_embedding_pairs": qt.q_dedup_embedding_pairs,
+        # the CRAWL ENGINE itself re-run in SQL (r03): DuckDB expands
+        # the deterministic seed→fetch→link universe and recomputes
+        # document geometry / host counts / the final histogram
+        "crawl_doc_stats": qt.q_crawl_doc_stats,
+        "crawl_host_counts": qt.q_crawl_host_counts,
+        "crawl_status_histogram": qt.q_crawl_status_histogram,
         # ---- rows-only: engine surfaces with NO driver row yet ----
         # (ordered first within rows-only so a grading cutoff reaches
         # them before the r02-graded queries below)
@@ -115,14 +121,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k7_sample_export": qt.q_k7_sample_export,
         "a3_warm_crawl": qt.q_a3_warm_crawl,
         "o4_multi_task_schedule": qt.q_o4_multi_task_schedule,
-        "crawl_host_counts": qt.q_crawl_host_counts,
         "crawl_wave_stats": qt.q_crawl_wave_stats,
         "crawl_simhash_audit": qt.q_crawl_simhash_audit,
         # ---- rows-only: r02-graded + golden-pinned (test_goldens) ----
         # (crawl_documents is additionally exercised by entry() itself)
         "crawl_documents": qt.q_crawl_documents,
         "crawl_order": qt.q_crawl_order,
-        "crawl_status_histogram": qt.q_crawl_status_histogram,
         "ann_ivf_topk": qt.q_ann_ivf_topk,
         "crawl_direct": qa.q_crawl_direct,
     }

@@ -259,11 +259,20 @@ def _crawl_out_dir(sf_dir: str) -> str:
 def q_crawl_documents(sf_dir: str):
     """Flagship: frontier crawl over synthetic seeds → documents table
     projection (doc_id, url, host, depth, enqueue_seq, n_spans,
-    n_text_chars). Deterministic (seed=42)."""
+    n_text_chars). Deterministic (seed=42). Persists the engine's
+    final frontier histogram next to the output (consumed by the
+    ORACLE-CHECKED q_crawl_status_histogram)."""
+    import json
+
     seeds = make_seed_urls(_CRAWL_SEEDS, seed=42)["url"].to_pylist()
     out = _crawl_out_dir(sf_dir)
-    run_crawl(seeds, seed=42, num_shards=2, dedup=True, max_depth=1,
-              items_per_wave=256, out_dir=out)
+    res = run_crawl(seeds, seed=42, num_shards=2, dedup=True, max_depth=1,
+                    items_per_wave=256, out_dir=out)
+    with open(os.path.join(out, "engine_summary.json"), "w") as fh:
+        json.dump({"histogram": res.histogram,
+                   "seen_set_size": res.seen_set_size,
+                   "docs_written": res.docs_written,
+                   "waves": res.waves}, fh)
     docs = read_documents(out)
 
     def project(batch: pa.Table) -> pa.Table:
@@ -273,6 +282,34 @@ def q_crawl_documents(sf_dir: str):
         return pa.table({"doc_id": batch["doc_id"], "url": batch["url"],
                          "host": batch["host"], "depth": batch["depth"],
                          "enqueue_seq": batch["enqueue_seq"],
+                         "n_spans": pa.array(n_spans, pa.int64()),
+                         "n_text_chars": pa.array(n_chars, pa.int64())})
+
+    return docs.map_batches(project, batch_format="pyarrow")
+
+
+def q_crawl_doc_stats(sf_dir: str):
+    """Flagship crawl output audit, ORACLE-CHECKED end to end: every
+    engine-crawled document's (doc_id, url, host, depth, n_spans,
+    n_text_chars), hash-gated against a DuckDB oracle that
+    INDEPENDENTLY re-runs the whole crawl — seed list → fetch-hash
+    terminal statuses → child-link expansion → URL dedup → md5 doc
+    ids → span-hash layout (_crawl_doc_stats_oracle_sql). A row
+    mismatch means the distributed frontier fetched a wrong URL set
+    or the fetch stage produced wrong document content geometry.
+    (enqueue_seq stays in the rows-only crawl_documents query: it
+    depends on claim scheduling, which SQL cannot replay.)"""
+    out = _crawl_out_dir(sf_dir)
+    if not os.path.isdir(os.path.join(out, "documents")):
+        q_crawl_documents(sf_dir)
+    docs = read_documents(out)
+
+    def project(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"].to_pylist()
+        n_spans = [len(s) for s in spans]
+        n_chars = [sum(len(sp["text"]) for sp in s) for s in spans]
+        return pa.table({"doc_id": batch["doc_id"], "url": batch["url"],
+                         "host": batch["host"], "depth": batch["depth"],
                          "n_spans": pa.array(n_spans, pa.int64()),
                          "n_text_chars": pa.array(n_chars, pa.int64())})
 
@@ -293,18 +330,29 @@ def q_crawl_order(sf_dir: str):
 
 
 def q_crawl_status_histogram(sf_dir: str):
-    """Final queue histogram of the flagship crawl (G1/G2 analog)."""
-    seeds = make_seed_urls(_CRAWL_SEEDS, seed=42)["url"].to_pylist()
-    golden = oracle_crawl(seeds, seed=42, dedup=True, max_depth=1,
-                          items_per_wave=256)
-    h = golden["histogram"]
+    """Final queue histogram of the flagship crawl (G1/G2 analog) —
+    the ENGINE's own frontier counts (persisted by q_crawl_documents),
+    ORACLE-CHECKED: DuckDB re-runs the deterministic crawl (seed
+    VALUES → fetch-hash terminal statuses → child expansion → dedup)
+    and recomputes the histogram independently
+    (_crawl_status_histogram_oracle_sql)."""
+    import json
+
+    out = _crawl_out_dir(sf_dir)
+    p = os.path.join(out, "engine_summary.json")
+    if not os.path.exists(p):
+        q_crawl_documents(sf_dir)
+    with open(p) as fh:
+        h = json.load(fh)["histogram"]
     return pd.DataFrame([{"status": k, "n_items": v} for k, v in sorted(h.items())])
 
 
 def q_crawl_host_counts(sf_dir: str):
     """G7 over the REAL crawl output: per-host document counts — the
     canonical wide shuffle on the engine's own documents table
-    (domain_count.js:40-56). Pre-aggregated per batch. Rows-only."""
+    (domain_count.js:40-56). Pre-aggregated per batch. ORACLE-CHECKED:
+    DuckDB re-runs the deterministic crawl and recomputes the per-host
+    counts independently (_crawl_host_counts_oracle_sql)."""
     from ray.data.aggregate import Sum
     out = _crawl_out_dir(sf_dir)
     if not os.path.isdir(os.path.join(out, "documents")):
@@ -780,7 +828,131 @@ def _fingerprint_oracle_sql(window: int = 16, keep: int = 8) -> str:
         f"h AS fp_hash FROM __rk WHERE fp_rank <= {keep}")
 
 
+def _crawl_universe_ctes(seed: int = 42, n_seeds: int = _CRAWL_SEEDS,
+                         num_hosts: int = 64) -> tuple[str, str]:
+    """WITH-clause re-running the FLAGSHIP CRAWL itself in DuckDB.
+
+    The fetch simulation is a pure function of (seed, url, attempt)
+    (sources/corpus.py fetch_outcome/link_children), so the crawl's
+    final URL universe is SQL-computable from the seed list alone:
+
+      seeds (embedded VALUES — the same input run_crawl gets)
+        → per-URL fetch hash (stable_hash64 recursive-CTE mirror)
+        → terminal status: failed iff hash%100 IN (6,7) — transient
+          fails (r<6, fail_until≤2<max_retries) and blocked-once
+          (8≤r<10) URLs always complete after retries
+        → completed depth-0 URLs expand k=linkhash%6 children
+          (corpus.py link_children: 70% same-host via hash%10<7,
+          '/c'+6-hex-digit paths), deduped against the seen set
+        → depth-1 URLs fetch but never expand (max_depth=1).
+
+    Returns (with_sql, uni_cte); ``uni`` has one row per unique
+    enqueued URL: (url, host, depth, r) with r = fetch-hash mod 100.
+    Seed paths are '/p…' and child paths '/c…', so seed/child URL
+    collisions are impossible by construction; the NOT IN guard keeps
+    the mirror faithful to the engine's seen-set semantics anyway."""
+    from ..functions.sqlmirror import stable_hash64_cte
+    from ..sources.corpus import _FETCH_SALT, _LINK_SALT
+
+    urls = make_seed_urls(n_seeds, seed=seed)["url"].to_pylist()
+    values = ", ".join(f"('{u}')" for u in urls)
+    seeds_src = (f"SELECT DISTINCT column0 AS url "
+                 f"FROM (VALUES {values}) v(column0)")
+    w1, c1 = stable_hash64_cte(
+        seeds_src, "url",
+        {"fh": seed ^ _FETCH_SALT, "lh": seed ^ _LINK_SALT}, prefix="cs_")
+    sql = w1 + (
+        f", cu_seed AS (SELECT url, split_part(url, '/', 3) AS host, "
+        f"fh % 100 AS r, CAST(lh % 6 AS INT) AS k FROM {c1}), "
+        f"cu_childstr AS (SELECT url || '#' || CAST(i AS VARCHAR) AS cs, "
+        f"host FROM cu_seed, unnest(generate_series(0, k - 1)) AS t(i) "
+        f"WHERE r NOT IN (6, 7))")
+    w2, c2 = stable_hash64_cte(
+        "SELECT cs, host FROM cu_childstr", "cs",
+        {"hi": seed ^ _LINK_SALT}, carry_cols=("host",), prefix="cc_",
+        include_with=False)
+    sql += w2 + (
+        f", cu_childurl AS (SELECT DISTINCT "
+        f"'http://' || (CASE WHEN hi % 10 < 7 THEN host "
+        f"ELSE 'h' || CAST(hi % {num_hosts} AS VARCHAR) || '.example' END) "
+        f"|| '/c' || printf('%06x', CAST((hi >> 8) % 16777216 AS BIGINT)) "
+        f"AS url FROM {c2}), "
+        f"cu_childnew AS (SELECT url FROM cu_childurl "
+        f"WHERE url NOT IN (SELECT url FROM cu_seed))")
+    w3, c3 = stable_hash64_cte(
+        "SELECT url FROM cu_childnew", "url", {"fh": seed ^ _FETCH_SALT},
+        prefix="ct_", include_with=False)
+    sql += w3 + (
+        f", cu_uni AS ("
+        f"SELECT url, host, 0 AS depth, r FROM cu_seed "
+        f"UNION ALL "
+        f"SELECT url, split_part(url, '/', 3) AS host, 1 AS depth, "
+        f"fh % 100 AS r FROM {c3})")
+    return sql, "cu_uni"
+
+
+def _crawl_status_histogram_oracle_sql() -> str:
+    with_sql, uni = _crawl_universe_ctes()
+    return with_sql + (
+        f" SELECT s.status, CAST(coalesce(c.n, 0) AS BIGINT) AS n_items "
+        f"FROM (VALUES ('completed'), ('failed'), ('initial'), ('running')) "
+        f"s(status) LEFT JOIN ("
+        f"SELECT CASE WHEN r IN (6, 7) THEN 'failed' ELSE 'completed' END "
+        f"AS status, count(*) AS n FROM {uni} GROUP BY 1) c USING (status)")
+
+
+def _crawl_host_counts_oracle_sql() -> str:
+    with_sql, uni = _crawl_universe_ctes()
+    return with_sql + (
+        f" SELECT host, CAST(count(*) AS BIGINT) AS n_docs FROM {uni} "
+        f"WHERE r NOT IN (6, 7) GROUP BY host")
+
+
+def _crawl_doc_stats_oracle_sql() -> str:
+    """Extends the crawl-universe mirror to full document geometry:
+    doc_id = 'd-'+md5(url)[:12] (corpus.py doc_id_for_url), n_spans =
+    1 + (spanhash * 2654435761) % 13 computed in UNBOUNDED integers —
+    (h*c) % 13 == ((h%13) * (c%13)) % 13, NOT (h*c mod 2^64) % 13 —
+    and n_text_chars = Σ over even span indices of 7*(96 + sh%192) - 1
+    (each token is 'tokNNN' = 6 chars, space-joined)."""
+    from ..functions.sqlmirror import stable_hash64_cte
+    from ..sources.corpus import _SPAN_SALT
+
+    seed = 42
+    with_sql, uni = _crawl_universe_ctes(seed=seed)
+    sql = with_sql + (
+        f", cd_doc AS (SELECT url, host, depth, "
+        f"'d-' || substr(md5(url), 1, 12) AS doc_id "
+        f"FROM {uni} WHERE r NOT IN (6, 7))")
+    w4, c4 = stable_hash64_cte(
+        "SELECT doc_id, url, host, depth FROM cd_doc", "doc_id",
+        {"ih": seed ^ _SPAN_SALT}, carry_cols=("url", "host", "depth"),
+        prefix="cd_", include_with=False)
+    # (ih * 2654435761) % 13 in unbounded ints; 2654435761 % 13 == 3
+    sql += w4 + (
+        f", cd_n AS (SELECT url, host, depth, doc_id, "
+        f"CAST(1 + ((ih % 13) * 3) % 13 AS INT) AS n_spans FROM {c4}), "
+        f"cd_spanstr AS (SELECT doc_id, "
+        f"doc_id || '|' || CAST(i AS VARCHAR) AS ss "
+        f"FROM cd_n, unnest(generate_series(0, n_spans - 1, 2)) AS t(i))")
+    w5, c5 = stable_hash64_cte(
+        "SELECT ss, doc_id FROM cd_spanstr", "ss",
+        {"sh": seed ^ _SPAN_SALT}, carry_cols=("doc_id",), prefix="cp_",
+        include_with=False)
+    sql += w5 + (
+        f", cd_chars AS (SELECT doc_id, "
+        f"CAST(sum(7 * (96 + sh % 192) - 1) AS BIGINT) AS n_text_chars "
+        f"FROM {c5} GROUP BY doc_id) "
+        f"SELECT d.doc_id, d.url, d.host, d.depth, "
+        f"CAST(d.n_spans AS BIGINT) AS n_spans, c.n_text_chars "
+        f"FROM cd_n d JOIN cd_chars c USING (doc_id)")
+    return sql
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
+    "crawl_status_histogram": _crawl_status_histogram_oracle_sql(),
+    "crawl_host_counts": _crawl_host_counts_oracle_sql(),
+    "crawl_doc_stats": _crawl_doc_stats_oracle_sql(),
     "text_fingerprint": _fingerprint_oracle_sql(),
     "dedup_minhash_pairs": _minhash_pairs_oracle_sql(),
     "dedup_minhash_remove": _minhash_remove_oracle_sql(),
