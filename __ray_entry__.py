@@ -112,17 +112,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_doc_stats": qt.q_crawl_doc_stats,
         "crawl_host_counts": qt.q_crawl_host_counts,
         "crawl_status_histogram": qt.q_crawl_status_histogram,
+        "crawl_simhash_audit": qt.q_crawl_simhash_audit,
+        "media_spans": qt.q_media_spans,
         # ---- rows-only: engine surfaces with NO driver row yet ----
         # (ordered first within rows-only so a grading cutoff reaches
         # them before the r02-graded queries below)
         "curate_documents": qc.q_curate_documents,
-        "media_spans": qt.q_media_spans,
         "media_ann_topk": qt.q_media_ann_topk,
         "k7_sample_export": qt.q_k7_sample_export,
         "a3_warm_crawl": qt.q_a3_warm_crawl,
         "o4_multi_task_schedule": qt.q_o4_multi_task_schedule,
         "crawl_wave_stats": qt.q_crawl_wave_stats,
-        "crawl_simhash_audit": qt.q_crawl_simhash_audit,
         # ---- rows-only: r02-graded + golden-pinned (test_goldens) ----
         # (crawl_documents is additionally exercised by entry() itself)
         "crawl_documents": qt.q_crawl_documents,

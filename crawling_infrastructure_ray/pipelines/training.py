@@ -370,7 +370,9 @@ def q_crawl_host_counts(sf_dir: str):
 def q_crawl_simhash_audit(sf_dir: str):
     """Signature-at-ingest consumer: exact-simhash collision groups on
     the crawl output (near-dup audit without re-reading text).
-    Rows-only."""
+    ORACLE-CHECKED: DuckDB re-runs the crawl AND recomputes every
+    ingest-time signature from the closed-form token stream
+    (_crawl_simhash_audit_oracle_sql)."""
     from ray.data.aggregate import Count, Min
     out = _crawl_out_dir(sf_dir)
     if not os.path.isdir(os.path.join(out, "documents")):
@@ -500,7 +502,9 @@ def q_a3_warm_crawl(sf_dir: str):
 def q_media_spans(sf_dir: str):
     """Multimodal plumbing: media spans of the crawl output exploded to
     typed rows (doc_id, media_ref, media_type, width, height,
-    duration_ms) — decode itself is stubbed (no codecs in container)."""
+    duration_ms) — decode itself is stubbed (no codecs in container).
+    ORACLE-CHECKED: DuckDB re-runs the crawl and recomputes every
+    media row's ref + hash-derived metadata (_media_spans_oracle_sql)."""
     out = _crawl_out_dir(sf_dir)
     if not os.path.isdir(os.path.join(out, "documents")):
         q_crawl_documents(sf_dir)
@@ -919,22 +923,11 @@ def _crawl_doc_stats_oracle_sql() -> str:
     from ..sources.corpus import _SPAN_SALT
 
     seed = 42
-    with_sql, uni = _crawl_universe_ctes(seed=seed)
+    with_sql, docs = _crawl_docs_ctes(seed=seed)
     sql = with_sql + (
-        f", cd_doc AS (SELECT url, host, depth, "
-        f"'d-' || substr(md5(url), 1, 12) AS doc_id "
-        f"FROM {uni} WHERE r NOT IN (6, 7))")
-    w4, c4 = stable_hash64_cte(
-        "SELECT doc_id, url, host, depth FROM cd_doc", "doc_id",
-        {"ih": seed ^ _SPAN_SALT}, carry_cols=("url", "host", "depth"),
-        prefix="cd_", include_with=False)
-    # (ih * 2654435761) % 13 in unbounded ints; 2654435761 % 13 == 3
-    sql += w4 + (
-        f", cd_n AS (SELECT url, host, depth, doc_id, "
-        f"CAST(1 + ((ih % 13) * 3) % 13 AS INT) AS n_spans FROM {c4}), "
-        f"cd_spanstr AS (SELECT doc_id, "
+        f", cd_spanstr AS (SELECT doc_id, "
         f"doc_id || '|' || CAST(i AS VARCHAR) AS ss "
-        f"FROM cd_n, unnest(generate_series(0, n_spans - 1, 2)) AS t(i))")
+        f"FROM {docs}, unnest(generate_series(0, n_spans - 1, 2)) AS t(i))")
     w5, c5 = stable_hash64_cte(
         "SELECT ss, doc_id FROM cd_spanstr", "ss",
         {"sh": seed ^ _SPAN_SALT}, carry_cols=("doc_id",), prefix="cp_",
@@ -949,8 +942,114 @@ def _crawl_doc_stats_oracle_sql() -> str:
     return sql
 
 
+def _crawl_docs_ctes(seed: int = 42) -> tuple[str, str]:
+    """Crawl-universe mirror extended to per-document span layout:
+    (url, host, depth, doc_id, n_spans) for every completed URL.
+    Returns (with_sql, cte_name)."""
+    from ..functions.sqlmirror import stable_hash64_cte
+    from ..sources.corpus import _SPAN_SALT
+
+    with_sql, uni = _crawl_universe_ctes(seed=seed)
+    sql = with_sql + (
+        f", cd_doc AS (SELECT url, host, depth, "
+        f"'d-' || substr(md5(url), 1, 12) AS doc_id "
+        f"FROM {uni} WHERE r NOT IN (6, 7))")
+    w4, c4 = stable_hash64_cte(
+        "SELECT doc_id, url, host, depth FROM cd_doc", "doc_id",
+        {"ih": seed ^ _SPAN_SALT}, carry_cols=("url", "host", "depth"),
+        prefix="cd_", include_with=False)
+    # (ih * 2654435761) % 13 in unbounded ints; 2654435761 % 13 == 3
+    sql += w4 + (
+        f", cd_n AS (SELECT url, host, depth, doc_id, "
+        f"CAST(1 + ((ih % 13) * 3) % 13 AS INT) AS n_spans FROM {c4})")
+    return sql, "cd_n"
+
+
+def _crawl_simhash_audit_oracle_sql(seed: int = 42) -> str:
+    """DuckDB twin of the SIGNATURE-AT-INGEST path (fetch.py
+    fetch_store_batch → dedup.simhash64): the span texts draw every
+    token from the 512-word vocabulary by closed-form index
+    ((sh >> (j%48)) % 512 * ((j+1) % 512)) % 512 (corpus.py
+    make_spans), so the oracle never builds text — it derives per-doc
+    TOKEN COUNTS directly from the span hashes, hashes the 512
+    possible tokens once, and reassembles each signature via the same
+    count-weighted per-bit majority as _simhash_sig_cte. Gates the
+    engine's ingest-computed simhash column groupwise
+    (simhash, n_docs, first_doc)."""
+    from ..functions.sqlmirror import stable_hash64_cte
+
+    with_sql, docs = _crawl_docs_ctes(seed=seed)
+    sql = with_sql + (
+        f", sa_spanstr AS (SELECT doc_id, "
+        f"doc_id || '|' || CAST(i AS VARCHAR) AS ss "
+        f"FROM {docs}, unnest(generate_series(0, n_spans - 1, 2)) AS t(i))")
+    from ..sources.corpus import _SPAN_SALT
+    w5, c5 = stable_hash64_cte(
+        "SELECT ss, doc_id FROM sa_spanstr", "ss",
+        {"sh": seed ^ _SPAN_SALT}, carry_cols=("doc_id",), prefix="sa_",
+        include_with=False)
+    # token index per (span, j): all operands < 2^18, plain arithmetic
+    sql += w5 + (
+        f", sa_tok AS (SELECT doc_id, "
+        f"CAST((((sh >> CAST(j % 48 AS INT)) % 512) * ((j + 1) % 512)) % 512 "
+        f"AS INT) AS idx "
+        f"FROM {c5}, unnest(generate_series(0, "
+        f"CAST(96 + sh % 192 AS INT) - 1)) AS t(j)), "
+        f"sa_tc AS (SELECT doc_id, idx, count(*) AS c FROM sa_tok "
+        f"GROUP BY doc_id, idx), "
+        f"sa_tt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM sa_tc "
+        f"GROUP BY doc_id)")
+    w6, c6 = stable_hash64_cte(
+        "SELECT 'tok' || printf('%03d', v) AS tok, v "
+        "FROM unnest(generate_series(0, 511)) AS u(v)", "tok",
+        {"h": seed}, carry_cols=("v",), prefix="sv_", include_with=False)
+    sql += w6 + (
+        f", sa_bt AS (SELECT doc_id, j, CAST(sum(c * CAST((h >> "
+        f"CAST(j AS INT)) & 1 AS BIGINT)) AS BIGINT) AS s1 FROM "
+        f"(SELECT tc.doc_id, tc.c, hh.h, unnest(range(0, 64)) AS j "
+        f"FROM sa_tc tc JOIN {c6} hh ON tc.idx = hh.v) GROUP BY doc_id, j), "
+        f"sa_sig AS (SELECT bt.doc_id, CAST(sum(CASE WHEN 2 * bt.s1 > tt.n "
+        f"THEN CAST(1 AS UBIGINT) << CAST(bt.j AS INT) ELSE "
+        f"CAST(0 AS UBIGINT) END) AS UBIGINT) AS simhash "
+        f"FROM sa_bt bt JOIN sa_tt tt ON bt.doc_id = tt.doc_id "
+        f"GROUP BY bt.doc_id) "
+        f"SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, "
+        f"min(doc_id) AS first_doc FROM sa_sig GROUP BY simhash")
+    return sql
+
+
+def _media_spans_oracle_sql(seed: int = 42) -> str:
+    """DuckDB twin of media_rows_from_spans over the crawl output:
+    media spans sit at ODD span indices with ref
+    'm://'+host+'/'+md5(doc_id|i)[:10] (corpus.py make_spans), and
+    every metadata column is arithmetic on stable_hash64(ref, 0)
+    (stages/multimodal.py:42-48)."""
+    from ..functions.sqlmirror import stable_hash64_cte
+
+    with_sql, docs = _crawl_docs_ctes(seed=seed)
+    sql = with_sql + (
+        f", md_ref AS (SELECT doc_id, "
+        f"'m://' || host || '/' || "
+        f"substr(md5(doc_id || '|' || CAST(i AS VARCHAR)), 1, 10) AS ref "
+        f"FROM {docs}, unnest(generate_series(1, n_spans - 1, 2)) AS t(i))")
+    w, c = stable_hash64_cte(
+        "SELECT ref, doc_id FROM md_ref", "ref", {"hh": 0},
+        carry_cols=("doc_id",), prefix="md_", include_with=False)
+    sql += w + (
+        f" SELECT doc_id, ref AS media_ref, "
+        f"CASE hh % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+        f"ELSE 'video' END AS media_type, "
+        f"CAST(160 + (hh >> 8) % 1920 AS INTEGER) AS width, "
+        f"CAST(120 + (hh >> 16) % 1080 AS INTEGER) AS height, "
+        f"CAST((hh >> 24) % 300000 AS INTEGER) AS duration_ms "
+        f"FROM {c}")
+    return sql
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
     "crawl_status_histogram": _crawl_status_histogram_oracle_sql(),
+    "crawl_simhash_audit": _crawl_simhash_audit_oracle_sql(),
+    "media_spans": _media_spans_oracle_sql(),
     "crawl_host_counts": _crawl_host_counts_oracle_sql(),
     "crawl_doc_stats": _crawl_doc_stats_oracle_sql(),
     "text_fingerprint": _fingerprint_oracle_sql(),
