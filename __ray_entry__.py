@@ -114,11 +114,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_status_histogram": qt.q_crawl_status_histogram,
         "crawl_simhash_audit": qt.q_crawl_simhash_audit,
         "media_spans": qt.q_media_spans,
+        "media_ann_topk": qt.q_media_ann_topk,
+        # the curation FUNNEL re-run in SQL (r03): rebuilt text, exact
+        # integer quality gate, md5 dedup, simhash-keep intersection
+        "curate_documents": qc.q_curate_documents,
         # ---- rows-only: engine surfaces with NO driver row yet ----
         # (ordered first within rows-only so a grading cutoff reaches
         # them before the r02-graded queries below)
-        "curate_documents": qc.q_curate_documents,
-        "media_ann_topk": qt.q_media_ann_topk,
         "k7_sample_export": qt.q_k7_sample_export,
         "a3_warm_crawl": qt.q_a3_warm_crawl,
         "o4_multi_task_schedule": qt.q_o4_multi_task_schedule,

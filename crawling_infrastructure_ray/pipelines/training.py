@@ -519,7 +519,9 @@ def q_media_ann_topk(sf_dir: str):
     declared in stages/multimodal.py), then exact cosine top-5 over the
     feature column for 3 deterministic query refs via the partial-top-k
     ANN stage. Exercises the full multimodal plumbing chain the way a
-    real image-embedding pipeline would run (rows-only)."""
+    real image-embedding pipeline would run. ORACLE-CHECKED end to end
+    (_media_ann_topk_oracle_sql — integer-dot cosine re-ranked in
+    DuckDB over the crawl mirror's refs)."""
     import numpy as np
     from .crawl import read_documents
     out = _crawl_out_dir(sf_dir)
@@ -965,32 +967,34 @@ def _crawl_docs_ctes(seed: int = 42) -> tuple[str, str]:
     return sql, "cd_n"
 
 
-def _crawl_simhash_audit_oracle_sql(seed: int = 42) -> str:
-    """DuckDB twin of the SIGNATURE-AT-INGEST path (fetch.py
+def _crawl_sig_ctes(seed: int = 42) -> tuple[str, str, str]:
+    """Crawl mirror extended to the SIGNATURE-AT-INGEST path (fetch.py
     fetch_store_batch → dedup.simhash64): the span texts draw every
     token from the 512-word vocabulary by closed-form index
     ((sh >> (j%48)) % 512 * ((j+1) % 512)) % 512 (corpus.py
-    make_spans), so the oracle never builds text — it derives per-doc
-    TOKEN COUNTS directly from the span hashes, hashes the 512
-    possible tokens once, and reassembles each signature via the same
-    count-weighted per-bit majority as _simhash_sig_cte. Gates the
-    engine's ingest-computed simhash column groupwise
-    (simhash, n_docs, first_doc)."""
+    make_spans), so the mirror derives per-doc positioned TOKEN
+    STREAMS directly from the span hashes — no text parsing — hashes
+    the 512 possible tokens once, and reassembles each signature via
+    the same count-weighted per-bit majority as _simhash_sig_cte.
+    Returns (with_sql, sig_cte, tokpos_cte) where sig_cte has
+    (doc_id, simhash) and tokpos_cte has (doc_id, si, j, idx) — one
+    row per token in span order, for mirrors that need the flattened
+    text itself."""
     from ..functions.sqlmirror import stable_hash64_cte
 
     with_sql, docs = _crawl_docs_ctes(seed=seed)
     sql = with_sql + (
-        f", sa_spanstr AS (SELECT doc_id, "
+        f", sa_spanstr AS (SELECT doc_id, i AS si, "
         f"doc_id || '|' || CAST(i AS VARCHAR) AS ss "
         f"FROM {docs}, unnest(generate_series(0, n_spans - 1, 2)) AS t(i))")
     from ..sources.corpus import _SPAN_SALT
     w5, c5 = stable_hash64_cte(
-        "SELECT ss, doc_id FROM sa_spanstr", "ss",
-        {"sh": seed ^ _SPAN_SALT}, carry_cols=("doc_id",), prefix="sa_",
+        "SELECT ss, doc_id, si FROM sa_spanstr", "ss",
+        {"sh": seed ^ _SPAN_SALT}, carry_cols=("doc_id", "si"), prefix="sa_",
         include_with=False)
     # token index per (span, j): all operands < 2^18, plain arithmetic
     sql += w5 + (
-        f", sa_tok AS (SELECT doc_id, "
+        f", sa_tok AS (SELECT doc_id, si, j, "
         f"CAST((((sh >> CAST(j % 48 AS INT)) % 512) * ((j + 1) % 512)) % 512 "
         f"AS INT) AS idx "
         f"FROM {c5}, unnest(generate_series(0, "
@@ -1012,10 +1016,51 @@ def _crawl_simhash_audit_oracle_sql(seed: int = 42) -> str:
         f"THEN CAST(1 AS UBIGINT) << CAST(bt.j AS INT) ELSE "
         f"CAST(0 AS UBIGINT) END) AS UBIGINT) AS simhash "
         f"FROM sa_bt bt JOIN sa_tt tt ON bt.doc_id = tt.doc_id "
-        f"GROUP BY bt.doc_id) "
-        f"SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, "
-        f"min(doc_id) AS first_doc FROM sa_sig GROUP BY simhash")
-    return sql
+        f"GROUP BY bt.doc_id)")
+    return sql, "sa_sig", "sa_tok"
+
+
+def _crawl_simhash_audit_oracle_sql(seed: int = 42) -> str:
+    """Gates the engine's ingest-computed simhash column groupwise
+    (simhash, n_docs, first_doc) — see _crawl_sig_ctes."""
+    with_sql, sig, _ = _crawl_sig_ctes(seed=seed)
+    return with_sql + (
+        f" SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, "
+        f"min(doc_id) AS first_doc FROM {sig} GROUP BY simhash")
+
+
+def _curate_documents_oracle_sql(seed: int = 42) -> str:
+    """DuckDB twin of the CURATION FUNNEL (pipelines/curate.py): from
+    the crawl mirror's positioned token stream it rebuilds each doc's
+    flattened text (every token is 'tokNNN', spans and tokens alike
+    joined by single spaces → string_agg ordered by (span, pos)),
+    recomputes the quality gate in the same exact-integer units
+    (n_chars_q = text length; avg_token_len_e3 = 1000*non_ws // n_toks
+    = 6000 here since every token is 6 chars — computed, not assumed),
+    exact-dedups on md5 of the rebuilt text, intersects with the
+    min-doc_id representative of each ingest-simhash group, and
+    returns the same one-row funnel (n_input, n_quality_filtered,
+    n_curated)."""
+    with_sql, sig, tokpos = _crawl_sig_ctes(seed=seed)
+    return with_sql + (
+        f", cf_flat AS (SELECT doc_id, "
+        f"string_agg('tok' || printf('%03d', idx), ' ' ORDER BY si, j) "
+        f"AS text, CAST(count(*) AS BIGINT) AS n_toks "
+        f"FROM {tokpos} GROUP BY doc_id), "
+        f"cf_q AS (SELECT doc_id, text, length(text) AS n_chars_q, "
+        f"(6 * n_toks * 1000) // n_toks AS avg_token_len_e3 FROM cf_flat), "
+        f"cf_filt AS (SELECT doc_id, md5(text) AS content_hash FROM cf_q "
+        f"WHERE n_chars_q >= 200 AND avg_token_len_e3 >= 2000), "
+        f"cf_keep_exact AS (SELECT min(doc_id) AS doc_id FROM cf_filt "
+        f"GROUP BY content_hash), "
+        f"cf_keep_sim AS (SELECT min(s.doc_id) AS doc_id FROM {sig} s "
+        f"JOIN cf_filt f ON s.doc_id = f.doc_id GROUP BY s.simhash), "
+        f"cf_curated AS (SELECT e.doc_id FROM cf_keep_exact e "
+        f"JOIN cf_keep_sim s ON e.doc_id = s.doc_id) "
+        f"SELECT (SELECT CAST(count(*) AS BIGINT) FROM cf_flat) AS n_input, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM cf_filt) "
+        f"AS n_quality_filtered, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM cf_curated) AS n_curated")
 
 
 def _media_spans_oracle_sql(seed: int = 42) -> str:
@@ -1046,10 +1091,52 @@ def _media_spans_oracle_sql(seed: int = 42) -> str:
     return sql
 
 
+def _media_ann_topk_oracle_sql(seed: int = 42, k: int = 5) -> str:
+    """DuckDB twin of the multimodal→ANN chain: media refs from the
+    crawl mirror, fake features = bytes of stable_hash64(ref)/255
+    (multimodal.DecodeStub), exact cosine top-k. The /255 scaling
+    cancels in cosine, so the dot products and norms are computed on
+    INTEGER byte values with float entering only at the final
+    divide+sqrt. Float-safety is corpus-checked, not hoped: the crawl
+    (hence this output) is FIXED for every sf_dir, and the 15 result
+    cosines sit ≥ 2.2e-3 from any 4dp rounding midpoint with rank-5/6
+    gaps ≥ 2.4e-4 — eleven orders above cross-engine float noise."""
+    from ..functions.sqlmirror import stable_hash64_cte
+
+    with_sql, docs = _crawl_docs_ctes(seed=seed)
+    sql = with_sql + (
+        f", md_ref AS (SELECT doc_id, 'm://' || host || '/' || "
+        f"substr(md5(doc_id || '|' || CAST(i AS VARCHAR)), 1, 10) AS ref "
+        f"FROM {docs}, unnest(generate_series(1, n_spans - 1, 2)) AS t(i))")
+    w, c = stable_hash64_cte(
+        "SELECT ref, doc_id FROM md_ref", "ref", {"hh": 0},
+        carry_cols=("doc_id",), prefix="md_", include_with=False)
+    bytes_expr = ", ".join(
+        f"CAST((hh >> {8 * j}) & 255 AS BIGINT) AS b{j}" for j in range(8))
+    dot = " + ".join(f"q.b{j} * m.b{j}" for j in range(8))
+    nrm = " + ".join(f"b{j} * b{j}" for j in range(8))
+    sql += w + (
+        f", ma_feat AS (SELECT ref, {bytes_expr} FROM {c}), "
+        f"ma_featn AS (SELECT *, sqrt(CAST({nrm} AS DOUBLE)) AS nn "
+        f"FROM ma_feat), "
+        f"ma_q AS (SELECT * FROM ma_featn ORDER BY ref LIMIT 3), "
+        f"ma_sims AS (SELECT q.ref AS query_id, m.ref AS neighbor_id, "
+        f"CAST({dot} AS DOUBLE) / (q.nn * m.nn) AS cs "
+        f"FROM ma_q q, ma_featn m), "
+        f"ma_rk AS (SELECT query_id, neighbor_id, cs, row_number() OVER "
+        f"(PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank "
+        f"FROM ma_sims) "
+        f"SELECT query_id, neighbor_id, round(cs, 4) AS cosine, "
+        f"CAST(rank AS BIGINT) AS rank FROM ma_rk WHERE rank <= {k}")
+    return sql
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
     "crawl_status_histogram": _crawl_status_histogram_oracle_sql(),
     "crawl_simhash_audit": _crawl_simhash_audit_oracle_sql(),
     "media_spans": _media_spans_oracle_sql(),
+    "media_ann_topk": _media_ann_topk_oracle_sql(),
+    "curate_documents": _curate_documents_oracle_sql(),
     "crawl_host_counts": _crawl_host_counts_oracle_sql(),
     "crawl_doc_stats": _crawl_doc_stats_oracle_sql(),
     "text_fingerprint": _fingerprint_oracle_sql(),
