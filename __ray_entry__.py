@@ -118,19 +118,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the curation FUNNEL re-run in SQL (r03): rebuilt text, exact
         # integer quality gate, md5 dedup, simhash-keep intersection
         "curate_documents": qc.q_curate_documents,
-        # ---- rows-only: engine surfaces with NO driver row yet ----
-        # (ordered first within rows-only so a grading cutoff reaches
-        # them before the r02-graded queries below)
-        "k7_sample_export": qt.q_k7_sample_export,
+        # attempt-0 fetch surfaces re-run in SQL (r03)
+        "crawl_direct": qa.q_crawl_direct,
         "a3_warm_crawl": qt.q_a3_warm_crawl,
+        # ---- rows-only: scheduling-/state-dependent surfaces ----
+        # (enqueue_seq / claim order / wave composition / iterative
+        # k-means are not SQL-replayable; each is pinned by goldens or
+        # conformance tests — see docstrings)
+        "k7_sample_export": qt.q_k7_sample_export,
         "o4_multi_task_schedule": qt.q_o4_multi_task_schedule,
         "crawl_wave_stats": qt.q_crawl_wave_stats,
-        # ---- rows-only: r02-graded + golden-pinned (test_goldens) ----
-        # (crawl_documents is additionally exercised by entry() itself)
         "crawl_documents": qt.q_crawl_documents,
         "crawl_order": qt.q_crawl_order,
         "ann_ivf_topk": qt.q_ann_ivf_topk,
-        "crawl_direct": qa.q_crawl_direct,
     }
 
 

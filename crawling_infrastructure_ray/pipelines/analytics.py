@@ -1015,7 +1015,9 @@ def q_approx_distinct_users(sf_dir: str):
 
 def q_crawl_direct(sf_dir: str):
     """Entry point B scatter-gather (§3.3): static list → map_batches →
-    collect; rows-only."""
+    collect. ORACLE-CHECKED (training._crawl_direct_oracle_sql):
+    attempt-0 outcomes over the embedded seed list, duplicates kept —
+    this path has no queue and no dedup."""
     from ..pipelines.crawl import direct_crawl
     from ..sources.corpus import make_seed_urls
     seeds = make_seed_urls(200, seed=42)["url"].to_pylist()

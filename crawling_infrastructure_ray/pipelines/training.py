@@ -479,8 +479,10 @@ def q_o4_multi_task_schedule(sf_dir: str):
 def q_a3_warm_crawl(sf_dir: str):
     """A3 warm persistent handler (persistant_handler.ts:25-157): a
     long-lived actor pool serves three consecutive crawl calls; the
-    fetcher is built once per actor and stays warm across calls
-    (rows-only — stateful service semantics)."""
+    fetcher is built once per actor and stays warm across calls.
+    ORACLE-CHECKED (_a3_warm_oracle_sql): the round-robin call→actor
+    mapping and attempt-0 fetch outcomes are deterministic, so DuckDB
+    recomputes every row plus the warmth audit constants."""
     from ..stages.warm import WarmCrawlPool
     seeds = make_seed_urls(120, seed=42)["url"].to_pylist()
     pool = WarmCrawlPool(size=2, seed=42)
@@ -1131,7 +1133,62 @@ def _media_ann_topk_oracle_sql(seed: int = 42, k: int = 5) -> str:
     return sql
 
 
+def _crawl_direct_oracle_sql(seed: int = 42, n: int = 200) -> str:
+    """DuckDB twin of the S8 direct scatter-gather path
+    (crawl.direct_crawl → analytics.q_crawl_direct): every seed URL —
+    DUPLICATES KEPT, there is no queue and no dedup on this path —
+    fetched once at attempt 0. Statuses/latency from the fetch hash
+    (corpus.py fetch_outcome); doc_id empty unless completed."""
+    from ..functions.sqlmirror import stable_hash64_cte
+    from ..sources.corpus import _FETCH_SALT
+
+    urls = make_seed_urls(n, seed=seed)["url"].to_pylist()
+    values = ", ".join(f"('{u}')" for u in urls)
+    w, c = stable_hash64_cte(
+        f"SELECT column0 AS url FROM (VALUES {values}) v(column0)", "url",
+        {"fh": seed ^ _FETCH_SALT}, prefix="dc_")
+    return w + (
+        f" SELECT url, "
+        f"CASE WHEN fh % 100 < 8 THEN 'failed' "
+        f"WHEN fh % 100 < 10 THEN 'blocked' ELSE 'completed' END AS status, "
+        f"CAST(5 + (fh >> 16) % 95 AS INTEGER) AS latency_ms, "
+        f"CASE WHEN fh % 100 < 10 THEN '' "
+        f"ELSE 'd-' || substr(md5(url), 1, 12) END AS doc_id "
+        f"FROM {c}")
+
+
+def _a3_warm_oracle_sql(seed: int = 42) -> str:
+    """DuckDB twin of the A3 warm-pool surface: three round-robin
+    crawl calls over seeds[40i:40i+40] at attempt 0 (the pool serves
+    calls 0/1/2 from actors 0/1/0), plus the warmth audit constants —
+    2 constructions across 2 actors (pool_cache_misses) and 3 calls
+    total (pool_calls). The per-row fetch mirror is the same
+    closed-form as crawl_direct's."""
+    from ..functions.sqlmirror import stable_hash64_cte
+    from ..sources.corpus import _FETCH_SALT
+
+    urls = make_seed_urls(120, seed=seed)["url"].to_pylist()
+    values = ", ".join(f"('{u}', {i // 40})" for i, u in enumerate(urls))
+    w, c = stable_hash64_cte(
+        f"SELECT column0 AS url, column1 AS call "
+        f"FROM (VALUES {values}) v(column0, column1)", "url",
+        {"fh": seed ^ _FETCH_SALT}, carry_cols=("call",), prefix="wa_")
+    return w + (
+        f" SELECT url, "
+        f"CASE WHEN fh % 100 < 8 THEN 'failed' "
+        f"WHEN fh % 100 < 10 THEN 'blocked' ELSE 'completed' END AS status, "
+        f"CASE WHEN fh % 100 < 10 THEN '' "
+        f"ELSE 'd-' || substr(md5(url), 1, 12) END AS doc_id, "
+        f"CAST(5 + (fh >> 16) % 95 AS BIGINT) AS latency_ms, "
+        f"CAST(call AS BIGINT) AS call, "
+        f"CAST(2 AS BIGINT) AS pool_cache_misses, "
+        f"CAST(3 AS BIGINT) AS pool_calls "
+        f"FROM {c}")
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
+    "crawl_direct": _crawl_direct_oracle_sql(),
+    "a3_warm_crawl": _a3_warm_oracle_sql(),
     "crawl_status_histogram": _crawl_status_histogram_oracle_sql(),
     "crawl_simhash_audit": _crawl_simhash_audit_oracle_sql(),
     "media_spans": _media_spans_oracle_sql(),
