@@ -76,6 +76,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_window": qa.q_events_session_window,
         "latest_event_per_user": qa.q_latest_event_per_user,
         "events_cumsum": qa.q_events_cumsum,
+        # extended joins / windows the Dataset API lacks (r03):
+        # as-of join, range join, grouped top-k, rolling frame,
+        # pivot, rollup — all bucketed map_groups compositions
+        "asof_last_click": qa.q_asof_last_click,
+        "range_join_click_views": qa.q_range_join_click_views,
+        "topk_per_group": qa.q_topk_per_group,
+        "rolling_window_value": qa.q_rolling_window_value,
+        "pivot_priority_status": qa.q_pivot_priority_status,
+        "rollup_revenue": qa.q_rollup_revenue,
         # misc relational
         "part_stats_by_brand": qa.q_part_stats_by_brand,
         "union_names": qa.q_union_names,
@@ -86,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": qt.q_text_quality,
         "text_langid": qt.q_text_langid,
         "ann_brute_topk": qt.q_ann_brute_topk,
+        # IVF at full probe is exact → the brute SQL gates the whole
+        # IVF build/route/probe machinery (r03)
+        "ann_ivf_full_probe": qt.q_ann_ivf_full_probe,
         # M8 randomizer draw, mirrored bit-for-bit in SQL (r03)
         "m8_randomizers": qt.q_m8_randomizers,
         # HLL sketch registers, mirrored bit-for-bit in SQL (r03)

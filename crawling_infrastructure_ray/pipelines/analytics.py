@@ -950,6 +950,254 @@ def q_events_cumsum(sf_dir: str):
             .groupby("_kb").map_groups(cum_bucket, batch_format="pandas"))
 
 
+# ----------------------------------------------------------------------
+# extended joins / windows the Dataset API lacks natively (r03):
+# as-of join, range join, grouped top-k, rolling frame, pivot, rollup.
+# Each is a composition of map_batches + bucketed map_groups (the
+# partitioning assumption: every key lives wholly in one bucket), per
+# the custom-operator guidance — no raw actors needed.
+# ----------------------------------------------------------------------
+
+def q_asof_last_click(sf_dir: str):
+    """AS-OF JOIN (last-click attribution): for each 'purchase' event,
+    the most recent 'click' by the same user at-or-before the purchase
+    timestamp. The reference attributes results to the lease that
+    produced them by recency (worker_meta started_ts vs item crawled
+    ts, SURVEY.md §1.3); this generalizes that shape to a first-class
+    as-of join operator.
+
+    Scale shape: one pruned read of the two event types, users
+    hash-bucketed (every user wholly in one bucket), then ONE
+    vectorized ``pandas.merge_asof`` per bucket — no per-user Python
+    calls, no all-pairs blowup (merge_asof is a linear merge over the
+    two ts-sorted sides). Inner semantics: purchases with no prior
+    click are dropped (keeps the output null-free — gate-safe).
+    Tie-break on equal click ts: highest click event_id (merge_asof
+    takes the LAST right row; the right side is sorted
+    [ts, event_id])."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id",
+                                               "ts", "event_type"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["event_type"],
+                     value_set=pa.array(["purchase", "click"]))
+        return batch.filter(m)
+
+    tagged = (ds.map_batches(keep, batch_format="pyarrow")
+              .repartition(32)
+              .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow"))
+
+    out_cols = ["event_id", "user_id", "ts", "click_event_id", "click_ts"]
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = (g[g["event_type"] == "purchase"]
+             .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        c = (g[g["event_type"] == "click"]
+             .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        if p.empty or c.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "click_event_id": pd.Series([], dtype="int64"),
+                "click_ts": pd.Series([], dtype="datetime64[us]")})
+        right = c[["event_id", "user_id", "ts"]].rename(
+            columns={"event_id": "click_event_id", "ts": "click_ts"})
+        out = pd.merge_asof(p[["event_id", "user_id", "ts"]], right,
+                            left_on="ts", right_on="click_ts",
+                            by="user_id", direction="backward")
+        out = out.dropna(subset=["click_event_id"])
+        out["click_event_id"] = out["click_event_id"].astype("int64")
+        return out[out_cols]
+
+    return tagged.groupby("_kb").map_groups(asof_bucket,
+                                            batch_format="pandas")
+
+
+def q_range_join_click_views(sf_dir: str):
+    """RANGE JOIN (post-click attribution window): for each 'click'
+    event, the number of 'view' events by the same user in
+    (click_ts, click_ts + 10 minutes].
+
+    Scale shape: users hash-bucketed; inside each bucket the count is
+    two ``np.searchsorted`` calls over a composite
+    (user_code x time_offset) int64 key — views and clicks are jointly
+    factorized so each user owns one contiguous key segment, and the
+    10-minute margin built into the segment span guarantees a window
+    can never spill into the next user's segment. Fully vectorized:
+    no per-user Python, no pairwise expansion (the classic inequality-
+    join blowup). Capacity: span ~= bucket time range in us, so int64
+    holds ~2^63/span users per bucket (~3.5M at a 1-month range x 32
+    buckets ~= 10^8 users); asserted, and widening to per-table passes
+    is the documented fallback."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id",
+                                               "ts", "event_type"])
+    win_us = np.int64(10 * 60 * 1_000_000)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["event_type"],
+                     value_set=pa.array(["click", "view"]))
+        return batch.filter(m)
+
+    tagged = (ds.map_batches(keep, batch_format="pyarrow")
+              .repartition(32)
+              .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow"))
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_click = (g["event_type"] == "click").to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        users = g["user_id"].to_numpy()
+        if not is_click.any():
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "n_views_10m": pd.Series([], dtype="int64")})
+        codes, _ = pd.factorize(users)  # joint: clicks AND views
+        base = ts.min()
+        span = np.int64(ts.max() - base) + win_us + np.int64(2)
+        assert span * np.int64(codes.max() + 1) >= 0, \
+            "composite range-join key overflow: split into narrower buckets"
+        key = codes.astype(np.int64) * span + (ts - base)
+        v_key = np.sort(key[~is_click & (g["event_type"] == "view").to_numpy()])
+        c_key = key[is_click]
+        lo = np.searchsorted(v_key, c_key, side="right")
+        hi = np.searchsorted(v_key, c_key + win_us, side="right")
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[is_click],
+            "user_id": users[is_click],
+            "n_views_10m": (hi - lo).astype("int64")})
+
+    return tagged.groupby("_kb").map_groups(count_bucket,
+                                            batch_format="pandas")
+
+
+def q_topk_per_group(sf_dir: str, k: int = 3):
+    """GROUPED TOP-K: the k longest documents per source (ties broken
+    by doc_id). The per-GROUP analog of O3's global top-k (the
+    reference's per-task recent-N page, SURVEY.md §2.6).
+
+    Scale shape: per-BATCH partial top-k per group first (shrinks the
+    shuffle to <= k rows per group per batch), then a bucketed merge
+    re-running the same vectorized sort + groupby-head reduce — never
+    a full sort of the table, no per-group Python calls."""
+    ds = read_table(sf_dir, "documents", columns=["source", "doc_id",
+                                                  "n_chars"])
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+        return df.groupby("source", sort=False).head(k)
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas")
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = partial_topk(g).reset_index(drop=True)
+        g["rank"] = (g.groupby("source", sort=False).cumcount()
+                     .astype("int64") + 1)
+        return g[["source", "doc_id", "n_chars", "rank"]]
+
+    return (partials.repartition(8)
+            .map_batches(_tag_bucket(["source"]), batch_format="pyarrow")
+            .groupby("_kb").map_groups(reduce_bucket, batch_format="pandas"))
+
+
+def q_rolling_window_value(sf_dir: str):
+    """ROLLING FRAME aggregate: per user, ordered by (ts, event_id),
+    the sum of ``value`` (exact integer cents) and row count over the
+    window ROWS 2 PRECEDING .. CURRENT ROW — the sliding-window twin
+    of the reference's 10-minute progress windows (SURVEY.md §2.11).
+
+    Scale shape: users hash-bucketed; inside each bucket one grouped
+    vectorized rolling sum (C path) over the sorted frame. Exact
+    integer cents so the gate column never meets float rounding."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id",
+                                               "ts", "value"])
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        v_c = (g["value"] * 100).round().astype("int64")
+        grp = g.groupby("user_id", sort=False)
+        roll = v_c.groupby(g["user_id"], sort=False).rolling(
+            3, min_periods=1)
+        g["rolling_sum_c"] = roll.sum().reset_index(level=0, drop=True) \
+                                 .astype("int64")
+        g["n_in_window"] = np.minimum(grp.cumcount() + 1, 3).astype("int64")
+        return g[["user_id", "event_id", "rolling_sum_c", "n_in_window"]]
+
+    return (ds.repartition(32)
+            .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow")
+            .groupby("_kb").map_groups(roll_bucket, batch_format="pandas"))
+
+
+def q_pivot_priority_status(sf_dir: str):
+    """PIVOT: order counts as one row per o_orderpriority with one
+    column per o_orderstatus (wide layout). Statuses are a bounded
+    enum, so the pivot is a per-batch filtered-count combine → tiny
+    enum-keyed driver merge — no shuffle at all."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority",
+                                               "o_orderstatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_orderpriority": batch["o_orderpriority"],
+            "f": pc.cast(pc.equal(batch["o_orderstatus"], "F"), pa.int64()),
+            "o": pc.cast(pc.equal(batch["o_orderstatus"], "O"), pa.int64()),
+            "p": pc.cast(pc.equal(batch["o_orderstatus"], "P"), pa.int64())})
+        g = t.group_by("o_orderpriority").aggregate(
+            [("f", "sum"), ("o", "sum"), ("p", "sum")])
+        return g.rename_columns(["o_orderpriority", "n_f", "n_o", "n_p"])
+
+    df = _merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["o_orderpriority"], ["n_f", "n_o", "n_p"])
+    for c in ("n_f", "n_o", "n_p"):
+        df[c] = df[c].astype("int64")
+    df["n_total"] = (df["n_f"] + df["n_o"] + df["n_p"]).astype("int64")
+    return df.reset_index(drop=True)
+
+
+def q_rollup_revenue(sf_dir: str):
+    """ROLLUP / grouping sets: lineitem revenue at three levels —
+    (returnflag, linestatus), (returnflag, ALL), (ALL, ALL) — exact
+    integer e4 units. The (flag, status) key set is a bounded enum, so
+    the heavy scan is a per-batch combine (one partial row per key per
+    batch) and the rollup levels are derived from the merged base
+    aggregate on the driver — the 6-row frame, not the data."""
+    ds = read_table(sf_dir, "lineitem", columns=[
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"],
+                                               pa.scalar(100.0))), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(batch["l_discount"],
+                                              pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(price_c,
+                          pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "l_linestatus": batch["l_linestatus"],
+                      "revenue_e4": rev,
+                      "n_rows": pa.array(np.ones(len(rev), np.int64))})
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("revenue_e4", "sum"), ("n_rows", "sum")])
+        return g.rename_columns(["l_returnflag", "l_linestatus",
+                                 "revenue_e4", "n_rows"])
+
+    base = _merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                           ["l_returnflag", "l_linestatus"],
+                           ["revenue_e4", "n_rows"])
+    lvl1 = base.groupby("l_returnflag", as_index=False)[
+        ["revenue_e4", "n_rows"]].sum()
+    lvl1["l_linestatus"] = "ALL"
+    lvl0 = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                         "revenue_e4": [base["revenue_e4"].sum()],
+                         "n_rows": [base["n_rows"].sum()]})
+    out = pd.concat([base, lvl1[base.columns], lvl0[base.columns]],
+                    ignore_index=True)
+    for c in ("revenue_e4", "n_rows"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]) \
+              .reset_index(drop=True)
+
+
 def q_part_stats_by_brand(sf_dir: str):
     """Multi-aggregate groupby with min/max (exact on any engine):
     per-batch count/min/max partials → enum-keyed driver merge
@@ -1217,4 +1465,48 @@ ORACLE_SQL: dict[str, str] = {
         "max(p_size) AS max_size FROM part GROUP BY p_brand",
     "union_names":
         "SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation",
+    # extended joins / windows (r03) — each mirrors the Ray operator's
+    # exact tie-breaks and integer units
+    "asof_last_click":
+        "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), "
+        "c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') "
+        "SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_event_id, c.ts AS click_ts "
+        "FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts "
+        "QUALIFY row_number() OVER (PARTITION BY p.event_id "
+        "ORDER BY c.ts DESC, c.event_id DESC) = 1",
+    "range_join_click_views":
+        "WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), "
+        "v AS (SELECT user_id, ts FROM events WHERE event_type = 'view') "
+        "SELECT c.event_id, c.user_id, count(v.ts) AS n_views_10m "
+        "FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.ts > c.ts "
+        "AND v.ts <= c.ts + INTERVAL 10 MINUTE "
+        "GROUP BY c.event_id, c.user_id",
+    "topk_per_group":
+        "SELECT source, doc_id, n_chars, CAST(row_number() OVER "
+        "(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank "
+        "FROM documents QUALIFY row_number() OVER "
+        "(PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 3",
+    "rolling_window_value":
+        "WITH b AS (SELECT user_id, event_id, ts, "
+        "CAST(round(value * 100) AS BIGINT) AS v_c FROM events) "
+        "SELECT user_id, event_id, CAST(sum(v_c) OVER w AS BIGINT) AS rolling_sum_c, "
+        "CAST(count(*) OVER w AS BIGINT) AS n_in_window FROM b "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",
+    "pivot_priority_status":
+        "SELECT o_orderpriority, "
+        "count(*) FILTER (o_orderstatus = 'F') AS n_f, "
+        "count(*) FILTER (o_orderstatus = 'O') AS n_o, "
+        "count(*) FILTER (o_orderstatus = 'P') AS n_p, "
+        "count(*) FILTER (o_orderstatus = 'F') + count(*) FILTER (o_orderstatus = 'O') "
+        "+ count(*) FILTER (o_orderstatus = 'P') AS n_total "
+        "FROM orders GROUP BY o_orderpriority",
+    "rollup_revenue":
+        "WITH c AS (SELECT l_returnflag, l_linestatus, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev FROM lineitem) "
+        "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+        "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+        "CAST(sum(rev) AS BIGINT) AS revenue_e4, count(*) AS n_rows "
+        "FROM c GROUP BY ROLLUP(l_returnflag, l_linestatus)",
 }

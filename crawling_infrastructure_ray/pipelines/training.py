@@ -244,6 +244,20 @@ def q_ann_ivf_topk(sf_dir: str):
     return index.search(q, qids, k=10, nprobe=3)
 
 
+def q_ann_ivf_full_probe(sf_dir: str):
+    """IVF search with nprobe = n_centroids: every partition is
+    scanned, so the result is EXACT by construction — which makes the
+    whole IVF machinery (deterministic k-means build, centroid
+    routing, per-partition probe, top-k merge) hash-gatable against
+    the brute-force SQL oracle. The approximate nprobe<n_centroids
+    path (q_ann_ivf_topk) shares all of that code and is additionally
+    pinned by the recall/determinism goldens (tests/test_goldens.py)."""
+    q, qids = _load_queries(sf_dir, 4)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    index = ss.IVFIndex(ds, n_centroids=8, seed=42)
+    return index.search(q, qids, k=10, nprobe=8)
+
+
 # ----------------------------------------------------------------------
 # crawl engine queries (rows-only: stateful/iterative semantics)
 # ----------------------------------------------------------------------
@@ -1280,6 +1294,16 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
         "ELSE (greatest(h_en, h_es, h_de, h_fr) * 10000) // n END AS BIGINT) "
         "AS lang_score_e4 FROM h",
     "ann_brute_topk":
+        "WITH sims AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+        "list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim "
+        "FROM embeddings q CROSS JOIN embeddings e WHERE q.vec_id < 4), "
+        "ranked AS (SELECT query_id, neighbor_id, round(sim, 4) AS cosine, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) "
+        "AS rank FROM sims) "
+        "SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10",
+    # IVF at nprobe = n_centroids is exact, so the brute-force SQL is
+    # a valid oracle for the full IVF build+probe machinery
+    "ann_ivf_full_probe":
         "WITH sims AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
         "list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim "
         "FROM embeddings q CROSS JOIN embeddings e WHERE q.vec_id < 4), "
