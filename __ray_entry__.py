@@ -91,6 +91,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup / text / similarity (oracle-checked subset)
         "dedup_exact": qt.q_dedup_exact,
         "dedup_exact_remove": qt.q_dedup_exact_remove,
+        # incremental shard-vs-corpus dedup + token-budget sequence
+        # packing (r03) — training-data assembly surfaces
+        "dedup_incremental": qt.q_dedup_incremental,
+        "pack_sequences": qt.q_pack_sequences,
         "text_token_count": qt.q_text_token_count,
         "text_quality": qt.q_text_quality,
         "text_langid": qt.q_text_langid,

@@ -14,8 +14,9 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from ..functions.bucketing import i64_as_u64, u64_as_i64
+from ..functions.bucketing import i64_as_u64, tag_bucket_fn, u64_as_i64
 from ..sources.corpus import make_seed_urls
 from ..sources.readers import read_table
 from ..stages import dedup as dd
@@ -56,6 +57,102 @@ def q_dedup_exact_remove(sf_dir: str):
                        batch_format="pyarrow"),
         keys, on="doc_id")
     return kept
+
+
+def q_dedup_incremental(sf_dir: str):
+    """INCREMENTAL exact dedup of a new shard against an existing
+    corpus (the CCNet/RefinedWeb-style ingestion shape: each new crawl
+    dump is deduped against everything already kept). The split is a
+    pure function of the data — split = max(doc_id) * 6 // 10,
+    computed identically in both engines — so the operator is
+    hash-gated end to end.
+
+    Scale shape: the corpus side ships one (batch-distinct) content
+    hash per document, never text; increment-vs-corpus membership is
+    the DISTRIBUTED bucketed anti-join on content_hash and keep-first
+    within the increment is the bucketed semi-join on doc_id — no
+    driver-side key set at any step. At 100 TB the corpus hash set is
+    itself data-sized, which is exactly what the bucketed join handles
+    (every hash lives wholly in one bucket)."""
+    from ..functions.hashing import md5_id
+    from ..stages.joins import bucketed_anti_join, bucketed_semi_join
+    from ray.data.aggregate import Min
+
+    ids = read_table(sf_dir, "documents", columns=["doc_id"])
+    split = int(ids.max("doc_id")) * 6 // 10  # O(1) scalar to driver
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "n_chars"])
+
+    def hash_inc(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch["doc_id"], split)
+        b = batch.filter(m)
+        h = pa.array([md5_id(t or "") for t in b["text"].to_pylist()])
+        return pa.table({"doc_id": b["doc_id"], "n_chars": b["n_chars"],
+                         "content_hash": h})
+
+    def hash_corpus(batch: pa.Table) -> pa.Table:
+        m = pc.less(batch["doc_id"], split)
+        b = batch.filter(m)
+        h = sorted({md5_id(t or "") for t in b["text"].to_pylist()})
+        return pa.table({"content_hash": pa.array(h, pa.string())})
+
+    inc = ds.map_batches(hash_inc, batch_format="pyarrow")
+    corpus = ds.map_batches(hash_corpus, batch_format="pyarrow")
+    survivors = bucketed_anti_join(inc, corpus, on="content_hash")
+
+    def min_per_hash(batch: pa.Table) -> pa.Table:
+        g = batch.select(["content_hash", "doc_id"]) \
+            .group_by("content_hash").aggregate([("doc_id", "min")])
+        return g.rename_columns(["content_hash", "keep_doc_id"])
+
+    keep = (survivors.map_batches(min_per_hash, batch_format="pyarrow")
+            .groupby("content_hash")
+            .aggregate(Min("keep_doc_id", alias_name="keep_doc_id"))
+            .map_batches(lambda t: pa.table({"doc_id": t["keep_doc_id"]}),
+                         batch_format="pyarrow"))
+    kept = bucketed_semi_join(
+        survivors.map_batches(lambda t: t.select(["doc_id", "n_chars"]),
+                              batch_format="pyarrow"),
+        keep, on="doc_id")
+    return kept
+
+
+def q_pack_sequences(sf_dir: str, budget: int = 2048):
+    """Sequence PACKING for training-data assembly: per source shard,
+    documents in doc_id order are packed into fixed token-budget
+    sequences. Packing rule (deterministic AND fully vectorized): a
+    document belongs to the pack its cumulative token offset starts
+    in — pack_id = (tokens before it in the shard) // budget — so the
+    boundary document stays in the earlier pack and a pack overflows
+    by at most one document. Token counts are the engine's ASCII
+    whitespace contract (stages/text).
+
+    Scale shape: sources hash-bucketed (each shard wholly in one
+    bucket), one vectorized grouped cumsum per bucket — no per-shard
+    Python calls, text never leaves the counting stage."""
+    from ..stages.text import _ws_token_counts
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "text"])
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = _ws_token_counts(batch["text"])
+        return pa.table({"source": batch["source"],
+                         "doc_id": batch["doc_id"],
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    counted = ds.map_batches(count_tokens, batch_format="pyarrow")
+
+    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "doc_id"]).reset_index(drop=True)
+        cum_before = (g.groupby("source", sort=False)["n_tokens"].cumsum()
+                      - g["n_tokens"])
+        g["pack_id"] = (cum_before // budget).astype("int64")
+        return g[["source", "doc_id", "n_tokens", "pack_id"]]
+
+    return (counted.repartition(8)
+            .map_batches(tag_bucket_fn(["source"]), batch_format="pyarrow")
+            .groupby("_kb").map_groups(pack_bucket, batch_format="pandas"))
 
 
 def q_dedup_minhash_pairs(sf_dir: str):
@@ -1260,6 +1357,28 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "dedup_exact_remove":
         "SELECT doc_id, n_chars FROM documents WHERE doc_id IN "
         "(SELECT min(doc_id) FROM documents GROUP BY md5(text))",
+    # incremental dedup: split = max(doc_id)*6//10 in BOTH engines
+    "dedup_incremental":
+        "WITH s AS (SELECT CAST(max(doc_id) * 6 // 10 AS BIGINT) AS split FROM documents), "
+        "corp AS (SELECT DISTINCT md5(text) AS content_hash FROM documents, s "
+        "WHERE doc_id < split), "
+        "inc AS (SELECT doc_id, md5(text) AS content_hash, n_chars FROM documents, s "
+        "WHERE doc_id >= split), "
+        "surv AS (SELECT * FROM inc WHERE content_hash NOT IN "
+        "(SELECT content_hash FROM corp)) "
+        "SELECT doc_id, n_chars FROM surv WHERE doc_id IN "
+        "(SELECT min(doc_id) FROM surv GROUP BY content_hash)",
+    # first-crossing token-budget packing (budget 2048), token counts
+    # per the engine's ASCII whitespace contract (= text_token_count)
+    "pack_sequences":
+        "WITH t AS (SELECT source, doc_id, "
+        "len(list_filter(string_split_regex(text, '\\s+'), __x -> __x <> '')) "
+        "AS n_tokens FROM documents), "
+        "c AS (SELECT source, doc_id, n_tokens, "
+        "COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t) "
+        "SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(cb // 2048 AS BIGINT) AS pack_id FROM c",
     "text_token_count":
         "SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), "
         "__x -> __x <> '')) AS n_tokens FROM documents",
