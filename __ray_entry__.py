@@ -137,15 +137,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # attempt-0 fetch surfaces re-run in SQL (r03)
         "crawl_direct": qa.q_crawl_direct,
         "a3_warm_crawl": qt.q_a3_warm_crawl,
+        # the QUEUE STATE MACHINE itself re-run in SQL (r03): DuckDB
+        # replays the K=1 conformance crawl closed-form (rounds from
+        # fetch-hash claim profiles, seq-ordered claims, availability-
+        # aware 256-lease waves) and predicts the engine's own claim
+        # stream, per-wave lineage, and enqueue_seq assignment
+        "crawl_order": qt.q_crawl_order,
+        "crawl_wave_stats": qt.q_crawl_wave_stats,
+        "crawl_fifo_documents": qt.q_crawl_fifo_documents,
         # ---- rows-only: scheduling-/state-dependent surfaces ----
-        # (enqueue_seq / claim order / wave composition / iterative
+        # (sharded-mode enqueue_seq / wave composition / iterative
         # k-means are not SQL-replayable; each is pinned by goldens or
         # conformance tests — see docstrings)
         "k7_sample_export": qt.q_k7_sample_export,
         "o4_multi_task_schedule": qt.q_o4_multi_task_schedule,
-        "crawl_wave_stats": qt.q_crawl_wave_stats,
         "crawl_documents": qt.q_crawl_documents,
-        "crawl_order": qt.q_crawl_order,
         "ann_ivf_topk": qt.q_ann_ivf_topk,
     }
 

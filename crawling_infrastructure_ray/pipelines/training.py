@@ -367,6 +367,22 @@ def _crawl_out_dir(sf_dir: str) -> str:
     return f"/tmp/ci_ray_crawl_{tag}"
 
 
+def _crawl_fifo_out_dir(sf_dir: str) -> str:
+    return _crawl_out_dir(sf_dir) + "_fifo"
+
+
+def _run_fifo_crawl(sf_dir: str) -> str:
+    """Conformance-mode engine run (K=1 global FIFO — the reference's
+    single Mongo queue, SURVEY.md §3.2): distributed fetch over a
+    single-shard frontier, cached per sf_dir."""
+    out = _crawl_fifo_out_dir(sf_dir)
+    if not os.path.isdir(os.path.join(out, "documents")):
+        seeds = make_seed_urls(_CRAWL_SEEDS, seed=42)["url"].to_pylist()
+        run_crawl(seeds, seed=42, num_shards=1, dedup=True, max_depth=1,
+                  items_per_wave=256, out_dir=out)
+    return out
+
+
 def q_crawl_documents(sf_dir: str):
     """Flagship: frontier crawl over synthetic seeds → documents table
     projection (doc_id, url, host, depth, enqueue_seq, n_spans,
@@ -428,16 +444,29 @@ def q_crawl_doc_stats(sf_dir: str):
 
 
 def q_crawl_order(sf_dir: str):
-    """Golden claim order from the single-threaded oracle (K=1
-    conformance semantics — SURVEY.md §3.2)."""
-    seeds = make_seed_urls(_CRAWL_SEEDS, seed=42)["url"].to_pylist()
-    golden = oracle_crawl(seeds, seed=42, dedup=True, max_depth=1,
-                          items_per_wave=256)
-    rows = golden["claim_order"]
-    return pa.table({"claim_idx": pa.array([r[0] for r in rows], pa.int64()),
-                     "enqueue_seq": pa.array([r[1] for r in rows], pa.uint64()),
-                     "url": pa.array([r[2] for r in rows], pa.string()),
-                     "attempt": pa.array([r[3] for r in rows], pa.int64())})
+    """The ENGINE's claim stream: the claims audit log the distributed
+    conformance-mode (K=1 FIFO) run itself wrote, one row per lease
+    (wave_*.parquet under <out>/claims — crawl.py:347-351), ordered by
+    (wave, enqueue_seq) = the global claim order (§3.2: within a wave,
+    claims run in ascending enqueue_seq).
+
+    ORACLE-CHECKED (r03): DuckDB independently replays the whole K=1
+    queue state machine closed-form (_crawl_replay_ctes) and predicts
+    every (claim_idx, enqueue_seq, url, attempt) row — the reference's
+    queue-integration golden order (queue.model.ts:245-308), now a
+    driver hash gate instead of a pytest-only golden. The output IS
+    the full claim stream, so materializing it driver-side is the
+    query's contract, not a scale shortcut."""
+    import pyarrow.dataset as pads
+
+    out = _run_fifo_crawl(sf_dir)
+    tbl = pads.dataset(os.path.join(out, "claims")).to_table()
+    tbl = tbl.sort_by([("wave", "ascending"), ("enqueue_seq", "ascending")])
+    return pa.table({
+        "claim_idx": pa.array(np.arange(tbl.num_rows, dtype=np.int64)),
+        "enqueue_seq": pc.cast(tbl["enqueue_seq"], pa.int64()),
+        "url": tbl["url"],
+        "attempt": pc.cast(tbl["attempt"], pa.int64())})
 
 
 def q_crawl_status_histogram(sf_dir: str):
@@ -541,15 +570,22 @@ def q_m8_randomizers(sf_dir: str):
 
 def q_crawl_wave_stats(sf_dir: str):
     """G4/K5 on the ENGINE's own lineage: per-wave worker-meta rows
-    (leased / completed / failed / discovered) from the flagship
-    crawl's manifest — the reference's worker_meta fleet-stats surface
-    (workermeta.model.ts:78-117) over our own run record. Deterministic
-    (wave mode). Rows-only."""
+    (leased / completed / failed / discovered) from the conformance-
+    mode crawl's manifest — the reference's worker_meta fleet-stats
+    surface (workermeta.model.ts:78-117) over our own run record.
+
+    ORACLE-CHECKED (r03): DuckDB replays the entire K=1 queue state
+    machine closed-form (_crawl_replay_ctes — rounds from the fetch-
+    hash claim profiles, seq-ordered claims, availability-aware
+    256-lease chunking) and predicts every manifest row independently.
+    A mismatch in any count means the frontier leased the wrong items,
+    retried at the wrong time, or mis-sequenced a discovery. The
+    sharded (K=2) run's lineage stays covered by
+    tests/test_crawl_pipeline.py::test_sharded_mode_matches_seen_set
+    and the pump lineage tests."""
     import json as _json
-    out = _crawl_out_dir(sf_dir)
+    out = _run_fifo_crawl(sf_dir)
     manifest = os.path.join(out, "manifest.jsonl")
-    if not os.path.exists(manifest):
-        q_crawl_documents(sf_dir)
     rows = []
     with open(manifest) as f:
         for line in f:
@@ -558,6 +594,32 @@ def q_crawl_wave_stats(sf_dir: str):
                          "completed": r["completed"], "failed": r["failed"],
                          "discovered": r["discovered"]})
     return pd.DataFrame(rows).sort_values("wave").reset_index(drop=True)
+
+
+def q_crawl_fifo_documents(sf_dir: str):
+    """Conformance-mode flagship crawl documents INCLUDING the
+    enqueue_seq assignment, ORACLE-CHECKED end to end: the engine runs
+    the real distributed pipeline (Ray fetch tasks over a K=1
+    frontier) and DuckDB independently replays the whole queue state
+    machine (_crawl_replay_ctes) plus the document-geometry mirror —
+    so the hash gate pins the URL set, the md5 ids, the span geometry
+    AND the exact insertion-order seq every document was enqueued at
+    (the reference's Mongo ``_id`` order, queue.model.ts:32-68)."""
+    out = _run_fifo_crawl(sf_dir)
+    docs = read_documents(out)
+
+    def project(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"].to_pylist()
+        n_spans = [len(s) for s in spans]
+        n_chars = [sum(len(sp["text"]) for sp in s) for s in spans]
+        return pa.table({"doc_id": batch["doc_id"], "url": batch["url"],
+                         "host": batch["host"], "depth": batch["depth"],
+                         "enqueue_seq": pc.cast(batch["enqueue_seq"],
+                                                pa.int64()),
+                         "n_spans": pa.array(n_spans, pa.int64()),
+                         "n_text_chars": pa.array(n_chars, pa.int64())})
+
+    return docs.map_batches(project, batch_format="pyarrow")
 
 
 def q_o4_multi_task_schedule(sf_dir: str):
@@ -1010,6 +1072,231 @@ def _crawl_universe_ctes(seed: int = 42, n_seeds: int = _CRAWL_SEEDS,
     return sql, "cu_uni"
 
 
+def _crawl_replay_ctes(seed: int = 42, n_seeds: int = _CRAWL_SEEDS,
+                       num_hosts: int = 64,
+                       items_per_wave: int = 256) -> tuple[str, str, str]:
+    """WITH-clause replaying the ENTIRE K=1 queue state machine in SQL
+    — closed form, no wave-by-wave iteration.
+
+    Why closed form is possible (conformance mode: global FIFO, wave
+    commits, retries only after full drain — frontier.py lease/commit
+    with eager_retry=False + retry_failed, exactly the reference's
+    single Mongo queue semantics, queue.model.ts:245-308):
+
+    1. ROUNDS. A failed/blocked item re-opens only when the queue
+       drains, so every live item is claimed exactly once per "round"
+       (drain-to-drain). An item's claim profile is a pure function of
+       its fetch hash: r=h%100 → transient (r<6, completes at attempt
+       1+((h>>8)%2)), permafail (6-7, 3 failed attempts), blocked-once
+       (8-9, completes at attempt 1 with NO retry consumed —
+       handler.ts:171-176 R6), clean (completes at attempt 0). Claim
+       in round j happens at attempt j - birth_round.
+    2. BIRTH. Seeds are born in round 0; a child is born in the round
+       its parent completes (birth = parent a*), because children
+       enqueued mid-round are always claimed before the same round's
+       drain (their seqs exceed every open seq, FIFO reaches them).
+    3. ORDER. Within a round the claim order is EXACTLY ascending
+       enqueue_seq: the heap pops the smallest open seq, and children
+       born mid-round always carry larger seqs than everything already
+       open. Hence the global claim stream is ORDER BY (round, seq).
+    4. WAVES. 256-chunking the per-round seq-sorted stream equals the
+       wave lease structure: a child born in wave w has seq rank
+       > 256*(w+1) within its round (its seq exceeds all items claimed
+       in waves <= w), so pure rank-chunking never schedules an item
+       before it exists.
+    5. SEQS. Seeds consume seqs 0..n-1 (duplicates consume a seq but
+       are never inserted — the seen-filter semantics of
+       frontier.enqueue); discovered children consume seqs in the
+       global discovery order (parent completion round, parent seq,
+       link index), duplicates again consuming without inserting.
+
+    Returns (with_sql, claims_cte, items_cte):
+      claims_cte: (url, seq, depth, k, round, attempt, status,
+                   claim_idx, wave)
+      items_cte:  (url, seq, depth, birth, r, h8, k, a_star, n_claims)
+    """
+    from ..functions.sqlmirror import stable_hash64_cte
+    from ..sources.corpus import _FETCH_SALT, _LINK_SALT
+
+    urls = make_seed_urls(n_seeds, seed=seed)["url"].to_pylist()
+    values = ", ".join(f"({i}, '{u}')" for i, u in enumerate(urls))
+    profile = (
+        "CASE WHEN r < 6 THEN 1 + h8 WHEN r >= 10 THEN 0 "
+        "WHEN r >= 8 THEN 1 ELSE NULL END AS a_star, "
+        "CASE WHEN r < 6 THEN 2 + h8 WHEN r >= 10 THEN 1 "
+        "WHEN r >= 8 THEN 2 ELSE 3 END AS n_claims")
+
+    sql = (f"WITH RECURSIVE rp_seedlist(pos, url) AS (VALUES {values}), "
+           f"rp_seed0 AS (SELECT url, CAST(min(pos) AS BIGINT) AS seq "
+           f"FROM rp_seedlist GROUP BY url)")
+    w1, c1 = stable_hash64_cte(
+        "SELECT url, seq FROM rp_seed0", "url",
+        {"fh": seed ^ _FETCH_SALT, "lh": seed ^ _LINK_SALT},
+        carry_cols=("seq",), prefix="rh_", include_with=False)
+    sql += w1 + (
+        f", rp_seedp AS (SELECT url, seq, 0 AS depth, 0 AS birth, "
+        f"fh % 100 AS r, CAST((fh >> 8) % 2 AS BIGINT) AS h8, "
+        f"CAST(lh % 6 AS BIGINT) AS k, {profile} FROM (SELECT url, seq, "
+        f"fh % 100 AS r, CAST((fh >> 8) % 2 AS BIGINT) AS h8, fh, lh "
+        f"FROM {c1}) __s), "
+        # discovery stream: children of COMPLETED seeds, in
+        # (parent completion round, parent seq, link idx) order
+        f"rp_childstr AS (SELECT url || '#' || CAST(i AS VARCHAR) AS cs, "
+        f"seq AS pseq, a_star AS pcomp, i AS lidx, "
+        f"split_part(url, '/', 3) AS phost FROM rp_seedp, "
+        f"unnest(generate_series(0, CAST(k AS INT) - 1)) AS t(i) "
+        f"WHERE a_star IS NOT NULL AND k > 0)")
+    w2, c2 = stable_hash64_cte(
+        "SELECT cs, pseq, pcomp, lidx, phost FROM rp_childstr", "cs",
+        {"hi": seed ^ _LINK_SALT},
+        carry_cols=("pseq", "pcomp", "lidx", "phost"), prefix="rc_",
+        include_with=False)
+    sql += w2 + (
+        f", rp_disc AS (SELECT pseq, pcomp, lidx, "
+        f"'http://' || (CASE WHEN hi % 10 < 7 THEN phost "
+        f"ELSE 'h' || CAST(hi % {num_hosts} AS VARCHAR) || '.example' END) "
+        f"|| '/c' || printf('%06x', CAST((hi >> 8) % 16777216 AS BIGINT)) "
+        f"AS url FROM {c2}), "
+        # every discovery occurrence (duplicates included) consumes a seq
+        f"rp_disc2 AS (SELECT url, pcomp, pseq, CAST({n_seeds} + "
+        f"row_number() OVER (ORDER BY pcomp, pseq, lidx) - 1 AS BIGINT) "
+        f"AS seq FROM rp_disc), "
+        # seen-filter: only the FIRST occurrence of a url inserts (and
+        # seed/child paths '/p…' vs '/c…' can never collide — the NOT
+        # IN guard keeps the mirror faithful anyway)
+        f"rp_childfirst AS (SELECT url, seq, pcomp AS birth, pseq FROM "
+        f"(SELECT url, seq, pcomp, pseq, row_number() OVER "
+        f"(PARTITION BY url ORDER BY seq) AS rn FROM rp_disc2) __c "
+        f"WHERE rn = 1 AND url NOT IN (SELECT url FROM rp_seed0))")
+    w3, c3 = stable_hash64_cte(
+        "SELECT url, seq, birth, pseq FROM rp_childfirst", "url",
+        {"cfh": seed ^ _FETCH_SALT}, carry_cols=("seq", "birth", "pseq"),
+        prefix="rf_", include_with=False)
+    sql += w3 + (
+        f", rp_childp AS (SELECT url, seq, 1 AS depth, birth, pseq, r, h8, "
+        f"CAST(0 AS BIGINT) AS k, {profile} FROM (SELECT url, seq, birth, "
+        f"pseq, cfh % 100 AS r, CAST((cfh >> 8) % 2 AS BIGINT) AS h8 "
+        f"FROM {c3}) __f), "
+        f"rp_items AS (SELECT url, seq, depth, birth, "
+        f"CAST(NULL AS BIGINT) AS pseq, r, h8, k, a_star, "
+        f"n_claims FROM rp_seedp UNION ALL SELECT url, seq, depth, birth, "
+        f"pseq, r, h8, k, a_star, n_claims FROM rp_childp), "
+        f"rp_claims0 AS (SELECT url, seq, depth, k, birth, pseq, "
+        f"birth + j AS round, CAST(j AS BIGINT) AS attempt, "
+        # an item is OPEN at round start ('original') unless it was
+        # born mid-round (children in their discovery round); seeds
+        # (depth 0) are open at round 0 start
+        f"(birth < birth + j OR depth = 0) AS is_orig, "
+        f"CASE WHEN j = a_star THEN 'completed' "
+        f"WHEN r >= 8 AND r < 10 AND j = 0 THEN 'blocked' "
+        f"ELSE 'failed' END AS status FROM rp_items, "
+        f"unnest(generate_series(0, CAST(n_claims AS INT) - 1)) AS t(j)), "
+        # wave assignment within a round: claims run in seq order in
+        # up-to-256 leases, but a child born mid-round (by its parent's
+        # completing claim in local wave pw) is only claimable from
+        # local wave pw+1. The greedy lease structure over an ordered
+        # stream with nondecreasing release waves has the closed form
+        #   lw(i) = max_{j<=i} (release_j + (i-j) // 256)
+        # (originals have release 0, so their term is the pure chunk
+        # (rank-1)//256; children add the availability terms).
+        f"rp_orig AS (SELECT round, seq, CAST((row_number() OVER "
+        f"(PARTITION BY round ORDER BY seq) - 1) // {items_per_wave} "
+        f"AS BIGINT) AS lw FROM rp_claims0 WHERE is_orig), "
+        f"rp_norig AS (SELECT round, count(*) AS n_orig FROM rp_orig "
+        f"GROUP BY round), "
+        f"rp_kid AS (SELECT c.round, c.seq, c.pseq, row_number() OVER "
+        f"(PARTITION BY c.round ORDER BY c.seq) AS p FROM rp_claims0 c "
+        f"WHERE NOT is_orig), "
+        f"rp_kid2 AS (SELECT k.round, k.seq, k.p, pw.lw + 1 AS avail "
+        f"FROM rp_kid k JOIN rp_orig pw "
+        f"ON pw.round = k.round AND pw.seq = k.pseq), "
+        f"rp_kidw AS (SELECT a.round, a.seq, CAST(greatest("
+        f"max(b.avail + (a.p - b.p) // {items_per_wave}), "
+        f"(any_value(n.n_orig) + a.p - 1) // {items_per_wave}) AS BIGINT) "
+        f"AS lw FROM rp_kid2 a JOIN rp_kid2 b "
+        f"ON b.round = a.round AND b.p <= a.p "
+        f"JOIN rp_norig n ON n.round = a.round "
+        f"GROUP BY a.round, a.seq, a.p), "
+        f"rp_lw AS (SELECT round, seq, lw FROM rp_orig "
+        f"UNION ALL SELECT round, seq, lw FROM rp_kidw), "
+        f"rp_rounds AS (SELECT round, max(lw) + 1 AS n_waves FROM rp_lw "
+        f"GROUP BY round), "
+        f"rp_roff AS (SELECT round, COALESCE(sum(n_waves) OVER "
+        f"(ORDER BY round ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+        f"PRECEDING), 0) AS wave_off FROM rp_rounds), "
+        f"rp_claims AS (SELECT c.url, c.seq, c.depth, c.k, c.round, "
+        f"c.attempt, c.status, CAST(row_number() OVER "
+        f"(ORDER BY c.round, c.seq) - 1 AS BIGINT) AS claim_idx, "
+        f"CAST(o.wave_off + w.lw AS BIGINT) AS wave "
+        f"FROM rp_claims0 c JOIN rp_roff o USING (round) "
+        f"JOIN rp_lw w ON w.round = c.round AND w.seq = c.seq)")
+    return sql, "rp_claims", "rp_items"
+
+
+def _crawl_order_oracle_sql() -> str:
+    """The K=1 golden claim stream, replayed closed-form in SQL."""
+    with_sql, claims, _ = _crawl_replay_ctes()
+    return with_sql + (
+        f" SELECT claim_idx, seq AS enqueue_seq, url, attempt "
+        f"FROM {claims}")
+
+
+def _crawl_wave_stats_oracle_sql() -> str:
+    """Per-wave lease lineage of the conformance-mode run, predicted
+    closed-form: leased/completed/failed per wave from the claim
+    stream; discovered = Σ children (duplicates included — the engine
+    counts flattened disc_urls) over that wave's completing depth-0
+    claims."""
+    with_sql, claims, _ = _crawl_replay_ctes()
+    return with_sql + (
+        f" SELECT wave, count(*) AS leased, "
+        f"CAST(count(*) FILTER (status = 'completed') AS BIGINT) "
+        f"AS completed, "
+        f"CAST(count(*) FILTER (status <> 'completed') AS BIGINT) "
+        f"AS failed, "
+        f"CAST(COALESCE(sum(k) FILTER (status = 'completed' "
+        f"AND depth = 0), 0) AS BIGINT) AS discovered "
+        f"FROM {claims} GROUP BY wave")
+
+
+def _crawl_fifo_documents_oracle_sql() -> str:
+    """Conformance-run documents INCLUDING enqueue_seq: the replay's
+    completed items joined with the doc-geometry mirror (md5 doc ids,
+    span-hash n_spans / n_text_chars — same derivation as
+    _crawl_doc_stats_oracle_sql, built over the replay's item set)."""
+    from ..functions.sqlmirror import stable_hash64_cte
+    from ..sources.corpus import _SPAN_SALT
+
+    seed = 42
+    with_sql, _, items = _crawl_replay_ctes(seed=seed)
+    sql = with_sql + (
+        f", rd_doc AS (SELECT url, split_part(url, '/', 3) AS host, "
+        f"depth, seq, 'd-' || substr(md5(url), 1, 12) AS doc_id "
+        f"FROM {items} WHERE a_star IS NOT NULL)")
+    w4, c4 = stable_hash64_cte(
+        "SELECT doc_id, url, host, depth, seq FROM rd_doc", "doc_id",
+        {"ih": seed ^ _SPAN_SALT}, carry_cols=("url", "host", "depth", "seq"),
+        prefix="rd_", include_with=False)
+    sql += w4 + (
+        f", rd_n AS (SELECT url, host, depth, seq, doc_id, "
+        f"CAST(1 + ((ih % 13) * 3) % 13 AS INT) AS n_spans FROM {c4}), "
+        f"rd_spanstr AS (SELECT doc_id, doc_id || '|' || CAST(i AS VARCHAR) "
+        f"AS ss FROM rd_n, unnest(generate_series(0, n_spans - 1, 2)) "
+        f"AS t(i))")
+    w5, c5 = stable_hash64_cte(
+        "SELECT ss, doc_id FROM rd_spanstr", "ss",
+        {"sh": seed ^ _SPAN_SALT}, carry_cols=("doc_id",), prefix="rq_",
+        include_with=False)
+    sql += w5 + (
+        f", rd_chars AS (SELECT doc_id, "
+        f"CAST(sum(7 * (96 + sh % 192) - 1) AS BIGINT) AS n_text_chars "
+        f"FROM {c5} GROUP BY doc_id) "
+        f"SELECT d.doc_id, d.url, d.host, d.depth, d.seq AS enqueue_seq, "
+        f"CAST(d.n_spans AS BIGINT) AS n_spans, c.n_text_chars "
+        f"FROM rd_n d JOIN rd_chars c USING (doc_id)")
+    return sql
+
+
 def _crawl_status_histogram_oracle_sql() -> str:
     with_sql, uni = _crawl_universe_ctes()
     return with_sql + (
@@ -1298,6 +1585,12 @@ def _a3_warm_oracle_sql(seed: int = 42) -> str:
 
 
 ORACLE_SQL_TRAINING: dict[str, str] = {
+    # K=1 conformance run replayed closed-form in SQL (r03): the
+    # claim stream, the per-wave lease lineage, and the documents
+    # table INCLUDING enqueue_seq
+    "crawl_order": _crawl_order_oracle_sql(),
+    "crawl_wave_stats": _crawl_wave_stats_oracle_sql(),
+    "crawl_fifo_documents": _crawl_fifo_documents_oracle_sql(),
     "crawl_direct": _crawl_direct_oracle_sql(),
     "a3_warm_crawl": _a3_warm_oracle_sql(),
     "crawl_status_histogram": _crawl_status_histogram_oracle_sql(),
