@@ -95,6 +95,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # packing (r03) — training-data assembly surfaces
         "dedup_incremental": qt.q_dedup_incremental,
         "pack_sequences": qt.q_pack_sequences,
+        # deterministic splits / mixture sampling / eval-overlap
+        # decontamination / vocabulary / curriculum bins (r03) —
+        # hash draws mirrored bit-for-bit in SQL
+        "stratified_split": qt.q_stratified_split,
+        "mixture_sample": qt.q_mixture_sample,
+        "decontaminate": qt.q_decontaminate,
+        "vocab_topk": qt.q_vocab_topk,
+        "length_bins": qt.q_length_bins,
         "text_token_count": qt.q_text_token_count,
         "text_quality": qt.q_text_quality,
         "text_langid": qt.q_text_langid,

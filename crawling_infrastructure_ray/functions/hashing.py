@@ -90,3 +90,18 @@ def rolling_fingerprint(text: str, window: int = 16, keep: int = 8) -> list[int]
         h ^= h >> np.uint64(29)
     uniq = np.unique(h)
     return [int(x) for x in uniq[:keep]]
+
+
+def splitmix64_np(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array — the same
+    6 stages stable_hash64 applies after FNV (and that
+    sqlmirror.splitmix64_cte mirrors in DuckDB). Used as the numeric
+    row-hash for deterministic sampling / split assignment: cheap on
+    both engines (no per-character FNV walk when the key is already an
+    integer)."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))

@@ -99,3 +99,25 @@ def stable_hash64_cte(source_sql: str, text_col: str,
                 f"FROM {prev})")
         prev = f"{prefix}mix{k}"
     return sql, prev
+
+
+def splitmix64_cte(source_sql: str, expr: str, out_col: str,
+                  carry_cols: tuple[str, ...] = (),
+                  prefix: str = "__sm",
+                  include_with: bool = True) -> tuple[str, str]:
+    """Chained-CTE SQL computing splitmix64 of the UBIGINT expression
+    ``expr`` (over the single-SELECT ``source_sql``) into ``out_col``
+    — the DuckDB twin of hashing.splitmix64_np. No recursion needed:
+    the 6 finalizer stages chain as plain CTEs. Returns
+    (with_clause, final_cte_name); the final CTE carries
+    (*carry_cols, out_col)."""
+    carry = ", ".join(carry_cols)
+    head = "WITH " if include_with else ", "
+    sql = (f"{head}{prefix}0 AS (SELECT {carry}{', ' if carry else ''}"
+           f"CAST({expr} AS UBIGINT) AS {out_col} FROM ({source_sql}) __s)")
+    prev = f"{prefix}0"
+    for k, stage in enumerate(splitmix_stage_exprs(out_col)):
+        sql += (f", {prefix}{k + 1} AS (SELECT {carry}"
+                f"{', ' if carry else ''}{stage} AS {out_col} FROM {prev})")
+        prev = f"{prefix}{k + 1}"
+    return sql, prev

@@ -155,6 +155,90 @@ def q_pack_sequences(sf_dir: str, budget: int = 2048):
             .groupby("_kb").map_groups(pack_bucket, batch_format="pandas"))
 
 
+def q_stratified_split(sf_dir: str):
+    """Deterministic train/val/test split assignment (90/5/5 by a
+    per-doc splitmix64 draw over doc_id — reproducible across runs,
+    machines, and engines), reported as the 3-row split summary.
+    Combiner-first: per-batch partials, enum-keyed final reduce.
+    ORACLE-CHECKED: DuckDB recomputes the identical hash draw
+    (sqlmirror.splitmix64_cte, bit-for-bit) and the bucketing."""
+    from ..stages import sampling as sp
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    parts = ds.map_batches(sp.assign_split_batch,
+                           batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("split", as_index=False)
+           [["n_docs", "n_chars_total"]].sum()
+           .sort_values("split").reset_index(drop=True))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_chars_total"] = out["n_chars_total"].astype("int64")
+    return out
+
+
+def q_mixture_sample(sf_dir: str):
+    """Weighted SOURCE MIXTURE sampling for training-data assembly:
+    each source keeps a deterministic fraction of its docs (rate by
+    source index, exact integer micro-units) via an independent
+    per-doc splitmix64 draw — one vectorized hash per row, no
+    shuffle, no state; at scale the kept rows stream straight to
+    partitioned parquet. ORACLE-CHECKED bit-for-bit
+    (sqlmirror.splitmix64_cte + the same rate formula)."""
+    from ..stages import sampling as sp
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return sp.mixture_sample_ds(ds, sp.source_rate_e6)
+
+
+def q_decontaminate(sf_dir: str):
+    """Eval-set DECONTAMINATION: remove train-split docs sharing any
+    token 8-gram with any test-split doc (the train/benchmark overlap
+    gate every LLM data pipeline runs). Broadcast shape: the test
+    split's distinct shingle-hash index rides the object store once;
+    each train batch probes it vectorized — never a corpus-vs-corpus
+    shuffle (the eval side is benchmark-sized by construction).
+    ORACLE-CHECKED: DuckDB assigns the same splits (splitmix mirror)
+    and joins 8-gram STRINGS — equal token sequences hash equal, so
+    the surviving sets agree (64-bit collision odds documented
+    negligible in stages/sampling.py)."""
+    from ..stages import sampling as sp
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "n_chars"])
+    return sp.decontaminate_ds(ds, k=8)
+
+
+def q_vocab_topk(sf_dir: str):
+    """Corpus VOCABULARY: top-100 whitespace tokens by frequency with
+    deterministic tie-break (count desc, token asc) — the classic
+    combiner map-reduce: per-batch factorize+bincount partials, the
+    bucketed all-to-all carries distinct-token rows only, partial
+    top-k per merged block, tiny driver head. ORACLE-CHECKED."""
+    from ..stages import sampling as sp
+    from .analytics import _merge_partials_ray
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    partials = ds.map_batches(sp.vocab_partial_counts,
+                              batch_format="pyarrow")
+    merged = _merge_partials_ray(partials, ["token"], ["n"])
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        return batch.sort_by([("n", "descending"),
+                              ("token", "ascending")]).slice(0, 100)
+
+    df = merged.map_batches(topk_block, batch_format="pyarrow").to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return (df.sort_values(["n", "token"], ascending=[False, True])
+            .head(100).reset_index(drop=True))
+
+
+def q_length_bins(sf_dir: str, k_bins: int = 8):
+    """CURRICULUM BINNING: exact K-quantile bins over the global
+    (n_chars, doc_id) order WITHOUT a global sort — per-length counts
+    (combiner + small groupby over the config-sized length domain)
+    give broadcast base offsets; within-length rank is assigned per
+    group. ORACLE-CHECKED against the straightforward row_number()
+    formulation."""
+    from ..stages import sampling as sp
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return sp.length_bins_ds(ds, k_bins=k_bins)
+
+
 def q_dedup_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup verified pairs. ORACLE-CHECKED end to end:
     DuckDB re-runs the WHOLE pipeline — token hashes via the shared
@@ -1584,7 +1668,90 @@ def _a3_warm_oracle_sql(seed: int = 42) -> str:
         f"FROM {c}")
 
 
+def _split_hash_cte(carry_cols: tuple[str, ...], prefix: str = "spl_"):
+    """Shared splitmix draw over doc_id ^ SPLIT_SALT (bit-for-bit
+    hashing.splitmix64_np) with the given documents columns carried."""
+    from ..functions.sqlmirror import splitmix64_cte
+    from ..stages.sampling import SPLIT_SALT
+    cols = ", ".join(carry_cols)
+    return splitmix64_cte(
+        f"SELECT {cols} FROM documents",
+        f"xor(CAST(doc_id AS UBIGINT), CAST({SPLIT_SALT} AS UBIGINT))",
+        "h", carry_cols=carry_cols, prefix=prefix)
+
+
+def _stratified_split_oracle_sql() -> str:
+    w, c = _split_hash_cte(("doc_id", "n_chars"))
+    return w + (
+        " SELECT CASE WHEN h % 100 < 90 THEN 'train' "
+        "WHEN h % 100 >= 95 THEN 'test' ELSE 'val' END AS split, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars_total "
+        f"FROM {c} GROUP BY 1")
+
+
+def _mixture_oracle_sql() -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    from ..stages.sampling import MIX_SALT
+    w, c = splitmix64_cte(
+        "SELECT doc_id, source FROM documents",
+        f"xor(CAST(doc_id AS UBIGINT), CAST({MIX_SALT} AS UBIGINT))",
+        "h", carry_cols=("doc_id", "source"), prefix="mx_")
+    return w + (
+        f" SELECT doc_id, source FROM {c} WHERE h % 1000000 < "
+        "(1 + CAST(substr(source, 4) AS BIGINT) % 4) * 200000")
+
+
+def _decontaminate_oracle_sql(k: int = 8) -> str:
+    from ..functions.sqlmirror import tokens_sql
+    w, c = _split_hash_cte(("doc_id", "text", "n_chars"), prefix="dc_")
+    gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    return w + (
+        f", dc_b AS (SELECT doc_id, text, n_chars, h % 100 AS b FROM {c}), "
+        f"dc_toks AS (SELECT doc_id, b, {tokens_sql('text')} AS t "
+        f"FROM dc_b WHERE b < 90 OR b >= 95), "
+        f"dc_sh AS (SELECT doc_id, b, unnest(CASE WHEN len(t) < {k} "
+        f"THEN [coalesce(array_to_string(t, ' '), '')] "
+        f"ELSE list_distinct(list_transform(range(1, len(t) - {k - 2}), "
+        f"i -> {gram})) END) AS s FROM dc_toks), "
+        "dc_ev AS (SELECT DISTINCT s FROM dc_sh WHERE b >= 95), "
+        "dc_contam AS (SELECT DISTINCT doc_id FROM dc_sh "
+        "WHERE b < 90 AND s IN (SELECT s FROM dc_ev)) "
+        "SELECT doc_id, n_chars FROM dc_b WHERE b < 90 "
+        "AND doc_id NOT IN (SELECT doc_id FROM dc_contam)")
+
+
+def _vocab_topk_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    return (
+        f"WITH vt AS (SELECT unnest({tokens_sql('text')}) AS token "
+        "FROM documents) "
+        "SELECT token, CAST(count(*) AS BIGINT) AS n FROM vt "
+        "GROUP BY token ORDER BY n DESC, token LIMIT 100")
+
+
+def _length_bins_oracle_sql(k_bins: int = 8) -> str:
+    return (
+        "WITH lb AS (SELECT n_chars, row_number() OVER "
+        "(ORDER BY n_chars, doc_id) - 1 AS rk FROM documents), "
+        "tot AS (SELECT count(*) AS total FROM documents) "
+        f"SELECT CAST((rk * {k_bins}) // total AS BIGINT) AS bin, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(min(n_chars) AS BIGINT) AS min_chars, "
+        "CAST(max(n_chars) AS BIGINT) AS max_chars "
+        "FROM lb, tot GROUP BY 1")
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
+    # training-data assembly additions (r03): deterministic splits /
+    # mixture sampling / decontamination / vocabulary / curriculum
+    # bins — split+mixture draws mirrored bit-for-bit via
+    # sqlmirror.splitmix64_cte
+    "stratified_split": _stratified_split_oracle_sql(),
+    "mixture_sample": _mixture_oracle_sql(),
+    "decontaminate": _decontaminate_oracle_sql(),
+    "vocab_topk": _vocab_topk_oracle_sql(),
+    "length_bins": _length_bins_oracle_sql(),
     # K=1 conformance run replayed closed-form in SQL (r03): the
     # claim stream, the per-wave lease lineage, and the documents
     # table INCLUDING enqueue_seq

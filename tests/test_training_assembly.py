@@ -61,3 +61,81 @@ def test_pack_sequences_first_crossing_rule(ray_session, tmp_path):
     # every pack holds contiguous docs and overflows by at most one doc
     for (_, _), g in out.groupby(["source", "pack_id"]):
         assert g["doc_id"].is_monotonic_increasing
+
+
+# ----------------------------------------------------------------------
+# sampling / splits / decontamination / vocabulary / bins (r03)
+# ----------------------------------------------------------------------
+import numpy as np
+import ray.data as rd
+
+from crawling_infrastructure_ray.stages import sampling as sp
+
+
+def _ids_in_bucket(pred, n=4, start=0):
+    """First n integer doc_ids whose split bucket satisfies pred."""
+    out, i = [], start
+    while len(out) < n:
+        b = int(sp.split_bucket(pa.array([i], pa.int64()))[0])
+        if pred(b):
+            out.append(i)
+        i += 1
+    return out
+
+
+def test_decontaminate_removes_crafted_overlap(ray_session):
+    train_ids = _ids_in_bucket(lambda b: b < sp.TRAIN_LT, n=3)
+    test_ids = _ids_in_bucket(lambda b: b >= sp.TEST_GE, n=1)
+    secret = "w1 w2 w3 w4 w5 w6 w7 w8"          # the contaminating 8-gram
+    rows = [
+        # contaminated: contains the test doc's 8-gram mid-document
+        {"doc_id": train_ids[0], "text": f"x0 {secret} y0"},
+        # clean: shares 7 of the 8 tokens in order, but never all 8
+        {"doc_id": train_ids[1], "text": "w1 w2 w3 w4 w5 w6 w7 q w8"},
+        {"doc_id": train_ids[2], "text": "completely different text"},
+        {"doc_id": test_ids[0], "text": f"eval pad {secret} tail"},
+    ]
+    df = pd.DataFrame(rows)
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    kept = sp.decontaminate_ds(ds, k=8).to_pandas()
+    assert sorted(kept["doc_id"]) == sorted(train_ids[1:])
+
+
+def test_mixture_sample_deterministic_and_rate_shaped(ray_session):
+    n = 4000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": ["src%d" % (i % 8) for i in range(n)]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    kept = sp.mixture_sample_ds(ds, sp.source_rate_e6).to_pandas()
+    kept2 = sp.mixture_sample_ds(ds, sp.source_rate_e6).to_pandas()
+    pd.testing.assert_frame_equal(
+        kept.sort_values("doc_id").reset_index(drop=True),
+        kept2.sort_values("doc_id").reset_index(drop=True))
+    frac = kept.groupby("source").size() / (n / 8)
+    for s, f in frac.items():
+        want = sp.source_rate_e6(s) / 1e6
+        assert abs(f - want) < 0.08, (s, f, want)
+
+
+def test_length_bins_match_rank_formula(ray_session):
+    rng = np.random.default_rng(7)
+    n, k = 1000, 8
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "n_chars": rng.integers(10, 60, n, dtype=np.int64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = sp.length_bins_ds(ds, k_bins=k)
+    ref = df.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+    ref["bin"] = (np.arange(n, dtype=np.int64) * k) // n
+    want = (ref.groupby("bin", as_index=False)
+            .agg(n_docs=("n_chars", "size"), min_chars=("n_chars", "min"),
+                 max_chars=("n_chars", "max")))
+    pd.testing.assert_frame_equal(got, want.astype("int64"))
+
+
+def test_vocab_partial_counts_exact():
+    batch = pa.table({"text": pa.array(["a b a", "", None, "b  c\tb"])})
+    out = sp.vocab_partial_counts(batch).to_pandas()
+    got = dict(zip(out["token"], out["n"]))
+    assert got == {"a": 2, "b": 3, "c": 1}
