@@ -124,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": qt.q_dedup_simhash_pairs,
         # winnowing fingerprints, window hashes mirrored in SQL (r03)
         "text_fingerprint": qt.q_text_fingerprint,
+        # PII redaction over deterministically injected spans; SQL twin
+        # generated from the same RE2 pattern list (r03)
+        "redact_pii": qt.q_redact_pii,
         # the FULL MinHash-LSH pipeline re-run in SQL (r03), and the
         # removal path via a recursive transitive-closure CTE
         "dedup_minhash_pairs": qt.q_dedup_minhash_pairs,

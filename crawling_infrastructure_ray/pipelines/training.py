@@ -393,6 +393,75 @@ def q_text_fingerprint(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def q_redact_pii(sf_dir: str):
+    """PII redaction (training-data scrub), ORACLE-CHECKED: the
+    synthetic corpus contains no PII, so this query first INJECTS
+    deterministic spans — email for doc_id%7==0, IPv4 for %11==0,
+    phone for %13==0, plain string concatenation mirrored verbatim in
+    the SQL twin — then scrubs them with the vectorized RE2 redactor
+    (stages/text.redact_batch). pyarrow and DuckDB both run RE2, and
+    the SQL is BUILT from the same stages/text.PII_PATTERNS list, so
+    replace semantics and counts match by construction."""
+    from ..stages.text import redact_batch
+
+    def inject(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"]
+        ids = pc.cast(did, pa.string())
+        d = did.to_numpy(zero_copy_only=False)
+        email = pc.if_else(
+            pa.array(d % 7 == 0),
+            pc.binary_join_element_wise(
+                " contact user", ids, "@example.com", ""), "")
+        ip = pc.if_else(
+            pa.array(d % 11 == 0),
+            pc.binary_join_element_wise(
+                " from 10.", pc.cast(pa.array(d % 256), pa.string()),
+                ".0.", pc.cast(pa.array((d // 7) % 256), pa.string()),
+                ""), "")
+        phone = pc.if_else(
+            pa.array(d % 13 == 0),
+            pc.binary_join_element_wise(
+                " call 415-555-",
+                pc.utf8_lpad(pc.cast(pa.array(d % 10000), pa.string()),
+                             4, "0"), ""), "")
+        text = pc.binary_join_element_wise(
+            pc.fill_null(batch["text"], ""), email, ip, phone, "")
+        return pa.table({"doc_id": did, "text": text})
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return (ds.map_batches(inject, batch_format="pyarrow")
+              .map_batches(redact_batch, batch_format="pyarrow"))
+
+
+def _redact_oracle_sql() -> str:
+    """SQL twin of q_redact_pii, generated from the SAME pattern list
+    the Ray stage compiles (stages/text.PII_PATTERNS) — progressive
+    count-then-replace per pattern, exactly like redact_batch."""
+    from ..stages.text import PII_PATTERNS
+    sql = ("WITH s0 AS (SELECT doc_id, coalesce(text,'') "
+           "|| CASE WHEN doc_id % 7 = 0 THEN ' contact user' || "
+           "CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END "
+           "|| CASE WHEN doc_id % 11 = 0 THEN ' from 10.' || "
+           "CAST(doc_id % 256 AS VARCHAR) || '.0.' || "
+           "CAST((doc_id // 7) % 256 AS VARCHAR) ELSE '' END "
+           "|| CASE WHEN doc_id % 13 = 0 THEN ' call 415-555-' || "
+           "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END "
+           "AS t0 FROM documents)")
+    cnt = []
+    for i, (_, pat, repl) in enumerate(PII_PATTERNS):
+        p = pat.replace("'", "''")
+        sql += (f", s{i + 1} AS (SELECT doc_id, "
+                + (", ".join(cnt) + ", " if cnt else "")
+                + f"len(regexp_extract_all(t{i}, '{p}')) AS n{i + 1}, "
+                f"regexp_replace(t{i}, '{p}', '{repl}', 'g') AS t{i + 1} "
+                f"FROM s{i})")
+        cnt.append(f"n{i + 1}")
+    last = len(PII_PATTERNS)
+    return (sql + f" SELECT doc_id, t{last} AS text, "
+            f"CAST({' + '.join(cnt)} AS BIGINT) AS n_redactions "
+            f"FROM s{last}")
+
+
 # ----------------------------------------------------------------------
 # similarity search
 # ----------------------------------------------------------------------
@@ -1768,6 +1837,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "crawl_host_counts": _crawl_host_counts_oracle_sql(),
     "crawl_doc_stats": _crawl_doc_stats_oracle_sql(),
     "text_fingerprint": _fingerprint_oracle_sql(),
+    "redact_pii": _redact_oracle_sql(),
     "dedup_minhash_pairs": _minhash_pairs_oracle_sql(),
     "dedup_minhash_remove": _minhash_remove_oracle_sql(),
     "dedup_embedding_pairs": _embedding_pairs_oracle_sql(),

@@ -159,3 +159,35 @@ class TextAnalyzer:
                 .append_column("avg_token_len_e3", q["avg_token_len_e3"])
                 .append_column("punct_ratio_e4", q["punct_ratio_e4"])
                 .append_column("lang_pred", l["lang_pred"]))
+
+
+# ----------------------------------------------------------------------
+# PII redaction (training-data addition; no reference analog)
+# ----------------------------------------------------------------------
+# ASCII patterns, RE2 syntax — runs on Arrow's RE2 kernels so the
+# whole scrub is vectorized (replace + count per batch, no Python per
+# row). The synthetic driver corpus contains no PII, so this stage is
+# pinned by crafted-input pytest (tests/test_text_and_search.py)
+# rather than a driver query.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """(doc_id, text, n_redactions) — scrub emails / phone-ish spans /
+    IPv4s with typed placeholders. Patterns apply in declaration order
+    (email and ipv4 run before phone because the phone class would
+    otherwise swallow dotted/dashed digit runs; placeholders contain
+    no pattern characters, so no re-matching)."""
+    col = pc.fill_null(batch[column], "")
+    n_red = np.zeros(len(col), dtype=np.int64)
+    for _, pat, repl in PII_PATTERNS:
+        n_red += pc.count_substring_regex(col, pat) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        col = pc.replace_substring_regex(col, pat, repl)
+    return pa.table({"doc_id": batch["doc_id"], "text": col,
+                     "n_redactions": pa.array(n_red)})

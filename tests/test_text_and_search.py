@@ -106,3 +106,24 @@ def test_ivf_disk_partition_layout(ray_session, tmp_path):
     # full probe from disk == exact brute
     full = loaded.search_partitions(q[None, :], [0], k=5, nprobe=4)
     assert full["neighbor_id"].tolist() == _exact_topk(mat, q, 5)
+
+
+def test_redact_batch_scrubs_pii_vectorized():
+    import pyarrow as pa
+    from crawling_infrastructure_ray.stages.text import redact_batch
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "contact bob.smith+x@example.co.uk today",
+            "call +1 (415) 555-0199 or 020-7946-0958 now",
+            "host 192.168.0.1 responded, no pii here otherwise",
+            None]),
+    })
+    out = redact_batch(batch)
+    texts = out["text"].to_pylist()
+    assert texts[0] == "contact <EMAIL> today"
+    assert "<PHONE>" in texts[1] and "555" not in texts[1] \
+        and "7946" not in texts[1]
+    assert texts[2].startswith("host <IP> responded")
+    assert texts[3] == ""
+    assert out["n_redactions"].to_pylist() == [1, 2, 1, 0]
