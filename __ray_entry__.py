@@ -103,6 +103,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": qt.q_decontaminate,
         "vocab_topk": qt.q_vocab_topk,
         "length_bins": qt.q_length_bins,
+        # repetition quality filters / context-window chunking /
+        # deterministic output shuffle (r03 session 5)
+        "repetition_stats": qt.q_repetition_stats,
+        "chunk_documents": qt.q_chunk_documents,
+        "shuffle_shards": qt.q_shuffle_shards,
         "text_token_count": qt.q_text_token_count,
         "text_quality": qt.q_text_quality,
         "text_langid": qt.q_text_langid,

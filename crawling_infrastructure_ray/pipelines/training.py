@@ -239,6 +239,44 @@ def q_length_bins(sf_dir: str, k_bins: int = 8):
     return sp.length_bins_ds(ds, k_bins=k_bins)
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style REPETITION quality filters: token diversity
+    (n_distinct / n_tokens) and most-frequent-word-2-gram share, per
+    doc in exact e4 integer units. One vectorized pass, no shuffle.
+    ORACLE-CHECKED: DuckDB recomputes both via unnest + lead() window
+    bigrams (_repetition_oracle_sql)."""
+    from ..stages.text import repetition_stats_batch
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
+
+
+def q_chunk_documents(sf_dir: str):
+    """Context-window CHUNKING: explode each doc into 64-token
+    windows at stride 48 (the training-sequence slicing op);
+    each chunk row carries the wrapping-uint64 sum of its token
+    hashes so content is pinned, not just geometry. No shuffle.
+    ORACLE-CHECKED: DuckDB recomputes token hashes (shared
+    recursive-CTE stable_hash64 mirror over the distinct token set),
+    expands the same stride arithmetic with range(), and sums per
+    chunk (_chunk_oracle_sql)."""
+    from ..stages.sampling import chunk_batch
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(chunk_batch, batch_format="pyarrow")
+
+
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic GLOBAL SHUFFLE for training output: shard =
+    splitmix64(doc_id ^ salt) % 32, pos_in_shard = rank of the key
+    within the shard — a seeded random_shuffle + reshard that is
+    reproducible across engines and resumable per shard. Shard
+    assignment is zero-shuffle; the rank costs only 32 independent
+    per-shard sorts, never a global sort. ORACLE-CHECKED bit-for-bit
+    (splitmix mirror + row_number per shard)."""
+    from ..stages import sampling as sp
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    return sp.shuffle_shards_ds(ds)
+
+
 def q_dedup_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup verified pairs. ORACLE-CHECKED end to end:
     DuckDB re-runs the WHOLE pipeline — token hashes via the shared
@@ -1790,6 +1828,80 @@ def _decontaminate_oracle_sql(k: int = 8) -> str:
         "AND doc_id NOT IN (SELECT doc_id FROM dc_contam)")
 
 
+def _repetition_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    toks = tokens_sql("coalesce(text,'')")
+    return (
+        f"WITH rp_t AS (SELECT doc_id, {toks} AS t FROM documents), "
+        "rp_n AS (SELECT doc_id, len(t) AS n FROM rp_t), "
+        "rp_u AS (SELECT doc_id, unnest(t) AS tok, "
+        "generate_subscripts(t, 1) AS pos FROM rp_t), "
+        "rp_d AS (SELECT doc_id, count(DISTINCT tok) AS nd "
+        "FROM rp_u GROUP BY doc_id), "
+        "rp_bg AS (SELECT doc_id, tok AS t1, "
+        "lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t2 "
+        "FROM rp_u), "
+        "rp_bc AS (SELECT doc_id, t1, t2, count(*) AS c FROM rp_bg "
+        "WHERE t2 IS NOT NULL GROUP BY doc_id, t1, t2), "
+        "rp_tb AS (SELECT doc_id, max(c) AS tb FROM rp_bc "
+        "GROUP BY doc_id) "
+        "SELECT n.doc_id, CAST(n.n AS BIGINT) AS n_tokens, "
+        "CAST(coalesce(d.nd, 0) AS BIGINT) AS n_distinct, "
+        "CAST(CASE WHEN n.n = 0 THEN 0 "
+        "ELSE coalesce(d.nd, 0) * 10000 // n.n END AS BIGINT) "
+        "AS distinct_frac_e4, "
+        "CAST(coalesce(tb.tb, 0) AS BIGINT) AS top_bigram_n, "
+        "CAST(CASE WHEN n.n < 2 THEN 0 "
+        "ELSE coalesce(tb.tb, 0) * 10000 // (n.n - 1) END AS BIGINT) "
+        "AS top_bigram_frac_e4 "
+        "FROM rp_n n LEFT JOIN rp_d d USING (doc_id) "
+        "LEFT JOIN rp_tb tb USING (doc_id)")
+
+
+def _chunk_oracle_sql(window: int = 64, stride: int = 48) -> str:
+    from ..functions.sqlmirror import M64, stable_hash64_cte, tokens_sql
+    toks = tokens_sql("coalesce(text,'')")
+    tok_with, tok_cte = stable_hash64_cte(
+        f"SELECT DISTINCT unnest({toks}) AS s FROM documents",
+        "s", {"h": 0}, prefix="ck_h")
+    return tok_with + (
+        f", ck_d AS (SELECT doc_id, {toks} AS t FROM documents), "
+        "ck_n AS (SELECT doc_id, len(t) AS n FROM ck_d), "
+        "ck_p AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t "
+        "FROM ck_d), "
+        f"ck_th AS (SELECT p.doc_id, p.i, th.h FROM "
+        "(SELECT doc_id, i, t[i] AS tok FROM ck_p) p "
+        f"JOIN {tok_cte} th ON p.tok = th.s), "
+        "ck_k AS (SELECT doc_id, n, unnest(range(0, "
+        f"CASE WHEN n = 0 THEN 0 ELSE (greatest(n - {window}, 0) + "
+        f"{stride - 1}) // {stride} + 1 END)) AS chunk_id FROM ck_n) "
+        "SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id, "
+        f"CAST(c.chunk_id * {stride} AS BIGINT) AS start_tok, "
+        f"CAST(least(c.chunk_id * {stride} + {window}, c.n) - "
+        f"c.chunk_id * {stride} AS BIGINT) AS n_tok, "
+        f"CAST(sum(CAST(h.h AS HUGEINT)) % {M64} AS UBIGINT) "
+        "AS tokhash_sum "
+        "FROM ck_k c JOIN ck_th h ON h.doc_id = c.doc_id "
+        f"AND h.i > c.chunk_id * {stride} "
+        f"AND h.i <= least(c.chunk_id * {stride} + {window}, c.n) "
+        "GROUP BY c.doc_id, c.chunk_id, c.n")
+
+
+def _shuffle_shards_oracle_sql() -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    from ..stages.sampling import N_SHUF_SHARDS, SHUF_SALT
+    w, c = splitmix64_cte(
+        "SELECT doc_id FROM documents",
+        f"xor(CAST(doc_id AS UBIGINT), CAST({SHUF_SALT} AS UBIGINT))",
+        "skey", carry_cols=("doc_id",), prefix="sh_")
+    return w + (
+        f" SELECT doc_id, CAST(skey % {N_SHUF_SHARDS} AS BIGINT) AS shard, "
+        "skey AS shuffle_key, "
+        f"CAST(row_number() OVER (PARTITION BY skey % {N_SHUF_SHARDS} "
+        "ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos_in_shard "
+        f"FROM {c}")
+
+
 def _vocab_topk_oracle_sql() -> str:
     from ..functions.sqlmirror import tokens_sql
     return (
@@ -1838,6 +1950,9 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "crawl_doc_stats": _crawl_doc_stats_oracle_sql(),
     "text_fingerprint": _fingerprint_oracle_sql(),
     "redact_pii": _redact_oracle_sql(),
+    "repetition_stats": _repetition_oracle_sql(),
+    "chunk_documents": _chunk_oracle_sql(),
+    "shuffle_shards": _shuffle_shards_oracle_sql(),
     "dedup_minhash_pairs": _minhash_pairs_oracle_sql(),
     "dedup_minhash_remove": _minhash_remove_oracle_sql(),
     "dedup_embedding_pairs": _embedding_pairs_oracle_sql(),

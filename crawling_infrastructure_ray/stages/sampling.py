@@ -244,3 +244,117 @@ def length_bins_ds(docs: rd.Dataset, k_bins: int = 8) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+# ----------------------------------------------------------------------
+# context-window chunking (fixed token windows with stride overlap)
+# ----------------------------------------------------------------------
+CHUNK_WINDOW, CHUNK_STRIDE = 64, 48
+
+
+def chunk_batch(batch: pa.Table, window: int = CHUNK_WINDOW,
+                stride: int = CHUNK_STRIDE,
+                column: str = "text") -> pa.Table:
+    """Explode each doc into fixed-size token windows: chunk i covers
+    tokens [i*stride, min(i*stride + window, n)); docs with 0 tokens
+    emit nothing. Output rows carry ``tokhash_sum`` — the wrapping
+    uint64 sum of stable_hash64(token) over the chunk — so the gate
+    pins chunk CONTENT, not just geometry.
+
+    Fully vectorized: one Arrow RE2 split, factorize so only DISTINCT
+    tokens pay the string hash, then a single wrap-around cumsum gives
+    every chunk sum as two lookups (csum[end] - csum[start]).
+    Embarrassingly parallel per doc — no shuffle; at 100 TB the
+    chunks stream straight to partitioned parquet."""
+    import pandas as pd
+
+    from ..functions.hashing import stable_hash64_np
+
+    stripped = pc.utf8_trim_whitespace(pc.fill_null(batch[column], ""))
+    lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    ndocs = len(lists)
+    offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    raw_lens = np.diff(offs)
+    empty = np.asarray(pc.equal(stripped, "").to_numpy(zero_copy_only=False))
+    n = np.where(empty, 0, raw_lens)
+
+    n_chunks = np.where(
+        n > 0, (np.maximum(n - window, 0) + stride - 1) // stride + 1, 0)
+    tot = int(n_chunks.sum())
+    if tot == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "chunk_id": pa.array([], pa.int64()),
+                         "start_tok": pa.array([], pa.int64()),
+                         "n_tok": pa.array([], pa.int64()),
+                         "tokhash_sum": pa.array([], pa.uint64())})
+
+    flat = lists.flatten().to_numpy(zero_copy_only=False)
+    codes, uniq = pd.factorize(flat)
+    th = stable_hash64_np(uniq)[codes]
+    csum = np.zeros(len(flat) + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        np.cumsum(th, out=csum[1:])
+
+    doc_rep = np.repeat(np.arange(ndocs, dtype=np.int64), n_chunks)
+    cum_prior = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+    chunk_id = np.arange(tot, dtype=np.int64) - np.repeat(cum_prior, n_chunks)
+    start = chunk_id * stride
+    end = np.minimum(start + window, n[doc_rep])
+    base = offs[:-1][doc_rep]
+    with np.errstate(over="ignore"):
+        chsum = csum[base + end] - csum[base + start]
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table({"doc_id": pa.array(ids[doc_rep], pa.int64()),
+                     "chunk_id": pa.array(chunk_id),
+                     "start_tok": pa.array(start),
+                     "n_tok": pa.array((end - start).astype(np.int64)),
+                     "tokhash_sum": pa.array(chsum, pa.uint64())})
+
+
+# ----------------------------------------------------------------------
+# deterministic global shuffle (training-output sharding)
+# ----------------------------------------------------------------------
+SHUF_SALT = 0x0D5E_ED5E_ED00_0003
+N_SHUF_SHARDS = 32
+
+
+def shuffle_shards_ds(docs: rd.Dataset,
+                      num_shards: int = N_SHUF_SHARDS) -> rd.Dataset:
+    """Deterministic global shuffle for training output: every doc
+    gets shuffle_key = splitmix64(u64(doc_id) ^ SHUF_SALT); shard =
+    key % num_shards, pos_in_shard = rank of (key, doc_id) within the
+    shard. Equivalent to a seeded random_shuffle + reshard, but
+    reproducible across engines and resumable per shard.
+
+    Scale shape: shard assignment is one vectorized hash (zero
+    shuffle); the rank needs only a PER-SHARD sort — num_shards
+    independent map_groups sorts of ~N/num_shards keys each, never a
+    global sort. At 100 TB each shard group streams to its own
+    parquet directory."""
+    def assign(batch: pa.Table) -> pa.Table:
+        key = row_hash(batch["doc_id"], SHUF_SALT)
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "shard": pa.array((key % np.uint64(num_shards)).astype(np.int64)),
+            # bit-cast for the groupby exchange (uint64 keys fall back
+            # to pickled objects in the sort path)
+            "skey_i64": pa.array(key.view(np.int64)),
+        })
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["skey_i64"].to_numpy().view(np.uint64)
+        ids = g["doc_id"].to_numpy()
+        order = np.lexsort((ids, k))
+        pos = np.empty(len(k), dtype=np.int64)
+        pos[order] = np.arange(len(k), dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": ids, "shard": g["shard"].to_numpy(),
+            "shuffle_key": pd.array(k, dtype="UInt64"),
+            "pos_in_shard": pos})
+
+    return (docs.map_batches(assign, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(rank_group, batch_format="pandas"))

@@ -162,6 +162,65 @@ class TextAnalyzer:
 
 
 # ----------------------------------------------------------------------
+# repetition / diversity quality signals (Gopher-style filters;
+# training-data addition, no reference analog)
+# ----------------------------------------------------------------------
+def repetition_stats_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """(doc_id, n_tokens, n_distinct, distinct_frac_e4, top_bigram_n,
+    top_bigram_frac_e4) — the two classic repetition filters (token
+    diversity and most-frequent-word-2-gram share, exact integer e4
+    units). Fully vectorized: one Arrow RE2 split per batch, then
+    factorize + np.unique/bincount/maximum.at over the flattened
+    token stream — no per-doc Python loop. Embarrassingly parallel
+    (per-doc outputs, no shuffle) — the right shape for a 100-TB
+    quality-filter pass."""
+    import pandas as pd
+    stripped = pc.utf8_trim_whitespace(pc.fill_null(batch[column], ""))
+    lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    ndocs = len(lists)
+    offs = lists.offsets.to_numpy(zero_copy_only=False)
+    raw_lens = np.diff(offs).astype(np.int64)
+    # empty-trimmed text splits to [""]: one bogus token; override to 0
+    empty = np.asarray(pc.equal(stripped, "").to_numpy(zero_copy_only=False))
+    n_tok = np.where(empty, 0, raw_lens)
+
+    flat = lists.flatten().to_numpy(zero_copy_only=False)
+    n_distinct = np.zeros(ndocs, dtype=np.int64)
+    top_bg = np.zeros(ndocs, dtype=np.int64)
+    if len(flat):
+        codes, uniq = pd.factorize(flat)
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), raw_lens)
+        k = len(uniq)
+        dk = np.unique(doc_idx * k + codes)
+        n_distinct = np.bincount(dk // k, minlength=ndocs).astype(np.int64)
+        # bigrams: adjacent token pairs within the same doc
+        same = doc_idx[1:] == doc_idx[:-1]
+        if same.any():
+            bg = codes[:-1][same].astype(np.int64) * k + codes[1:][same]
+            bg_codes, bg_uniq = pd.factorize(bg)
+            nb = len(bg_uniq)
+            bkey = doc_idx[:-1][same] * nb + bg_codes
+            ukb, cb = np.unique(bkey, return_counts=True)
+            np.maximum.at(top_bg, ukb // nb, cb.astype(np.int64))
+    n_distinct = np.where(empty, 0, n_distinct)
+    top_bg = np.where(empty, 0, top_bg)
+    nb_tot = np.maximum(n_tok - 1, 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dfrac = np.where(n_tok > 0, n_distinct * 10000 // np.maximum(n_tok, 1), 0)
+        bfrac = np.where(nb_tot > 0, top_bg * 10000 // np.maximum(nb_tot, 1), 0)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pa.array(n_tok, pa.int64()),
+        "n_distinct": pa.array(n_distinct, pa.int64()),
+        "distinct_frac_e4": pa.array(dfrac.astype(np.int64)),
+        "top_bigram_n": pa.array(top_bg, pa.int64()),
+        "top_bigram_frac_e4": pa.array(bfrac.astype(np.int64)),
+    })
+
+
+# ----------------------------------------------------------------------
 # PII redaction (training-data addition; no reference analog)
 # ----------------------------------------------------------------------
 # ASCII patterns, RE2 syntax — runs on Arrow's RE2 kernels so the

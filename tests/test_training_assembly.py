@@ -139,3 +139,66 @@ def test_vocab_partial_counts_exact():
     out = sp.vocab_partial_counts(batch).to_pandas()
     got = dict(zip(out["token"], out["n"]))
     assert got == {"a": 2, "b": 3, "c": 1}
+
+
+def test_repetition_stats_crafted():
+    from crawling_infrastructure_ray.stages.text import repetition_stats_batch
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a b a b a b",          # 6 toks, 2 distinct; "a b" x3 of 5 bigrams
+            "x y z w",              # all distinct, each bigram once
+            "q q q q",              # 4 toks 1 distinct; "q q" x3 of 3
+            "",                     # empty
+            None]),
+    })
+    out = repetition_stats_batch(batch).to_pandas().set_index("doc_id")
+    assert out.loc[0].tolist() == [6, 2, 2 * 10000 // 6, 3, 3 * 10000 // 5]
+    assert out.loc[1].tolist() == [4, 4, 10000, 1, 1 * 10000 // 3]
+    assert out.loc[2].tolist() == [4, 1, 2500, 3, 10000]
+    assert out.loc[3].tolist() == [0, 0, 0, 0, 0]
+    assert out.loc[4].tolist() == [0, 0, 0, 0, 0]
+
+
+def test_chunk_batch_boundaries_and_content():
+    from crawling_infrastructure_ray.functions.hashing import stable_hash64
+    toks65 = " ".join(f"t{i}" for i in range(65))
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c", toks65, "", None]),
+    })
+    out = sp.chunk_batch(batch, window=64, stride=48).to_pandas()
+    # doc 0: 3 tokens -> one chunk [0, 3); docs 2/3: nothing
+    d0 = out[out.doc_id == 0]
+    assert d0[["chunk_id", "start_tok", "n_tok"]].values.tolist() == [[0, 0, 3]]
+    want0 = sum(stable_hash64(t) for t in ["a", "b", "c"]) % (1 << 64)
+    assert int(d0.tokhash_sum.iloc[0]) == want0
+    # doc 1: 65 tokens -> chunks [0,64) and [48,65)
+    d1 = out[out.doc_id == 1].sort_values("chunk_id")
+    assert d1[["chunk_id", "start_tok", "n_tok"]].values.tolist() == \
+        [[0, 0, 64], [1, 48, 17]]
+    want1 = sum(stable_hash64(f"t{i}") for i in range(48, 65)) % (1 << 64)
+    assert int(d1.tokhash_sum.iloc[1]) == want1
+    assert set(out.doc_id) == {0, 1}
+
+
+def test_shuffle_shards_rank_is_key_order(ray_session):
+    from crawling_infrastructure_ray.functions.hashing import splitmix64_np
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    out = sp.shuffle_shards_ds(ds, num_shards=8).to_pandas()
+    key = splitmix64_np(ids.view(np.uint64) ^ np.uint64(sp.SHUF_SALT))
+    want = pd.DataFrame({"doc_id": ids,
+                         "shard": (key % np.uint64(8)).astype(np.int64),
+                         "shuffle_key": key})
+    want["pos_in_shard"] = (want.sort_values(["shuffle_key", "doc_id"])
+                            .groupby("shard").cumcount()
+                            .reindex(want.index))
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert (got["shard"].to_numpy() == want["shard"].to_numpy()).all()
+    assert (got["shuffle_key"].to_numpy(dtype=np.uint64)
+            == want["shuffle_key"].to_numpy()).all()
+    assert (got["pos_in_shard"].to_numpy()
+            == want["pos_in_shard"].to_numpy()).all()
