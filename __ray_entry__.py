@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": qt.q_repetition_stats,
         "chunk_documents": qt.q_chunk_documents,
         "shuffle_shards": qt.q_shuffle_shards,
+        "sample_per_source": qt.q_sample_per_source,
         "text_token_count": qt.q_text_token_count,
         "text_quality": qt.q_text_quality,
         "text_langid": qt.q_text_langid,

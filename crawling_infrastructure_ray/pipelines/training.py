@@ -277,6 +277,58 @@ def q_shuffle_shards(sf_dir: str):
     return sp.shuffle_shards_ds(ds)
 
 
+def q_sample_per_source(sf_dir: str, k: int = 5):
+    """Deterministic PER-GROUP RESERVOIR sample: the k docs with the
+    smallest splitmix64(doc_id ^ salt) per source — a uniform k-sample
+    per group, reproducible across engines/runs (the distributed
+    answer to 'give me 5 random docs from every source' without a
+    global sort or RNG state). Scale shape: per-batch partial top-k
+    per group (≤ k rows per group per batch enter the exchange) →
+    bucketed re-reduce, like topk_per_group. ORACLE-CHECKED
+    bit-for-bit (splitmix mirror + row_number per source)."""
+    from .analytics import _tag_bucket
+    from ..stages.sampling import SAMPLE_SALT, row_hash
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def add_draw(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "draw", pa.array(row_hash(batch["doc_id"], SAMPLE_SALT),
+                             pa.uint64()))
+
+    def partial_sample(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "draw", "doc_id"])
+        return df.groupby("source", sort=False).head(k)
+
+    partials = (ds.map_batches(add_draw, batch_format="pyarrow")
+                .map_batches(partial_sample, batch_format="pandas"))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = partial_sample(g).reset_index(drop=True)
+        g["sample_rank"] = (g.groupby("source", sort=False).cumcount()
+                            .astype("int64") + 1)
+        return g[["source", "doc_id", "draw", "sample_rank"]]
+
+    return (partials.repartition(8)
+            .map_batches(_tag_bucket(["source"]), batch_format="pyarrow")
+            .groupby("_kb").map_groups(reduce_bucket,
+                                       batch_format="pandas"))
+
+
+def _sample_per_source_oracle_sql(k: int = 5) -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    from ..stages.sampling import SAMPLE_SALT
+    w, c = splitmix64_cte(
+        "SELECT doc_id, source FROM documents",
+        f"xor(CAST(doc_id AS UBIGINT), CAST({SAMPLE_SALT} AS UBIGINT))",
+        "draw", carry_cols=("doc_id", "source"), prefix="sps_")
+    return w + (
+        " SELECT source, doc_id, draw, CAST(rn AS BIGINT) AS sample_rank "
+        "FROM (SELECT source, doc_id, draw, row_number() OVER "
+        "(PARTITION BY source ORDER BY draw, doc_id) AS rn "
+        f"FROM {c}) WHERE rn <= {k}")
+
+
 def q_dedup_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup verified pairs. ORACLE-CHECKED end to end:
     DuckDB re-runs the WHOLE pipeline — token hashes via the shared
@@ -1953,6 +2005,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "repetition_stats": _repetition_oracle_sql(),
     "chunk_documents": _chunk_oracle_sql(),
     "shuffle_shards": _shuffle_shards_oracle_sql(),
+    "sample_per_source": _sample_per_source_oracle_sql(),
     "dedup_minhash_pairs": _minhash_pairs_oracle_sql(),
     "dedup_minhash_remove": _minhash_remove_oracle_sql(),
     "dedup_embedding_pairs": _embedding_pairs_oracle_sql(),

@@ -358,3 +358,9 @@ def shuffle_shards_ds(docs: rd.Dataset,
     return (docs.map_batches(assign, batch_format="pyarrow")
             .groupby("shard")
             .map_groups(rank_group, batch_format="pandas"))
+
+
+# deterministic per-group reservoir: keep the k docs with the
+# smallest splitmix64(doc_id ^ SAMPLE_SALT) per group — a uniform
+# k-sample per group that is reproducible across engines and runs
+SAMPLE_SALT = 0x7E5A_3B1D_5A3E_0004

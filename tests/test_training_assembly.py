@@ -202,3 +202,28 @@ def test_shuffle_shards_rank_is_key_order(ray_session):
             == want["shuffle_key"].to_numpy()).all()
     assert (got["pos_in_shard"].to_numpy()
             == want["pos_in_shard"].to_numpy()).all()
+
+
+def test_sample_per_source_deterministic_reservoir(ray_session, tmp_path):
+    from crawling_infrastructure_ray.functions.hashing import splitmix64_np
+    from crawling_infrastructure_ray.pipelines.training import \
+        q_sample_per_source
+    n = 600
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids,
+                       "source": [f"src{i % 3}" for i in ids]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    out = q_sample_per_source(str(tmp_path), k=4).to_pandas()
+    draw = splitmix64_np(ids.view(np.uint64) ^ np.uint64(sp.SAMPLE_SALT))
+    df["draw"] = draw
+    want = (df.sort_values(["source", "draw", "doc_id"])
+            .groupby("source").head(4))
+    assert len(out) == 12
+    got_ids = set(map(tuple, out[["source", "doc_id"]].values))
+    assert got_ids == set(map(tuple, want[["source", "doc_id"]].values))
+    # rank order inside each source follows the draw
+    for s, g in out.groupby("source"):
+        g = g.sort_values("sample_rank")
+        assert (np.diff(g["draw"].to_numpy(dtype=np.uint64).astype(object))
+                > 0).all()
