@@ -329,6 +329,73 @@ def _sample_per_source_oracle_sql(k: int = 5) -> str:
         f"FROM {c}) WHERE rn <= {k}")
 
 
+def q_oov_stats(sf_dir: str, top: int = 10):
+    """Out-of-vocabulary quality filter: per doc, the count and e4
+    fraction of tokens OUTSIDE the corpus top-``top`` vocabulary —
+    the classic dictionary-word-ratio signal, and the canonical
+    TWO-PASS broadcast shape: pass 1 computes the (config-sized)
+    vocabulary with the combiner-first vocab machinery, `ray.put`s it
+    once; pass 2 probes it per batch with a factorize + membership
+    lookup (only DISTINCT batch tokens are tested). ORACLE-CHECKED:
+    DuckDB recomputes the same top-K (same tie-break: count desc,
+    token asc) and the same integer units."""
+    import ray as _ray
+
+    vocab_df = q_vocab_topk(sf_dir)
+    vocab = np.asarray(vocab_df["token"].head(top), dtype=object)
+    vref = _ray.put(frozenset(vocab.tolist()))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        voc = _ray.get(vref)
+        stripped = pc.utf8_trim_whitespace(pc.fill_null(batch["text"], ""))
+        lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        ndocs = len(lists)
+        raw_lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
+        empty = np.asarray(pc.equal(stripped, "")
+                           .to_numpy(zero_copy_only=False))
+        n_tok = np.where(empty, 0, raw_lens).astype(np.int64)
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        n_oov = np.zeros(ndocs, dtype=np.int64)
+        if len(flat):
+            codes, uniq = pd.factorize(flat)
+            oov_u = np.fromiter((u not in voc for u in uniq),
+                                dtype=bool, count=len(uniq))
+            doc_idx = np.repeat(np.arange(ndocs), raw_lens)
+            n_oov = np.bincount(doc_idx, weights=oov_u[codes],
+                                minlength=ndocs).astype(np.int64)
+        n_oov = np.where(empty, 0, n_oov)
+        frac = np.where(n_tok > 0,
+                        n_oov * 10000 // np.maximum(n_tok, 1), 0)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": pa.array(n_tok),
+                         "n_oov": pa.array(n_oov),
+                         "oov_frac_e4": pa.array(frac.astype(np.int64))})
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def _oov_oracle_sql(top: int = 10) -> str:
+    from ..functions.sqlmirror import tokens_sql
+    toks = tokens_sql("coalesce(text,'')")
+    return (
+        f"WITH ov_d AS (SELECT doc_id, {toks} AS t FROM documents), "
+        "ov_u AS (SELECT doc_id, unnest(t) AS tok FROM ov_d), "
+        "ov_v AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM ov_u "
+        f"GROUP BY tok ORDER BY n DESC, tok LIMIT {top})), "
+        "ov_c AS (SELECT doc_id, count(*) AS n_tokens, "
+        "sum(CASE WHEN tok IN (SELECT tok FROM ov_v) THEN 0 ELSE 1 END) "
+        "AS n_oov FROM ov_u GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(c.n_tokens, 0) AS BIGINT) "
+        "AS n_tokens, CAST(coalesce(c.n_oov, 0) AS BIGINT) AS n_oov, "
+        "CAST(CASE WHEN coalesce(c.n_tokens, 0) = 0 THEN 0 "
+        "ELSE c.n_oov * 10000 // c.n_tokens END AS BIGINT) "
+        "AS oov_frac_e4 "
+        "FROM ov_d d LEFT JOIN ov_c c USING (doc_id)")
+
+
 def q_dedup_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup verified pairs. ORACLE-CHECKED end to end:
     DuckDB re-runs the WHOLE pipeline — token hashes via the shared
@@ -2006,6 +2073,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "chunk_documents": _chunk_oracle_sql(),
     "shuffle_shards": _shuffle_shards_oracle_sql(),
     "sample_per_source": _sample_per_source_oracle_sql(),
+    "oov_stats": _oov_oracle_sql(),
     "dedup_minhash_pairs": _minhash_pairs_oracle_sql(),
     "dedup_minhash_remove": _minhash_remove_oracle_sql(),
     "dedup_embedding_pairs": _embedding_pairs_oracle_sql(),

@@ -227,3 +227,23 @@ def test_sample_per_source_deterministic_reservoir(ray_session, tmp_path):
         g = g.sort_values("sample_rank")
         assert (np.diff(g["draw"].to_numpy(dtype=np.uint64).astype(object))
                 > 0).all()
+
+
+def test_oov_stats_crafted(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.training import q_oov_stats
+    # "a" x60 dominates; top-1 vocab = {"a"}; everything else is OOV
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["a " * 30 + "rare1 rare2",   # 32 toks, 2 oov
+                 "a a a",                      # 0 oov
+                 "zz yy xx",                   # 3 oov
+                 ""],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    out = (q_oov_stats(str(tmp_path), top=1).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[0].tolist() == [32, 2, 2 * 10000 // 32]
+    assert out.loc[1].tolist() == [3, 0, 0]
+    assert out.loc[2].tolist() == [3, 3, 10000]
+    assert out.loc[3].tolist() == [0, 0, 0]
