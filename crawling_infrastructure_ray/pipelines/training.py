@@ -396,6 +396,76 @@ def _oov_oracle_sql(top: int = 10) -> str:
         "FROM ov_d d LEFT JOIN ov_c c USING (doc_id)")
 
 
+def q_export_shards(sf_dir: str, num_shards: int = 16):
+    """Resumable partitioned EXPORT round trip, ORACLE-CHECKED:
+    assign deterministic shards (splitmix draw), export one hive
+    ``shard=N`` directory per shard via
+    ``storage.export_partitioned_resumable`` (atomic fragment +
+    _SUCCESS marker per partition), RE-READ the exported tree with
+    ``read_parquet`` (hive discovery restores the shard column), and
+    return per-shard doc counts + doc_id sums — so the gate pins
+    assignment, write, marker commit, AND read-back. The export root
+    is a fresh ``mkdtemp``, removed once the counts materialize
+    (ADVICE r02: never a fixed /tmp path)."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from ..sources.storage import export_partitioned_resumable
+    from ..stages.sampling import SHUF_SALT, row_hash
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        key = row_hash(batch["doc_id"], SHUF_SALT)
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "shard": pa.array((key % np.uint64(num_shards))
+                              .astype(np.int64))})
+
+    out = tempfile.mkdtemp(prefix="export_shards_")
+    try:
+        export_partitioned_resumable(
+            ds.map_batches(assign, batch_format="pyarrow"), out, "shard")
+        back = rd.read_parquet(out)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            sh = np.asarray(batch["shard"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            u, inv = np.unique(sh, return_inverse=True)
+            return pa.table({
+                "shard": pa.array(u),
+                "n_docs": pa.array(np.bincount(inv).astype(np.int64)),
+                "docid_sum": pa.array(
+                    np.bincount(inv, weights=ids).astype(np.int64))})
+
+        parts = back.map_batches(partial, batch_format="pyarrow").to_pandas()
+        outdf = (parts.groupby("shard", as_index=False)
+                 [["n_docs", "docid_sum"]].sum()
+                 .sort_values("shard").reset_index(drop=True))
+        for c in outdf.columns:
+            outdf[c] = outdf[c].astype("int64")
+        return outdf
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _export_shards_oracle_sql(num_shards: int = 16) -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    from ..stages.sampling import SHUF_SALT
+    w, c = splitmix64_cte(
+        "SELECT doc_id FROM documents",
+        f"xor(CAST(doc_id AS UBIGINT), CAST({SHUF_SALT} AS UBIGINT))",
+        "skey", carry_cols=("doc_id",), prefix="ex_")
+    return w + (
+        f" SELECT CAST(skey % {num_shards} AS BIGINT) AS shard, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(doc_id) AS BIGINT) AS docid_sum "
+        f"FROM {c} GROUP BY 1")
+
+
 def q_dedup_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup verified pairs. ORACLE-CHECKED end to end:
     DuckDB re-runs the WHOLE pipeline — token hashes via the shared
@@ -2074,6 +2144,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "shuffle_shards": _shuffle_shards_oracle_sql(),
     "sample_per_source": _sample_per_source_oracle_sql(),
     "oov_stats": _oov_oracle_sql(),
+    "export_shards": _export_shards_oracle_sql(),
     "dedup_minhash_pairs": _minhash_pairs_oracle_sql(),
     "dedup_minhash_remove": _minhash_remove_oracle_sql(),
     "dedup_embedding_pairs": _embedding_pairs_oracle_sql(),

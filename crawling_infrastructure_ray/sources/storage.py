@@ -70,3 +70,56 @@ def read_dataset(path: str, backend: str | None = None, *,
     if backend == "lance":  # pragma: no cover - env-blocked
         return rd.read_lance(path, columns=columns)
     return rd.read_parquet(path, columns=columns)
+
+
+def export_partitioned_resumable(ds: rd.Dataset, out_root: str,
+                                 partition_col: str,
+                                 backend: str | None = None):
+    """Resumable partitioned export: one ``<col>=<value>`` directory
+    per partition value, each committed with an atomic fragment write
+    followed by a ``_SUCCESS`` marker (tmp+rename). Re-running SKIPS
+    partitions whose marker exists — a failed run resumes by paying
+    only the unfinished partitions (the brief's resumable-output
+    contract; the crawl's manifest/ckpt resume is the streaming twin).
+
+    Partitioning assumption: ``partition_col`` has a config-sized
+    value domain (shards, hash buckets, date buckets) and one
+    partition's rows fit a worker — each group is written by one
+    ``map_groups`` call. Readers get the partition column back for
+    free via hive discovery (pyarrow ignores ``_``-prefixed files).
+
+    Returns (summary DataFrame [partition value, n_rows] for
+    partitions WRITTEN this run, sorted list of SKIPPED values)."""
+    import pandas as pd
+
+    os.makedirs(out_root, exist_ok=True)
+    done_vals = sorted(
+        d.split("=", 1)[1] for d in os.listdir(out_root)
+        if "=" in d and os.path.exists(os.path.join(out_root, d, "_SUCCESS")))
+
+    def drop_done(batch: pa.Table) -> pa.Table:
+        if not done_vals:
+            return batch
+        import pyarrow.compute as pc
+        vals = pc.cast(batch[partition_col], pa.string())
+        return batch.filter(
+            pc.invert(pc.is_in(vals, value_set=pa.array(done_vals))))
+
+    def write_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        v = g[partition_col].iloc[0]
+        pdir = os.path.join(out_root, f"{partition_col}={v}")
+        # the partition value lives in the directory name (hive); the
+        # data files carry the remaining columns
+        tbl = pa.Table.from_pandas(g.drop(columns=[partition_col]),
+                                   preserve_index=False)
+        write_fragment(tbl, pdir, "part-0", backend=backend)
+        fd, tmp = tempfile.mkstemp(dir=pdir, suffix=".marker")
+        os.close(fd)
+        os.replace(tmp, os.path.join(pdir, "_SUCCESS"))
+        return pd.DataFrame({partition_col: [v], "n_rows": [len(g)]})
+
+    summary = (ds.map_batches(drop_done, batch_format="pyarrow")
+               .groupby(partition_col)
+               .map_groups(write_group, batch_format="pandas")
+               .to_pandas())
+    return summary, done_vals

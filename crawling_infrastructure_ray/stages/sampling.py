@@ -332,8 +332,11 @@ def shuffle_shards_ds(docs: rd.Dataset,
     Scale shape: shard assignment is one vectorized hash (zero
     shuffle); the rank needs only a PER-SHARD sort — num_shards
     independent map_groups sorts of ~N/num_shards keys each, never a
-    global sort. At 100 TB each shard group streams to its own
-    parquet directory."""
+    global sort. Partitioning assumption: num_shards is a CONFIG that
+    must scale with the corpus (pick ≈ corpus_rows / rows-per-shard
+    so one shard's keys fit a worker; at 100 TB that is 10⁴-10⁵
+    shards, not 32 — the default is sized for the driver gate). Each
+    shard group then streams to its own parquet directory."""
     def assign(batch: pa.Table) -> pa.Table:
         key = row_hash(batch["doc_id"], SHUF_SALT)
         return pa.table({

@@ -247,3 +247,28 @@ def test_oov_stats_crafted(ray_session, tmp_path):
     assert out.loc[1].tolist() == [3, 0, 0]
     assert out.loc[2].tolist() == [3, 3, 10000]
     assert out.loc[3].tolist() == [0, 0, 0]
+
+
+def test_export_partitioned_resumable_skips_finished(ray_session, tmp_path):
+    import shutil
+    from crawling_infrastructure_ray.sources.storage import \
+        export_partitioned_resumable
+    df = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64),
+                       "shard": (np.arange(100) % 4).astype(np.int64)})
+    out = str(tmp_path / "exp")
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    summary, skipped = export_partitioned_resumable(ds, out, "shard")
+    assert sorted(summary["shard"].astype(int)) == [0, 1, 2, 3]
+    assert skipped == []
+    # simulate a failed run: nuke shard=2 entirely and shard=3's marker
+    shutil.rmtree(out + "/shard=2")
+    os.remove(out + "/shard=3/_SUCCESS")
+    ds2 = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    summary2, skipped2 = export_partitioned_resumable(ds2, out, "shard")
+    assert sorted(summary2["shard"].astype(int)) == [2, 3]  # re-written
+    assert sorted(map(int, skipped2)) == [0, 1]             # untouched
+    # read-back: hive discovery restores shard; content complete
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == 100
+    assert sorted(back["doc_id"]) == list(range(100))
+    assert (back.groupby(back["shard"].astype(int)).size() == 25).all()

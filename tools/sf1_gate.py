@@ -40,6 +40,22 @@ def main() -> int:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     scale = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
 
+    # Reuse existing tables ONLY if they honor the engine's ASCII text
+    # contract — a stale set from an older generator silently fails
+    # exactly the byte-level hash mirrors (fingerprint/simhash/chunk),
+    # which read as engine bugs when they are input-contract drift.
+    docs = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(docs):
+        import duckdb as _dd
+        bad = _dd.connect().execute(
+            "SELECT count(*) FROM read_parquet(?) "
+            "WHERE regexp_matches(text, '[^\\x00-\\x7F]')", [docs]
+        ).fetchone()[0]
+        if bad:
+            print(f"stale non-ASCII table set in {out_dir} "
+                  f"({bad} docs) — regenerating", file=sys.stderr)
+            import shutil
+            shutil.rmtree(out_dir)
     if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
         from tools.make_sf import make_tables
         t0 = time.perf_counter()
