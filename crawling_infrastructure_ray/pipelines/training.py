@@ -466,6 +466,110 @@ def _export_shards_oracle_sql(num_shards: int = 16) -> str:
         f"FROM {c} GROUP BY 1")
 
 
+PR_SALT = 0x7A6E_4A9B_0C71_0005  # pagerank edge draw (< 2^63)
+
+
+def q_host_pagerank(sf_dir: str, iters: int = 5, damping_e2: int = 85):
+    """ITERATIVE GRAPH op — PageRank over the source link graph, in
+    EXACT integer e9 units so 5 unrolled iterations hash-match an
+    unrolled SQL twin (iterative algorithms are normally rows-only;
+    integer arithmetic makes this one gate-able). Edges are derived
+    deterministically from the corpus: every doc links its source to
+    sorted_sources[splitmix64(doc_id ^ salt) % n_sources] — the same
+    draw in both engines.
+
+    Scale shape: the DATA-sized pass is distributed edge aggregation
+    (per-batch factorize + bincount partials → one small groupby);
+    the node domain (sources/hosts) is config-sized BY ASSUMPTION
+    (documented), so power iterations run on the driver over the
+    ≤ S² aggregated edge list — never over the doc stream. For
+    web-scale host graphs the same combiner shape feeds a bucketed
+    iteration instead."""
+    import ray as _ray  # noqa: F401 (parity with sibling queries)
+
+    from ..stages.sampling import row_hash
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    # node set: distinct sources (config-sized by assumption)
+    parts = ds.map_batches(
+        lambda t: pa.table({"source": pc.unique(t["source"])}),
+        batch_format="pyarrow").to_pandas()
+    nodes = sorted(set(parts["source"]))
+    S = len(nodes)
+    node_arr = np.array(nodes, dtype=object)
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        h = row_hash(batch["doc_id"], PR_SALT)
+        dst_idx = (h % np.uint64(S)).astype(np.int64)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        key = codes.astype(np.int64) * S + dst_idx
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({"src": pa.array(uniq[u // S]),
+                         "dst": pa.array(node_arr[u % S]),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    edges = (ds.map_batches(edge_partials, batch_format="pyarrow")
+             .to_pandas().groupby(["src", "dst"], as_index=False)["cnt"]
+             .sum())
+    idx = {s: i for i, s in enumerate(nodes)}
+    e_src = edges["src"].map(idx).to_numpy(dtype=np.int64)
+    e_dst = edges["dst"].map(idx).to_numpy(dtype=np.int64)
+    e_cnt = edges["cnt"].to_numpy(dtype=np.int64)
+    # int64 accumulation throughout (bincount's float64 weights would
+    # lose exactness above 2^53 — the gate column is exact-integer)
+    outdeg = np.zeros(S, dtype=np.int64)
+    np.add.at(outdeg, e_src, e_cnt)
+
+    r = np.full(S, 10**9 // S, dtype=np.int64)
+    base = (100 - damping_e2) * 10**9 // (100 * S)
+    for _ in range(iters):
+        contrib = (damping_e2 * r[e_src] * e_cnt) // (100 * outdeg[e_src])
+        nxt = np.full(S, base, dtype=np.int64)
+        np.add.at(nxt, e_dst, contrib)
+        r = nxt
+    return pd.DataFrame({"source": nodes,
+                         "n_out": outdeg,
+                         "pagerank_e9": r})
+
+
+def _pagerank_oracle_sql(iters: int = 5, damping_e2: int = 85) -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    w, c = splitmix64_cte(
+        "SELECT doc_id, source FROM documents",
+        f"xor(CAST(doc_id AS UBIGINT), CAST({PR_SALT} AS UBIGINT))",
+        "h", carry_cols=("doc_id", "source"), prefix="pg_")
+    sql = w + (
+        ", pg_s AS (SELECT source AS node, CAST(row_number() OVER "
+        "(ORDER BY source) - 1 AS BIGINT) AS idx FROM "
+        "(SELECT DISTINCT source FROM documents)), "
+        "pg_n AS (SELECT count(*) AS n_nodes FROM pg_s), "
+        f"pg_e AS (SELECT d.source AS src, s.node AS dst, count(*) AS cnt "
+        f"FROM {c} d JOIN pg_s s ON s.idx = CAST(d.h % CAST("
+        "(SELECT n_nodes FROM pg_n) AS UBIGINT) AS BIGINT) "
+        "GROUP BY 1, 2), "
+        "pg_o AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS outdeg "
+        "FROM pg_e GROUP BY src), "
+        "pg_r0 AS (SELECT node, CAST(1000000000 // "
+        "(SELECT n_nodes FROM pg_n) AS BIGINT) AS r FROM pg_s)")
+    base = (f"CAST(CAST({(100 - damping_e2)} AS BIGINT) * 1000000000 // "
+            "(100 * (SELECT n_nodes FROM pg_n)) AS BIGINT)")
+    for t in range(1, iters + 1):
+        sql += (
+            f", pg_r{t} AS (SELECT s.node, {base} + "
+            f"CAST(coalesce(sum(({damping_e2} * r.r * e.cnt) // "
+            "(100 * o.outdeg)), 0) AS BIGINT) AS r "
+            "FROM pg_s s LEFT JOIN (pg_e e JOIN pg_o o ON o.src = e.src "
+            f"JOIN pg_r{t - 1} r ON r.node = e.src) ON e.dst = s.node "
+            "GROUP BY s.node)")
+    return sql + (
+        " SELECT s.node AS source, coalesce(o.outdeg, 0) AS n_out, "
+        f"r.r AS pagerank_e9 FROM pg_s s "
+        f"JOIN pg_r{iters} r ON r.node = s.node "
+        "LEFT JOIN pg_o o ON o.src = s.node")
+
+
 def q_dedup_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup verified pairs. ORACLE-CHECKED end to end:
     DuckDB re-runs the WHOLE pipeline — token hashes via the shared
@@ -2145,6 +2249,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "sample_per_source": _sample_per_source_oracle_sql(),
     "oov_stats": _oov_oracle_sql(),
     "export_shards": _export_shards_oracle_sql(),
+    "host_pagerank": _pagerank_oracle_sql(),
     "dedup_minhash_pairs": _minhash_pairs_oracle_sql(),
     "dedup_minhash_remove": _minhash_remove_oracle_sql(),
     "dedup_embedding_pairs": _embedding_pairs_oracle_sql(),

@@ -272,3 +272,21 @@ def test_export_partitioned_resumable_skips_finished(ray_session, tmp_path):
     assert len(back) == 100
     assert sorted(back["doc_id"]) == list(range(100))
     assert (back.groupby(back["shard"].astype(int)).size() == 25).all()
+
+
+def test_host_pagerank_mass_and_determinism(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.training import q_host_pagerank
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                       "source": [f"s{i % 5}" for i in range(300)]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    a = q_host_pagerank(str(tmp_path))
+    b = q_host_pagerank(str(tmp_path))
+    pd.testing.assert_frame_equal(a, b)          # bit-deterministic
+    assert sorted(a["source"]) == [f"s{i}" for i in range(5)]
+    assert (a["n_out"] == 60).all()              # every doc emits one edge
+    total = a["pagerank_e9"].sum()
+    # integer floors only shrink mass: total in ((1-eps)*1e9, 1e9]
+    assert 0.98 * 1e9 < total <= 1e9
+    # ranks differ across nodes (the hash draw is not uniform per node)
+    assert a["pagerank_e9"].nunique() > 1
