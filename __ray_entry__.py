@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_stats": qt.q_oov_stats,
         "export_shards": qt.q_export_shards,
         "host_pagerank": qt.q_host_pagerank,
+        "boilerplate_stats": qt.q_boilerplate_stats,
         # PII redaction over deterministically injected spans; SQL
         # twin generated from the same RE2 pattern list
         "redact_pii": qt.q_redact_pii,

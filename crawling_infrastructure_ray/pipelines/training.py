@@ -466,6 +466,109 @@ def _export_shards_oracle_sql(num_shards: int = 16) -> str:
         f"FROM {c} GROUP BY 1")
 
 
+# boilerplate removal (CCNet-style hot-line dedup): injected line +
+# detection threshold, shared with the SQL twin
+BP_LINE = ("subscribe to our newsletter and accept all cookies "
+           "to continue reading this site")
+BP_EVERY = 3
+BP_MIN_COUNT = 50
+
+
+def q_boilerplate_stats(sf_dir: str):
+    """CCNet-style BOILERPLATE LINE REMOVAL, ORACLE-CHECKED: lines
+    occurring >= BP_MIN_COUNT times corpus-wide are boilerplate; per
+    doc return (n_lines, n_boiler, n_chars_kept). The synthetic corpus
+    is single-line, so the query INJECTS a shared boilerplate line
+    (newline + BP_LINE for doc_id % BP_EVERY == 0 — mirrored verbatim
+    in SQL) that detection must find and strip.
+
+    Scale shape: pass 1 is the honest all-to-all — per-batch line-hash
+    count partials (factorize + bincount, only DISTINCT lines pay the
+    string hash) merged by the bucketed `_merge_partials_ray`; the hot
+    set (count >= T) is boilerplate-sized BY CONSTRUCTION, collected
+    once and broadcast via `ray.put`; pass 2 filters per batch with a
+    sorted `np.isin`. The Ray side matches on 64-bit line hashes, the
+    SQL twin on line STRINGS (equal strings <=> equal hashes; the
+    collision caveat is documented in stages/sampling.py)."""
+    import ray as _ray
+
+    from ..functions.hashing import stable_hash64_np
+    from .analytics import _merge_partials_ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lines_of(batch: pa.Table):
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        txt = pc.fill_null(batch["text"], "")
+        inj = pc.if_else(pa.array(ids % BP_EVERY == 0),
+                         pa.scalar("\n" + BP_LINE), pa.scalar(""))
+        t = pc.binary_join_element_wise(txt, inj, "")
+        lists = pc.split_pattern(t, "\n")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        return ids, lists
+
+    def line_partials(batch: pa.Table) -> pa.Table:
+        _, lists = lines_of(batch)
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(flat)
+        h = stable_hash64_np(uniq).view(np.int64)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"line_hash": pa.array(h),
+                         "cnt": pa.array(cnt)})
+
+    counts = _merge_partials_ray(
+        ds.map_batches(line_partials, batch_format="pyarrow"),
+        ["line_hash"], ["cnt"])
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], BP_MIN_COUNT))
+        .select(["line_hash"]), batch_format="pyarrow").to_pandas()
+    hot_ref = _ray.put(np.sort(hot["line_hash"].to_numpy(dtype=np.int64)))
+
+    def doc_stats(batch: pa.Table) -> pa.Table:
+        hot_arr = _ray.get(hot_ref)
+        ids, lists = lines_of(batch)
+        offs = lists.offsets.to_numpy(zero_copy_only=False)
+        nlines = np.diff(offs).astype(np.int64)
+        flat_arr = lists.flatten()
+        flat = flat_arr.to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(flat)
+        is_hot = np.isin(stable_hash64_np(uniq).view(np.int64),
+                         hot_arr)[codes]
+        lens = pc.utf8_length(flat_arr).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(ids)), nlines)
+        n_boiler = np.bincount(doc_idx, weights=is_hot,
+                               minlength=len(ids)).astype(np.int64)
+        kept = np.bincount(doc_idx, weights=np.where(is_hot, 0, lens),
+                           minlength=len(ids)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_lines": pa.array(nlines),
+                         "n_boiler": pa.array(n_boiler),
+                         "n_chars_kept": pa.array(kept)})
+
+    return ds.map_batches(doc_stats, batch_format="pyarrow")
+
+
+def _boilerplate_oracle_sql() -> str:
+    bp = BP_LINE.replace("'", "''")
+    return (
+        "WITH bp_d AS (SELECT doc_id, coalesce(text, '') || "
+        f"CASE WHEN doc_id % {BP_EVERY} = 0 THEN chr(10) || '{bp}' "
+        "ELSE '' END AS t FROM documents), "
+        "bp_l AS (SELECT doc_id, unnest(string_split(t, chr(10))) "
+        "AS line FROM bp_d), "
+        "bp_hot AS (SELECT line FROM (SELECT line, count(*) AS n "
+        f"FROM bp_l GROUP BY line) WHERE n >= {BP_MIN_COUNT}) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(sum(CASE WHEN line IN (SELECT line FROM bp_hot) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler, "
+        "CAST(sum(CASE WHEN line IN (SELECT line FROM bp_hot) "
+        "THEN 0 ELSE length(line) END) AS BIGINT) AS n_chars_kept "
+        "FROM bp_l GROUP BY doc_id")
+
+
 PR_SALT = 0x7A6E_4A9B_0C71_0005  # pagerank edge draw (< 2^63)
 
 
@@ -2250,6 +2353,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "oov_stats": _oov_oracle_sql(),
     "export_shards": _export_shards_oracle_sql(),
     "host_pagerank": _pagerank_oracle_sql(),
+    "boilerplate_stats": _boilerplate_oracle_sql(),
     "dedup_minhash_pairs": _minhash_pairs_oracle_sql(),
     "dedup_minhash_remove": _minhash_remove_oracle_sql(),
     "dedup_embedding_pairs": _embedding_pairs_oracle_sql(),

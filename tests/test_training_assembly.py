@@ -290,3 +290,26 @@ def test_host_pagerank_mass_and_determinism(ray_session, tmp_path):
     assert 0.98 * 1e9 < total <= 1e9
     # ranks differ across nodes (the hash draw is not uniform per node)
     assert a["pagerank_e9"].nunique() > 1
+
+
+def test_boilerplate_stats_hot_threshold(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines import training as qt
+    n = 200  # 200/3 -> 67 injected boilerplate lines >= BP_MIN_COUNT=50
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        # unique body per doc; a pair-shared line would stay below T
+        "text": [f"unique body {i} of document" for i in range(n)],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    out = (qt.q_boilerplate_stats(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    inj = out.index % qt.BP_EVERY == 0
+    assert (out.loc[inj, "n_lines"] == 2).all()
+    assert (out.loc[inj, "n_boiler"] == 1).all()   # only the injected line
+    assert (out.loc[~inj, "n_lines"] == 1).all()
+    assert (out.loc[~inj, "n_boiler"] == 0).all()
+    # kept chars = the unique body only, never the boilerplate line
+    body_len = out.index.map(
+        lambda i: len(f"unique body {i} of document")).to_numpy()
+    assert (out["n_chars_kept"].to_numpy() == body_len).all()
