@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_shards": qt.q_export_shards,
         "host_pagerank": qt.q_host_pagerank,
         "boilerplate_stats": qt.q_boilerplate_stats,
+        "source_terms": qt.q_source_terms,
         # PII redaction over deterministically injected spans; SQL
         # twin generated from the same RE2 pattern list
         "redact_pii": qt.q_redact_pii,

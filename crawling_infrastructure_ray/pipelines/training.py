@@ -569,6 +569,144 @@ def _boilerplate_oracle_sql() -> str:
         "FROM bp_l GROUP BY doc_id")
 
 
+def q_source_terms(sf_dir: str, k: int = 5):
+    """Distinctive TERMS PER SOURCE — tf-idf with an exact-integer idf
+    proxy (score = tf * n_docs // df, so the gate never meets float
+    log), top-k per source with deterministic tie-break (score desc,
+    token asc).
+
+    Scale shape: tf (source×token) and df (token → distinct docs) are
+    combiner-first partials merged through `_merge_partials_ray`; the
+    tf⋈df join is a TAGGED-UNION bucketed hash join on the token
+    (both sides data-sized — no broadcast); each token-bucket emits
+    its per-source partial top-k (global top-k ⊆ union of bucket
+    top-ks), and a final source-bucketed reduce ranks. Never a global
+    sort, never a driver-side token table."""
+    from ..functions.bucketing import tag_bucket_fn
+    from .analytics import _merge_partials_ray, _tag_bucket
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "text"])
+    n_docs = ds.count()
+
+    def tok_lists(batch: pa.Table):
+        stripped = pc.utf8_trim_whitespace(pc.fill_null(batch["text"], ""))
+        lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        raw_lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
+        empty = np.asarray(pc.equal(stripped, "")
+                           .to_numpy(zero_copy_only=False))
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        # drop the bogus [""] token of empty docs from the flat stream
+        keep = np.repeat(~empty, raw_lens)
+        doc_idx = np.repeat(np.arange(len(batch)), raw_lens)[keep]
+        return flat[keep], doc_idx
+
+    def tf_partials(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = tok_lists(batch)
+        if not len(flat):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        src = batch["source"].to_numpy(zero_copy_only=False)[doc_idx]
+        scodes, suniq = pd.factorize(src)
+        tcodes, tuniq = pd.factorize(flat)
+        key = scodes.astype(np.int64) * len(tuniq) + tcodes
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({"source": pa.array(suniq[u // len(tuniq)]),
+                         "token": pa.array(tuniq[u % len(tuniq)]),
+                         "tf": pa.array(cnt.astype(np.int64))})
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = tok_lists(batch)
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        tcodes, tuniq = pd.factorize(flat)
+        pair = np.unique(doc_idx.astype(np.int64) * len(tuniq) + tcodes)
+        tok_of_pair = (pair % len(tuniq)).astype(np.int64)
+        df = np.bincount(tok_of_pair, minlength=len(tuniq)).astype(np.int64)
+        return pa.table({"token": pa.array(tuniq),
+                         "df": pa.array(df)})
+
+    tf = _merge_partials_ray(
+        ds.map_batches(tf_partials, batch_format="pyarrow"),
+        ["source", "token"], ["tf"])
+    dfreq = _merge_partials_ray(
+        ds.map_batches(df_partials, batch_format="pyarrow"),
+        ["token"], ["df"])
+
+    # tagged-union bucketed join on token (both sides data-sized)
+    tag = tag_bucket_fn(["token"], 64, "jbucket")
+
+    def tag_tf(t: pa.Table) -> pa.Table:
+        return tag(t).append_column("df", pa.nulls(t.num_rows, pa.int64()))
+
+    def tag_df(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return tag(pa.table({"source": pa.nulls(n, pa.string()),
+                             "token": t["token"],
+                             "tf": pa.nulls(n, pa.int64())})) \
+            .append_column("df", pc.cast(t["df"], pa.int64()))
+
+    both = (tf.map_batches(tag_tf, batch_format="pyarrow")
+            .union(dfreq.map_batches(tag_df, batch_format="pyarrow"))
+            .repartition(32))
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dfs = g[g["tf"].isna()]
+        rows = g[g["tf"].notna()].copy()
+        if not len(rows):
+            return pd.DataFrame({"source": [], "token": [], "tf": [],
+                                 "df": [], "score": []})
+        rows["df"] = rows["token"].map(
+            dict(zip(dfs["token"], dfs["df"].astype("int64"))))
+        rows["tf"] = rows["tf"].astype("int64")
+        rows["df"] = rows["df"].astype("int64")
+        rows["score"] = rows["tf"] * n_docs // rows["df"]
+        rows = rows.sort_values(["score", "token"],
+                                ascending=[False, True])
+        return (rows.groupby("source", sort=False).head(k)
+                [["source", "token", "tf", "df", "score"]])
+
+    cands = both.groupby("jbucket").map_groups(score_bucket,
+                                               batch_format="pandas")
+
+    def final_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "token"], ascending=[False, True])
+        g = g.groupby("source", sort=False).head(k).copy()
+        g["term_rank"] = (g.groupby("source", sort=False).cumcount()
+                          .astype("int64") + 1)
+        return g[["source", "token", "tf", "df", "score", "term_rank"]]
+
+    return (cands.repartition(8)
+            .map_batches(_tag_bucket(["source"]), batch_format="pyarrow")
+            .groupby("_kb").map_groups(final_rank, batch_format="pandas"))
+
+
+def _source_terms_oracle_sql(k: int = 5) -> str:
+    from ..functions.sqlmirror import tokens_sql
+    toks = tokens_sql("coalesce(text,'')")
+    return (
+        f"WITH st_d AS (SELECT doc_id, source, {toks} AS t "
+        "FROM documents), "
+        "st_u AS (SELECT doc_id, source, unnest(t) AS token FROM st_d), "
+        "st_tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf "
+        "FROM st_u GROUP BY 1, 2), "
+        "st_df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) "
+        "AS df FROM st_u GROUP BY 1), "
+        "st_n AS (SELECT count(*) AS n FROM documents), "
+        "st_s AS (SELECT f.source, f.token, f.tf, d.df, "
+        "CAST(f.tf * (SELECT n FROM st_n) // d.df AS BIGINT) AS score "
+        "FROM st_tf f JOIN st_df d USING (token)) "
+        "SELECT source, token, tf, df, score, "
+        "CAST(term_rank AS BIGINT) AS term_rank FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY source "
+        "ORDER BY score DESC, token) AS term_rank FROM st_s) "
+        f"WHERE term_rank <= {k}")
+
+
 PR_SALT = 0x7A6E_4A9B_0C71_0005  # pagerank edge draw (< 2^63)
 
 
@@ -2354,6 +2492,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "export_shards": _export_shards_oracle_sql(),
     "host_pagerank": _pagerank_oracle_sql(),
     "boilerplate_stats": _boilerplate_oracle_sql(),
+    "source_terms": _source_terms_oracle_sql(),
     "dedup_minhash_pairs": _minhash_pairs_oracle_sql(),
     "dedup_minhash_remove": _minhash_remove_oracle_sql(),
     "dedup_embedding_pairs": _embedding_pairs_oracle_sql(),

@@ -313,3 +313,26 @@ def test_boilerplate_stats_hot_threshold(ray_session, tmp_path):
     body_len = out.index.map(
         lambda i: len(f"unique body {i} of document")).to_numpy()
     assert (out["n_chars_kept"].to_numpy() == body_len).all()
+
+
+def test_source_terms_idf_ranking(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.training import q_source_terms
+    # "common" appears in every doc (df=8 -> low score); each source
+    # has an exclusive marker token (df=4 -> double the score)
+    df = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "source": ["sA"] * 4 + ["sB"] * 4,
+        "text": [f"common alpha{'x' if i % 2 else ''}" for i in range(4)]
+              + [f"common beta{'x' if i % 2 else ''}" for i in range(4)],
+    })
+    df["text"] = df["text"].str.replace(r"alphax?", "alpha", regex=True) \
+        .str.replace(r"betax?", "beta", regex=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    out = q_source_terms(str(tmp_path), k=2).to_pandas()
+    top = out[out.term_rank == 1].set_index("source")["token"]
+    assert top["sA"] == "alpha" and top["sB"] == "beta"
+    a = out[(out.source == "sA") & (out.token == "alpha")].iloc[0]
+    assert a.tf == 4 and a.df == 4 and a.score == 4 * 8 // 4
+    c = out[(out.source == "sA") & (out.token == "common")].iloc[0]
+    assert c.score == 4 * 8 // 8
