@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": qt.q_host_pagerank,
         "boilerplate_stats": qt.q_boilerplate_stats,
         "source_terms": qt.q_source_terms,
+        "q13_customer_distribution": qa.q_q13_customer_distribution,
         # PII redaction over deterministically injected spans; SQL
         # twin generated from the same RE2 pattern list
         "redact_pii": qt.q_redact_pii,

@@ -1227,6 +1227,68 @@ def q_union_names(sf_dir: str):
     return r.union(n)
 
 
+def q_q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape — LEFT OUTER join + distribution histogram:
+    orders per customer INCLUDING zero-order customers, then the
+    (c_count, custdist) histogram.
+
+    Scale shape: per-batch order counts by custkey (combiner) →
+    bucketed merge; the left join is the tagged-union bucketed shape
+    (customer keys + count rows share one token-bucketed shuffle, no
+    broadcast of the data-sized customer side); each bucket emits its
+    c_count histogram PARTIAL, and the final merge is enum-keyed
+    (c_count has a config-sized domain) so the driver reduce is a few
+    dozen rows."""
+    from ..functions.bucketing import tag_bucket_fn
+
+    ords = read_table(sf_dir, "orders", columns=["o_custkey"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def cnt_partials(batch: pa.Table) -> pa.Table:
+        k = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(k, return_counts=True)
+        return pa.table({"c_custkey": pa.array(u.astype(np.int64)),
+                         "n_orders": pa.array(c.astype(np.int64))})
+
+    counts = _merge_partials_ray(
+        ords.map_batches(cnt_partials, batch_format="pyarrow"),
+        ["c_custkey"], ["n_orders"])
+
+    tag = tag_bucket_fn(["c_custkey"], 64, "jbucket")
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        return tag(pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "n_orders": pa.nulls(t.num_rows, pa.int64())}))
+
+    def tag_counts(t: pa.Table) -> pa.Table:
+        return tag(pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "n_orders": pc.cast(t["n_orders"], pa.int64())}))
+
+    both = (cust.map_batches(tag_cust, batch_format="pyarrow")
+            .union(counts.map_batches(tag_counts, batch_format="pyarrow"))
+            .repartition(32))
+
+    def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt_rows = g[g["n_orders"].notna()]
+        per_cust = dict(zip(cnt_rows["c_custkey"],
+                            cnt_rows["n_orders"].astype("int64")))
+        keys = g.loc[g["n_orders"].isna(), "c_custkey"]
+        cc = keys.map(per_cust).fillna(0).astype("int64")
+        u, n = np.unique(cc.to_numpy(), return_counts=True)
+        return pd.DataFrame({"c_count": u.astype("int64"),
+                             "custdist": n.astype("int64")})
+
+    parts = (both.groupby("jbucket")
+             .map_groups(hist_bucket, batch_format="pandas").to_pandas())
+    out = (parts.groupby("c_count", as_index=False)["custdist"].sum()
+           .sort_values(["custdist", "c_count"],
+                        ascending=[False, False])
+           .reset_index(drop=True))
+    return out.astype("int64")
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HLL distinct estimate (mergeable sketch per batch → tiny
     merge). ORACLE-CHECKED end to end: the sketch registers are a
@@ -1328,6 +1390,12 @@ def _hll_oracle_sql(p: int = 12) -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "q13_customer_distribution":
+        "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM "
+        "(SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count "
+        "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+        "GROUP BY 1) GROUP BY c_count "
+        "ORDER BY custdist DESC, c_count DESC",
     "approx_distinct_users": _hll_oracle_sql(),
     "g1_status_histogram":
         "SELECT o_orderstatus, count(*) AS n_items FROM orders GROUP BY o_orderstatus",
