@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # repetition quality filters / context-window chunking /
         # deterministic output shuffle / grouped reservoir (r03 s5)
         "repetition_stats": qt.q_repetition_stats,
+        "quality_classifier": qt.q_quality_classifier,
         "chunk_documents": qt.q_chunk_documents,
         "shuffle_shards": qt.q_shuffle_shards,
         "sample_per_source": qt.q_sample_per_source,
@@ -73,6 +74,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_stats": qt.q_boilerplate_stats,
         "source_terms": qt.q_source_terms,
         "q13_customer_distribution": qa.q_q13_customer_distribution,
+        # extended TPC-H anchors (r03 s6): widest multi-way join (Q5),
+        # join + ranked top-k (Q10), view + max subquery (Q15),
+        # group-having semi-join (Q18)
+        "q5_local_supplier_volume": qa.q_q5_local_supplier_volume,
+        "q10_returned_items": qa.q_q10_returned_items,
+        "q15_top_supplier": qa.q_q15_top_supplier,
+        "q18_large_volume_customers": qa.q_q18_large_volume_customers,
         # PII redaction over deterministically injected spans; SQL
         # twin generated from the same RE2 pattern list
         "redact_pii": qt.q_redact_pii,

@@ -1336,6 +1336,359 @@ def q_crawl_direct(sf_dir: str):
 
 
 # ----------------------------------------------------------------------
+# extended TPC-H anchors (round 3): multi-way joins, having, top-k
+# ----------------------------------------------------------------------
+
+def _rev_e4(batch: pa.Table, price: str = "l_extendedprice",
+            disc: str = "l_discount") -> pa.Array:
+    """Exact-integer revenue units: round(price*100) * (100 -
+    round(disc*100)) — the q1/j2 determinism convention."""
+    price_c = pc.cast(pc.round(pc.multiply(batch[price], 100.0)), pa.int64())
+    disc_c = pc.cast(pc.round(pc.multiply(batch[disc], 100.0)), pa.int64())
+    return pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+
+
+def _tagged_union_join(left: rd.Dataset, right: rd.Dataset, key: str,
+                       join_bucket, num_buckets: int = 64,
+                       num_parts: int = 32) -> rd.Dataset:
+    """Large-large bucketed hash join core (the j2/q13 shape, shared):
+    both sides already carry aligned schemas plus a ``side`` column;
+    tag bucket = hash(key) % B on each, union, consolidate blocks,
+    and run ``join_bucket`` (a pandas group fn) per bucket. Every key
+    lands wholly in one bucket, so per-bucket joins are exact."""
+    tag = _tag_bucket([key], num_buckets, "_jb")
+    both = (left.map_batches(tag, batch_format="pyarrow")
+            .union(right.map_batches(tag, batch_format="pyarrow"))
+            .repartition(num_parts))
+    return both.groupby("_jb").map_groups(join_bucket, batch_format="pandas")
+
+
+def q_q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — the engine's widest join: revenue by nation
+    where the CUSTOMER and the SUPPLIER sit in the same ASIA nation,
+    for 1996 orders. Six tables, three join strategies, each chosen by
+    side size (the hybrid plan a 100-TB run needs):
+
+    - nation ⋈ region: config-sized (25 x 5 rows) — resolved on the
+      driver into a qualifying-nationkey set;
+    - lineitem ⋈ supplier: fact ⋈ dimension — supplier's
+      (s_suppkey → s_nationkey) map is broadcast once via ``ray.put``
+      as sorted parallel arrays and probed with ``np.searchsorted``
+      inside ``map_batches`` (the j1 pattern; supplier is ~1/10^4 of
+      lineitem at any TPC-H scale);
+    - lineitem ⋈ orders on orderkey, then ⋈ customer on custkey:
+      large-large — BOTH run the tagged-union bucketed hash join (the
+      j2 shape), with map-side combine shrinking the exchanged fact
+      rows before each shuffle.
+
+    The final group key is n_nationkey (enum-sized) so the last merge
+    is driver-side over ≤25 x buckets rows."""
+    import pyarrow.parquet as pq
+    lo = pa.scalar(np.datetime64("1996-01-01T00:00:00", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01T00:00:00", "us"))
+
+    # config-sized dimension resolve on the driver (25 x 5 rows)
+    nat = pq.read_table(f"{sf_dir.rstrip('/')}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir.rstrip('/')}/region.parquet").to_pandas()
+    asia_rk = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
+    nat_asia = nat[nat["n_regionkey"].isin(asia_rk)]
+    asia_nk = np.sort(nat_asia["n_nationkey"].to_numpy().astype(np.int64))
+    n_name = dict(zip(nat_asia["n_nationkey"].astype(int), nat_asia["n_name"]))
+
+    # supplier dimension broadcast: sorted (s_suppkey, s_nationkey),
+    # pre-filtered to ASIA so non-qualifying rows drop at the probe
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].astype(np.int64).isin(asia_nk)]
+    order_idx = np.argsort(supp["s_suppkey"].to_numpy())
+    sk_sorted = supp["s_suppkey"].to_numpy().astype(np.int64)[order_idx]
+    snk_sorted = supp["s_nationkey"].to_numpy().astype(np.int64)[order_idx]
+    supp_ref = ray.put((sk_sorted, snk_sorted))
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.and_(pc.greater_equal(batch["o_orderdate"], lo),
+                                 pc.less(batch["o_orderdate"], hi)))
+        n = b.num_rows
+        return pa.table({
+            "key": pc.cast(b["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+            "s_nationkey": pa.nulls(n, pa.int64()),
+            "revenue_e4": pa.nulls(n, pa.int64()),
+            "side": pa.array(["o"] * n)})
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        ks, nks = ray.get(supp_ref)
+        probe = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(ks, probe), 0, max(len(ks) - 1, 0))
+        hit = (ks[pos] == probe) if len(ks) else np.zeros(len(probe), bool)
+        b = batch.filter(pa.array(hit))
+        snk = nks[np.clip(np.searchsorted(ks, b["l_suppkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)), 0, max(len(ks) - 1, 0))] \
+            if len(ks) else np.empty(0, np.int64)
+        t = pa.table({"key": pc.cast(b["l_orderkey"], pa.int64()),
+                      "s_nationkey": pa.array(snk, pa.int64()),
+                      "revenue_e4": _rev_e4(b)})
+        # map-side combine before shuffle #1
+        g = t.group_by(["key", "s_nationkey"]).aggregate([("revenue_e4", "sum")])
+        g = g.rename_columns(["key", "s_nationkey", "revenue_e4"])
+        return pa.table({"key": g["key"],
+                         "o_custkey": pa.nulls(g.num_rows, pa.int64()),
+                         "s_nationkey": g["s_nationkey"],
+                         "revenue_e4": g["revenue_e4"],
+                         "side": pa.array(["l"] * g.num_rows)})
+
+    def join1(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "l"][["key", "s_nationkey", "revenue_e4"]]
+        right = g[g["side"] == "o"][["key", "o_custkey"]]
+        m = left.merge(right, on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                                 "s_nationkey": pd.Series([], dtype="int64"),
+                                 "revenue_e4": pd.Series([], dtype="int64")})
+        # combine per (custkey, s_nationkey) before shuffle #2
+        out = (m.groupby(["o_custkey", "s_nationkey"], as_index=False)
+               ["revenue_e4"].sum())
+        return pd.DataFrame({"key": out["o_custkey"].astype("int64"),
+                             "s_nationkey": out["s_nationkey"].astype("int64"),
+                             "revenue_e4": out["revenue_e4"].astype("int64")})
+
+    fact1 = _tagged_union_join(
+        li.map_batches(li_side, batch_format="pyarrow"),
+        orders.map_batches(ord_side, batch_format="pyarrow"),
+        "key", join1)
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(pc.cast(batch["c_nationkey"], pa.int64()),
+                                  value_set=pa.array(asia_nk, pa.int64())))
+        n = b.num_rows
+        return pa.table({"key": pc.cast(b["c_custkey"], pa.int64()),
+                         "s_nationkey": pa.nulls(n, pa.int64()),
+                         "revenue_e4": pa.nulls(n, pa.int64()),
+                         "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+                         "side": pa.array(["c"] * n)})
+
+    def fact_side(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch["key"],
+                         "s_nationkey": batch["s_nationkey"],
+                         "revenue_e4": batch["revenue_e4"],
+                         "c_nationkey": pa.nulls(batch.num_rows, pa.int64()),
+                         "side": pa.array(["f"] * batch.num_rows)})
+
+    def join2(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "f"][["key", "s_nationkey", "revenue_e4"]]
+        right = g[g["side"] == "c"][["key", "c_nationkey"]]
+        m = left.merge(right, on="key", how="inner")
+        m = m[m["s_nationkey"] == m["c_nationkey"]]
+        if m.empty:
+            return pd.DataFrame({"n_nationkey": pd.Series([], dtype="int64"),
+                                 "revenue_e4": pd.Series([], dtype="int64")})
+        out = m.groupby("s_nationkey", as_index=False)["revenue_e4"].sum()
+        return pd.DataFrame({"n_nationkey": out["s_nationkey"].astype("int64"),
+                             "revenue_e4": out["revenue_e4"].astype("int64")})
+
+    parts = _tagged_union_join(
+        fact1.map_batches(fact_side, batch_format="pyarrow"),
+        cust.map_batches(cust_side, batch_format="pyarrow"),
+        "key", join2)
+
+    final = _merge_partials(parts, ["n_nationkey"], ["revenue_e4"])
+    if final.empty:
+        return pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                             "revenue_e4": pd.Series([], dtype="int64")})
+    final["n_name"] = final["n_nationkey"].map(n_name)
+    final["revenue_e4"] = final["revenue_e4"].astype("int64")
+    return (final[["n_name", "revenue_e4"]]
+            .sort_values(["revenue_e4", "n_name"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def q_q10_returned_items(sf_dir: str, k: int = 20):
+    """TPC-H Q10 shape — returned-item revenue top-k: customers ranked
+    by revenue from 'R'-flag lineitems on 1996-Q1 orders. Plan:
+    date-filtered orders ⋈ flag-filtered lineitem on orderkey via the
+    tagged-union bucketed join (both sides data-sized), per-custkey
+    revenue merged IN RAY (custkeys are data-sized), per-block partial
+    top-k, and only the ≤k winners pick up c_name through a
+    predicate-pushdown read."""
+    import pyarrow.parquet as pq
+    lo = pa.scalar(np.datetime64("1996-01-01T00:00:00", "us"))
+    hi = pa.scalar(np.datetime64("1996-04-01T00:00:00", "us"))
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.and_(pc.greater_equal(batch["o_orderdate"], lo),
+                                 pc.less(batch["o_orderdate"], hi)))
+        return pa.table({"key": pc.cast(b["o_orderkey"], pa.int64()),
+                         "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                         "revenue_e4": pa.nulls(b.num_rows, pa.int64()),
+                         "side": pa.array(["o"] * b.num_rows)})
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_returnflag",
+                             "l_extendedprice", "l_discount"])
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        t = pa.table({"key": pc.cast(b["l_orderkey"], pa.int64()),
+                      "revenue_e4": _rev_e4(b)})
+        g = t.group_by("key").aggregate([("revenue_e4", "sum")])
+        g = g.rename_columns(["key", "revenue_e4"])
+        return pa.table({"key": g["key"],
+                         "o_custkey": pa.nulls(g.num_rows, pa.int64()),
+                         "revenue_e4": g["revenue_e4"],
+                         "side": pa.array(["l"] * g.num_rows)})
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "l"][["key", "revenue_e4"]]
+        right = g[g["side"] == "o"][["key", "o_custkey"]]
+        m = left.merge(right, on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                                 "revenue_e4": pd.Series([], dtype="int64")})
+        out = m.groupby("o_custkey", as_index=False)["revenue_e4"].sum()
+        return pd.DataFrame({"c_custkey": out["o_custkey"].astype("int64"),
+                             "revenue_e4": out["revenue_e4"].astype("int64")})
+
+    per_cust = _merge_partials_ray(
+        _tagged_union_join(li.map_batches(li_side, batch_format="pyarrow"),
+                           orders.map_batches(ord_side, batch_format="pyarrow"),
+                           "key", join_bucket),
+        ["c_custkey"], ["revenue_e4"])
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        return batch.sort_by([("revenue_e4", "descending"),
+                              ("c_custkey", "ascending")]).slice(0, k)
+
+    agg = per_cust.map_batches(topk_block, batch_format="pyarrow").to_pandas()
+    agg["revenue_e4"] = agg["revenue_e4"].astype("int64")
+    agg = (agg.sort_values(["revenue_e4", "c_custkey"],
+                           ascending=[False, True]).head(k)
+           .reset_index(drop=True))
+    win = pq.read_table(
+        f"{sf_dir.rstrip('/')}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        filters=[("c_custkey", "in", [int(x) for x in agg["c_custkey"]])]
+    ).to_pandas()
+    agg = agg.merge(win, on="c_custkey", how="left")
+    return agg[["c_custkey", "c_name", "revenue_e4"]]
+
+
+def q_q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — top supplier by quarter revenue (the view +
+    max subquery): per-suppkey revenue partials merged IN RAY, global
+    max via per-block partial max (≤1 row per block reaches the
+    driver), winners filtered in the cluster, names via a
+    predicate-pushdown read. Returns ALL max-tied suppliers, like the
+    spec."""
+    import pyarrow.parquet as pq
+    lo = pa.scalar(np.datetime64("1996-01-01T00:00:00", "us"))
+    hi = pa.scalar(np.datetime64("1996-04-01T00:00:00", "us"))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                                 pc.less(batch["l_shipdate"], hi)))
+        t = pa.table({"s_suppkey": pc.cast(b["l_suppkey"], pa.int64()),
+                      "total_revenue_e4": _rev_e4(b)})
+        g = t.group_by("s_suppkey").aggregate([("total_revenue_e4", "sum")])
+        return g.rename_columns(["s_suppkey", "total_revenue_e4"])
+
+    per_supp = _merge_partials_ray(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["s_suppkey"], ["total_revenue_e4"])
+
+    def max_block(batch: pa.Table) -> pa.Table:
+        m = pc.max(batch["total_revenue_e4"])
+        return pa.table({"m": pa.array([m.as_py()], pa.int64())})
+
+    blocks = per_supp.map_batches(max_block, batch_format="pyarrow").to_pandas()
+    best = int(blocks["m"].max())
+
+    winners = per_supp.map_batches(
+        lambda t: t.filter(pc.equal(t["total_revenue_e4"], best)),
+        batch_format="pyarrow").to_pandas()
+    win = pq.read_table(
+        f"{sf_dir.rstrip('/')}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", [int(x) for x in winners["s_suppkey"]])]
+    ).to_pandas()
+    out = winners.merge(win, on="s_suppkey", how="left")
+    out["total_revenue_e4"] = out["total_revenue_e4"].astype("int64")
+    return (out[["s_suppkey", "s_name", "total_revenue_e4"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+def q_q18_large_volume_customers(sf_dir: str, qty_threshold: int = 300):
+    """TPC-H Q18 shape — GROUP BY ... HAVING semi-join: orders whose
+    total lineitem quantity exceeds the threshold, joined back to
+    orders + customer. The having-filter runs INSIDE the distributed
+    merge (per-bucket groups filter locally before anything reaches
+    the driver); only the spec-tiny winner set is collected and both
+    back-joins are predicate-pushdown reads over it."""
+    import pyarrow.parquet as pq
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+                      "total_qty": pc.cast(pc.round(batch["l_quantity"]),
+                                           pa.int64())})
+        g = t.group_by("o_orderkey").aggregate([("total_qty", "sum")])
+        return g.rename_columns(["o_orderkey", "total_qty"])
+
+    merged = _merge_partials_ray(
+        li.map_batches(qty_partial, batch_format="pyarrow"),
+        ["o_orderkey"], ["total_qty"])
+    winners = merged.map_batches(
+        lambda t: t.filter(pc.greater(t["total_qty"], qty_threshold)),
+        batch_format="pyarrow").to_pandas()
+    if winners.empty:
+        return pd.DataFrame({
+            "c_custkey": pd.Series([], dtype="int64"),
+            "c_name": pd.Series([], dtype="object"),
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "o_totalprice_c": pd.Series([], dtype="int64"),
+            "total_qty": pd.Series([], dtype="int64")})
+
+    ords = pq.read_table(
+        f"{sf_dir.rstrip('/')}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        filters=[("o_orderkey", "in", [int(x) for x in winners["o_orderkey"]])]
+    ).to_pandas()
+    cust = pq.read_table(
+        f"{sf_dir.rstrip('/')}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        filters=[("c_custkey", "in", [int(x) for x in ords["o_custkey"]])]
+    ).to_pandas()
+    out = (winners.merge(ords, on="o_orderkey")
+           .merge(cust, left_on="o_custkey", right_on="c_custkey"))
+    out["o_totalprice_c"] = (out["o_totalprice"] * 100).round().astype("int64")
+    out["total_qty"] = out["total_qty"].astype("int64")
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return (out[["c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                 "o_totalprice_c", "total_qty"]]
+            .sort_values(["o_totalprice_c", "o_orderkey"],
+                         ascending=[False, True])
+            .reset_index(drop=True))
+
+
+# ----------------------------------------------------------------------
 # oracle SQL (column names and rounding MUST match the fns above)
 # ----------------------------------------------------------------------
 
@@ -1390,6 +1743,48 @@ def _hll_oracle_sql(p: int = 12) -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "q5_local_supplier_volume":
+        "WITH rev AS (SELECT n_name, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS r "
+        "FROM customer, orders, lineitem, supplier, nation, region "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+        "AND r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01' "
+        "AND o_orderdate < DATE '1997-01-01') "
+        "SELECT n_name, CAST(sum(r) AS BIGINT) AS revenue_e4 FROM rev "
+        "GROUP BY n_name ORDER BY revenue_e4 DESC, n_name",
+    "q10_returned_items":
+        "WITH rev AS (SELECT o_custkey AS c_custkey, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4 "
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE l_returnflag = 'R' AND o_orderdate >= DATE '1996-01-01' "
+        "AND o_orderdate < DATE '1996-04-01' GROUP BY 1) "
+        "SELECT c_custkey, c_name, revenue_e4 FROM rev JOIN customer USING (c_custkey) "
+        "ORDER BY revenue_e4 DESC, c_custkey LIMIT 20",
+    "q15_top_supplier":
+        "WITH rev AS (SELECT l_suppkey AS s_suppkey, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+        "AS total_revenue_e4 FROM lineitem "
+        "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01' "
+        "GROUP BY 1) "
+        "SELECT s_suppkey, s_name, total_revenue_e4 FROM rev "
+        "JOIN supplier USING (s_suppkey) "
+        "WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev) "
+        "ORDER BY s_suppkey",
+    "q18_large_volume_customers":
+        "WITH big AS (SELECT l_orderkey AS o_orderkey, "
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty "
+        "FROM lineitem GROUP BY 1 "
+        "HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300) "
+        "SELECT c_custkey, c_name, o_orderkey, o_orderdate, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_c, total_qty "
+        "FROM big JOIN orders USING (o_orderkey) "
+        "JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY o_totalprice_c DESC, o_orderkey",
     "q13_customer_distribution":
         "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM "
         "(SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count "

@@ -250,6 +250,41 @@ def q_repetition_stats(sf_dir: str):
     return ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
 
 
+def q_quality_classifier(sf_dir: str):
+    """Hashed LINEAR QUALITY CLASSIFIER scoring (the fasttext /
+    hashing-trick shape, integer-quantized so the gate can hash it):
+    logit(doc) = sum of w(token) over token occurrences, w(token) =
+    (stable_hash64(token) % 2001) - 1000. One vectorized pass, no
+    shuffle — a learned model would broadcast its weight array via
+    ``ray.put`` into the same batch fn. ORACLE-CHECKED: DuckDB
+    recomputes every distinct token's hash (shared recursive-CTE
+    mirror), derives the same weights, and re-sums per doc."""
+    from ..stages.text import classifier_score_batch
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(classifier_score_batch, batch_format="pyarrow")
+
+
+def _quality_classifier_oracle_sql() -> str:
+    from ..functions.sqlmirror import stable_hash64_cte, tokens_sql
+    from ..stages.text import QC_BIAS, QC_MOD
+    toks = tokens_sql("coalesce(text,'')")
+    tok_with, tok_cte = stable_hash64_cte(
+        f"SELECT DISTINCT unnest({toks}) AS s FROM documents",
+        "s", {"h": 0}, prefix="qc_h")
+    return tok_with + (
+        f", qc_tok AS (SELECT doc_id, unnest({toks}) AS tok "
+        "FROM documents), "
+        f"qc_w AS (SELECT s, CAST(h % {QC_MOD} AS BIGINT) - {QC_BIAS} "
+        f"AS w FROM {tok_cte}), "
+        "qc_sum AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS logit, "
+        "CAST(count(*) AS BIGINT) AS n_tokens "
+        "FROM qc_tok JOIN qc_w ON tok = s GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(s.logit, 0) AS logit, "
+        "coalesce(s.n_tokens, 0) AS n_tokens, "
+        "CAST(coalesce(s.logit, 0) > 0 AS BIGINT) AS keep "
+        "FROM documents d LEFT JOIN qc_sum s USING (doc_id)")
+
+
 def q_chunk_documents(sf_dir: str):
     """Context-window CHUNKING: explode each doc into 64-token
     windows at stride 48 (the training-sequence slicing op);
@@ -2485,6 +2520,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "text_fingerprint": _fingerprint_oracle_sql(),
     "redact_pii": _redact_oracle_sql(),
     "repetition_stats": _repetition_oracle_sql(),
+    "quality_classifier": _quality_classifier_oracle_sql(),
     "chunk_documents": _chunk_oracle_sql(),
     "shuffle_shards": _shuffle_shards_oracle_sql(),
     "sample_per_source": _sample_per_source_oracle_sql(),

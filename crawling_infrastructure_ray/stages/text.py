@@ -250,3 +250,54 @@ def redact_batch(batch: pa.Table, column: str = "text") -> pa.Table:
         col = pc.replace_substring_regex(col, pat, repl)
     return pa.table({"doc_id": batch["doc_id"], "text": col,
                      "n_redactions": pa.array(n_red)})
+
+
+# hashed-linear-classifier weight space: w(token) =
+# (stable_hash64(token) % QC_MOD) - QC_BIAS, an integer in
+# [-1000, 1000]. The hashing-trick linear model (public fasttext /
+# Vowpal-Wabbit shape) with integer-quantized weights so the logit is
+# EXACT and the DuckDB oracle can recompute it bit-for-bit — a real
+# model would ship learned weights as a broadcast array; the scoring
+# plumbing (per-batch vectorized featurize → weight lookup → per-doc
+# reduce) is identical.
+QC_MOD = 2001
+QC_BIAS = 1000
+
+
+def classifier_score_batch(batch: pa.Table,
+                           column: str = "text") -> pa.Table:
+    """Hashed linear quality-classifier scoring: logit(doc) = sum over
+    token occurrences of w(token). Fully vectorized — one RE2 split,
+    factorize so only DISTINCT tokens pay the string hash, bincount
+    per doc (weights are |w| <= 1000 ints and docs are < 2^40 tokens,
+    so the float64 bincount accumulator stays exact far below 2^53).
+    Embarrassingly parallel; no shuffle."""
+    import pandas as pd
+
+    from ..functions.hashing import stable_hash64_np
+
+    stripped = pc.utf8_trim_whitespace(pc.fill_null(batch[column], ""))
+    lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    ndocs = len(lists)
+    offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    raw_lens = np.diff(offs)
+    empty = np.asarray(pc.equal(stripped, "").to_numpy(zero_copy_only=False))
+    n_tok = np.where(empty, 0, raw_lens)
+
+    logit = np.zeros(ndocs, dtype=np.int64)
+    if int(raw_lens.sum()):
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(flat)
+        w = (stable_hash64_np(uniq) % np.uint64(QC_MOD)).astype(np.int64) \
+            - QC_BIAS
+        docidx = np.repeat(np.arange(ndocs), raw_lens)
+        valid = ~empty[docidx]  # empty docs split to a single '' token
+        logit = np.bincount(docidx[valid], weights=w[codes][valid],
+                            minlength=ndocs).astype(np.int64)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "logit": pa.array(logit, pa.int64()),
+        "n_tokens": pa.array(n_tok, pa.int64()),
+        "keep": pa.array((logit > 0).astype(np.int64), pa.int64())})
