@@ -1101,6 +1101,31 @@ def q_ann_ivf_topk(sf_dir: str):
     return index.search(q, qids, k=10, nprobe=3)
 
 
+def q_knn_graph(sf_dir: str, k: int = 5):
+    """Exact k-NN GRAPH over the embeddings table (the SemDeDup /
+    clustering prerequisite): each vector's top-5 neighbors by
+    integer-exact e3-quantized dot product. ORACLE-CHECKED bit-for-bit
+    — DuckDB re-quantizes with the same floor(x*1000+0.5) double
+    expression and re-ranks via list_dot_product (products and sums
+    are integers far below 2^53, so the double kernel is exact)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ss.knn_graph_brute(ds, k=k)
+
+
+def _knn_graph_oracle_sql(k: int = 5) -> str:
+    return (
+        "WITH q AS (SELECT vec_id, list_transform(embedding, "
+        "x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS qe FROM embeddings), "
+        "sims AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+        "CAST(list_dot_product(a.qe, b.qe) AS BIGINT) AS dot_e6 "
+        "FROM q a CROSS JOIN q b WHERE a.vec_id <> b.vec_id), "
+        "ranked AS (SELECT vec_id, neighbor_id, dot_e6, "
+        "row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY dot_e6 DESC, neighbor_id) AS rank FROM sims) "
+        "SELECT vec_id, neighbor_id, dot_e6, CAST(rank AS BIGINT) AS rank "
+        f"FROM ranked WHERE rank <= {k}")
+
+
 def q_ann_ivf_full_probe(sf_dir: str):
     """IVF search with nprobe = n_centroids: every partition is
     scanned, so the result is EXACT by construction — which makes the
@@ -2633,6 +2658,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
         "CAST(CASE WHEN cjk THEN 10000 WHEN n = 0 THEN 0 "
         "ELSE (greatest(h_en, h_es, h_de, h_fr) * 10000) // n END AS BIGINT) "
         "AS lang_score_e4 FROM h",
+    "knn_graph": _knn_graph_oracle_sql(),
     "ann_brute_topk":
         "WITH sims AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
         "list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim "

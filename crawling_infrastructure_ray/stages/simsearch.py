@@ -265,3 +265,66 @@ class IVFIndex:
         return (out.sort_values(["query_id", "rank"])
                 [["query_id", "neighbor_id", "cosine", "rank"]]
                 .reset_index(drop=True))
+
+
+# ----------------------------------------------------------------------
+# k-NN graph construction (SemDeDup / clustering prerequisite)
+# ----------------------------------------------------------------------
+
+def quantize_e3(mat: np.ndarray) -> np.ndarray:
+    """Half-up e3 quantization, float64-exact: floor(x*1000 + 0.5).
+    Deliberately NOT np.round (banker's): DuckDB's round() is
+    half-away-from-zero, and float32 multiples of 1/16 hit exact .5
+    midpoints under *1000 — floor(+0.5) is the same IEEE double
+    expression on both engines, so quantized values agree bit-for-bit."""
+    return np.floor(mat * 1000.0 + 0.5)
+
+
+def knn_graph_brute(ds: rd.Dataset, k: int = 5, *,
+                    id_column: str = "vec_id",
+                    column: str = "embedding") -> rd.Dataset:
+    """Exact k-NN GRAPH over an embedding column: every vector's top-k
+    neighbors by integer dot product of e3-quantized vectors
+    (|dot| <= dim x 10^6 — exact in the float64 matmul, exact in the
+    gate). Output: (vec_id, neighbor_id, dot_e6, rank), rank 1..k with
+    the (dot desc, neighbor_id asc) tie-break.
+
+    BRUTE baseline: the quantized corpus is broadcast ONCE via
+    ``ray.put`` and each batch does one matmul against it — O(n^2)
+    compute, O(n x dim) broadcast. That is the correct shape up to
+    ~10^6 vectors (a few GB of plasma, shared per node, never
+    re-shipped per batch); past that the scale path is the IVF layout
+    (``IVFIndex``): assign vectors to centroid partitions and build
+    the graph within probed partitions only, trading exactness for
+    O(n^2 / n_centroids) — same per-batch kernel, corpus side swapped
+    for the partition."""
+    corpus = ds.to_pandas().sort_values(id_column).reset_index(drop=True)
+    ids_c = corpus[id_column].to_numpy().astype(np.int64)
+    q_c = quantize_e3(np.stack(corpus[column].to_numpy()).astype(np.float64))
+    ref = ray.put((ids_c, q_c))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cids, cq = ray.get(ref)
+        ids_b = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        bq = quantize_e3(_to_matrix(batch[column]))
+        sims = bq @ cq.T                    # float64, integer-exact
+        pos = np.clip(np.searchsorted(cids, ids_b), 0, max(len(cids) - 1, 0))
+        is_self = cids[pos] == ids_b
+        out_v, out_n, out_d, out_r = [], [], [], []
+        for i in range(len(ids_b)):
+            s = sims[i]
+            # (dot desc, neighbor_id asc); lexsort's LAST key is primary
+            order = np.lexsort((cids, -s))
+            if is_self[i]:
+                order = order[order != pos[i]]
+            top = order[:k]
+            out_v.extend([ids_b[i]] * len(top))
+            out_n.extend(cids[top].tolist())
+            out_d.extend(s[top].astype(np.int64).tolist())
+            out_r.extend(range(1, len(top) + 1))
+        return pa.table({"vec_id": pa.array(out_v, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "dot_e6": pa.array(out_d, pa.int64()),
+                         "rank": pa.array(out_r, pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow")
