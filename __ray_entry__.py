@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_full_probe": qt.q_ann_ivf_full_probe,
         # exact k-NN graph (SemDeDup prerequisite), integer-exact gate
         "knn_graph": qt.q_knn_graph,
+        "semdedup_remove": qt.q_semdedup_remove,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

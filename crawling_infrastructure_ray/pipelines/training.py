@@ -1126,6 +1126,57 @@ def _knn_graph_oracle_sql(k: int = 5) -> str:
         f"FROM ranked WHERE rank <= {k}")
 
 
+def q_semdedup_remove(sf_dir: str, k: int = 5, threshold_e6: int = 400_000):
+    """SemDeDup-style EMBEDDING near-dup removal (public SemDeDup
+    shape: prune all-but-one of each semantic-duplicate cluster):
+    k-NN-graph edges with quantized dot >= threshold → connected
+    components (driver-side union-find over the OUTPUT-sized edge
+    list, the minhash_remove convention) → distributed bucketed
+    anti-join keeps each cluster's least vec_id. ORACLE-CHECKED end to
+    end: DuckDB re-ranks the same integer-exact k-NN graph, applies
+    the same threshold, and closes components with a recursive
+    transitive-closure CTE."""
+    from ..stages.joins import bucketed_anti_join, union_find_components
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    g = ss.knn_graph_brute(ds, k=k)
+    edges = g.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["dot_e6"], threshold_e6))
+                   .select(["vec_id", "neighbor_id"]),
+        batch_format="pyarrow").to_pandas()
+    comp = union_find_components(
+        zip((int(x) for x in edges["vec_id"]),
+            (int(x) for x in edges["neighbor_id"])))
+    import ray.data as rd
+    removed = sorted(x for x, r in comp.items() if r != x)
+    rm = rd.from_arrow(
+        pa.table({"vec_id": pa.array(removed, pa.int64())}))
+    ids = ds.map_batches(lambda t: t.select(["vec_id"]),
+                         batch_format="pyarrow")
+    if not removed:
+        return ids
+    return bucketed_anti_join(ids, rm, on="vec_id")
+
+
+def _semdedup_oracle_sql(k: int = 5, threshold_e6: int = 400_000) -> str:
+    return (
+        "WITH RECURSIVE q AS (SELECT vec_id, list_transform(embedding, "
+        "x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS qe FROM embeddings), "
+        "sims AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+        "CAST(list_dot_product(a.qe, b.qe) AS BIGINT) AS dot_e6 "
+        "FROM q a CROSS JOIN q b WHERE a.vec_id <> b.vec_id), "
+        "ranked AS (SELECT vec_id, neighbor_id, dot_e6, "
+        "row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY dot_e6 DESC, neighbor_id) AS rank FROM sims), "
+        f"pairs AS (SELECT vec_id AS u, neighbor_id AS v FROM ranked "
+        f"WHERE rank <= {k} AND dot_e6 >= {threshold_e6}), "
+        "__e AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs), "
+        "__r AS (SELECT u, v FROM __e "
+        "UNION SELECT r.u, e.v FROM __r r JOIN __e e ON r.v = e.u), "
+        "__rep AS (SELECT u, least(u, min(v)) AS rep FROM __r GROUP BY u) "
+        "SELECT vec_id FROM embeddings WHERE vec_id NOT IN "
+        "(SELECT u FROM __rep WHERE rep <> u)")
+
+
 def q_ann_ivf_full_probe(sf_dir: str):
     """IVF search with nprobe = n_centroids: every partition is
     scanned, so the result is EXACT by construction — which makes the
@@ -2659,6 +2710,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
         "ELSE (greatest(h_en, h_es, h_de, h_fr) * 10000) // n END AS BIGINT) "
         "AS lang_score_e4 FROM h",
     "knn_graph": _knn_graph_oracle_sql(),
+    "semdedup_remove": _semdedup_oracle_sql(),
     "ann_brute_topk":
         "WITH sims AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
         "list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim "
