@@ -90,6 +90,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact k-NN graph (SemDeDup prerequisite), integer-exact gate
         "knn_graph": qt.q_knn_graph,
         "semdedup_remove": qt.q_semdedup_remove,
+        # substring-level (stride-1 rolling-hash) duplicate windows
+        "dedup_spans": qt.q_dedup_spans,
+        # grouped exact distinct + exact distributed median (no
+        # global sort; counts-only exchange)
+        "distinct_users_per_type": qa.q_distinct_users_per_type,
+        "median_value_per_type": qa.q_median_value_per_type,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

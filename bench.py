@@ -45,6 +45,27 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def calibrate() -> dict:
+    """Machine-speed probe emitted WITH every bench line, so a reader
+    can tell code changes from VM weather: same-code crawl best-of-3
+    has measured 10.8-18.1 s within one hour on this box (BASELINE.md
+    round-2/3 notes), and the probe moves with it. clean-box reference
+    values are recorded in BASELINE.md next to the headline numbers."""
+    import numpy as np
+    a = np.random.default_rng(0).standard_normal((1500, 1500))
+    t0 = time.perf_counter()
+    a @ a
+    a @ a
+    mat = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i
+    loop = time.perf_counter() - t0
+    return {"calib_matmul_s": round(mat, 3),
+            "calib_pyloop_s": round(loop, 3)}
+
+
 def run_bench() -> dict:
     import warnings
     warnings.filterwarnings("ignore")
@@ -145,7 +166,8 @@ def run_bench() -> dict:
            "queries": queries, "sf": SF_DIR, "num_cpus": NUM_CPUS,
            "reps": REPS, "politeness": POLITE,
            "crawl_urls_per_sec": round(crawl_tput, 1),
-           "crawl_urls_processed": res.urls_processed}
+           "crawl_urls_processed": res.urls_processed,
+           **calibrate()}
     ray.shutdown()
     return out
 
@@ -183,7 +205,9 @@ def run_scaling(pair: tuple[int, int] = (8, 32)) -> dict:
             f"e2e_sec_{lo}": results[lo]["value"],
             f"e2e_sec_{hi}": results[hi]["value"],
             f"queries_{lo}": results[lo]["queries"],
-            f"queries_{hi}": results[hi]["queries"]}
+            f"queries_{hi}": results[hi]["queries"],
+            f"calib_matmul_s_{lo}": results[lo].get("calib_matmul_s"),
+            f"calib_matmul_s_{hi}": results[hi].get("calib_matmul_s")}
 
 
 def run_stats(name: str) -> None:

@@ -1688,6 +1688,75 @@ def q_q18_large_volume_customers(sf_dir: str, qty_threshold: int = 300):
             .reset_index(drop=True))
 
 
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact PER-GROUP COUNT DISTINCT, distributed (the grouped form
+    of g6): per-batch (event_type, user_id) pair dedup (map-side
+    combine — repeated pairs never enter the exchange), bucket by the
+    pair hash so each pair lands wholly in one bucket, per-bucket
+    global dedup + per-type partial counts, tiny enum-keyed final
+    merge. The driver never sees a user id."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pair_dedup(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate([])
+        return g
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["event_type", "user_id"])
+        out = g.groupby("event_type", as_index=False).size()
+        return out.rename(columns={"size": "n_users"})
+
+    partials = (ds.map_batches(pair_dedup, batch_format="pyarrow")
+                .repartition(32)
+                .map_batches(_tag_bucket(["event_type", "user_id"]),
+                             batch_format="pyarrow")
+                .groupby("_kb").map_groups(count_bucket,
+                                           batch_format="pandas"))
+    out = _merge_partials(partials, ["event_type"], ["n_users"])
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_median_value_per_type(sf_dir: str):
+    """Exact DISTRIBUTED MEDIAN per group WITHOUT a global sort: the
+    value domain is integer cents (bounded), so per-batch
+    (event_type, v_c) counts are the combiner, the merged count table
+    is domain-sized, and the median falls out of a per-type cumsum at
+    index (n-1)//2 — the quantile_disc convention. Same shape scales
+    to any quantile vector; only counts cross the exchange."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v_c = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "v_c": v_c})
+        g = t.group_by(["event_type", "v_c"]).aggregate([("v_c", "count")])
+        return g.rename_columns(["event_type", "v_c", "n"])
+
+    merged = _merge_partials_ray(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "v_c"], ["n"])
+
+    def median_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in g.groupby("event_type", sort=False):
+            grp = grp.sort_values("v_c")
+            n = int(grp["n"].sum())
+            cum = grp["n"].cumsum().to_numpy()
+            idx = (n - 1) // 2
+            med = int(grp["v_c"].to_numpy()[np.searchsorted(cum, idx + 1)])
+            rows.append({"event_type": et, "n_events": n,
+                         "median_value_c": med})
+        return pd.DataFrame(rows)
+
+    out = (merged.map_batches(_tag_bucket(["event_type"]),
+                              batch_format="pyarrow")
+           .groupby("_kb").map_groups(median_bucket, batch_format="pandas")
+           .to_pandas())
+    for c in ("n_events", "median_value_c"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # ----------------------------------------------------------------------
 # oracle SQL (column names and rounding MUST match the fns above)
 # ----------------------------------------------------------------------
@@ -1785,6 +1854,15 @@ ORACLE_SQL: dict[str, str] = {
         "FROM big JOIN orders USING (o_orderkey) "
         "JOIN customer ON o_custkey = c_custkey "
         "ORDER BY o_totalprice_c DESC, o_orderkey",
+    "distinct_users_per_type":
+        "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+        "AS n_users FROM events GROUP BY event_type",
+    "median_value_per_type":
+        "WITH c AS (SELECT event_type, "
+        "CAST(round(value * 100) AS BIGINT) AS v_c FROM events) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "quantile_disc(v_c, 0.5) AS median_value_c FROM c "
+        "GROUP BY event_type",
     "q13_customer_distribution":
         "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM "
         "(SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count "

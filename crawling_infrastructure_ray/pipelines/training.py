@@ -1126,6 +1126,54 @@ def _knn_graph_oracle_sql(k: int = 5) -> str:
         f"FROM ranked WHERE rank <= {k}")
 
 
+def q_dedup_spans(sf_dir: str):
+    """SUBSTRING-LEVEL duplicate detection (Lee et al. 2022 shape,
+    fixed 16-token width at stride 1): per-doc count of token windows
+    whose rolling Rabin-Karp hash occurs in >= 2 distinct docs.
+    ORACLE-CHECKED bit-for-bit: DuckDB recomputes every window hash
+    directly (distinct-token stable_hash64 via the shared recursive
+    CTE, then the 16-term positional polynomial sum mod 2^64 — the
+    closed form of the engine's rolling-prefix computation) and
+    re-derives the same hot set and per-doc counts."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dd.dup_window_stats(ds)
+
+
+def _dedup_spans_oracle_sql(window: int = 16) -> str:
+    from ..functions.sqlmirror import M64, mul_mod64, stable_hash64_cte, tokens_sql
+    from ..stages.dedup import RK_P
+    toks = tokens_sql("coalesce(text,'')")
+    tok_with, tok_cte = stable_hash64_cte(
+        f"SELECT DISTINCT unnest({toks}) AS s FROM documents",
+        "s", {"h": 0}, prefix="ds_h")
+    consts = [pow(RK_P, window - 1 - j, 1 << 64) for j in range(window)]
+    case = ("CASE t.i - w.i " + " ".join(
+        f"WHEN {j} THEN CAST({mul_mod64('t.h', c)} AS HUGEINT)"
+        for j, c in enumerate(consts)) + " END")
+    return tok_with + (
+        f", ds_d AS (SELECT doc_id, {toks} AS t FROM documents), "
+        "ds_tok AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t "
+        "FROM ds_d), "
+        "ds_th AS (SELECT p.doc_id, p.i, th.h FROM "
+        "(SELECT doc_id, i, t[i] AS tok FROM ds_tok) p "
+        f"JOIN {tok_cte} th ON p.tok = th.s), "
+        f"ds_w AS (SELECT doc_id, unnest(range(1, len(t) - {window - 2})) "
+        f"AS i FROM ds_d WHERE len(t) >= {window}), "
+        f"ds_wh AS (SELECT w.doc_id, w.i, "
+        f"CAST(sum({case}) % {M64} AS UBIGINT) AS whash "
+        "FROM ds_w w JOIN ds_th t ON t.doc_id = w.doc_id "
+        f"AND t.i >= w.i AND t.i < w.i + {window} GROUP BY w.doc_id, w.i), "
+        "ds_hot AS (SELECT whash FROM ds_wh GROUP BY whash "
+        "HAVING count(DISTINCT doc_id) >= 2), "
+        "ds_dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup "
+        "FROM ds_wh WHERE whash IN (SELECT whash FROM ds_hot) "
+        "GROUP BY doc_id), "
+        f"ds_tot AS (SELECT doc_id, CAST(greatest(len({toks}) - "
+        f"{window - 1}, 0) AS BIGINT) AS n_windows FROM documents) "
+        "SELECT t.doc_id, t.n_windows, coalesce(d.n_dup, 0) "
+        "AS n_dup_windows FROM ds_tot t LEFT JOIN ds_dup d USING (doc_id)")
+
+
 def q_semdedup_remove(sf_dir: str, k: int = 5, threshold_e6: int = 400_000):
     """SemDeDup-style EMBEDDING near-dup removal (public SemDeDup
     shape: prune all-but-one of each semantic-duplicate cluster):
@@ -2711,6 +2759,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
         "AS lang_score_e4 FROM h",
     "knn_graph": _knn_graph_oracle_sql(),
     "semdedup_remove": _semdedup_oracle_sql(),
+    "dedup_spans": _dedup_spans_oracle_sql(),
     "ann_brute_topk":
         "WITH sims AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
         "list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim "

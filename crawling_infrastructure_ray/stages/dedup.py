@@ -885,3 +885,150 @@ def verify_cosine_ds(norm_ds: rd.Dataset, cand_pairs: pd.DataFrame, *,
     if out.empty:
         return pd.DataFrame({"a": [], "b": [], "cosine": []})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# substring-level duplicate windows (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — rolling-hash
+# approximation of suffix-array substring dedup at fixed token width)
+# ----------------------------------------------------------------------
+
+RK_WINDOW = 16
+RK_P = 0x100000001B3                      # FNV prime; odd => invertible mod 2^64
+_RK_PINV = pow(RK_P, -1, 1 << 64)
+
+
+def window_hash_batch(batch: pa.Table, window: int = RK_WINDOW,
+                      column: str = "text") -> pa.Table:
+    """(doc_id, whash) for EVERY token window of width ``window`` —
+    stride 1, so duplicated substrings are found at ANY alignment.
+    whash is the positional Rabin-Karp hash
+    sum_j th[i+j] * P^(window-1-j) mod 2^64 over stable_hash64 token
+    hashes, computed with the rolling O(1)-per-window trick: P is odd
+    hence invertible mod 2^64, so B_k = th_k * Pinv^k prefix-sums once
+    and every window is two lookups and one multiply. One RE2 split,
+    factorize so only DISTINCT tokens pay the string hash; fully
+    vectorized; embarrassingly parallel per doc."""
+    import pandas as pd
+
+    from ..functions.hashing import stable_hash64_np
+
+    stripped = pc.utf8_trim_whitespace(pc.fill_null(batch[column], ""))
+    lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    ndocs = len(lists)
+    offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    raw_lens = np.diff(offs)
+    empty = np.asarray(pc.equal(stripped, "").to_numpy(zero_copy_only=False))
+    n = np.where(empty, 0, raw_lens)
+    n_win = np.maximum(n - window + 1, 0)
+    tot = int(n_win.sum())
+    if tot == 0:
+        return pa.table({"doc_id": pa.array([], batch["doc_id"].type),
+                         "whash": pa.array([], pa.int64())})
+
+    flat = lists.flatten().to_numpy(zero_copy_only=False)
+    codes, uniq = pd.factorize(flat)
+    th = stable_hash64_np(uniq)[codes]
+    total_toks = th.size
+    local = np.arange(total_toks, dtype=np.int64) \
+        - np.repeat(offs[:-1], raw_lens)
+    max_n = int(raw_lens.max())
+    with np.errstate(over="ignore"):
+        pw = np.empty(max_n + 1, np.uint64)
+        pw[0] = 1
+        np.multiply.accumulate(np.full(max_n, RK_P, np.uint64), out=pw[1:])
+        pvi = np.empty(max_n + 1, np.uint64)
+        pvi[0] = 1
+        np.multiply.accumulate(np.full(max_n, _RK_PINV, np.uint64),
+                               out=pvi[1:])
+        b = th * pvi[local]
+        s = np.zeros(total_toks + 1, np.uint64)
+        np.cumsum(b, out=s[1:])
+        doc_for_win = np.repeat(np.arange(ndocs), n_win)
+        base = np.repeat(offs[:-1], n_win)
+        within = np.arange(tot, dtype=np.int64) \
+            - np.repeat(np.cumsum(n_win) - n_win, n_win)
+        gstart = base + within
+        whash = (s[gstart + window] - s[gstart]) * pw[within + window - 1]
+    # bit-cast to int64: whash is engine-internal (the query outputs
+    # only counts) and an int64 view avoids uint64>=2^63 promotion
+    # failures in Ray block concat / pandas group reduces
+    return pa.table({
+        "doc_id": batch["doc_id"].take(pa.array(doc_for_win, pa.int64())),
+        "whash": pa.array(whash.view(np.int64), pa.int64())})
+
+
+def window_totals_batch(batch: pa.Table, window: int = RK_WINDOW,
+                        column: str = "text") -> pa.Table:
+    """One row per doc: total window count (and a zero dup column, so
+    totals union dup-partials and merge in one bucketed reduce)."""
+    stripped = pc.utf8_trim_whitespace(pc.fill_null(batch[column], ""))
+    lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    raw_lens = np.diff(offs)
+    empty = np.asarray(pc.equal(stripped, "").to_numpy(zero_copy_only=False))
+    n = np.where(empty, 0, raw_lens)
+    n_win = np.maximum(n - window + 1, 0)
+    return pa.table({"doc_id": batch["doc_id"],
+                     "n_windows": pa.array(n_win, pa.int64()),
+                     "n_dup_windows": pa.nulls(len(n_win), pa.int64())
+                     .fill_null(0)})
+
+
+def dup_window_stats(ds: rd.Dataset, *, window: int = RK_WINDOW,
+                     column: str = "text") -> rd.Dataset:
+    """Per-doc duplicated-substring stats: (doc_id, n_windows,
+    n_dup_windows) where a window is DUP if its hash occurs in >= 2
+    distinct docs corpus-wide.
+
+    Scale shape: the exchange carries one (doc_id, whash) row per
+    token (the honest cost of substring-level dedup — suffix-array
+    approaches pay the same O(total tokens)); map-side (whash, doc)
+    dedup shrinks repeated windows before the shuffle; the hot-hash
+    set is computed per hash-bucket (never on the driver) and dup
+    membership is the distributed bucketed semi-join; per-doc counts
+    merge in Ray."""
+    from ..functions.bucketing import tag_bucket_fn
+    from ..pipelines.analytics import _merge_partials_ray
+    from .joins import bucketed_semi_join
+
+    wins = ds.map_batches(window_hash_batch,
+                          fn_kwargs={"window": window, "column": column},
+                          batch_format="pyarrow")
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        return t.group_by(["whash", "doc_id"]).aggregate([])
+
+    def hot_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["whash", "doc_id"])
+        cnt = g.groupby("whash", sort=False)["doc_id"].nunique()
+        hot = cnt[cnt >= 2].index.to_numpy()
+        return pd.DataFrame({"whash": hot})
+
+    hot = (wins.map_batches(pair_dedup, batch_format="pyarrow")
+           .repartition(32)
+           .map_batches(tag_bucket_fn(["whash"]), batch_format="pyarrow")
+           .groupby("_kb").map_groups(hot_bucket, batch_format="pandas"))
+
+    dup = bucketed_semi_join(wins, hot, on="whash")
+
+    def dup_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("doc_id", "count")])
+        g = g.rename_columns(["doc_id", "n_dup_windows"])
+        return pa.table({"doc_id": g["doc_id"],
+                         "n_windows": pa.nulls(g.num_rows, pa.int64())
+                         .fill_null(0),
+                         "n_dup_windows": pc.cast(g["n_dup_windows"],
+                                                  pa.int64())})
+
+    totals = ds.map_batches(window_totals_batch,
+                            fn_kwargs={"window": window, "column": column},
+                            batch_format="pyarrow")
+    return _merge_partials_ray(
+        totals.union(dup.map_batches(dup_partial, batch_format="pyarrow")),
+        ["doc_id"], ["n_windows", "n_dup_windows"])
+
