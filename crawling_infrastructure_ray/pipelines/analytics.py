@@ -1572,6 +1572,10 @@ def q_q10_returned_items(sf_dir: str, k: int = 20):
                               ("c_custkey", "ascending")]).slice(0, k)
 
     agg = per_cust.map_batches(topk_block, batch_format="pyarrow").to_pandas()
+    if agg.empty:
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                             "c_name": pd.Series([], dtype="object"),
+                             "revenue_e4": pd.Series([], dtype="int64")})
     agg["revenue_e4"] = agg["revenue_e4"].astype("int64")
     agg = (agg.sort_values(["revenue_e4", "c_custkey"],
                            ascending=[False, True]).head(k)
@@ -1617,6 +1621,10 @@ def q_q15_top_supplier(sf_dir: str):
         return pa.table({"m": pa.array([m.as_py()], pa.int64())})
 
     blocks = per_supp.map_batches(max_block, batch_format="pyarrow").to_pandas()
+    if blocks.empty or blocks["m"].isna().all():
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype="object"),
+                             "total_revenue_e4": pd.Series([], dtype="int64")})
     best = int(blocks["m"].max())
 
     winners = per_supp.map_batches(

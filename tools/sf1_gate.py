@@ -95,7 +95,15 @@ def main() -> int:
                       "dedup_minhash_pairs",
                       "dedup_minhash_remove",
                       # 20k vecs x 3072 plane terms unnested in SQL
-                      "dedup_embedding_pairs"} if scale > 0.1 else set()
+                      "dedup_embedding_pairs",
+                      # O(n^2) SQL cross joins over the vector table
+                      # (the engine side broadcasts + matmuls, but the
+                      # ORACLE is the quadratic part) — driver-scale gate
+                      "knn_graph", "semdedup_remove",
+                      # SQL recomputes every stride-1 window hash via a
+                      # 16-way join (engine side is the O(n) rolling
+                      # prefix) — driver-scale gate
+                      "dedup_spans"} if scale > 0.1 else set()
     if skip_quadratic:
         print(f"skipping at scale {scale} (exact all-pairs, quadratic "
               f"by design): {sorted(skip_quadratic)}", file=sys.stderr)
