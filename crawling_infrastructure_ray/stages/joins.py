@@ -20,18 +20,38 @@ from ..functions.bucketing import tag_bucket_fn
 
 
 def _tagged_union(data: rd.Dataset, keys: rd.Dataset, on: str,
-                  num_buckets: int) -> rd.Dataset:
+                  num_buckets: int, salt: int = 1) -> rd.Dataset:
     """Shared front half of the bucketed semi/anti joins: tag both
     sides with the engine's vectorized bucket tagger
     (functions/bucketing — dictionary-encoded string hashing, no
     per-row Python), pad the key side to the data schema with nulls,
-    and union into ONE shuffle stream keyed on ``jbucket``."""
+    and union into ONE shuffle stream keyed on ``jbucket``.
+
+    ``salt > 1`` is the HOT-KEY SKEW path (the north rule's salted
+    repartitioning): each data row lands in one of ``salt``
+    sub-buckets of its key's bucket (round-robin over the batch —
+    vectorized, deterministic given block layout, and irrelevant to
+    results since every sub-bucket sees the full key set), while the
+    key side is REPLICATED into all ``salt`` sub-buckets. A key
+    carrying 90% of the rows then spreads over ``salt`` parallel
+    groups instead of serializing one straggler bucket; the price is
+    key-side duplication × salt, which is the right trade exactly when
+    the key side is the small one."""
     schema = data.schema()
     names, types = list(schema.names), list(schema.types)
     tag = tag_bucket_fn([on], num_buckets, "jbucket")
 
+    def _subsplit(t: pa.Table, s) -> pa.Table:
+        b = t["jbucket"].to_numpy(zero_copy_only=False)
+        return t.set_column(t.schema.get_field_index("jbucket"), "jbucket",
+                            pa.array(b * salt + s, pa.int64()))
+
     def tag_data(t: pa.Table) -> pa.Table:
-        return tag(t).append_column("is_key", pa.array([False] * t.num_rows))
+        out = tag(t).append_column("is_key", pa.array([False] * t.num_rows))
+        if salt > 1:
+            import numpy as np
+            out = _subsplit(out, np.arange(out.num_rows) % salt)
+        return out
 
     def tag_keys(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -39,7 +59,10 @@ def _tagged_union(data: rd.Dataset, keys: rd.Dataset, on: str,
         for name, typ in zip(names, types):
             cols[name] = t[on] if name == on else pa.nulls(n, typ)
         out = tag(pa.table(cols))
-        return out.append_column("is_key", pa.array([True] * n))
+        out = out.append_column("is_key", pa.array([True] * n))
+        if salt > 1:
+            out = pa.concat_tables([_subsplit(out, s) for s in range(salt)])
+        return out
 
     # consolidate before the sort-based groupby: Ray's sort pays
     # per-block overhead and the union of two map stages yields many
@@ -50,7 +73,7 @@ def _tagged_union(data: rd.Dataset, keys: rd.Dataset, on: str,
 
 
 def bucketed_semi_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,
-                        num_buckets: int = 64) -> rd.Dataset:
+                        num_buckets: int = 64, salt: int = 1) -> rd.Dataset:
     """Distributed semi-join: keep ``data`` rows whose ``on`` value
     appears in ``keys`` (a single-column Dataset named ``on``).
 
@@ -61,7 +84,7 @@ def bucketed_semi_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,
     zero driver-side key sets — the portable semi-join shape for
     data-sized key sets (same family as q_j2's bucketed hash join).
     """
-    both = _tagged_union(data, keys, on, num_buckets)
+    both = _tagged_union(data, keys, on, num_buckets, salt)
 
     def semi(g: pd.DataFrame) -> pd.DataFrame:
         ks = set(g.loc[g["is_key"], on])
@@ -72,12 +95,12 @@ def bucketed_semi_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,
 
 
 def bucketed_anti_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,
-                       num_buckets: int = 64) -> rd.Dataset:
+                       num_buckets: int = 64, salt: int = 1) -> rd.Dataset:
     """Distributed anti-join: keep ``data`` rows whose ``on`` value
     does NOT appear in ``keys`` — same bucketed shape as
     ``bucketed_semi_join`` with the membership inverted (the J4
     truly-failed-audit shape at data-sized key cardinality)."""
-    both = _tagged_union(data, keys, on, num_buckets)
+    both = _tagged_union(data, keys, on, num_buckets, salt)
 
     def anti(g: pd.DataFrame) -> pd.DataFrame:
         ks = set(g.loc[g["is_key"], on])

@@ -156,3 +156,43 @@ def test_median_per_type_even_odd(ray_session):
     out = q_median_value_per_type(d).set_index("event_type")
     assert out.loc["A", "median_value_c"] == 200    # lower middle of 4
     assert out.loc["B", "median_value_c"] == 2000
+
+
+def test_salted_semi_join_equal_and_balanced(ray_session):
+    import ray.data as rd
+    from crawling_infrastructure_ray.stages.joins import (
+        _tagged_union, bucketed_anti_join, bucketed_semi_join)
+
+    # 90% of rows carry one hot key — the skew the salt path exists for
+    n = 2000
+    keys = ["hot.example"] * (n * 9 // 10) + \
+           [f"h{i}.example" for i in range(n - n * 9 // 10)]
+    data = rd.from_arrow(pa.table({
+        "host": pa.array(keys, pa.string()),
+        "row": pa.array(range(n), pa.int64())}))
+    keep = rd.from_arrow(pa.table({
+        "host": pa.array(["hot.example", "h3.example"], pa.string())}))
+
+    plain = bucketed_semi_join(data, keep, on="host").to_pandas()
+    salted = bucketed_semi_join(data, keep, on="host", salt=8).to_pandas()
+    key = ["host", "row"]
+    pd.testing.assert_frame_equal(
+        plain.sort_values(key).reset_index(drop=True)[key],
+        salted.sort_values(key).reset_index(drop=True)[key])
+
+    plain_a = bucketed_anti_join(data, keep, on="host").to_pandas()
+    salted_a = bucketed_anti_join(data, keep, on="host", salt=8).to_pandas()
+    pd.testing.assert_frame_equal(
+        plain_a.sort_values(key).reset_index(drop=True)[key],
+        salted_a.sort_values(key).reset_index(drop=True)[key])
+
+    # balance: the hot key's DATA rows spread across 8 sub-buckets,
+    # so no single shuffle group holds more than ~1/8 of them (+ the
+    # uniform remainder); unsalted, one group holds >= 90%
+    tu = _tagged_union(data, keep, "host", 64, 8).to_pandas()
+    d = tu[~tu["is_key"]]
+    top_share = d.groupby("jbucket").size().max() / len(d)
+    assert top_share < 0.25, top_share
+    tu1 = _tagged_union(data, keep, "host", 64, 1).to_pandas()
+    d1 = tu1[~tu1["is_key"]]
+    assert d1.groupby("jbucket").size().max() / len(d1) >= 0.9
