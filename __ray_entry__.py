@@ -96,6 +96,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global sort; counts-only exchange)
         "distinct_users_per_type": qa.q_distinct_users_per_type,
         "median_value_per_type": qa.q_median_value_per_type,
+        # two-nation volume shipping (Q7) + exact grouped quantile
+        # vector (generalized median machinery)
+        "q7_volume_shipping": qa.q_q7_volume_shipping,
+        "quantiles_value_per_type": qa.q_quantiles_value_per_type,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

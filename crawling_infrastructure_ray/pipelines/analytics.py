@@ -1696,6 +1696,203 @@ def q_q18_large_volume_customers(sf_dir: str, qty_threshold: int = 300):
             .reset_index(drop=True))
 
 
+def q_q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_11",
+                         nation_b: str = "NATION_12"):
+    """TPC-H Q7 shape — two-nation volume shipping: revenue by
+    (supplier nation, customer nation, ship year) for 1996-1997
+    lineitems where the supplier sits in one named nation and the
+    customer in the other (both directions). Same hybrid plan as Q5
+    (config dims on the driver, supplier broadcast probe, two chained
+    tagged-union bucketed joins) with the cross-nation pair filter in
+    the second join and a (2 x 2 x 2)-row enum merge at the end."""
+    import pyarrow.parquet as pq
+    lo = pa.scalar(np.datetime64("1996-01-01T00:00:00", "us"))
+    hi = pa.scalar(np.datetime64("1998-01-01T00:00:00", "us"))
+
+    nat = pq.read_table(f"{sf_dir.rstrip('/')}/nation.parquet").to_pandas()
+    sel = nat[nat["n_name"].isin([nation_a, nation_b])]
+    nks = np.sort(sel["n_nationkey"].to_numpy().astype(np.int64))
+    nk_name = dict(zip(sel["n_nationkey"].astype(int), sel["n_name"]))
+
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].astype(np.int64).isin(nks)]
+    order_idx = np.argsort(supp["s_suppkey"].to_numpy())
+    sk_sorted = supp["s_suppkey"].to_numpy().astype(np.int64)[order_idx]
+    snk_sorted = supp["s_nationkey"].to_numpy().astype(np.int64)[order_idx]
+    supp_ref = ray.put((sk_sorted, snk_sorted))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"])
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                                 pc.less(batch["l_shipdate"], hi)))
+        ks, nkv = ray.get(supp_ref)
+        probe = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(ks, probe), 0, max(len(ks) - 1, 0))
+        hit = (ks[pos] == probe) if len(ks) else np.zeros(len(probe), bool)
+        b = b.filter(pa.array(hit))
+        probe = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        snk = nkv[np.clip(np.searchsorted(ks, probe), 0,
+                          max(len(ks) - 1, 0))] \
+            if len(ks) else np.empty(0, np.int64)
+        yr = pc.cast(pc.year(b["l_shipdate"]), pa.int64())
+        t = pa.table({"key": pc.cast(b["l_orderkey"], pa.int64()),
+                      "s_nationkey": pa.array(snk, pa.int64()),
+                      "l_year": yr, "revenue_e4": _rev_e4(b)})
+        g = t.group_by(["key", "s_nationkey", "l_year"]).aggregate(
+            [("revenue_e4", "sum")])
+        g = g.rename_columns(["key", "s_nationkey", "l_year", "revenue_e4"])
+        return pa.table({"key": g["key"],
+                         "o_custkey": pa.nulls(g.num_rows, pa.int64()),
+                         "s_nationkey": g["s_nationkey"],
+                         "l_year": g["l_year"],
+                         "revenue_e4": g["revenue_e4"],
+                         "side": pa.array(["l"] * g.num_rows)})
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"])
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"key": pc.cast(batch["o_orderkey"], pa.int64()),
+                         "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                         "s_nationkey": pa.nulls(n, pa.int64()),
+                         "l_year": pa.nulls(n, pa.int64()),
+                         "revenue_e4": pa.nulls(n, pa.int64()),
+                         "side": pa.array(["o"] * n)})
+
+    def join1(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "l"][["key", "s_nationkey", "l_year",
+                                    "revenue_e4"]]
+        right = g[g["side"] == "o"][["key", "o_custkey"]]
+        m = left.merge(right, on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame({
+                "key": pd.Series([], dtype="int64"),
+                "s_nationkey": pd.Series([], dtype="int64"),
+                "l_year": pd.Series([], dtype="int64"),
+                "revenue_e4": pd.Series([], dtype="int64")})
+        out = (m.groupby(["o_custkey", "s_nationkey", "l_year"],
+                         as_index=False)["revenue_e4"].sum())
+        return pd.DataFrame({
+            "key": out["o_custkey"].astype("int64"),
+            "s_nationkey": out["s_nationkey"].astype("int64"),
+            "l_year": out["l_year"].astype("int64"),
+            "revenue_e4": out["revenue_e4"].astype("int64")})
+
+    fact1 = _tagged_union_join(
+        li.map_batches(li_side, batch_format="pyarrow"),
+        orders.map_batches(ord_side, batch_format="pyarrow"),
+        "key", join1)
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(pc.cast(batch["c_nationkey"], pa.int64()),
+                                  value_set=pa.array(nks, pa.int64())))
+        n = b.num_rows
+        return pa.table({"key": pc.cast(b["c_custkey"], pa.int64()),
+                         "s_nationkey": pa.nulls(n, pa.int64()),
+                         "l_year": pa.nulls(n, pa.int64()),
+                         "revenue_e4": pa.nulls(n, pa.int64()),
+                         "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+                         "side": pa.array(["c"] * n)})
+
+    def fact_side(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch["key"],
+                         "s_nationkey": batch["s_nationkey"],
+                         "l_year": batch["l_year"],
+                         "revenue_e4": batch["revenue_e4"],
+                         "c_nationkey": pa.nulls(batch.num_rows, pa.int64()),
+                         "side": pa.array(["f"] * batch.num_rows)})
+
+    def join2(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "f"][["key", "s_nationkey", "l_year",
+                                    "revenue_e4"]]
+        right = g[g["side"] == "c"][["key", "c_nationkey"]]
+        m = left.merge(right, on="key", how="inner")
+        m = m[m["s_nationkey"] != m["c_nationkey"]]   # cross-nation pairs
+        if m.empty:
+            return pd.DataFrame({
+                "s_nationkey": pd.Series([], dtype="int64"),
+                "c_nationkey": pd.Series([], dtype="int64"),
+                "l_year": pd.Series([], dtype="int64"),
+                "revenue_e4": pd.Series([], dtype="int64")})
+        return (m.groupby(["s_nationkey", "c_nationkey", "l_year"],
+                          as_index=False)["revenue_e4"].sum())
+
+    parts = _tagged_union_join(
+        fact1.map_batches(fact_side, batch_format="pyarrow"),
+        cust.map_batches(cust_side, batch_format="pyarrow"),
+        "key", join2)
+    final = _merge_partials(parts, ["s_nationkey", "c_nationkey", "l_year"],
+                            ["revenue_e4"])
+    if final.empty:
+        return pd.DataFrame({"supp_nation": pd.Series([], dtype="object"),
+                             "cust_nation": pd.Series([], dtype="object"),
+                             "l_year": pd.Series([], dtype="int64"),
+                             "revenue_e4": pd.Series([], dtype="int64")})
+    final["supp_nation"] = final["s_nationkey"].map(nk_name)
+    final["cust_nation"] = final["c_nationkey"].map(nk_name)
+    final["l_year"] = final["l_year"].astype("int64")
+    final["revenue_e4"] = final["revenue_e4"].astype("int64")
+    return (final[["supp_nation", "cust_nation", "l_year", "revenue_e4"]]
+            .sort_values(["supp_nation", "cust_nation", "l_year"])
+            .reset_index(drop=True))
+
+
+# quantile fractions as exact rationals: DuckDB quantile_disc picks
+# the element at 0-based index ceil(q*n)-1; integer arithmetic
+# ((a*n + b - 1)//b - 1) reproduces it without float q*n
+_QUANTILES = (("p25_c", 1, 4), ("p50_c", 1, 2),
+              ("p75_c", 3, 4), ("p95_c", 19, 20))
+
+
+def q_quantiles_value_per_type(sf_dir: str):
+    """Exact distributed QUANTILE VECTOR per group (p25/p50/p75/p95)
+    without a global sort — the median machinery generalized: the
+    integer-cent value domain makes per-batch (group, value) counts a
+    complete sufficient statistic, so every quantile is a cumsum
+    lookup in the domain-sized merged count table."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v_c = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "v_c": v_c})
+        g = t.group_by(["event_type", "v_c"]).aggregate([("v_c", "count")])
+        return g.rename_columns(["event_type", "v_c", "n"])
+
+    merged = _merge_partials_ray(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "v_c"], ["n"])
+
+    def quant_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in g.groupby("event_type", sort=False):
+            grp = grp.sort_values("v_c")
+            n = int(grp["n"].sum())
+            cum = grp["n"].cumsum().to_numpy()
+            vals = grp["v_c"].to_numpy()
+            row = {"event_type": et, "n_events": n}
+            for col, a, b in _QUANTILES:
+                idx = max(0, (a * n + b - 1) // b - 1)
+                row[col] = int(vals[np.searchsorted(cum, idx + 1)])
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    out = (merged.map_batches(_tag_bucket(["event_type"]),
+                              batch_format="pyarrow")
+           .groupby("_kb").map_groups(quant_bucket, batch_format="pandas")
+           .to_pandas())
+    for c in ["n_events"] + [q[0] for q in _QUANTILES]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_distinct_users_per_type(sf_dir: str):
     """Exact PER-GROUP COUNT DISTINCT, distributed (the grouped form
     of g6): per-batch (event_type, user_id) pair dedup (map-side
@@ -1862,6 +2059,31 @@ ORACLE_SQL: dict[str, str] = {
         "FROM big JOIN orders USING (o_orderkey) "
         "JOIN customer ON o_custkey = c_custkey "
         "ORDER BY o_totalprice_c DESC, o_orderkey",
+    "q7_volume_shipping":
+        "WITH rev AS (SELECT sn.n_name AS supp_nation, cn.n_name AS "
+        "cust_nation, CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS r "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+        "WHERE l_shipdate >= DATE '1996-01-01' "
+        "AND l_shipdate < DATE '1998-01-01' "
+        "AND ((sn.n_name = 'NATION_11' AND cn.n_name = 'NATION_12') OR "
+        "(sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_11'))) "
+        "SELECT supp_nation, cust_nation, l_year, "
+        "CAST(sum(r) AS BIGINT) AS revenue_e4 FROM rev "
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3",
+    "quantiles_value_per_type":
+        "WITH c AS (SELECT event_type, "
+        "CAST(round(value * 100) AS BIGINT) AS v_c FROM events) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "quantile_disc(v_c, 0.25) AS p25_c, "
+        "quantile_disc(v_c, 0.50) AS p50_c, "
+        "quantile_disc(v_c, 0.75) AS p75_c, "
+        "quantile_disc(v_c, 0.95) AS p95_c FROM c GROUP BY event_type",
     "distinct_users_per_type":
         "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
         "AS n_users FROM events GROUP BY event_type",
