@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-nation volume shipping (Q7) + exact grouped quantile
         # vector (generalized median machinery)
         "q7_volume_shipping": qa.q_q7_volume_shipping,
+        "q19_discounted_revenue": qa.q_q19_discounted_revenue,
         "quantiles_value_per_type": qa.q_quantiles_value_per_type,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,

@@ -1845,6 +1845,68 @@ def q_q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_11",
             .reset_index(drop=True))
 
 
+def q_q19_discounted_revenue(sf_dir: str):
+    """TPC-H Q19 shape — DISJUNCTIVE compound predicate across two
+    tables: total revenue of lineitems whose (part brand, part size,
+    line quantity) satisfy any of three AND-clauses. Plan: part's
+    (p_partkey → brand-class, p_size) is a data-sized dimension —
+    joined via the tagged-union bucketed join on partkey (no
+    broadcast), with the OR-of-ANDs evaluated VECTORIZED inside the
+    per-bucket merge; the lineitem side pre-filters to the union of
+    quantity ranges before the shuffle (predicate pushdown across the
+    disjunction: qty in [1,40] covers all three clauses)."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"]
+        b = batch.filter(pc.and_(pc.greater_equal(q, 1.0),
+                                 pc.less_equal(q, 40.0)))
+        return pa.table({"key": pc.cast(b["l_partkey"], pa.int64()),
+                         "qty": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+                         "revenue_e4": _rev_e4(b),
+                         "p_brand": pa.nulls(b.num_rows, pa.string()),
+                         "p_size": pa.nulls(b.num_rows, pa.int64()),
+                         "side": pa.array(["l"] * b.num_rows)})
+
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_brand", "p_size"])
+
+    def part_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(batch["p_brand"], value_set=pa.array(
+            ["Brand#1", "Brand#2", "Brand#3"])))
+        return pa.table({"key": pc.cast(b["p_partkey"], pa.int64()),
+                         "qty": pa.nulls(b.num_rows, pa.int64()),
+                         "revenue_e4": pa.nulls(b.num_rows, pa.int64()),
+                         "p_brand": b["p_brand"],
+                         "p_size": pc.cast(b["p_size"], pa.int64()),
+                         "side": pa.array(["p"] * b.num_rows)})
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "l"][["key", "qty", "revenue_e4"]]
+        right = g[g["side"] == "p"][["key", "p_brand", "p_size"]]
+        m = left.merge(right, on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame({"revenue_e4": pd.Series([], dtype="int64"),
+                                 "n_lines": pd.Series([], dtype="int64")})
+        qty, sz, br = m["qty"], m["p_size"], m["p_brand"]
+        keep = (((br == "Brand#1") & qty.between(1, 20) & sz.between(1, 15)) |
+                ((br == "Brand#2") & qty.between(10, 30) & sz.between(5, 25)) |
+                ((br == "Brand#3") & qty.between(20, 40) & sz.between(10, 40)))
+        m = m[keep]
+        return pd.DataFrame({"revenue_e4": [int(m["revenue_e4"].sum())],
+                             "n_lines": [int(len(m))]})
+
+    parts = _tagged_union_join(
+        li.map_batches(li_side, batch_format="pyarrow"),
+        part.map_batches(part_side, batch_format="pyarrow"),
+        "key", join_bucket)
+    df = parts.to_pandas()
+    return pd.DataFrame([{"revenue_e4": int(df["revenue_e4"].sum()),
+                          "n_lines": int(df["n_lines"].sum())}])
+
+
 # quantile fractions as exact rationals: DuckDB quantile_disc picks
 # the element at 0-based index ceil(q*n)-1; integer arithmetic
 # ((a*n + b - 1)//b - 1) reproduces it without float q*n
@@ -2059,6 +2121,17 @@ ORACLE_SQL: dict[str, str] = {
         "FROM big JOIN orders USING (o_orderkey) "
         "JOIN customer ON o_custkey = c_custkey "
         "ORDER BY o_totalprice_c DESC, o_orderkey",
+    "q19_discounted_revenue":
+        "SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+        "AS revenue_e4, CAST(count(*) AS BIGINT) AS n_lines "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#1' AND round(l_quantity) BETWEEN 1 AND 20 "
+        "AND p_size BETWEEN 1 AND 15) "
+        "OR (p_brand = 'Brand#2' AND round(l_quantity) BETWEEN 10 AND 30 "
+        "AND p_size BETWEEN 5 AND 25) "
+        "OR (p_brand = 'Brand#3' AND round(l_quantity) BETWEEN 20 AND 40 "
+        "AND p_size BETWEEN 10 AND 40)",
     "q7_volume_shipping":
         "WITH rev AS (SELECT sn.n_name AS supp_nation, cn.n_name AS "
         "cust_nation, CAST(year(l_shipdate) AS BIGINT) AS l_year, "
