@@ -48,10 +48,24 @@ def test_requeue_matching(pump_run, ray_session):
 
 
 def test_read_items_file(ray_session, tmp_path):
-    # S2 chunked newline reader analog (lib/misc/helpers.ts:49-94)
+    # S2 chunked newline reader analog (lib/misc/helpers.ts:49-94).
+    # File order is carried as DATA ((chunk_start, line_idx) keys),
+    # not assumed from execution order — the streaming executor may
+    # emit blocks out of order under load.
+    from crawling_infrastructure_ray.sources.readers import strict_items
     path = tmp_path / "items.txt"
     urls = [f"http://h{i}.example/p{i}" for i in range(500)]
     path.write_text("\n".join(urls) + "\n")
     ds = read_items_file(str(path))
-    got = [r["item"] for r in ds.take_all()]
-    assert got == urls
+    assert strict_items(ds) == urls
+    # tail-carry across chunk boundaries: tiny chunks force every
+    # split mid-line; no trailing newline exercises the last-line path
+    path2 = tmp_path / "items2.txt"
+    path2.write_text("\n".join(urls))
+    ds2 = read_items_file(str(path2), chunk_bytes=97)
+    assert strict_items(ds2) == urls
+    # gzip single-stream path
+    import gzip
+    path3 = tmp_path / "items.txt.gz"
+    path3.write_bytes(gzip.compress(("\n".join(urls) + "\n").encode()))
+    assert strict_items(read_items_file(str(path3))) == urls
