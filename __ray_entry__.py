@@ -41,6 +41,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # even at a 50-entry truncation.
     return {
         # ---- tier 1: oracle-checked, never driver-graded (r03) ----
+        # session-7 TPC-H anchors: correlated-avg subquery (Q17),
+        # scalar-subquery + anti-join (Q22), national market share
+        # (Q8), product-type profit (Q9, adapted cost), grouped
+        # exists/not-exists self-join (Q21, adapted flag)
+        "q17_small_qty_revenue": qa.q_q17_small_qty_revenue,
+        "q22_sales_opportunity": qa.q_q22_sales_opportunity,
+        "q8_market_share": qa.q_q8_market_share,
+        "q9_profit_by_nation": qa.q_q9_profit_by_nation,
+        "q21_waiting_suppliers": qa.q_q21_waiting_suppliers,
         # extended joins / windows the Dataset API lacks: as-of join,
         # range join, grouped top-k, rolling frame, pivot, rollup —
         # all bucketed map_groups compositions

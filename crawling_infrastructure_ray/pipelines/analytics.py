@@ -1907,6 +1907,563 @@ def q_q19_discounted_revenue(sf_dir: str):
                           "n_lines": int(df["n_lines"].sum())}])
 
 
+def q_q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — CORRELATED-AVG subquery: revenue of lineitems
+    whose quantity is below 20% of the per-part average, for one
+    brand/type slice. The correlated ``avg`` is rewritten as exact
+    integer cross-multiplication (qty < sum/5n ⇔ 5·qty·n < sum), so no
+    float division touches the gate. Plan: the brand×type part slice
+    is ~1/150 of the part table — dimension-sized at any SF — so its
+    key set is broadcast once (``ray.put``), and BOTH lineitem passes
+    prune to it at the probe: pass 1 builds the per-part (sum_qty, n)
+    sufficient statistic as a combiner aggregation; pass 2 re-probes
+    the (slice-sized) stats arrays and keeps qualifying lines. Two
+    pruned scans beat one shuffle of the full fact table."""
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_brand", "p_type"]).to_pandas()
+    pk = np.sort(part.loc[(part["p_brand"] == "Brand#3") &
+                          (part["p_type"] == "SMALL"),
+                          "p_partkey"].to_numpy().astype(np.int64))
+    pk_ref = ray.put(pk)
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        b = batch.filter(pc.is_in(pc.cast(batch["l_partkey"], pa.int64()),
+                                  value_set=pa.array(keys, pa.int64())))
+        t = pa.table({"p_partkey": pc.cast(b["l_partkey"], pa.int64()),
+                      "sum_qty": pc.cast(pc.round(b["l_quantity"]),
+                                         pa.int64()),
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by("p_partkey").aggregate([("sum_qty", "sum"),
+                                               ("n", "sum")])
+        return g.rename_columns(["p_partkey", "sum_qty", "n"])
+
+    # the merged stats table is slice-sized (== the broadcast key set),
+    # so collecting it to build the pass-2 broadcast is not a leak
+    stats = _merge_partials_ray(
+        li.map_batches(stats_partial, batch_format="pyarrow"),
+        ["p_partkey"], ["sum_qty", "n"]).to_pandas()
+    if stats.empty:
+        return pd.DataFrame([{"revenue_c": 0, "n_lines": 0}])
+    order = np.argsort(stats["p_partkey"].to_numpy())
+    st_pk = stats["p_partkey"].to_numpy().astype(np.int64)[order]
+    st_sum = stats["sum_qty"].to_numpy().astype(np.int64)[order]
+    st_n = stats["n"].to_numpy().astype(np.int64)[order]
+    st_ref = ray.put((st_pk, st_sum, st_n))
+
+    li2 = read_table(sf_dir, "lineitem",
+                     columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qual_partial(batch: pa.Table) -> pa.Table:
+        ks, sums, ns = ray.get(st_ref)
+        probe = batch["l_partkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(ks, probe), 0, max(len(ks) - 1, 0))
+        hit = (ks[pos] == probe) if len(ks) else np.zeros(len(probe), bool)
+        qty = np.rint(batch["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        keep = hit & (5 * qty * ns[pos] < sums[pos])
+        b = batch.filter(pa.array(keep))
+        price_c = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                          pa.int64())
+        return pa.table({
+            "revenue_c": pa.array([pc.sum(price_c).as_py() or 0], pa.int64()),
+            "n_lines": pa.array([b.num_rows], pa.int64())})
+
+    df = li2.map_batches(qual_partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame([{"revenue_c": int(df["revenue_c"].sum()),
+                          "n_lines": int(df["n_lines"].sum())}])
+
+
+def q_q22_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape — SCALAR-SUBQUERY threshold + ANTI-JOIN +
+    grouped counts: customers in selected 'country codes' (adapted:
+    cntrycode := c_custkey % 7 — the testdata schema has no c_phone)
+    whose balance beats the positive-balance average and who have no
+    recent orders (adapted: NOT EXISTS is tested against orders from
+    1999 on — in the synthetic corpus every customer has SOME order,
+    so the unfiltered anti-join is degenerate; the date filter keeps
+    Q22's shape with a non-trivial result). The average threshold is
+    applied as exact integer cross-multiplication (bal > sum/n ⇔
+    bal·n > sum). Plan: pass 1 is a two-scalar combiner over customer
+    (sum of positive balances, count); pass 2 anti-joins the
+    thresholded customers against date-filtered orders via the
+    tagged-union bucketed join (orders side map-side deduped per
+    batch to custkey only), with per-bucket partials over the 3-value
+    cntrycode enum merged on the driver."""
+    codes = (1, 3, 5)
+    cutoff = pa.scalar(np.datetime64("1999-01-01T00:00:00", "us"))
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def avg_partial(batch: pa.Table) -> pa.Table:
+        bal = pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100.0)),
+                      pa.int64())
+        pos = pc.filter(bal, pc.greater(bal, 0))
+        return pa.table({"s": pa.array([pc.sum(pos).as_py() or 0], pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    ap = cust.map_batches(avg_partial, batch_format="pyarrow").to_pandas()
+    s_pos, n_pos = int(ap["s"].sum()), int(ap["n"].sum())
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        ck = pc.cast(batch["c_custkey"], pa.int64())
+        bal = pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100.0)),
+                      pa.int64())
+        code = np.mod(ck.to_numpy(zero_copy_only=False), 7)
+        keep = np.isin(code, codes) & \
+            (bal.to_numpy(zero_copy_only=False) * n_pos > s_pos)
+        b = pa.table({"key": ck, "bal_c": bal,
+                      "cntrycode": pa.array(code, pa.int64())}).filter(
+            pa.array(keep))
+        return pa.table({"key": b["key"], "bal_c": b["bal_c"],
+                         "cntrycode": b["cntrycode"],
+                         "side": pa.array(["c"] * b.num_rows)})
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate"])
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater_equal(batch["o_orderdate"], cutoff))
+        g = b.group_by("o_custkey").aggregate([])  # map-side dedup
+        ck = pc.cast(g["o_custkey"], pa.int64())
+        n = len(ck)
+        return pa.table({"key": ck, "bal_c": pa.nulls(n, pa.int64()),
+                         "cntrycode": pa.nulls(n, pa.int64()),
+                         "side": pa.array(["o"] * n)})
+
+    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "c"]
+        have = set(g.loc[g["side"] == "o", "key"])
+        left = left[~left["key"].isin(have)]
+        if left.empty:
+            return pd.DataFrame({"cntrycode": pd.Series([], dtype="int64"),
+                                 "numcust": pd.Series([], dtype="int64"),
+                                 "totacctbal_c": pd.Series([], dtype="int64")})
+        out = left.groupby("cntrycode", as_index=False).agg(
+            numcust=("key", "size"), totacctbal_c=("bal_c", "sum"))
+        return out.astype({"cntrycode": "int64", "numcust": "int64",
+                           "totacctbal_c": "int64"})
+
+    parts = _tagged_union_join(
+        cust.map_batches(cust_side, batch_format="pyarrow"),
+        orders.map_batches(ord_side, batch_format="pyarrow"),
+        "key", anti_bucket)
+    final = _merge_partials(parts, ["cntrycode"],
+                            ["numcust", "totacctbal_c"])
+    if final.empty:
+        return pd.DataFrame({"cntrycode": pd.Series([], dtype="int64"),
+                             "numcust": pd.Series([], dtype="int64"),
+                             "totacctbal_c": pd.Series([], dtype="int64")})
+    for c in final.columns:
+        final[c] = final[c].astype("int64")
+    return final.sort_values("cntrycode").reset_index(drop=True)
+
+
+def q_q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape — NATIONAL MARKET SHARE: per order-year, the
+    revenue fraction supplied by one target nation, over PROMO-type
+    parts sold to ASIA-region customers in 1995–1996. The share is
+    returned as exact integer numerator/denominator columns
+    (target_e4 / total_e4) — no float division near the gate. Plan
+    (the q5 hybrid, one more hop): nation⋈region resolved on the
+    driver (config-sized); supplier's nationkey broadcast-probed into
+    every lineitem (dimension-sized); part's PROMO slice joined via
+    the tagged-union bucketed join on partkey (part is data-sized —
+    never broadcast); then orderkey ⋈ date-filtered orders and
+    custkey ⋈ region-filtered customer, each a bucketed join with
+    map-side combine shrinking the fact stream before the shuffle;
+    final merge is enum-keyed (2 years × 2 flags)."""
+    import pyarrow.parquet as pq
+    lo = pa.scalar(np.datetime64("1995-01-01T00:00:00", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01T00:00:00", "us"))
+
+    nat = pq.read_table(f"{sf_dir.rstrip('/')}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir.rstrip('/')}/region.parquet").to_pandas()
+    asia_rk = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
+    asia_nk = np.sort(nat.loc[nat["n_regionkey"].isin(asia_rk),
+                              "n_nationkey"].to_numpy().astype(np.int64))
+    target_nk = int(nat.loc[nat["n_name"] == "NATION_11",
+                            "n_nationkey"].iloc[0])
+
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    order_idx = np.argsort(supp["s_suppkey"].to_numpy())
+    sk_sorted = supp["s_suppkey"].to_numpy().astype(np.int64)[order_idx]
+    s_is_tgt = (supp["s_nationkey"].to_numpy().astype(np.int64)[order_idx]
+                == target_nk)
+    supp_ref = ray.put((sk_sorted, s_is_tgt))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        ks, tgt = ray.get(supp_ref)
+        probe = batch["l_suppkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(ks, probe), 0, max(len(ks) - 1, 0))
+        is_tgt = tgt[pos] & (ks[pos] == probe) if len(ks) \
+            else np.zeros(len(probe), bool)
+        n = batch.num_rows
+        return pa.table({"key": pc.cast(batch["l_partkey"], pa.int64()),
+                         "o_orderkey": pc.cast(batch["l_orderkey"],
+                                               pa.int64()),
+                         "is_tgt": pa.array(is_tgt),
+                         "revenue_e4": _rev_e4(batch),
+                         "side": pa.array(["l"] * n)})
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def part_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["p_type"], "PROMO"))
+        n = b.num_rows
+        return pa.table({"key": pc.cast(b["p_partkey"], pa.int64()),
+                         "o_orderkey": pa.nulls(n, pa.int64()),
+                         "is_tgt": pa.nulls(n, pa.bool_()),
+                         "revenue_e4": pa.nulls(n, pa.int64()),
+                         "side": pa.array(["p"] * n)})
+
+    def join1(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "l"][["key", "o_orderkey", "is_tgt",
+                                    "revenue_e4"]]
+        pkeys = set(g.loc[g["side"] == "p", "key"])
+        m = left[left["key"].isin(pkeys)]
+        if m.empty:
+            return pd.DataFrame({
+                "key": pd.Series([], dtype="int64"),
+                "num_e4": pd.Series([], dtype="int64"),
+                "den_e4": pd.Series([], dtype="int64")})
+        m = m.assign(num_e4=m["revenue_e4"].where(
+            m["is_tgt"].astype(bool), 0))
+        out = (m.groupby("o_orderkey", as_index=False)
+               .agg(num_e4=("num_e4", "sum"), den_e4=("revenue_e4", "sum")))
+        return pd.DataFrame({"key": out["o_orderkey"].astype("int64"),
+                             "num_e4": out["num_e4"].astype("int64"),
+                             "den_e4": out["den_e4"].astype("int64")})
+
+    fact1 = _tagged_union_join(
+        li.map_batches(li_side, batch_format="pyarrow"),
+        part.map_batches(part_side, batch_format="pyarrow"),
+        "key", join1)
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.and_(pc.greater_equal(batch["o_orderdate"], lo),
+                                 pc.less(batch["o_orderdate"], hi)))
+        n = b.num_rows
+        return pa.table({"key": pc.cast(b["o_orderkey"], pa.int64()),
+                         "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                         "o_year": pc.cast(pc.year(b["o_orderdate"]),
+                                           pa.int64()),
+                         "num_e4": pa.nulls(n, pa.int64()),
+                         "den_e4": pa.nulls(n, pa.int64()),
+                         "side": pa.array(["o"] * n)})
+
+    def fact1_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"key": batch["key"],
+                         "o_custkey": pa.nulls(n, pa.int64()),
+                         "o_year": pa.nulls(n, pa.int64()),
+                         "num_e4": batch["num_e4"],
+                         "den_e4": batch["den_e4"],
+                         "side": pa.array(["f"] * n)})
+
+    def join2(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "f"][["key", "num_e4", "den_e4"]]
+        right = g[g["side"] == "o"][["key", "o_custkey", "o_year"]]
+        m = left.merge(right, on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame({
+                "key": pd.Series([], dtype="int64"),
+                "o_year": pd.Series([], dtype="int64"),
+                "num_e4": pd.Series([], dtype="int64"),
+                "den_e4": pd.Series([], dtype="int64")})
+        out = (m.groupby(["o_custkey", "o_year"], as_index=False)
+               [["num_e4", "den_e4"]].sum())
+        return pd.DataFrame({"key": out["o_custkey"].astype("int64"),
+                             "o_year": out["o_year"].astype("int64"),
+                             "num_e4": out["num_e4"].astype("int64"),
+                             "den_e4": out["den_e4"].astype("int64")})
+
+    fact2 = _tagged_union_join(
+        fact1.map_batches(fact1_side, batch_format="pyarrow"),
+        orders.map_batches(ord_side, batch_format="pyarrow"),
+        "key", join2)
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(pc.cast(batch["c_nationkey"], pa.int64()),
+                                  value_set=pa.array(asia_nk, pa.int64())))
+        n = b.num_rows
+        return pa.table({"key": pc.cast(b["c_custkey"], pa.int64()),
+                         "o_year": pa.nulls(n, pa.int64()),
+                         "num_e4": pa.nulls(n, pa.int64()),
+                         "den_e4": pa.nulls(n, pa.int64()),
+                         "side": pa.array(["c"] * n)})
+
+    def fact2_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"key": batch["key"], "o_year": batch["o_year"],
+                         "num_e4": batch["num_e4"],
+                         "den_e4": batch["den_e4"],
+                         "side": pa.array(["f"] * n)})
+
+    def join3(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "f"][["key", "o_year", "num_e4", "den_e4"]]
+        ckeys = set(g.loc[g["side"] == "c", "key"])
+        m = left[left["key"].isin(ckeys)]
+        if m.empty:
+            return pd.DataFrame({
+                "o_year": pd.Series([], dtype="int64"),
+                "target_e4": pd.Series([], dtype="int64"),
+                "total_e4": pd.Series([], dtype="int64")})
+        out = (m.groupby("o_year", as_index=False)
+               .agg(target_e4=("num_e4", "sum"), total_e4=("den_e4", "sum")))
+        return out.astype({"o_year": "int64", "target_e4": "int64",
+                           "total_e4": "int64"})
+
+    parts = _tagged_union_join(
+        fact2.map_batches(fact2_side, batch_format="pyarrow"),
+        cust.map_batches(cust_side, batch_format="pyarrow"),
+        "key", join3)
+    final = _merge_partials(parts, ["o_year"], ["target_e4", "total_e4"])
+    if final.empty:
+        return pd.DataFrame({"o_year": pd.Series([], dtype="int64"),
+                             "target_e4": pd.Series([], dtype="int64"),
+                             "total_e4": pd.Series([], dtype="int64")})
+    for c in final.columns:
+        final[c] = final[c].astype("int64")
+    return final.sort_values("o_year").reset_index(drop=True)
+
+
+def q_q9_profit_by_nation(sf_dir: str):
+    """TPC-H Q9 shape — PRODUCT-TYPE PROFIT by supplier nation and
+    order year, for parts whose name contains 'widget'. The testdata
+    schema has no partsupp, so unit cost is adapted to p_retailprice
+    (documented substitution; the operator shape — two chained
+    large-large joins with an arithmetic measure combining columns
+    from three tables — is unchanged). profit_e4 = rev_e4 −
+    retail_c·100·qty, exact integers. Plan: supplier nationkey
+    broadcast-probed into lineitem; name-filtered part joined on
+    partkey via the tagged-union bucketed join (attaching retail_c);
+    order year via a second bucketed join on orderkey; final group
+    key (nationkey, year) is bounded (25 × ~7) so the last merge is
+    driver-side."""
+    import pyarrow.parquet as pq
+    nat = pq.read_table(f"{sf_dir.rstrip('/')}/nation.parquet").to_pandas()
+    nk_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    order_idx = np.argsort(supp["s_suppkey"].to_numpy())
+    sk_sorted = supp["s_suppkey"].to_numpy().astype(np.int64)[order_idx]
+    snk_sorted = supp["s_nationkey"].to_numpy().astype(np.int64)[order_idx]
+    supp_ref = ray.put((sk_sorted, snk_sorted))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_quantity", "l_extendedprice", "l_discount"])
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        ks, nks = ray.get(supp_ref)
+        probe = batch["l_suppkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(ks, probe), 0, max(len(ks) - 1, 0))
+        snk = np.where(ks[pos] == probe, nks[pos], -1) if len(ks) \
+            else np.full(len(probe), -1, np.int64)
+        n = batch.num_rows
+        return pa.table({"key": pc.cast(batch["l_partkey"], pa.int64()),
+                         "o_orderkey": pc.cast(batch["l_orderkey"],
+                                               pa.int64()),
+                         "s_nationkey": pa.array(snk, pa.int64()),
+                         "qty": pc.cast(pc.round(batch["l_quantity"]),
+                                        pa.int64()),
+                         "rev_e4": _rev_e4(batch),
+                         "retail_c": pa.nulls(n, pa.int64()),
+                         "side": pa.array(["l"] * n)})
+
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_name", "p_retailprice"])
+
+    def part_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.match_substring(batch["p_name"], "widget"))
+        n = b.num_rows
+        return pa.table({"key": pc.cast(b["p_partkey"], pa.int64()),
+                         "o_orderkey": pa.nulls(n, pa.int64()),
+                         "s_nationkey": pa.nulls(n, pa.int64()),
+                         "qty": pa.nulls(n, pa.int64()),
+                         "rev_e4": pa.nulls(n, pa.int64()),
+                         "retail_c": pc.cast(pc.round(pc.multiply(
+                             b["p_retailprice"], 100.0)), pa.int64()),
+                         "side": pa.array(["p"] * n)})
+
+    def join1(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "l"][["key", "o_orderkey", "s_nationkey",
+                                    "qty", "rev_e4"]]
+        right = g[g["side"] == "p"][["key", "retail_c"]]
+        m = left.merge(right, on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame({
+                "key": pd.Series([], dtype="int64"),
+                "s_nationkey": pd.Series([], dtype="int64"),
+                "profit_e4": pd.Series([], dtype="int64")})
+        m = m.assign(profit_e4=m["rev_e4"] - m["retail_c"] * 100 * m["qty"])
+        out = (m.groupby(["o_orderkey", "s_nationkey"], as_index=False)
+               ["profit_e4"].sum())
+        return pd.DataFrame({"key": out["o_orderkey"].astype("int64"),
+                             "s_nationkey": out["s_nationkey"].astype("int64"),
+                             "profit_e4": out["profit_e4"].astype("int64")})
+
+    fact1 = _tagged_union_join(
+        li.map_batches(li_side, batch_format="pyarrow"),
+        part.map_batches(part_side, batch_format="pyarrow"),
+        "key", join1)
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate"])
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"key": pc.cast(batch["o_orderkey"], pa.int64()),
+                         "o_year": pc.cast(pc.year(batch["o_orderdate"]),
+                                           pa.int64()),
+                         "s_nationkey": pa.nulls(n, pa.int64()),
+                         "profit_e4": pa.nulls(n, pa.int64()),
+                         "side": pa.array(["o"] * n)})
+
+    def fact_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"key": batch["key"],
+                         "o_year": pa.nulls(n, pa.int64()),
+                         "s_nationkey": batch["s_nationkey"],
+                         "profit_e4": batch["profit_e4"],
+                         "side": pa.array(["f"] * n)})
+
+    def join2(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "f"][["key", "s_nationkey", "profit_e4"]]
+        right = g[g["side"] == "o"][["key", "o_year"]]
+        m = left.merge(right, on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame({
+                "s_nationkey": pd.Series([], dtype="int64"),
+                "o_year": pd.Series([], dtype="int64"),
+                "profit_e4": pd.Series([], dtype="int64")})
+        return (m.groupby(["s_nationkey", "o_year"], as_index=False)
+                ["profit_e4"].sum())
+
+    parts = _tagged_union_join(
+        fact1.map_batches(fact_side, batch_format="pyarrow"),
+        orders.map_batches(ord_side, batch_format="pyarrow"),
+        "key", join2)
+    final = _merge_partials(parts, ["s_nationkey", "o_year"], ["profit_e4"])
+    if final.empty:
+        return pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                             "o_year": pd.Series([], dtype="int64"),
+                             "profit_e4": pd.Series([], dtype="int64")})
+    final["n_name"] = final["s_nationkey"].map(nk_name)
+    final["o_year"] = final["o_year"].astype("int64")
+    final["profit_e4"] = final["profit_e4"].astype("int64")
+    return (final[["n_name", "o_year", "profit_e4"]]
+            .sort_values(["n_name", "o_year"], ascending=[True, False])
+            .reset_index(drop=True))
+
+
+def q_q21_waiting_suppliers(sf_dir: str, k: int = 10):
+    """TPC-H Q21 shape — GROUPED EXISTS / NOT-EXISTS over a self-join:
+    suppliers who were the SOLE 'problem' supplier on a multi-supplier
+    finished order. Adapted lateness predicate: the testdata lineitem
+    has no commit/receipt dates, so 'problem line' := l_returnflag='R'
+    (documented substitution; the operator shape — per-order analysis
+    requiring ≥2 distinct suppliers and exactly one with the flag —
+    is Q21's). Plan: lineitem combines map-side to one row per
+    (orderkey, suppkey) carrying any_r; the tagged-union bucketed join
+    on orderkey brings in status-'F' order keys; per-order
+    qualification is a vectorized per-bucket groupby (size + flag
+    sum); per-supplier counts merge in Ray; partial top-k; the ≤k
+    winners read s_name via predicate pushdown."""
+    import pyarrow.parquet as pq
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        t = pa.table({"key": pc.cast(batch["l_orderkey"], pa.int64()),
+                      "suppkey": pc.cast(batch["l_suppkey"], pa.int64()),
+                      "any_r": pc.cast(pc.equal(batch["l_returnflag"], "R"),
+                                       pa.int64())})
+        g = t.group_by(["key", "suppkey"]).aggregate([("any_r", "max")])
+        g = g.rename_columns(["key", "suppkey", "any_r"])
+        return pa.table({"key": g["key"], "suppkey": g["suppkey"],
+                         "any_r": g["any_r"],
+                         "side": pa.array(["l"] * g.num_rows)})
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderstatus"])
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["o_orderstatus"], "F"))
+        n = b.num_rows
+        return pa.table({"key": pc.cast(b["o_orderkey"], pa.int64()),
+                         "suppkey": pa.nulls(n, pa.int64()),
+                         "any_r": pa.nulls(n, pa.int64()),
+                         "side": pa.array(["o"] * n)})
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "l"][["key", "suppkey", "any_r"]]
+        okeys = set(g.loc[g["side"] == "o", "key"])
+        m = left[left["key"].isin(okeys)]
+        if m.empty:
+            return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                                 "numwait": pd.Series([], dtype="int64")})
+        # the map-side combine is per BATCH, so a (key, suppkey) pair
+        # split across batches arrives as several rows — re-combine
+        # before counting distinct suppliers per order
+        m = m.groupby(["key", "suppkey"], as_index=False)["any_r"].max()
+        st = m.groupby("key").agg(nsupp=("suppkey", "size"),
+                                  nr=("any_r", "sum"))
+        ok = st[(st["nsupp"] >= 2) & (st["nr"] == 1)].index
+        w = m[m["key"].isin(ok) & (m["any_r"] == 1)]
+        if w.empty:
+            return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                                 "numwait": pd.Series([], dtype="int64")})
+        out = w.groupby("suppkey", as_index=False).size()
+        return pd.DataFrame({"s_suppkey": out["suppkey"].astype("int64"),
+                             "numwait": out["size"].astype("int64")})
+
+    per_supp = _merge_partials_ray(
+        _tagged_union_join(li.map_batches(li_side, batch_format="pyarrow"),
+                           orders.map_batches(ord_side,
+                                              batch_format="pyarrow"),
+                           "key", join_bucket),
+        ["s_suppkey"], ["numwait"])
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        return batch.sort_by([("numwait", "descending"),
+                              ("s_suppkey", "ascending")]).slice(0, k)
+
+    agg = per_supp.map_batches(topk_block, batch_format="pyarrow").to_pandas()
+    if agg.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype="object"),
+                             "numwait": pd.Series([], dtype="int64")})
+    agg["numwait"] = agg["numwait"].astype("int64")
+    agg = (agg.sort_values(["numwait", "s_suppkey"],
+                           ascending=[False, True]).head(k)
+           .reset_index(drop=True))
+    win = pq.read_table(
+        f"{sf_dir.rstrip('/')}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", [int(x) for x in agg["s_suppkey"]])]
+    ).to_pandas()
+    agg = agg.merge(win, on="s_suppkey", how="left")
+    return agg[["s_suppkey", "s_name", "numwait"]]
+
+
 # quantile fractions as exact rationals: DuckDB quantile_disc picks
 # the element at 0-based index ceil(q*n)-1; integer arithmetic
 # ((a*n + b - 1)//b - 1) reproduces it without float q*n
@@ -2079,6 +2636,79 @@ def _hll_oracle_sql(p: int = 12) -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "q17_small_qty_revenue":
+        "WITH pq AS (SELECT p_partkey FROM part "
+        "WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'), "
+        "st AS (SELECT l_partkey, "
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(count(*) AS BIGINT) AS n FROM lineitem "
+        "JOIN pq ON l_partkey = p_partkey GROUP BY 1) "
+        "SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) "
+        "AS BIGINT)), 0) AS BIGINT) AS revenue_c, "
+        "CAST(count(*) AS BIGINT) AS n_lines "
+        "FROM lineitem JOIN st ON lineitem.l_partkey = st.l_partkey "
+        "WHERE 5 * CAST(round(l_quantity) AS BIGINT) * n < sum_qty",
+    "q22_sales_opportunity":
+        "WITH avgb AS (SELECT "
+        "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s, "
+        "CAST(count(*) AS BIGINT) AS n FROM customer "
+        "WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0), "
+        "cust AS (SELECT c_custkey % 7 AS cntrycode, "
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c, c_custkey "
+        "FROM customer, avgb WHERE c_custkey % 7 IN (1, 3, 5) "
+        "AND CAST(round(c_acctbal * 100) AS BIGINT) * n > s) "
+        "SELECT CAST(cntrycode AS BIGINT) AS cntrycode, "
+        "CAST(count(*) AS BIGINT) AS numcust, "
+        "CAST(sum(bal_c) AS BIGINT) AS totacctbal_c FROM cust "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderdate >= DATE '1999-01-01') "
+        "GROUP BY 1 ORDER BY 1",
+    "q8_market_share":
+        "WITH tgt AS (SELECT n_nationkey FROM nation "
+        "WHERE n_name = 'NATION_11'), "
+        "vol AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS r, s_nationkey "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+        "JOIN region ON cn.n_regionkey = r_regionkey "
+        "WHERE p_type = 'PROMO' AND r_name = 'ASIA' "
+        "AND o_orderdate >= DATE '1995-01-01' "
+        "AND o_orderdate < DATE '1997-01-01') "
+        "SELECT o_year, CAST(sum(CASE WHEN s_nationkey = "
+        "(SELECT n_nationkey FROM tgt) THEN r ELSE 0 END) AS BIGINT) "
+        "AS target_e4, CAST(sum(r) AS BIGINT) AS total_e4 "
+        "FROM vol GROUP BY 1 ORDER BY 1",
+    "q9_profit_by_nation":
+        "WITH prof AS (SELECT n_name, "
+        "CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) - "
+        "CAST(round(p_retailprice * 100) AS BIGINT) * 100 * "
+        "CAST(round(l_quantity) AS BIGINT) AS p "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE p_name LIKE '%widget%') "
+        "SELECT n_name, o_year, CAST(sum(p) AS BIGINT) AS profit_e4 "
+        "FROM prof GROUP BY 1, 2 ORDER BY 1, 2 DESC",
+    "q21_waiting_suppliers":
+        "WITH lf AS (SELECT l_orderkey, l_suppkey, "
+        "max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS any_r "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_orderstatus = 'F' GROUP BY 1, 2), "
+        "g AS (SELECT l_orderkey, count(*) AS nsupp, sum(any_r) AS nr "
+        "FROM lf GROUP BY 1), "
+        "w AS (SELECT l_suppkey FROM lf JOIN g USING (l_orderkey) "
+        "WHERE nsupp >= 2 AND nr = 1 AND any_r = 1) "
+        "SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey, s_name, "
+        "CAST(count(*) AS BIGINT) AS numwait "
+        "FROM w JOIN supplier ON l_suppkey = s_suppkey "
+        "GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 10",
     "q5_local_supplier_volume":
         "WITH rev AS (SELECT n_name, "
         "CAST(round(l_extendedprice * 100) AS BIGINT) * "
