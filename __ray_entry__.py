@@ -50,6 +50,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": qa.q_q8_market_share,
         "q9_profit_by_nation": qa.q_q9_profit_by_nation,
         "q21_waiting_suppliers": qa.q_q21_waiting_suppliers,
+        # session-7 operator-family completions: LAG window (per-user
+        # gaps), FULL OUTER join, BPE-merge pair counting, and the
+        # acting half of substring dedup (covered-token removal)
+        "events_lag_gaps": qa.q_events_lag_gaps,
+        "full_outer_nation_accounts": qa.q_full_outer_nation_accounts,
+        "bpe_pair_counts": qt.q_bpe_pair_counts,
+        "dedup_spans_remove": qt.q_dedup_spans_remove,
         # extended joins / windows the Dataset API lacks: as-of join,
         # range join, grouped top-k, rolling frame, pivot, rollup —
         # all bucketed map_groups compositions

@@ -2464,6 +2464,120 @@ def q_q21_waiting_suppliers(sf_dir: str, k: int = 10):
     return agg[["s_suppkey", "s_name", "numwait"]]
 
 
+def q_events_lag_gaps(sf_dir: str, long_gap_us: int = 3_600_000_000):
+    """LAG WINDOW FUNCTION per partition: inter-event gap per user
+    (ordered by ts, event_id) — the per-user max gap and the count of
+    gaps over an hour pin every individual LAG value, not just the
+    telescoped sum. Plan: ts is cast to integer microseconds in Arrow
+    (exact, engine-independent), rows bucket by user hash so each
+    user's history lands wholly in one bucket, and the gap vector is
+    ONE diff over the bucket-sorted frame with a same-user mask — no
+    per-user Python loop."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.cast(batch["user_id"], pa.int64()),
+                         "ts_us": pc.cast(batch["ts"], pa.int64()),
+                         "event_id": pc.cast(batch["event_id"], pa.int64())})
+
+    def gaps_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        u = g["user_id"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        d = np.diff(t, prepend=t[:1] if len(t) else 0)
+        same = np.concatenate([[False], u[1:] == u[:-1]]) if len(u) \
+            else np.zeros(0, bool)
+        gap = np.where(same, d, 0)
+        out = pd.DataFrame({"user_id": u, "gap": gap})
+        res = out.groupby("user_id", as_index=False).agg(
+            n_events=("gap", "size"), max_gap_us=("gap", "max"))
+        res["n_long_gaps"] = out.assign(lg=(out["gap"] > long_gap_us)
+                                        .astype(np.int64)) \
+            .groupby("user_id")["lg"].sum().to_numpy()
+        return res.astype({"user_id": "int64", "n_events": "int64",
+                           "max_gap_us": "int64", "n_long_gaps": "int64"})
+
+    out = (ds.map_batches(to_us, batch_format="pyarrow")
+           .repartition(32)
+           .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow")
+           .groupby("_kb").map_groups(gaps_bucket, batch_format="pandas")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_full_outer_nation_accounts(sf_dir: str):
+    """FULL OUTER JOIN (completes the engine's join family: inner /
+    left / semi / anti / as-of / range / broadcast): per-nationkey
+    customer account stats vs supplier account stats, keeping nations
+    present on EITHER side with zeros for the absent side (the
+    supplier table covers far fewer nations than customer). Plan:
+    both sides reduce to combiner partials first, then the
+    tagged-union bucketed join runs a per-bucket OUTER pandas merge —
+    each nationkey lands wholly in one bucket, so null-filling is
+    exact."""
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_nationkey", "c_acctbal"])
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"key": pc.cast(batch["c_nationkey"], pa.int64()),
+                      "n_customers": pa.array(
+                          np.ones(batch.num_rows, np.int64)),
+                      "cust_bal_c": pc.cast(pc.round(pc.multiply(
+                          batch["c_acctbal"], 100.0)), pa.int64())})
+        g = t.group_by("key").aggregate([("n_customers", "sum"),
+                                         ("cust_bal_c", "sum")])
+        g = g.rename_columns(["key", "n_customers", "cust_bal_c"])
+        return pa.table({"key": g["key"], "n_customers": g["n_customers"],
+                         "cust_bal_c": g["cust_bal_c"],
+                         "n_suppliers": pa.nulls(g.num_rows, pa.int64()),
+                         "supp_bal_c": pa.nulls(g.num_rows, pa.int64()),
+                         "side": pa.array(["c"] * g.num_rows)})
+
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_nationkey", "s_acctbal"])
+
+    def supp_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"key": pc.cast(batch["s_nationkey"], pa.int64()),
+                      "n_suppliers": pa.array(
+                          np.ones(batch.num_rows, np.int64)),
+                      "supp_bal_c": pc.cast(pc.round(pc.multiply(
+                          batch["s_acctbal"], 100.0)), pa.int64())})
+        g = t.group_by("key").aggregate([("n_suppliers", "sum"),
+                                         ("supp_bal_c", "sum")])
+        g = g.rename_columns(["key", "n_suppliers", "supp_bal_c"])
+        return pa.table({"key": g["key"],
+                         "n_customers": pa.nulls(g.num_rows, pa.int64()),
+                         "cust_bal_c": pa.nulls(g.num_rows, pa.int64()),
+                         "n_suppliers": g["n_suppliers"],
+                         "supp_bal_c": g["supp_bal_c"],
+                         "side": pa.array(["s"] * g.num_rows)})
+
+    def outer_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = (g[g["side"] == "c"]
+                .groupby("key", as_index=False)
+                [["n_customers", "cust_bal_c"]].sum())
+        right = (g[g["side"] == "s"]
+                 .groupby("key", as_index=False)
+                 [["n_suppliers", "supp_bal_c"]].sum())
+        m = left.merge(right, on="key", how="outer").fillna(0)
+        return pd.DataFrame({
+            "n_nationkey": m["key"].astype("int64"),
+            "n_customers": m["n_customers"].astype("int64"),
+            "cust_bal_c": m["cust_bal_c"].astype("int64"),
+            "n_suppliers": m["n_suppliers"].astype("int64"),
+            "supp_bal_c": m["supp_bal_c"].astype("int64")})
+
+    out = _tagged_union_join(
+        cust.map_batches(cust_partial, batch_format="pyarrow"),
+        supp.map_batches(supp_partial, batch_format="pyarrow"),
+        "key", outer_bucket).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("n_nationkey").reset_index(drop=True)
+
+
 # quantile fractions as exact rationals: DuckDB quantile_disc picks
 # the element at 0-based index ceil(q*n)-1; integer arithmetic
 # ((a*n + b - 1)//b - 1) reproduces it without float q*n
@@ -2696,6 +2810,32 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE p_name LIKE '%widget%') "
         "SELECT n_name, o_year, CAST(sum(p) AS BIGINT) AS profit_e4 "
         "FROM prof GROUP BY 1, 2 ORDER BY 1, 2 DESC",
+    "events_lag_gaps":
+        "WITH d AS (SELECT user_id, epoch_us(ts) AS t, "
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS pt FROM events), "
+        "g AS (SELECT user_id, CASE WHEN pt IS NULL THEN 0 "
+        "ELSE t - pt END AS gap FROM d) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(max(gap) AS BIGINT) AS max_gap_us, "
+        "CAST(sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_long_gaps FROM g GROUP BY 1 ORDER BY 1",
+    "full_outer_nation_accounts":
+        "WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS n_nationkey, "
+        "CAST(count(*) AS BIGINT) AS n_customers, "
+        "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+        "AS cust_bal_c FROM customer GROUP BY 1), "
+        "s AS (SELECT CAST(s_nationkey AS BIGINT) AS n_nationkey, "
+        "CAST(count(*) AS BIGINT) AS n_suppliers, "
+        "CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) "
+        "AS supp_bal_c FROM supplier GROUP BY 1) "
+        "SELECT n_nationkey, "
+        "coalesce(n_customers, 0) AS n_customers, "
+        "coalesce(cust_bal_c, 0) AS cust_bal_c, "
+        "coalesce(n_suppliers, 0) AS n_suppliers, "
+        "coalesce(supp_bal_c, 0) AS supp_bal_c "
+        "FROM c FULL OUTER JOIN s USING (n_nationkey) ORDER BY 1",
     "q21_waiting_suppliers":
         "WITH lf AS (SELECT l_orderkey, l_suppkey, "
         "max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS any_r "

@@ -227,6 +227,33 @@ def q_vocab_topk(sf_dir: str):
             .head(100).reset_index(drop=True))
 
 
+def q_bpe_pair_counts(sf_dir: str, k: int = 20):
+    """BPE-MERGE STEP counting: the corpus's top-k adjacent token
+    pairs (bigrams, never crossing doc boundaries) with deterministic
+    tie-break (count desc, left asc, right asc) — the statistic one
+    BPE training iteration merges on, and the vocab_topk shape one
+    rank up: per-batch composite-code combiner partials → bucketed
+    merge on the pair → partial top-k per block → tiny driver head.
+    ORACLE-CHECKED (unnest + positional indexing bigrams in SQL)."""
+    from ..stages import sampling as sp
+    from .analytics import _merge_partials_ray
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    partials = ds.map_batches(sp.bpe_pair_partial_counts,
+                              batch_format="pyarrow")
+    merged = _merge_partials_ray(partials, ["left_tok", "right_tok"], ["n"])
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        return batch.sort_by([("n", "descending"),
+                              ("left_tok", "ascending"),
+                              ("right_tok", "ascending")]).slice(0, k)
+
+    df = merged.map_batches(topk_block, batch_format="pyarrow").to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return (df.sort_values(["n", "left_tok", "right_tok"],
+                           ascending=[False, True, True])
+            .head(k).reset_index(drop=True))
+
+
 def q_length_bins(sf_dir: str, k_bins: int = 8):
     """CURRICULUM BINNING: exact K-quantile bins over the global
     (n_chars, doc_id) order WITHOUT a global sort — per-length counts
@@ -1172,6 +1199,65 @@ def _dedup_spans_oracle_sql(window: int = 16) -> str:
         f"{window - 1}, 0) AS BIGINT) AS n_windows FROM documents) "
         "SELECT t.doc_id, t.n_windows, coalesce(d.n_dup, 0) "
         "AS n_dup_windows FROM ds_tot t LEFT JOIN ds_dup d USING (doc_id)")
+
+
+def q_dedup_spans_remove(sf_dir: str):
+    """Substring-level duplicate REMOVAL (Lee et al.'s acting half —
+    q_dedup_spans detects, this one strips): per doc, every token
+    covered by any corpus-duplicated 16-token window is removed;
+    result rows pin (n_tokens, n_covered, kept_sum) where kept_sum is
+    the wrapping-uint64 sum of the surviving tokens' stable hashes.
+    ORACLE-CHECKED bit-for-bit: DuckDB recomputes window hashes via
+    the closed-form positional polynomial, derives the same hot set,
+    marks covered positions with a range EXISTS, and sums surviving
+    token hashes mod 2^64."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dd.dup_window_remove_stats(ds)
+
+
+def _dedup_spans_remove_oracle_sql(window: int = 16) -> str:
+    from ..functions.sqlmirror import M64, mul_mod64, stable_hash64_cte, tokens_sql
+    from ..stages.dedup import RK_P
+    toks = tokens_sql("coalesce(text,'')")
+    tok_with, tok_cte = stable_hash64_cte(
+        f"SELECT DISTINCT unnest({toks}) AS s FROM documents",
+        "s", {"h": 0}, prefix="dr_h")
+    consts = [pow(RK_P, window - 1 - j, 1 << 64) for j in range(window)]
+    case = ("CASE t.i - w.i " + " ".join(
+        f"WHEN {j} THEN CAST({mul_mod64('t.h', c)} AS HUGEINT)"
+        for j, c in enumerate(consts)) + " END")
+    return tok_with + (
+        f", dr_d AS (SELECT doc_id, {toks} AS t FROM documents), "
+        "dr_tok AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t "
+        "FROM dr_d), "
+        "dr_th AS (SELECT p.doc_id, p.i, th.h FROM "
+        "(SELECT doc_id, i, t[i] AS tok FROM dr_tok) p "
+        f"JOIN {tok_cte} th ON p.tok = th.s), "
+        f"dr_w AS (SELECT doc_id, unnest(range(1, len(t) - {window - 2})) "
+        f"AS i FROM dr_d WHERE len(t) >= {window}), "
+        f"dr_wh AS (SELECT w.doc_id, w.i, "
+        f"CAST(sum({case}) % {M64} AS UBIGINT) AS whash "
+        "FROM dr_w w JOIN dr_th t ON t.doc_id = w.doc_id "
+        f"AND t.i >= w.i AND t.i < w.i + {window} GROUP BY w.doc_id, w.i), "
+        "dr_hot AS (SELECT whash FROM dr_wh GROUP BY whash "
+        "HAVING count(DISTINCT doc_id) >= 2), "
+        "dr_dupw AS (SELECT doc_id, i FROM dr_wh "
+        "WHERE whash IN (SELECT whash FROM dr_hot)), "
+        "dr_cov AS (SELECT t.doc_id, t.i, "
+        "CASE WHEN EXISTS (SELECT 1 FROM dr_dupw w "
+        f"WHERE w.doc_id = t.doc_id AND w.i <= t.i "
+        f"AND w.i > t.i - {window}) THEN 1 ELSE 0 END AS cov, t.h "
+        "FROM dr_th t), "
+        "dr_agg AS (SELECT doc_id, "
+        "CAST(sum(cov) AS BIGINT) AS n_covered, "
+        f"CAST(coalesce(sum(CASE WHEN cov = 0 THEN "
+        f"CAST(h AS HUGEINT) END), 0) % {M64} AS UBIGINT) AS kept_sum "
+        "FROM dr_cov GROUP BY doc_id), "
+        f"dr_tot AS (SELECT doc_id, CAST(len({toks}) AS BIGINT) "
+        "AS n_tokens FROM documents) "
+        "SELECT t.doc_id, t.n_tokens, coalesce(a.n_covered, 0) "
+        "AS n_covered, coalesce(a.kept_sum, CAST(0 AS UBIGINT)) "
+        "AS kept_sum FROM dr_tot t LEFT JOIN dr_agg a USING (doc_id)")
 
 
 def q_semdedup_remove(sf_dir: str, k: int = 5, threshold_e6: int = 400_000):
@@ -2595,6 +2681,19 @@ def _shuffle_shards_oracle_sql() -> str:
         f"FROM {c}")
 
 
+def _bpe_pair_oracle_sql(k: int = 20) -> str:
+    from ..functions.sqlmirror import tokens_sql
+    toks = tokens_sql("coalesce(text,'')")
+    return (
+        f"WITH d AS (SELECT {toks} AS t FROM documents), "
+        "p AS (SELECT t, unnest(range(1, len(t))) AS i FROM d "
+        "WHERE len(t) >= 2), "
+        "pairs AS (SELECT t[i] AS left_tok, t[i + 1] AS right_tok FROM p) "
+        "SELECT left_tok, right_tok, CAST(count(*) AS BIGINT) AS n "
+        "FROM pairs GROUP BY 1, 2 "
+        f"ORDER BY n DESC, left_tok, right_tok LIMIT {k}")
+
+
 def _vocab_topk_oracle_sql() -> str:
     from ..functions.sqlmirror import tokens_sql
     return (
@@ -2625,6 +2724,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "mixture_sample": _mixture_oracle_sql(),
     "decontaminate": _decontaminate_oracle_sql(),
     "vocab_topk": _vocab_topk_oracle_sql(),
+    "bpe_pair_counts": _bpe_pair_oracle_sql(),
     "length_bins": _length_bins_oracle_sql(),
     # K=1 conformance run replayed closed-form in SQL (r03): the
     # claim stream, the per-wave lease lineage, and the documents
@@ -2760,6 +2860,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "knn_graph": _knn_graph_oracle_sql(),
     "semdedup_remove": _semdedup_oracle_sql(),
     "dedup_spans": _dedup_spans_oracle_sql(),
+    "dedup_spans_remove": _dedup_spans_remove_oracle_sql(),
     "ann_brute_topk":
         "WITH sims AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
         "list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim "

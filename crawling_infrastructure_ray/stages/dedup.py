@@ -899,7 +899,8 @@ _RK_PINV = pow(RK_P, -1, 1 << 64)
 
 
 def window_hash_batch(batch: pa.Table, window: int = RK_WINDOW,
-                      column: str = "text") -> pa.Table:
+                      column: str = "text",
+                      emit_pos: bool = False) -> pa.Table:
     """(doc_id, whash) for EVERY token window of width ``window`` —
     stride 1, so duplicated substrings are found at ANY alignment.
     whash is the positional Rabin-Karp hash
@@ -925,8 +926,11 @@ def window_hash_batch(batch: pa.Table, window: int = RK_WINDOW,
     n_win = np.maximum(n - window + 1, 0)
     tot = int(n_win.sum())
     if tot == 0:
-        return pa.table({"doc_id": pa.array([], batch["doc_id"].type),
-                         "whash": pa.array([], pa.int64())})
+        out = {"doc_id": pa.array([], batch["doc_id"].type),
+               "whash": pa.array([], pa.int64())}
+        if emit_pos:
+            out["pos"] = pa.array([], pa.int64())
+        return pa.table(out)
 
     flat = lists.flatten().to_numpy(zero_copy_only=False)
     codes, uniq = pd.factorize(flat)
@@ -955,9 +959,11 @@ def window_hash_batch(batch: pa.Table, window: int = RK_WINDOW,
     # bit-cast to int64: whash is engine-internal (the query outputs
     # only counts) and an int64 view avoids uint64>=2^63 promotion
     # failures in Ray block concat / pandas group reduces
-    return pa.table({
-        "doc_id": batch["doc_id"].take(pa.array(doc_for_win, pa.int64())),
-        "whash": pa.array(whash.view(np.int64), pa.int64())})
+    out = {"doc_id": batch["doc_id"].take(pa.array(doc_for_win, pa.int64())),
+           "whash": pa.array(whash.view(np.int64), pa.int64())}
+    if emit_pos:
+        out["pos"] = pa.array(within, pa.int64())  # 0-based window start
+    return pa.table(out)
 
 
 def window_totals_batch(batch: pa.Table, window: int = RK_WINDOW,
@@ -1031,4 +1037,123 @@ def dup_window_stats(ds: rd.Dataset, *, window: int = RK_WINDOW,
     return _merge_partials_ray(
         totals.union(dup.map_batches(dup_partial, batch_format="pyarrow")),
         ["doc_id"], ["n_windows", "n_dup_windows"])
+
+
+def dup_window_remove_stats(ds: rd.Dataset, *, window: int = RK_WINDOW,
+                            column: str = "text") -> rd.Dataset:
+    """Substring-level duplicate REMOVAL (the acting half of Lee et
+    al.: `dup_window_stats` detects, this strips): every token covered
+    by ANY corpus-duplicated window (hash in ≥ 2 distinct docs) is
+    removed, and the per-doc result is pinned by (n_tokens, n_covered,
+    kept_sum) where kept_sum is the wrapping-uint64 sum of the SURVIVING
+    tokens' stable hashes — content evidence, not just counts.
+
+    Scale shape: window hashes ride WITH their start position through
+    the same semi-join as the stats op; coverage per doc is computed
+    in the doc-bucketed merge as one +1/−1 delta scatter + a single
+    cumsum over the bucket's flattened token stream (a window never
+    crosses its doc's boundary, so the running sum returns to zero at
+    every doc edge and one global cumsum is exact) — no per-doc
+    Python loop, no driver state."""
+    import pandas as pd
+
+    from ..functions.bucketing import tag_bucket_fn
+    from ..functions.hashing import stable_hash64_np
+    from .joins import bucketed_semi_join
+
+    wins = ds.map_batches(window_hash_batch,
+                          fn_kwargs={"window": window, "column": column,
+                                     "emit_pos": True},
+                          batch_format="pyarrow")
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        return t.select(["whash", "doc_id"]).group_by(
+            ["whash", "doc_id"]).aggregate([])
+
+    def hot_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["whash", "doc_id"])
+        cnt = g.groupby("whash", sort=False)["doc_id"].nunique()
+        hot = cnt[cnt >= 2].index.to_numpy()
+        return pd.DataFrame({"whash": hot})
+
+    hot = (wins.map_batches(pair_dedup, batch_format="pyarrow")
+           .repartition(32)
+           .map_batches(tag_bucket_fn(["whash"]), batch_format="pyarrow")
+           .groupby("_kb").map_groups(hot_bucket, batch_format="pandas"))
+
+    dup = bucketed_semi_join(wins, hot, on="whash")
+
+    tag = tag_bucket_fn(["doc_id"], col_name="_db")
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                         "text": pc.fill_null(batch[column], ""),
+                         "pos": pa.nulls(batch.num_rows, pa.int64()),
+                         "side": pa.array(["d"] * batch.num_rows)})
+
+    def dup_side(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                         "text": pa.nulls(batch.num_rows, pa.string()),
+                         "pos": batch["pos"],
+                         "side": pa.array(["w"] * batch.num_rows)})
+
+    def strip_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["side"] == "d"].sort_values("doc_id")
+        dups = g[g["side"] == "w"]
+        if docs.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_tokens": pd.Series([], dtype="int64"),
+                                 "n_covered": pd.Series([], dtype="int64"),
+                                 "kept_sum": pd.Series([], dtype="uint64")})
+        texts = pa.array(docs["text"].to_numpy(), pa.string())
+        stripped = pc.utf8_trim_whitespace(texts)
+        lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        raw_lens = np.diff(offs)
+        empty = np.asarray(pc.equal(stripped, "")
+                           .to_numpy(zero_copy_only=False))
+        n_tok = np.where(empty, 0, raw_lens)
+        ndocs = len(docs)
+        total = int(raw_lens.sum())
+        doc_ids = docs["doc_id"].to_numpy().astype(np.int64)
+        if total == 0:
+            return pd.DataFrame({"doc_id": doc_ids,
+                                 "n_tokens": n_tok.astype(np.int64),
+                                 "n_covered": np.zeros(ndocs, np.int64),
+                                 "kept_sum": np.zeros(ndocs, np.uint64)})
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(flat)
+        th = stable_hash64_np(uniq)[codes]
+        doc_for_tok = np.repeat(np.arange(ndocs), raw_lens)
+        # empty/whitespace-only docs split to one phantom '' token —
+        # mask it out of coverage and kept_sum (n_tok already 0)
+        tok_valid = ~np.repeat(empty, raw_lens)
+        delta = np.zeros(total + window, np.int64)
+        if not dups.empty:
+            didx = np.searchsorted(doc_ids,
+                                   dups["doc_id"].to_numpy().astype(np.int64))
+            gpos = offs[:-1][didx] + dups["pos"].to_numpy().astype(np.int64)
+            np.add.at(delta, gpos, 1)
+            np.add.at(delta, gpos + window, -1)
+        cov = (np.cumsum(delta[:total]) > 0) & tok_valid
+        n_covered = np.zeros(ndocs, np.int64)
+        np.add.at(n_covered, doc_for_tok, cov.astype(np.int64))
+        kept_sum = np.zeros(ndocs, np.uint64)
+        with np.errstate(over="ignore"):
+            np.add.at(kept_sum, doc_for_tok,
+                      np.where(cov | ~tok_valid, np.uint64(0), th))
+        return pd.DataFrame({"doc_id": doc_ids,
+                             "n_tokens": n_tok.astype(np.int64),
+                             "n_covered": n_covered,
+                             "kept_sum": kept_sum})
+
+    both = (ds.map_batches(doc_side, batch_format="pyarrow")
+            .map_batches(tag, batch_format="pyarrow")
+            .union(dup.map_batches(dup_side, batch_format="pyarrow")
+                   .map_batches(tag, batch_format="pyarrow"))
+            .repartition(32))
+    return both.groupby("_db").map_groups(strip_bucket,
+                                          batch_format="pandas")
 

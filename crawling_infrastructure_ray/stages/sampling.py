@@ -194,6 +194,35 @@ def vocab_partial_counts(batch: pa.Table, column: str = "text") -> pa.Table:
                      "n": pa.array(counts)})
 
 
+def bpe_pair_partial_counts(batch: pa.Table,
+                            column: str = "text") -> pa.Table:
+    """Per-batch ADJACENT-TOKEN-PAIR (bigram) combiner — the counting
+    core of one BPE-merge training step: each doc's token stream
+    contributes (tok[i], tok[i+1]) pairs (never across doc
+    boundaries); left/right factorize once, pairs collapse to a
+    composite code, and one np.unique yields the distinct-pair
+    partial counts that enter the exchange."""
+    texts = batch[column].to_pylist()
+    lefts: list = []
+    rights: list = []
+    for s in texts:
+        toks = (s or "").split()
+        if len(toks) >= 2:
+            lefts.extend(toks[:-1])
+            rights.extend(toks[1:])
+    if not lefts:
+        return pa.table({"left_tok": pa.array([], pa.string()),
+                         "right_tok": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    lc, lu = pd.factorize(np.asarray(lefts, dtype=object))
+    rc, ru = pd.factorize(np.asarray(rights, dtype=object))
+    key = lc.astype(np.int64) * len(ru) + rc
+    ukey, counts = np.unique(key, return_counts=True)
+    return pa.table({"left_tok": pa.array(lu[ukey // len(ru)].astype(str)),
+                     "right_tok": pa.array(ru[ukey % len(ru)].astype(str)),
+                     "n": pa.array(counts.astype(np.int64))})
+
+
 # ----------------------------------------------------------------------
 # curriculum binning (global rank → K quantile bins, no global sort)
 # ----------------------------------------------------------------------

@@ -196,3 +196,65 @@ def test_salted_semi_join_equal_and_balanced(ray_session):
     tu1 = _tagged_union(data, keep, "host", 64, 1).to_pandas()
     d1 = tu1[~tu1["is_key"]]
     assert d1.groupby("jbucket").size().max() / len(d1) >= 0.9
+
+
+def test_dup_window_remove_coverage(ray_session):
+    import ray.data as rd
+    from crawling_infrastructure_ray.functions.hashing import stable_hash64
+    from crawling_infrastructure_ray.stages.dedup import (
+        dup_window_remove_stats)
+
+    span = " ".join(f"tok{i}" for i in range(16))     # shared 16-token span
+    texts = [
+        "x y z " + span,                  # span covers tokens 3..18
+        span + " p q",                    # span covers tokens 0..15
+        " ".join(f"other{i}" for i in range(20)),   # untouched
+        "short doc",                      # < 16 tokens, nothing to cover
+        "",                               # empty
+    ]
+    out = dup_window_remove_stats(
+        rd.from_arrow(_doc_table(texts))).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+
+    def wsum(toks):
+        acc = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for t in toks:
+                acc += np.uint64(stable_hash64(t))
+        return acc
+
+    # doc 0: exactly the 16 span tokens stripped, x y z survive
+    assert out.loc[0, "n_tokens"] == 19 and out.loc[0, "n_covered"] == 16
+    assert np.uint64(out.loc[0, "kept_sum"]) == wsum(["x", "y", "z"])
+    # doc 1: p q survive
+    assert out.loc[1, "n_tokens"] == 18 and out.loc[1, "n_covered"] == 16
+    assert np.uint64(out.loc[1, "kept_sum"]) == wsum(["p", "q"])
+    # doc 2: nothing covered, kept_sum over all tokens
+    assert out.loc[2, "n_covered"] == 0
+    assert np.uint64(out.loc[2, "kept_sum"]) == wsum(
+        [f"other{i}" for i in range(20)])
+    # doc 3/4: too short / empty -> zero coverage (and doc 4 zero toks)
+    assert out.loc[3, "n_covered"] == 0 and out.loc[3, "n_tokens"] == 2
+    assert out.loc[4, "n_tokens"] == 0 and out.loc[4, "kept_sum"] == 0
+
+
+def test_dup_window_remove_overlapping_spans(ray_session):
+    """Two OVERLAPPING duplicated windows must union their coverage,
+    not double-count: doc A shares tokens 0..15 with doc B and tokens
+    1..16 with doc C -> A's covered set is 0..16 (17 tokens)."""
+    import ray.data as rd
+    from crawling_infrastructure_ray.stages.dedup import (
+        dup_window_remove_stats)
+
+    base = [f"w{i}" for i in range(17)]               # 17 tokens -> 2 windows
+    texts = [
+        " ".join(base),                                # A: both windows hot
+        " ".join(base[:16]) + " zzz",                  # B shares window 0
+        "aaa " + " ".join(base[1:]),                   # C shares window 1
+    ]
+    out = dup_window_remove_stats(
+        rd.from_arrow(_doc_table(texts))).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert out.loc[0, "n_covered"] == 17               # union, not 32
+    assert out.loc[1, "n_covered"] == 16
+    assert out.loc[2, "n_covered"] == 16
