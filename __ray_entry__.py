@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_nation_accounts": qa.q_full_outer_nation_accounts,
         "bpe_pair_counts": qt.q_bpe_pair_counts,
         "dedup_spans_remove": qt.q_dedup_spans_remove,
+        "events_hopping_window": qa.q_events_hopping_window,
+        "cube_order_counts": qa.q_cube_order_counts,
         # extended joins / windows the Dataset API lacks: as-of join,
         # range join, grouped top-k, rolling frame, pivot, rollup —
         # all bucketed map_groups compositions

@@ -2464,6 +2464,89 @@ def q_q21_waiting_suppliers(sf_dir: str, k: int = 10):
     return agg[["s_suppkey", "s_name", "numwait"]]
 
 
+def q_events_hopping_window(sf_dir: str):
+    """HOPPING (sliding) window aggregate — 2-hour windows every hour,
+    so each event lands in exactly TWO overlapping windows (the
+    streaming-window kind tumbling/session don't cover): the event is
+    replicated to its two window starts VECTORIZED inside the batch
+    (concat of two shifted columns — no per-row logic, 2× partial rows
+    enter the combine, never 2× raw events through an exchange), then
+    the standard combiner → Ray merge on the data-sized window
+    domain."""
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+    hour_us = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        base = pc.cast(pc.floor_temporal(batch["ts"], unit="hour"),
+                       pa.int64())
+        v_c = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                      pa.int64())
+        w = pa.chunked_array([base, pc.subtract(
+            base, pa.scalar(hour_us, pa.int64()))])
+        t = pa.table({"w_us": w, "v_c": pa.chunked_array([v_c, v_c])})
+        g = t.group_by("w_us").aggregate([("v_c", "count"), ("v_c", "sum")])
+        return g.rename_columns(["w_us", "n_events", "sum_value_c"])
+
+    merged = _merge_partials_ray(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["w_us"], ["n_events", "sum_value_c"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": pc.cast(batch["w_us"], pa.timestamp("us")),
+            "n_events": pc.cast(batch["n_events"], pa.int64()),
+            "sum_value_c": pc.cast(batch["sum_value_c"], pa.int64())})
+
+    out = merged.map_batches(finish, batch_format="pyarrow").to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value_c"] = out["sum_value_c"].astype("int64")
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+def q_cube_order_counts(sf_dir: str):
+    """GROUPING SETS / CUBE (rollup's complete lattice): order counts
+    and totalprice cents at ALL FOUR levels of (priority, status) —
+    (p,s), (p,ALL), (ALL,s), (ALL,ALL). The base key set is a bounded
+    enum (5 priorities × 3 statuses), so the scan is a per-batch
+    combine and the cube lattice is derived from the ≤15-row merged
+    base on the driver — the frame, not the data, pays for the 4
+    grouping sets."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_orderstatus",
+                             "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderpriority": batch["o_orderpriority"],
+                      "o_orderstatus": batch["o_orderstatus"],
+                      "total_c": pc.cast(pc.round(pc.multiply(
+                          batch["o_totalprice"], 100.0)), pa.int64()),
+                      "n_orders": pa.array(
+                          np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("n_orders", "sum"), ("total_c", "sum")])
+        return g.rename_columns(["o_orderpriority", "o_orderstatus",
+                                 "n_orders", "total_c"])
+
+    base = _merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                           ["o_orderpriority", "o_orderstatus"],
+                           ["n_orders", "total_c"])
+    sums = ["n_orders", "total_c"]
+    lvl_p = base.groupby("o_orderpriority", as_index=False)[sums].sum()
+    lvl_p["o_orderstatus"] = "ALL"
+    lvl_s = base.groupby("o_orderstatus", as_index=False)[sums].sum()
+    lvl_s["o_orderpriority"] = "ALL"
+    lvl_0 = pd.DataFrame({"o_orderpriority": ["ALL"],
+                          "o_orderstatus": ["ALL"],
+                          "n_orders": [base["n_orders"].sum()],
+                          "total_c": [base["total_c"].sum()]})
+    out = pd.concat([base, lvl_p[base.columns], lvl_s[base.columns],
+                     lvl_0[base.columns]], ignore_index=True)
+    for c in sums:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["o_orderpriority", "o_orderstatus"])
+            .reset_index(drop=True))
+
+
 def q_events_lag_gaps(sf_dir: str, long_gap_us: int = 3_600_000_000):
     """LAG WINDOW FUNCTION per partition: inter-event gap per user
     (ordered by ts, event_id) — the per-user max gap and the count of
@@ -2810,6 +2893,21 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE p_name LIKE '%widget%') "
         "SELECT n_name, o_year, CAST(sum(p) AS BIGINT) AS profit_e4 "
         "FROM prof GROUP BY 1, 2 ORDER BY 1, 2 DESC",
+    "events_hopping_window":
+        "WITH e AS (SELECT ts, CAST(round(value * 100) AS BIGINT) AS v_c "
+        "FROM events), "
+        "x AS (SELECT date_trunc('hour', ts) - to_hours(u.off) "
+        "AS window_start, v_c FROM e, unnest([0, 1]) AS u(off)) "
+        "SELECT window_start, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(sum(v_c) AS BIGINT) AS sum_value_c "
+        "FROM x GROUP BY 1 ORDER BY 1",
+    "cube_order_counts":
+        "SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority, "
+        "coalesce(o_orderstatus, 'ALL') AS o_orderstatus, "
+        "CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS total_c FROM orders "
+        "GROUP BY CUBE(o_orderpriority, o_orderstatus) ORDER BY 1, 2",
     "events_lag_gaps":
         "WITH d AS (SELECT user_id, epoch_us(ts) AS t, "
         "lag(epoch_us(ts)) OVER (PARTITION BY user_id "
