@@ -59,6 +59,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans_remove": qt.q_dedup_spans_remove,
         "events_hopping_window": qa.q_events_hopping_window,
         "cube_order_counts": qa.q_cube_order_counts,
+        # session-8 sequence analytics: ordered funnel and
+        # gaps-and-islands interval merge (both bucketed-by-user
+        # vectorized map_groups compositions)
+        "events_funnel": qa.q_events_funnel,
+        "interval_coverage": qa.q_interval_coverage,
+        # session-8 graph/text completions: connected components
+        # (recursive-closure oracle), canonical normalization, and
+        # bigram-LM quality scoring (one-shuffle prefix-bucket plan)
+        "host_components": qt.q_host_components,
+        "text_normalize": qt.q_text_normalize,
+        "lm_bigram_score": qt.q_lm_bigram_score,
         # extended joins / windows the Dataset API lacks: as-of join,
         # range join, grouped top-k, rolling frame, pivot, rollup —
         # all bucketed map_groups compositions

@@ -2832,7 +2832,137 @@ def _hll_oracle_sql(p: int = 12) -> str:
     return sql
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered FUNNEL analysis over the per-user event stream —
+    view -> click -> purchase, each step's timestamp being the
+    earliest qualifying event STRICTLY AFTER the previous step (the
+    classic product-analytics funnel the Dataset API has no primitive
+    for). Output is per-user (strong gate: every min-ts chain is
+    pinned), missing steps filled with -1.
+
+    Scale shape: rows prune to the three step types at the read, cast
+    to integer microseconds in Arrow, and hash-bucket by user so each
+    user's history lands wholly in one bucket; inside a bucket the
+    whole chain is three vectorized groupby-min / merge / filter
+    passes over the bucket frame — no per-user Python."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id",
+                                               "event_type"])
+    s1, s2, s3 = "view", "click", "purchase"
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch["event_type"],
+                                  value_set=pa.array([s1, s2, s3])))
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "ts_us": pc.cast(t["ts"], pa.int64()),
+                         "event_type": t["event_type"]})
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        v = (g[g["event_type"] == s1]
+             .groupby("user_id", as_index=False)["ts_us"].min()
+             .rename(columns={"ts_us": "view_us"}))
+        c = g[g["event_type"] == s2].merge(v, on="user_id")
+        c = (c[c["ts_us"] > c["view_us"]]
+             .groupby("user_id", as_index=False)["ts_us"].min()
+             .rename(columns={"ts_us": "click_us"}))
+        p = g[g["event_type"] == s3].merge(c, on="user_id")
+        p = (p[p["ts_us"] > p["click_us"]]
+             .groupby("user_id", as_index=False)["ts_us"].min()
+             .rename(columns={"ts_us": "purchase_us"}))
+        out = (v.merge(c, on="user_id", how="left")
+               .merge(p, on="user_id", how="left").fillna(-1))
+        return out[["user_id", "view_us", "click_us", "purchase_us"]] \
+            .astype("int64")
+
+    out = (ds.map_batches(to_us, batch_format="pyarrow")
+           .repartition(32)
+           .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow")
+           .groupby("_kb").map_groups(funnel_bucket, batch_format="pandas")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_interval_coverage(sf_dir: str):
+    """GAPS-AND-ISLANDS interval merge: each event spans
+    [ts, ts + value minutes); overlapping spans per user merge, and
+    the query reports merged-interval count and total covered time.
+    Duration is exact integer micros — value has 2 decimals, so
+    floor(value*100 + 0.5) * 600_000 us is the SAME IEEE expression
+    in numpy and DuckDB (np.round's banker's rounding would diverge).
+
+    Scale shape: users hash-bucket so every user's spans share a
+    bucket; inside a bucket the island detection is one grouped
+    cummax + shift over the (user, start, end)-sorted frame — island
+    ids and the per-island aggregates are invariant to tie order, so
+    engine and oracle agree without a total order."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id", "value"])
+
+    def to_iv(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        dur = np.floor(v * 100.0 + 0.5).astype(np.int64) * 600_000
+        s = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": pc.cast(batch["user_id"], pa.int64()),
+                         "s": pa.array(s), "e": pa.array(s + dur)})
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "s", "e"]).reset_index(drop=True)
+        pmax = g.groupby("user_id", sort=False)["e"].cummax().shift()
+        first = ~g["user_id"].eq(g["user_id"].shift())
+        isl = (first | (g["s"] > pmax)).cumsum()
+        islands = (pd.DataFrame({"user_id": g["user_id"], "isl": isl,
+                                 "s": g["s"], "e": g["e"]})
+                   .groupby(["user_id", "isl"], as_index=False)
+                   .agg(ms=("s", "min"), me=("e", "max")))
+        islands["cov"] = islands["me"] - islands["ms"]
+        return (islands.groupby("user_id", as_index=False)
+                .agg(n_intervals=("isl", "size"), covered_us=("cov", "sum")))
+
+    out = (ds.map_batches(to_iv, batch_format="pyarrow")
+           .repartition(32)
+           .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow")
+           .groupby("_kb").map_groups(merge_bucket, batch_format="pandas")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "events_funnel":
+        "WITH fn_v AS (SELECT user_id, min(epoch_us(ts)) AS view_us "
+        "FROM events WHERE event_type = 'view' GROUP BY 1), "
+        "fn_c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS click_us "
+        "FROM events e JOIN fn_v v ON e.user_id = v.user_id "
+        "AND epoch_us(e.ts) > v.view_us "
+        "WHERE e.event_type = 'click' GROUP BY 1), "
+        "fn_p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us "
+        "FROM events e JOIN fn_c c ON e.user_id = c.user_id "
+        "AND epoch_us(e.ts) > c.click_us "
+        "WHERE e.event_type = 'purchase' GROUP BY 1) "
+        "SELECT CAST(v.user_id AS BIGINT) AS user_id, "
+        "CAST(v.view_us AS BIGINT) AS view_us, "
+        "CAST(coalesce(c.click_us, -1) AS BIGINT) AS click_us, "
+        "CAST(coalesce(p.purchase_us, -1) AS BIGINT) AS purchase_us "
+        "FROM fn_v v LEFT JOIN fn_c c ON v.user_id = c.user_id "
+        "LEFT JOIN fn_p p ON v.user_id = p.user_id ORDER BY 1",
+    "interval_coverage":
+        "WITH iv_b AS (SELECT CAST(user_id AS BIGINT) AS user_id, "
+        "epoch_us(ts) AS s, epoch_us(ts) + "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) * 600000 AS e "
+        "FROM events), "
+        "iv_m AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id "
+        "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+        "AS pmax FROM iv_b), "
+        "iv_g AS (SELECT user_id, s, e, sum(CASE WHEN pmax IS NULL "
+        "OR s > pmax THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+        "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS isl FROM iv_m), "
+        "iv_i AS (SELECT user_id, isl, min(s) AS ms, max(e) AS me "
+        "FROM iv_g GROUP BY 1, 2) "
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals, "
+        "CAST(sum(me - ms) AS BIGINT) AS covered_us "
+        "FROM iv_i GROUP BY 1 ORDER BY 1",
     "q17_small_qty_revenue":
         "WITH pq AS (SELECT p_partkey FROM part "
         "WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'), "

@@ -873,6 +873,217 @@ def _pagerank_oracle_sql(iters: int = 5, damping_e2: int = 85) -> str:
         "LEFT JOIN pg_o o ON o.src = s.node")
 
 
+HC_SALT = 0x3C0A_11E5_77E0_0006  # components edge draw (< 2^63)
+
+
+def q_host_components(sf_dir: str):
+    """CONNECTED COMPONENTS over a deterministic source link graph —
+    the second iterative graph op next to host_pagerank, hash-gated:
+    doc with source index i (rank in sorted source order) links
+    i -> (i + 4*(1 + h % 8)) % S, h = splitmix64(doc_id ^ HC_SALT);
+    stepping by multiples of 4 keeps components non-trivial
+    (residues mod gcd(4, S) stay separated). Per source the query
+    reports its component representative (lexicographically smallest
+    member), the component size, and its distinct out-neighbor count.
+
+    Scale shape: the DATA-sized pass is distributed edge aggregation
+    (per-batch factorize + composite-code unique partials → one small
+    driver groupby); the node domain is config-sized BY ASSUMPTION
+    (documented, same as host_pagerank), so min-label propagation runs
+    on the driver over the ≤ S·8 aggregated undirected edge list with
+    pointer-jumping until fixpoint. For web-scale host graphs the same
+    combiner shape feeds an iterated bucketed hash-min exchange
+    instead. The SQL twin recomputes the identical edge set (shared
+    splitmix mirror) and takes min over the recursive transitive
+    closure."""
+    from ..stages.sampling import row_hash
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    parts = ds.map_batches(
+        lambda t: pa.table({"source": pc.unique(t["source"])}),
+        batch_format="pyarrow").to_pandas()
+    nodes = sorted(set(parts["source"]))
+    S = len(nodes)
+    idx = {s: i for i, s in enumerate(nodes)}
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        h = row_hash(batch["doc_id"], HC_SALT)
+        step = 4 * (1 + (h % np.uint64(8)).astype(np.int64))
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        u_idx = np.fromiter((idx[u] for u in uniq), np.int64, len(uniq))
+        si = u_idx[codes]
+        di = (si + step) % S
+        u = np.unique(si * S + di)
+        return pa.table({"si": pa.array((u // S).astype(np.int64)),
+                         "di": pa.array((u % S).astype(np.int64))})
+
+    edges = (ds.map_batches(edge_partials, batch_format="pyarrow")
+             .to_pandas().drop_duplicates())
+    a = edges["si"].to_numpy(dtype=np.int64)
+    b = edges["di"].to_numpy(dtype=np.int64)
+
+    lab = np.arange(S, dtype=np.int64)
+    while True:
+        nl = lab.copy()
+        np.minimum.at(nl, a, lab[b])  # undirected: both directions
+        np.minimum.at(nl, b, lab[a])
+        nl = np.minimum(nl, nl[nl])   # pointer jumping
+        if np.array_equal(nl, lab):
+            break
+        lab = nl
+
+    n_out = np.zeros(S, dtype=np.int64)
+    np.add.at(n_out, a, 1)  # edges is already distinct (si, di) pairs
+    sizes = np.bincount(lab, minlength=S)
+    node_arr = np.array(nodes, dtype=object)
+    return pd.DataFrame({"source": nodes,
+                         "component_rep": node_arr[lab],
+                         "component_size": sizes[lab].astype(np.int64),
+                         "n_neighbors": n_out})
+
+
+def _host_components_oracle_sql() -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    w, c = splitmix64_cte(
+        "SELECT doc_id, source FROM documents",
+        f"xor(CAST(doc_id AS UBIGINT), CAST({HC_SALT} AS UBIGINT))",
+        "h", carry_cols=("doc_id", "source"), prefix="hc_")
+    # the recursive closure member needs WITH RECURSIVE at the head
+    w = w.replace("WITH ", "WITH RECURSIVE ", 1)
+    return w + (
+        ", hc_s AS (SELECT source AS node, CAST(row_number() OVER "
+        "(ORDER BY source) - 1 AS BIGINT) AS idx FROM "
+        "(SELECT DISTINCT source FROM documents)), "
+        "hc_n AS (SELECT count(*) AS n FROM hc_s), "
+        f"hc_e0 AS (SELECT DISTINCT s1.node AS src, s2.node AS dst "
+        f"FROM {c} d JOIN hc_s s1 ON s1.node = d.source "
+        "JOIN hc_s s2 ON s2.idx = (s1.idx + 4 * (1 + "
+        "CAST(d.h % 8 AS BIGINT))) % (SELECT n FROM hc_n)), "
+        "hc_e AS (SELECT src, dst FROM hc_e0 "
+        "UNION SELECT dst, src FROM hc_e0), "
+        "hc_r AS (SELECT node AS a, node AS b FROM hc_s "
+        "UNION SELECT r.a, e.dst FROM hc_r r JOIN hc_e e ON e.src = r.b), "
+        "hc_rep AS (SELECT a AS source, min(b) AS component_rep "
+        "FROM hc_r GROUP BY 1), "
+        "hc_sz AS (SELECT component_rep, CAST(count(*) AS BIGINT) "
+        "AS component_size FROM hc_rep GROUP BY 1), "
+        "hc_out AS (SELECT src AS source, CAST(count(*) AS BIGINT) "
+        "AS n_neighbors FROM hc_e0 GROUP BY 1) "
+        "SELECT r.source, r.component_rep, z.component_size, "
+        "coalesce(o.n_neighbors, 0) AS n_neighbors "
+        "FROM hc_rep r JOIN hc_sz z USING (component_rep) "
+        "LEFT JOIN hc_out o ON o.source = r.source ORDER BY 1")
+
+
+def q_text_normalize(sf_dir: str):
+    """Canonical TEXT NORMALIZATION (the pre-dedup pass): lowercase +
+    non-[a-z0-9] runs collapse to one space + trim; per doc the gate
+    pins token count, normalized length, and the wrapping token-hash
+    sum (content, not just geometry). Embarrassingly parallel
+    map_batches — no shuffle. ORACLE-CHECKED: DuckDB applies the
+    IDENTICAL RE2 replacement and recomputes token hashes via the
+    shared recursive stable_hash64 mirror."""
+    from ..stages.text import normalize_text_batch
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(normalize_text_batch, batch_format="pyarrow")
+
+
+_NORM_EXPR = ("trim(regexp_replace(lower(coalesce(text, '')), "
+              "'[^a-z0-9]+', ' ', 'g'))")
+
+
+def _normalize_oracle_sql() -> str:
+    from ..functions.sqlmirror import M64, stable_hash64_cte
+    toks = ("list_filter(string_split(norm, ' '), __x -> __x <> '')")
+    tok_with, tok_cte = stable_hash64_cte(
+        f"SELECT DISTINCT unnest(list_filter(string_split({_NORM_EXPR}, "
+        "' '), __x -> __x <> '')) AS s FROM documents",
+        "s", {"h": 0}, prefix="nm_h")
+    return tok_with + (
+        f", nm_d AS (SELECT doc_id, {_NORM_EXPR} AS norm FROM documents), "
+        f"nm_t AS (SELECT doc_id, unnest({toks}) AS tok FROM nm_d), "
+        f"nm_j AS (SELECT t.doc_id, th.h FROM nm_t t "
+        f"JOIN {tok_cte} th ON t.tok = th.s), "
+        f"nm_s AS (SELECT doc_id, CAST(count(*) AS BIGINT) "
+        "AS n_norm_tokens, "
+        f"CAST(sum(CAST(h AS HUGEINT)) % {M64} AS UBIGINT) "
+        "AS tokhash_sum FROM nm_j GROUP BY 1) "
+        "SELECT d.doc_id, coalesce(s.n_norm_tokens, 0) AS n_norm_tokens, "
+        "CAST(length(d.norm) AS BIGINT) AS norm_len, "
+        "CAST(coalesce(s.tokhash_sum, 0) AS UBIGINT) AS tokhash_sum "
+        "FROM nm_d d LEFT JOIN nm_s s USING (doc_id) ORDER BY 1")
+
+
+def q_lm_bigram_score(sf_dir: str):
+    """Bigram LANGUAGE-MODEL quality scoring (the KenLM-style corpus-
+    probability filter, integer-exact): each doc scores
+    sum over its bigram occurrences of floor(1e4 * c(w1,w2) / c(w1·)),
+    where c(w1,w2) is the corpus bigram count and c(w1·) the prefix
+    count — i.e. an e4-quantized empirical P(w2|w1) summed per doc.
+    Docs with < 2 tokens have no bigrams and are excluded (both
+    engines).
+
+    Scale shape — ONE shuffle total: per-batch (doc, left, right, occ)
+    combiner partials bucket by the PREFIX token, so the global pair
+    count, the prefix count, and every doc's partial score for that
+    prefix are all computed inside one bucket (two grouped transforms,
+    no join); per-doc partials then merge through the standard
+    bucketed partial reduce. The model table is never materialized on
+    the driver."""
+    from ..functions.bucketing import tag_bucket_fn
+    from ..stages.sampling import doc_bigram_partial_counts
+    from .analytics import _merge_partials_ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    partials = ds.map_batches(doc_bigram_partial_counts,
+                              batch_format="pyarrow")
+    tag = tag_bucket_fn(["left_tok"], 64, "_lb")
+    tagged = partials.map_batches(tag, batch_format="pyarrow") \
+        .repartition(32)
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pair_n = g.groupby(["left_tok", "right_tok"], sort=False)["occ"] \
+            .transform("sum")
+        pre_n = g.groupby("left_tok", sort=False)["occ"].transform("sum")
+        score = (10000 * pair_n) // pre_n
+        part = pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                             "n_bigrams": g["occ"].astype("int64"),
+                             "lm_score": (g["occ"] * score).astype("int64")})
+        return part.groupby("doc_id", as_index=False).sum()
+
+    parts = tagged.groupby("_lb").map_groups(score_bucket,
+                                             batch_format="pandas")
+    out = _merge_partials_ray(parts, ["doc_id"],
+                              ["n_bigrams", "lm_score"]).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _lm_bigram_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    toks = tokens_sql("coalesce(text,'')")
+    return (
+        f"WITH lm_t AS (SELECT doc_id, {toks} AS t FROM documents), "
+        "lm_p AS (SELECT doc_id, t[i] AS l, t[i + 1] AS r FROM "
+        "(SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM lm_t "
+        "WHERE len(t) >= 2)), "
+        "lm_bg AS (SELECT l, r, CAST(count(*) AS BIGINT) AS n_bg "
+        "FROM lm_p GROUP BY 1, 2), "
+        "lm_pre AS (SELECT l, CAST(count(*) AS BIGINT) AS c_pre "
+        "FROM lm_p GROUP BY 1), "
+        "lm_sc AS (SELECT l, r, CAST((10000 * n_bg) // c_pre AS BIGINT) "
+        "AS score FROM lm_bg JOIN lm_pre USING (l)), "
+        "lm_d AS (SELECT doc_id, l, r, CAST(count(*) AS BIGINT) AS occ "
+        "FROM lm_p GROUP BY 1, 2, 3) "
+        "SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams, "
+        "CAST(sum(occ * score) AS BIGINT) AS lm_score "
+        "FROM lm_d JOIN lm_sc ON lm_d.l = lm_sc.l AND lm_d.r = lm_sc.r "
+        "GROUP BY 1 ORDER BY 1")
+
+
 def q_dedup_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup verified pairs. ORACLE-CHECKED end to end:
     DuckDB re-runs the WHOLE pipeline — token hashes via the shared
@@ -2751,6 +2962,9 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "oov_stats": _oov_oracle_sql(),
     "export_shards": _export_shards_oracle_sql(),
     "host_pagerank": _pagerank_oracle_sql(),
+    "host_components": _host_components_oracle_sql(),
+    "text_normalize": _normalize_oracle_sql(),
+    "lm_bigram_score": _lm_bigram_oracle_sql(),
     "boilerplate_stats": _boilerplate_oracle_sql(),
     "source_terms": _source_terms_oracle_sql(),
     "dedup_minhash_pairs": _minhash_pairs_oracle_sql(),

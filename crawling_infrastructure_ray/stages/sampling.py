@@ -223,6 +223,42 @@ def bpe_pair_partial_counts(batch: pa.Table,
                      "n": pa.array(counts.astype(np.int64))})
 
 
+def doc_bigram_partial_counts(batch: pa.Table,
+                              column: str = "text") -> pa.Table:
+    """(doc_id, left_tok, right_tok, occ) per-DOC bigram occurrence
+    combiner — the bpe_pair shape keeping the doc dimension, feeding
+    the bigram-LM scoring join. One composite factorize + np.unique
+    per batch; a doc never splits across batches, so each (doc, pair)
+    key appears in exactly one partial row."""
+    texts = batch[column].to_pylist()
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    lefts: list = []
+    rights: list = []
+    docs: list = []
+    for d, s in zip(ids, texts):
+        toks = (s or "").split()
+        if len(toks) >= 2:
+            lefts.extend(toks[:-1])
+            rights.extend(toks[1:])
+            docs.extend([d] * (len(toks) - 1))
+    if not lefts:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "left_tok": pa.array([], pa.string()),
+                         "right_tok": pa.array([], pa.string()),
+                         "occ": pa.array([], pa.int64())})
+    lc, lu = pd.factorize(np.asarray(lefts, dtype=object))
+    rc, ru = pd.factorize(np.asarray(rights, dtype=object))
+    dc, du = pd.factorize(np.asarray(docs, dtype=np.int64))
+    key = (dc.astype(np.int64) * len(lu) + lc) * len(ru) + rc
+    ukey, counts = np.unique(key, return_counts=True)
+    pair = ukey % (len(lu) * len(ru))
+    return pa.table({
+        "doc_id": pa.array(du[ukey // (len(lu) * len(ru))], pa.int64()),
+        "left_tok": pa.array(lu[pair // len(ru)].astype(str)),
+        "right_tok": pa.array(ru[pair % len(ru)].astype(str)),
+        "occ": pa.array(counts.astype(np.int64))})
+
+
 # ----------------------------------------------------------------------
 # curriculum binning (global rank → K quantile bins, no global sort)
 # ----------------------------------------------------------------------

@@ -301,3 +301,54 @@ def classifier_score_batch(batch: pa.Table,
         "logit": pa.array(logit, pa.int64()),
         "n_tokens": pa.array(n_tok, pa.int64()),
         "keep": pa.array((logit > 0).astype(np.int64), pa.int64())})
+
+
+# ----------------------------------------------------------------------
+# canonical text normalization (the pre-dedup normalization pass every
+# training-data pipeline runs before exact/near dedup)
+# ----------------------------------------------------------------------
+def normalize_text_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """(doc_id, n_norm_tokens, norm_len, tokhash_sum) — canonical
+    normalization: lowercase, every non-[a-z0-9] run collapses to one
+    space, edges trimmed. The normalized string is tokens joined by
+    single spaces; ``tokhash_sum`` (wrapping uint64 sum of
+    stable_hash64 over the normalized tokens) pins CONTENT, not just
+    lengths — the same gate shape as chunk_documents.
+
+    Fully vectorized: two Arrow RE2 kernels (lower + replace), one
+    split, factorize so only DISTINCT normalized tokens pay the string
+    hash. Embarrassingly parallel per doc — no shuffle; at scale the
+    normalized column streams straight into the dedup stages."""
+    import pandas as pd
+
+    from ..functions.hashing import stable_hash64_np
+
+    col = pc.fill_null(batch[column], "")
+    norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+        pc.utf8_lower(col), r"[^a-z0-9]+", " "))
+    norm_len = pc.utf8_length(norm).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    lists = pc.split_pattern(norm, " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    ndocs = len(lists)
+    raw_lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+    empty = norm_len == 0
+    n_tok = np.where(empty, 0, raw_lens)
+
+    hsum = np.zeros(ndocs, dtype=np.uint64)
+    if int(raw_lens.sum()):
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(flat)
+        th = stable_hash64_np(uniq)[codes]
+        docidx = np.repeat(np.arange(ndocs), raw_lens)
+        valid = ~empty[docidx]  # empty norm splits to a single '' token
+        # wrapping uint64 per-doc sum (np.add.at wraps, never promotes)
+        with np.errstate(over="ignore"):
+            np.add.at(hsum, docidx[valid], th[valid])
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_norm_tokens": pa.array(n_tok, pa.int64()),
+        "norm_len": pa.array(norm_len, pa.int64()),
+        "tokhash_sum": pa.array(hsum, pa.uint64())})

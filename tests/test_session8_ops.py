@@ -1,0 +1,166 @@
+"""Crafted-case tests for the round-3 session-8 operators: ordered
+funnel, gaps-and-islands interval merge, connected components, text
+normalization, bigram-LM scoring. The parametrized oracle mirror
+(test_queries_oracle) hash-checks them against DuckDB; these pin the
+SEMANTICS on inputs constructed to hit the edges."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_events(tmp_path, rows):
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array([""] * len(rows), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_funnel_order_and_partial_steps(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_events_funnel
+
+    # user 1: full chain in order; user 2: click BEFORE its only view
+    # (click must not count -> stuck at view); user 3: purchase before
+    # click (purchase must not count); user 4: no view at all (absent)
+    rows = [
+        (100, 1, "view", 1.0), (200, 1, "click", 1.0),
+        (300, 1, "purchase", 1.0),
+        (100, 2, "click", 1.0), (200, 2, "view", 1.0),
+        (100, 3, "view", 1.0), (150, 3, "purchase", 1.0),
+        (200, 3, "click", 1.0),
+        (100, 4, "click", 1.0), (200, 4, "purchase", 1.0),
+    ]
+    out = q_events_funnel(_write_events(tmp_path, rows))
+    out = out.set_index("user_id")
+    assert list(out.index) == [1, 2, 3]
+    assert out.loc[1].tolist() == [100, 200, 300]
+    assert out.loc[2].tolist() == [200, -1, -1]
+    assert out.loc[3].tolist() == [100, 200, -1]  # purchase@150 < click
+
+
+def test_funnel_strictly_after(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_events_funnel
+
+    # click at the SAME microsecond as the view does not qualify
+    rows = [(100, 1, "view", 1.0), (100, 1, "click", 1.0),
+            (101, 1, "click", 1.0)]
+    out = q_events_funnel(_write_events(tmp_path, rows))
+    assert out.loc[0, "click_us"] == 101
+
+
+def test_interval_merge_overlap_touch_disjoint(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_interval_coverage
+
+    # value is MINUTES -> dur_us = round(value*100) * 600_000.
+    # 0.01 min = 600_000 us exactly.
+    us = 600_000
+    rows = [
+        # user 1: [0, 1u] + [0.5u, 1.5u] overlap -> one island [0, 1.5u];
+        # [1.5u, 2.5u] TOUCHES (s == pmax) -> still merged;
+        # [10u, 11u] disjoint -> second island
+        (0, 1, "view", 0.01), (us // 2, 1, "view", 0.01),
+        (us * 3 // 2, 1, "view", 0.01), (10 * us, 1, "view", 0.01),
+        # user 2: a single event
+        (0, 2, "view", 0.02),
+    ]
+    out = q_interval_coverage(_write_events(tmp_path, rows)) \
+        .set_index("user_id")
+    assert out.loc[1, "n_intervals"] == 2
+    assert out.loc[1, "covered_us"] == (us * 5 // 2) + us
+    assert out.loc[2, "n_intervals"] == 1
+    assert out.loc[2, "covered_us"] == 2 * us
+
+
+def test_host_components_match_brute_union_find(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.training import (
+        HC_SALT, q_host_components)
+    from crawling_infrastructure_ray.stages.sampling import row_hash
+
+    # 9 sources (S not divisible by 4 -> wrap mixes residues), 60 docs
+    S, n_docs = 9, 60
+    sources = [f"h{i}" for i in range(S)]
+    doc_ids = np.arange(n_docs, dtype=np.int64)
+    src_col = [sources[i % S] for i in range(n_docs)]
+    t = pa.table({"doc_id": pa.array(doc_ids),
+                  "source": pa.array(src_col, pa.string()),
+                  "text": pa.array([""] * n_docs, pa.string()),
+                  "lang": pa.array(["en"] * n_docs, pa.string()),
+                  "n_chars": pa.array([0] * n_docs, pa.int64())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    out = q_host_components(str(tmp_path)).set_index("source")
+
+    # brute union-find over the same deterministic edge rule
+    h = row_hash(pa.array(doc_ids), HC_SALT)
+    step = 4 * (1 + (h % np.uint64(8)).astype(np.int64))
+    nodes = sorted(sources)
+    idx = {s: i for i, s in enumerate(nodes)}
+    parent = list(range(len(nodes)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for d in range(n_docs):
+        a = idx[src_col[d]]
+        b = (a + step[d]) % len(nodes)
+        ra, rb = find(a), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    reps = {s: nodes[find(i)] for s, i in idx.items()}
+    sizes = pd.Series(list(reps.values())).value_counts()
+    for s in nodes:
+        assert out.loc[s, "component_rep"] == reps[s]
+        assert out.loc[s, "component_size"] == sizes[reps[s]]
+
+
+def test_normalize_text_semantics(ray_session):
+    from crawling_infrastructure_ray.functions.hashing import stable_hash64
+    from crawling_infrastructure_ray.stages.text import normalize_text_batch
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array(["He,LLO!!  World-9", "...", None,
+                                    "a"], pa.string())})
+    out = normalize_text_batch(t).to_pandas().set_index("doc_id")
+    # "He,LLO!!  World-9" -> "he llo world 9"
+    assert out.loc[0, "n_norm_tokens"] == 4
+    assert out.loc[0, "norm_len"] == len("he llo world 9")
+    expect = sum(stable_hash64(w) for w in ["he", "llo", "world", "9"]) \
+        % (1 << 64)
+    assert int(out.loc[0, "tokhash_sum"]) == expect
+    # pure punctuation and NULL normalize to empty
+    assert (out.loc[1:2, ["n_norm_tokens", "norm_len"]] == 0).all().all()
+    assert (out.loc[1:2, "tokhash_sum"] == 0).all()
+    assert out.loc[3, "n_norm_tokens"] == 1
+
+
+def test_lm_bigram_score_exact(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.training import \
+        q_lm_bigram_score
+
+    texts = ["a b", "a b", "a c", "x", ""]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en"] * len(texts), pa.string()),
+                  "source": pa.array(["s"] * len(texts), pa.string()),
+                  "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_lm_bigram_score(str(tmp_path)).set_index("doc_id")
+    # c(a,b)=2, c(a,c)=1, prefix c(a.)=3
+    assert list(out.index) == [0, 1, 2]  # <2-token docs excluded
+    assert out.loc[0, "lm_score"] == (10000 * 2) // 3
+    assert out.loc[2, "lm_score"] == (10000 * 1) // 3
+    assert (out["n_bigrams"] == 1).all()
