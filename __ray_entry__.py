@@ -70,6 +70,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_components": qt.q_host_components,
         "text_normalize": qt.q_text_normalize,
         "lm_bigram_score": qt.q_lm_bigram_score,
+        # session-8 analytics completions: retention triangle,
+        # step-interpolated time-weighted aggregation, exact grouped
+        # second moments (variance sufficient statistic)
+        "cohort_retention": qa.q_cohort_retention,
+        "time_weighted_value": qa.q_time_weighted_value,
+        "value_stats_per_type": qa.q_value_stats_per_type,
         # extended joins / windows the Dataset API lacks: as-of join,
         # range join, grouped top-k, rolling frame, pivot, rollup —
         # all bucketed map_groups compositions

@@ -2928,7 +2928,157 @@ def q_interval_coverage(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_cohort_retention(sf_dir: str):
+    """COHORT RETENTION: users grouped by their first-activity week;
+    for each (cohort_week, week_offset) the count of DISTINCT users
+    active that many weeks after their cohort week — the classic
+    product-analytics retention triangle.
+
+    Scale shape: users hash-bucket so a user's whole history (and
+    hence their cohort = min week) is bucket-local; the per-bucket
+    distinct (cohort, offset, user) dedup is globally exact for the
+    same reason, so only additive (cohort, offset) count partials
+    enter the final merge. Key domain is TIME-sized (weeks²), not
+    data-sized, but the merge still runs in Ray."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    week_us = 604_800_000_000
+
+    def to_wk(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": pc.cast(batch["user_id"], pa.int64()),
+                         "wk": pa.array(t // week_us)})
+
+    def cohort_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cw = g.groupby("user_id", sort=False)["wk"].transform("min")
+        d = pd.DataFrame({"cohort_week": cw, "week_offset": g["wk"] - cw,
+                          "user_id": g["user_id"]}).drop_duplicates()
+        return (d.groupby(["cohort_week", "week_offset"], as_index=False)
+                .agg(n_users=("user_id", "size")))
+
+    parts = (ds.map_batches(to_wk, batch_format="pyarrow")
+             .repartition(32)
+             .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow")
+             .groupby("_kb").map_groups(cohort_bucket,
+                                        batch_format="pandas"))
+    out = _merge_partials_ray(parts, ["cohort_week", "week_offset"],
+                              ["n_users"]).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["cohort_week", "week_offset"]) \
+        .reset_index(drop=True)
+
+
+def q_time_weighted_value(sf_dir: str):
+    """TIME-WEIGHTED aggregation: per user, each event's value holds
+    until the NEXT event (step interpolation); the query returns the
+    exact integer time-weighted sum Σ gap_us × value_cents (the
+    numerator of a time-weighted average — division stays out of the
+    gate), total covered time, and segment count. int64 bound: the
+    corpus time span (µs) × max value (cents) stays far below 2^63;
+    asserted per bucket.
+
+    Scale shape: the lag-gaps plan — user-bucketed, ONE shift/diff
+    pass over the bucket-sorted frame, no per-user Python."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "v_c": pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                           pa.int64())})
+
+    def tw_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        u = g["user_id"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        v = g["v_c"].to_numpy()
+        if len(u):
+            same = np.concatenate([u[:-1] == u[1:], [False]])
+            gap = np.where(same, np.concatenate([t[1:] - t[:-1], [0]]), 0)
+        else:
+            same = np.zeros(0, bool)
+            gap = np.zeros(0, np.int64)
+        assert not len(gap) or \
+            gap.max(initial=0) <= (1 << 62) // max(int(np.abs(v).max(
+                initial=1)), 1), "tw product would overflow int64"
+        out = pd.DataFrame({"user_id": u,
+                            "n_segments": same.astype(np.int64),
+                            "total_us": gap,
+                            "tw_value_c_us": gap * v})
+        return out.groupby("user_id", as_index=False).sum()
+
+    out = (ds.map_batches(to_us, batch_format="pyarrow")
+           .repartition(32)
+           .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow")
+           .groupby("_kb").map_groups(tw_bucket, batch_format="pandas")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_value_stats_per_type(sf_dir: str):
+    """Grouped SECOND MOMENTS: per event_type the exact integer
+    (n, Σ value_cents, Σ value_cents²) — the sufficient statistic for
+    variance / z-score normalization, kept as raw moments so the gate
+    never meets float math (the derived variance divides outside the
+    engine). Pure combiner, zero shuffle: per-batch Arrow group_by
+    partials → enum-keyed driver merge (event types are schema-
+    bounded)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                    pa.int64())
+        v_np = v.to_numpy(zero_copy_only=False)
+        t = pa.table({"event_type": batch["event_type"],
+                      "n_events": pa.array(
+                          np.ones(batch.num_rows, np.int64)),
+                      "sum_value_c": v,
+                      "sumsq_value_c2": pa.array(v_np * v_np)})
+        g = t.group_by("event_type").aggregate(
+            [("n_events", "sum"), ("sum_value_c", "sum"),
+             ("sumsq_value_c2", "sum")])
+        return g.rename_columns(["event_type", "n_events", "sum_value_c",
+                                 "sumsq_value_c2"])
+
+    out = _merge_partials(
+        ds.map_batches(part, batch_format="pyarrow"),
+        ["event_type"], ["n_events", "sum_value_c", "sumsq_value_c2"])
+    for c in ["n_events", "sum_value_c", "sumsq_value_c2"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "cohort_retention":
+        "WITH cr_w AS (SELECT user_id, epoch_us(ts) // 604800000000 "
+        "AS wk FROM events), "
+        "cr_c AS (SELECT user_id, min(wk) AS cw FROM cr_w GROUP BY 1) "
+        "SELECT CAST(cw AS BIGINT) AS cohort_week, "
+        "CAST(wk - cw AS BIGINT) AS week_offset, "
+        "CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users "
+        "FROM cr_w w JOIN cr_c c ON w.user_id = c.user_id "
+        "GROUP BY 1, 2 ORDER BY 1, 2",
+    "time_weighted_value":
+        "WITH tw AS (SELECT user_id, epoch_us(ts) AS t, "
+        "CAST(round(value * 100) AS BIGINT) AS v_c, "
+        "lead(epoch_us(ts)) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS nt FROM events) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id, "
+        "CAST(count(nt) AS BIGINT) AS n_segments, "
+        "CAST(coalesce(sum(nt - t), 0) AS BIGINT) AS total_us, "
+        "CAST(coalesce(sum((nt - t) * v_c), 0) AS BIGINT) "
+        "AS tw_value_c_us FROM tw GROUP BY 1 ORDER BY 1",
+    "value_stats_per_type":
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(sum(v_c) AS BIGINT) AS sum_value_c, "
+        "CAST(sum(v_c * v_c) AS BIGINT) AS sumsq_value_c2 FROM "
+        "(SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c "
+        "FROM events) GROUP BY 1 ORDER BY 1",
     "events_funnel":
         "WITH fn_v AS (SELECT user_id, min(epoch_us(ts)) AS view_us "
         "FROM events WHERE event_type = 'view' GROUP BY 1), "

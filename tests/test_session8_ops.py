@@ -147,6 +147,54 @@ def test_normalize_text_semantics(ray_session):
     assert out.loc[3, "n_norm_tokens"] == 1
 
 
+WEEK = 604_800_000_000
+
+
+def test_cohort_retention_triangle(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_cohort_retention
+
+    # user 1: first event week 0, active weeks 0,0,2 (dup week-0
+    # activity counts once); user 2: first event week 1, active week 3
+    rows = [(10, 1, "view", 1.0), (20, 1, "view", 1.0),
+            (2 * WEEK + 5, 1, "view", 1.0),
+            (WEEK + 1, 2, "view", 1.0), (3 * WEEK + 1, 2, "view", 1.0)]
+    out = q_cohort_retention(_write_events(tmp_path, rows))
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in out.itertuples()}
+    assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1, (1, 2): 1}
+
+
+def test_time_weighted_value_step_semantics(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_time_weighted_value
+
+    # user 1: value 2.00 holds for 100us, then 3.00 for 50us, last
+    # event's value holds nothing; user 2: single event -> all zeros
+    rows = [(0, 1, "view", 2.0), (100, 1, "view", 3.0),
+            (150, 1, "view", 9.0), (0, 2, "view", 5.0)]
+    out = q_time_weighted_value(_write_events(tmp_path, rows)) \
+        .set_index("user_id")
+    assert out.loc[1, "n_segments"] == 2
+    assert out.loc[1, "total_us"] == 150
+    assert out.loc[1, "tw_value_c_us"] == 100 * 200 + 50 * 300
+    assert out.loc[2].tolist() == [0, 0, 0]
+
+
+def test_value_stats_second_moments(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_value_stats_per_type
+
+    rows = [(0, 1, "view", 1.5), (1, 1, "view", 2.5),
+            (2, 1, "click", 10.0)]
+    out = q_value_stats_per_type(_write_events(tmp_path, rows)) \
+        .set_index("event_type")
+    assert out.loc["view", "n_events"] == 2
+    assert out.loc["view", "sum_value_c"] == 150 + 250
+    assert out.loc["view", "sumsq_value_c2"] == 150 ** 2 + 250 ** 2
+    assert out.loc["click", "sumsq_value_c2"] == 1000 ** 2
+
+
 def test_lm_bigram_score_exact(ray_session, tmp_path):
     from crawling_infrastructure_ray.pipelines.training import \
         q_lm_bigram_score
