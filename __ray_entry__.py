@@ -76,6 +76,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": qa.q_cohort_retention,
         "time_weighted_value": qa.q_time_weighted_value,
         "value_stats_per_type": qa.q_value_stats_per_type,
+        # session-8: SymSpell edit-distance-1 token pairs, Markov
+        # transition matrix, dense_rank window
+        "typo_token_pairs": qt.q_typo_token_pairs,
+        "event_transitions": qa.q_event_transitions,
+        "part_price_rank_dense": qa.q_part_price_rank_dense,
         # extended joins / windows the Dataset API lacks: as-of join,
         # range join, grouped top-k, rolling frame, pivot, rollup —
         # all bucketed map_groups compositions

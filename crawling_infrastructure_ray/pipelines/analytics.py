@@ -3053,7 +3053,91 @@ def q_value_stats_per_type(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_event_transitions(sf_dir: str):
+    """MARKOV TRANSITION MATRIX over the per-user event stream: counts
+    of consecutive (from_type → to_type) transitions ordered by
+    (ts, event_id) — the sequence-pattern statistic behind session
+    modeling (BPE pair counting's shape on the categorical/temporal
+    axis). Scale shape: user-bucketed, ONE shift comparison over the
+    bucket-sorted frame; the transition domain is enum² so the final
+    merge is enum-keyed."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.cast(batch["user_id"], pa.int64()),
+                         "ts_us": pc.cast(batch["ts"], pa.int64()),
+                         "event_id": pc.cast(batch["event_id"], pa.int64()),
+                         "event_type": batch["event_type"]})
+
+    def trans_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = u[:-1] == u[1:] if len(u) else np.zeros(0, bool)
+        d = pd.DataFrame({"from_type": et[:-1][same],
+                          "to_type": et[1:][same]})
+        return d.groupby(["from_type", "to_type"], as_index=False) \
+            .agg(n=("to_type", "size"))
+
+    parts = (ds.map_batches(to_us, batch_format="pyarrow")
+             .repartition(32)
+             .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow")
+             .groupby("_kb").map_groups(trans_bucket,
+                                        batch_format="pandas"))
+    out = _merge_partials(parts, ["from_type", "to_type"], ["n"])
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+def q_part_price_rank_dense(sf_dir: str):
+    """DENSE_RANK window function (completes the rank family next to
+    row_number / partial top-k): each part's dense rank by retail
+    price (cents, descending) within its brand — ties share a rank,
+    no gaps. Scale shape: parts hash-bucket by brand (each brand
+    wholly in one bucket); the rank inside a bucket is pandas'
+    vectorized dense rank, no per-part Python."""
+    ds = read_table(sf_dir, "part",
+                    columns=["p_partkey", "p_brand", "p_retailprice"])
+
+    def to_c(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": pc.cast(batch["p_partkey"], pa.int64()),
+            "p_brand": batch["p_brand"],
+            "price_c": pc.cast(pc.round(pc.multiply(
+                batch["p_retailprice"], 100.0)), pa.int64())})
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["rank_dense"] = (g.groupby("p_brand", sort=False)["price_c"]
+                           .rank(method="dense", ascending=False)
+                           .astype("int64"))
+        return g[["p_partkey", "p_brand", "price_c", "rank_dense"]]
+
+    out = (ds.map_batches(to_c, batch_format="pyarrow")
+           .repartition(32)
+           .map_batches(_tag_bucket(["p_brand"]), batch_format="pyarrow")
+           .groupby("_kb").map_groups(rank_bucket, batch_format="pandas")
+           .to_pandas())
+    for c in ["p_partkey", "price_c", "rank_dense"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "event_transitions":
+        "WITH et AS (SELECT user_id, event_type, "
+        "lead(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS nxt FROM events) "
+        "SELECT event_type AS from_type, nxt AS to_type, "
+        "CAST(count(*) AS BIGINT) AS n FROM et WHERE nxt IS NOT NULL "
+        "GROUP BY 1, 2 ORDER BY 1, 2",
+    "part_price_rank_dense":
+        "SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand, "
+        "CAST(round(p_retailprice * 100) AS BIGINT) AS price_c, "
+        "CAST(dense_rank() OVER (PARTITION BY p_brand "
+        "ORDER BY round(p_retailprice * 100) DESC) AS BIGINT) "
+        "AS rank_dense FROM part ORDER BY 1",
     "cohort_retention":
         "WITH cr_w AS (SELECT user_id, epoch_us(ts) // 604800000000 "
         "AS wk FROM events), "

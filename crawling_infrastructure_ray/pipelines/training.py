@@ -1084,6 +1084,135 @@ def _lm_bigram_oracle_sql() -> str:
         "GROUP BY 1 ORDER BY 1")
 
 
+def q_typo_token_pairs(sf_dir: str):
+    """EDIT-DISTANCE-1 token pairs via the SymSpell deletion index —
+    the typo-clustering / OOV-correction primitive: two tokens are
+    candidates iff they share a deletion variant (delete ≤1 char from
+    either), then exact edit distance 1 is verified. The synthetic
+    corpus vocabulary contains no typos, so deterministic variants
+    are INJECTED first: every vocab token with
+    stable_hash64(token) % 3 == 0 and length ≥ 3 contributes
+    'q'+tok[1:] ('z'+... if it already starts with q) at count 1 —
+    the same draw in both engines, the redact_pii injection pattern.
+
+    Scale shape: the DATA-sized pass is the distributed vocab count;
+    everything after runs on the VOCAB domain (documented assumption —
+    deletion-variant rows are vocab×len-sized, bucketed by variant so
+    candidate groups are tiny, pair dedup + DP verification are
+    candidate-output-sized). The SQL twin verifies with DuckDB's
+    levenshtein over the mirrored vocabulary — quadratic, valid at
+    gate scale only (the engine side is the scale path)."""
+    from ..functions.bucketing import tag_bucket_fn
+    from ..functions.hashing import stable_hash64_np
+    from ..stages.sampling import vocab_partial_counts
+    from .analytics import _merge_partials_ray, _tag_bucket
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    vocab = _merge_partials_ray(
+        ds.map_batches(vocab_partial_counts, batch_format="pyarrow"),
+        ["token"], ["n"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        toks = batch["token"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = stable_hash64_np(toks)
+        pick = (h % np.uint64(3) == 0) & \
+            (np.char.str_len(toks.astype(str)) >= 3)
+        var = np.array([("z" + t[1:]) if t[0] == "q" else ("q" + t[1:])
+                        for t in toks[pick]], dtype=object)
+        return pa.table({
+            "token": pa.array(np.concatenate([toks, var])),
+            "n": pa.array(np.concatenate(
+                [n, np.ones(len(var), np.int64)]))})
+
+    # re-merge (an injected variant may collide with a real token)
+    vocab = _merge_partials_ray(
+        vocab.map_batches(inject, batch_format="pyarrow"),
+        ["token"], ["n"])
+
+    def variants(batch: pa.Table) -> pa.Table:
+        toks = batch["token"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, owner = [], []
+        for i, t in enumerate(toks):  # VOCAB-domain loop (documented)
+            keys.append(t)
+            owner.append(i)
+            seen = {t}
+            for p in range(len(t)):
+                d = t[:p] + t[p + 1:]
+                if d not in seen:
+                    seen.add(d)
+                    keys.append(d)
+                    owner.append(i)
+        owner = np.asarray(owner, np.int64)
+        return pa.table({"vkey": pa.array(keys, pa.string()),
+                         "token": pa.array(toks[owner]),
+                         "n": pa.array(n[owner])})
+
+    tag = tag_bucket_fn(["vkey"], 64, "_vb")
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="vkey", suffixes=("_a", "_b"))
+        m = m[m["token_a"] < m["token_b"]]
+        return m[["token_a", "token_b", "n_a", "n_b"]].drop_duplicates(
+            ["token_a", "token_b"])
+
+    def _ed1(a: str, b: str) -> bool:
+        if len(a) == len(b):
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if len(a) > len(b):
+            a, b = b, a
+        if len(b) - len(a) != 1:
+            return False
+        i = 0
+        while i < len(a) and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1:]
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["token_a", "token_b"])
+        keep = [_ed1(a, b) for a, b in  # candidate-output-sized
+                zip(g["token_a"], g["token_b"])]
+        out = g[np.asarray(keep, bool)].rename(
+            columns={"token_a": "tok_a", "token_b": "tok_b"})
+        return out[["tok_a", "tok_b", "n_a", "n_b"]]
+
+    cands = (vocab.map_batches(variants, batch_format="pyarrow")
+             .map_batches(tag, batch_format="pyarrow")
+             .repartition(16)
+             .groupby("_vb").map_groups(pairs_bucket,
+                                        batch_format="pandas"))
+    out = (cands.repartition(16)
+           .map_batches(_tag_bucket(["token_a", "token_b"]),
+                        batch_format="pyarrow")
+           .groupby("_kb").map_groups(verify_bucket,
+                                      batch_format="pandas")
+           .to_pandas())
+    out["n_a"] = out["n_a"].astype("int64")
+    out["n_b"] = out["n_b"].astype("int64")
+    return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
+def _typo_pairs_oracle_sql() -> str:
+    from ..functions.sqlmirror import stable_hash64_cte, tokens_sql
+    toks = tokens_sql("coalesce(text,'')")
+    base = (f"SELECT tok AS s, CAST(count(*) AS BIGINT) AS n FROM "
+            f"(SELECT unnest({toks}) AS tok FROM documents) GROUP BY 1")
+    w, cte = stable_hash64_cte(base, "s", {"h": 0}, carry_cols=("n",),
+                               prefix="tp_h")
+    return w + (
+        f", tp_inj AS (SELECT CASE WHEN substr(s, 1, 1) = 'q' "
+        "THEN 'z' || substr(s, 2) ELSE 'q' || substr(s, 2) END AS token, "
+        f"CAST(1 AS BIGINT) AS n FROM {cte} "
+        "WHERE h % 3 = 0 AND length(s) >= 3), "
+        f"tp_v AS (SELECT token, CAST(sum(n) AS BIGINT) AS n FROM "
+        f"(SELECT s AS token, n FROM {cte} "
+        "UNION ALL SELECT token, n FROM tp_inj) GROUP BY 1) "
+        "SELECT a.token AS tok_a, b.token AS tok_b, a.n AS n_a, "
+        "b.n AS n_b FROM tp_v a JOIN tp_v b ON a.token < b.token "
+        "AND levenshtein(a.token, b.token) = 1 ORDER BY 1, 2")
+
+
 def q_dedup_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup verified pairs. ORACLE-CHECKED end to end:
     DuckDB re-runs the WHOLE pipeline — token hashes via the shared
@@ -2965,6 +3094,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "host_components": _host_components_oracle_sql(),
     "text_normalize": _normalize_oracle_sql(),
     "lm_bigram_score": _lm_bigram_oracle_sql(),
+    "typo_token_pairs": _typo_pairs_oracle_sql(),
     "boilerplate_stats": _boilerplate_oracle_sql(),
     "source_terms": _source_terms_oracle_sql(),
     "dedup_minhash_pairs": _minhash_pairs_oracle_sql(),

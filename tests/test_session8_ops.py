@@ -195,6 +195,86 @@ def test_value_stats_second_moments(ray_session, tmp_path):
     assert out.loc["click", "sumsq_value_c2"] == 1000 ** 2
 
 
+def test_event_transitions_crafted(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_event_transitions
+
+    # user 1: view->click->view; user 2: click->click; transitions
+    # never cross users
+    rows = [(0, 1, "view", 1.0), (10, 1, "click", 1.0),
+            (20, 1, "view", 1.0),
+            (0, 2, "click", 1.0), (10, 2, "click", 1.0)]
+    out = q_event_transitions(_write_events(tmp_path, rows))
+    got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+    assert got == {("view", "click"): 1, ("click", "view"): 1,
+                   ("click", "click"): 1}
+
+
+def test_dense_rank_ties_share_no_gaps(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_part_price_rank_dense
+
+    t = pa.table({"p_partkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "p_brand": pa.array(["B1"] * 4 + ["B2"], pa.string()),
+                  "p_name": pa.array(["x"] * 5, pa.string()),
+                  "p_type": pa.array(["t"] * 5, pa.string()),
+                  "p_size": pa.array([1] * 5, pa.int32()),
+                  "p_retailprice": pa.array(
+                      [9.0, 9.0, 5.0, 1.0, 3.0], pa.float64())})
+    _pq.write_table(t, str(tmp_path / "part.parquet"))
+    out = q_part_price_rank_dense(str(tmp_path)).set_index("p_partkey")
+    # ties share rank 1; next distinct value takes 2 (dense, no gap)
+    assert out.loc[[1, 2, 3, 4], "rank_dense"].tolist() == [1, 1, 2, 3]
+    assert out.loc[5, "rank_dense"] == 1
+
+
+def test_typo_pairs_match_brute_levenshtein(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+    from crawling_infrastructure_ray.functions.hashing import stable_hash64
+    from crawling_infrastructure_ray.pipelines.training import \
+        q_typo_token_pairs
+
+    # natural pairs: substitution (cat/bat), deletion (cat/cats),
+    # plus whatever the deterministic injection adds
+    texts = ["cat bat", "cats cat", "dog", "ab"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en"] * len(texts), pa.string()),
+                  "source": pa.array(["s"] * len(texts), pa.string()),
+                  "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    _pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_typo_token_pairs(str(tmp_path))
+    got = {(r.tok_a, r.tok_b): (r.n_a, r.n_b) for r in out.itertuples()}
+
+    # brute-force mirror: vocab + injection, all pairs, DP levenshtein
+    vocab = {}
+    for s in texts:
+        for w in s.split():
+            vocab[w] = vocab.get(w, 0) + 1
+    for w in list(vocab):
+        if stable_hash64(w) % 3 == 0 and len(w) >= 3:
+            v = ("z" + w[1:]) if w[0] == "q" else ("q" + w[1:])
+            vocab[v] = vocab.get(v, 0) + 1
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    toks = sorted(vocab)
+    want = {(a, b): (vocab[a], vocab[b])
+            for i, a in enumerate(toks) for b in toks[i + 1:]
+            if lev(a, b) == 1}
+    assert ("bat", "cat") in want  # non-degenerate by construction
+    assert got == want
+
+
 def test_lm_bigram_score_exact(ray_session, tmp_path):
     from crawling_infrastructure_ray.pipelines.training import \
         q_lm_bigram_score
