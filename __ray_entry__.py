@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typo_token_pairs": qt.q_typo_token_pairs,
         "event_transitions": qa.q_event_transitions,
         "part_price_rank_dense": qa.q_part_price_rank_dense,
+        # session-8: robust MAD outliers, ordered string_agg
+        "value_outliers_mad": qa.q_value_outliers_mad,
+        "top_terms_concat": qt.q_top_terms_concat,
         # extended joins / windows the Dataset API lacks: as-of join,
         # range join, grouped top-k, rolling frame, pivot, rollup —
         # all bucketed map_groups compositions

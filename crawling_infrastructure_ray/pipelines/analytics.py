@@ -2778,6 +2778,60 @@ def q_median_value_per_type(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_value_outliers_mad(sf_dir: str):
+    """Robust OUTLIER DETECTION per group — median / MAD (median
+    absolute deviation) in exact integer cents, outliers = values
+    with |v − med| > 3·MAD. Extends the distributed-median plan: the
+    same domain-sized (event_type, v_c) count table yields the median
+    by cumsum pick at (n−1)//2 (quantile_disc convention), the
+    absolute-deviation count table is derived IN the bucket (counts
+    re-grouped by |v−med|), MAD falls out of a second cumsum pick,
+    and the outlier count is one masked sum — only counts ever cross
+    the exchange, never raw events."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v_c = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                      pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "v_c": v_c})
+        g = t.group_by(["event_type", "v_c"]).aggregate([("v_c", "count")])
+        return g.rename_columns(["event_type", "v_c", "n"])
+
+    merged = _merge_partials_ray(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "v_c"], ["n"])
+
+    def _disc_pick(vals: np.ndarray, cnts: np.ndarray) -> int:
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        n = int(cnts.sum())
+        cum = np.cumsum(cnts)
+        return int(vals[np.searchsorted(cum, (n - 1) // 2 + 1)])
+
+    def mad_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in g.groupby("event_type", sort=False):
+            v = grp["v_c"].to_numpy()
+            n_ = grp["n"].to_numpy()
+            med = _disc_pick(v, n_)
+            ad = np.abs(v - med)
+            adf = pd.DataFrame({"ad": ad, "n": n_}) \
+                .groupby("ad", as_index=False)["n"].sum()
+            mad = _disc_pick(adf["ad"].to_numpy(), adf["n"].to_numpy())
+            rows.append({"event_type": et, "n_events": int(n_.sum()),
+                         "median_value_c": med, "mad_c": mad,
+                         "n_outliers": int(n_[ad > 3 * mad].sum())})
+        return pd.DataFrame(rows)
+
+    out = (merged.map_batches(_tag_bucket(["event_type"]),
+                              batch_format="pyarrow")
+           .groupby("_kb").map_groups(mad_bucket, batch_format="pandas")
+           .to_pandas())
+    for c in ("n_events", "median_value_c", "mad_c", "n_outliers"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # ----------------------------------------------------------------------
 # oracle SQL (column names and rounding MUST match the fns above)
 # ----------------------------------------------------------------------
@@ -3125,6 +3179,22 @@ def q_part_price_rank_dense(sf_dir: str):
 
 
 ORACLE_SQL: dict[str, str] = {
+    "value_outliers_mad":
+        "WITH om_b AS (SELECT event_type, "
+        "CAST(round(value * 100) AS BIGINT) AS v_c FROM events), "
+        "om_m AS (SELECT event_type, quantile_disc(v_c, 0.5) AS med "
+        "FROM om_b GROUP BY 1), "
+        "om_d AS (SELECT b.event_type, abs(v_c - med) AS ad, v_c, med "
+        "FROM om_b b JOIN om_m USING (event_type)), "
+        "om_md AS (SELECT event_type, quantile_disc(ad, 0.5) AS mad "
+        "FROM om_d GROUP BY 1) "
+        "SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(min(d.med) AS BIGINT) AS median_value_c, "
+        "CAST(min(m.mad) AS BIGINT) AS mad_c, "
+        "CAST(sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_outliers "
+        "FROM om_d d JOIN om_md m USING (event_type) "
+        "GROUP BY 1 ORDER BY 1",
     "event_transitions":
         "WITH et AS (SELECT user_id, event_type, "
         "lead(event_type) OVER (PARTITION BY user_id "

@@ -769,6 +769,30 @@ def _source_terms_oracle_sql(k: int = 5) -> str:
         f"WHERE term_rank <= {k}")
 
 
+def q_top_terms_concat(sf_dir: str, k: int = 3):
+    """ORDERED STRING_AGG (the collect-to-list aggregate family):
+    each source's top-k tf-idf terms concatenated in rank order —
+    the distributed source_terms plan does all data-sized work; the
+    final concat runs over the config-sized (source × k) result on
+    the driver (documented — the aggregate's output is the per-group
+    string itself)."""
+    df = q_source_terms(sf_dir, k=k)
+    if hasattr(df, "to_pandas"):
+        df = df.to_pandas()
+    df = df.sort_values(["source", "term_rank"])
+    out = df.groupby("source", as_index=False).agg(
+        terms=("token", ",".join), n_terms=("token", "size"))
+    out["n_terms"] = out["n_terms"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _top_terms_concat_oracle_sql(k: int = 3) -> str:
+    return (f"WITH tc AS ({_source_terms_oracle_sql(k)}) "
+            "SELECT source, string_agg(token, ',' ORDER BY term_rank) "
+            "AS terms, CAST(count(*) AS BIGINT) AS n_terms "
+            "FROM tc GROUP BY 1 ORDER BY 1")
+
+
 PR_SALT = 0x7A6E_4A9B_0C71_0005  # pagerank edge draw (< 2^63)
 
 
@@ -3095,6 +3119,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "text_normalize": _normalize_oracle_sql(),
     "lm_bigram_score": _lm_bigram_oracle_sql(),
     "typo_token_pairs": _typo_pairs_oracle_sql(),
+    "top_terms_concat": _top_terms_concat_oracle_sql(),
     "boilerplate_stats": _boilerplate_oracle_sql(),
     "source_terms": _source_terms_oracle_sql(),
     "dedup_minhash_pairs": _minhash_pairs_oracle_sql(),

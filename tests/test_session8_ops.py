@@ -275,6 +275,44 @@ def test_typo_pairs_match_brute_levenshtein(ray_session, tmp_path):
     assert got == want
 
 
+def test_mad_outliers_crafted(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_value_outliers_mad
+
+    # values (cents): 100,100,100,200,200,10000 -> med=100 (idx
+    # (6-1)//2=2), abs devs 0,0,0,100,100,9900 -> MAD=0... make MAD
+    # nonzero: 100,200,300,400,500,99.99k -> med=300, devs
+    # 200,100,0,100,200,99600 -> sorted 0,100,100,200,200,99600 ->
+    # MAD=100; outliers: dev > 300 -> one
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 996.0]
+    rows = [(i, 1, "view", v) for i, v in enumerate(vals)]
+    out = q_value_outliers_mad(_write_events(tmp_path, rows)) \
+        .set_index("event_type")
+    assert out.loc["view", "median_value_c"] == 300
+    assert out.loc["view", "mad_c"] == 100
+    assert out.loc["view", "n_outliers"] == 1
+    assert out.loc["view", "n_events"] == 6
+
+
+def test_top_terms_concat_rank_order(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+    from crawling_infrastructure_ray.pipelines.training import \
+        q_top_terms_concat
+
+    # source s1: 'aa' tf=3, 'bb' tf=2, 'cc' tf=1 (all df=1 -> score
+    # order = tf order); concat must follow rank order, not alpha
+    texts = ["aa aa aa bb bb cc"]
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en"], pa.string()),
+                  "source": pa.array(["s1"], pa.string()),
+                  "n_chars": pa.array([len(texts[0])], pa.int64())})
+    _pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_top_terms_concat(str(tmp_path))
+    assert out.loc[0, "terms"] == "aa,bb,cc"
+    assert out.loc[0, "n_terms"] == 3
+
+
 def test_lm_bigram_score_exact(ray_session, tmp_path):
     from crawling_infrastructure_ray.pipelines.training import \
         q_lm_bigram_score
