@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session-8: robust MAD outliers, ordered string_agg
         "value_outliers_mad": qa.q_value_outliers_mad,
         "top_terms_concat": qt.q_top_terms_concat,
+        # session-8: list-column centroid aggregate, triangle counting
+        "label_centroids": qt.q_label_centroids,
+        "host_triangles": qt.q_host_triangles,
         # extended joins / windows the Dataset API lacks: as-of join,
         # range join, grouped top-k, rolling frame, pivot, rollup —
         # all bucketed map_groups compositions

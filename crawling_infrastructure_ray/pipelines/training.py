@@ -1001,6 +1001,125 @@ def _host_components_oracle_sql() -> str:
         "LEFT JOIN hc_out o ON o.source = r.source ORDER BY 1")
 
 
+def q_label_centroids(sf_dir: str):
+    """LIST-COLUMN AGGREGATE: per-label embedding centroid sums — the
+    k-means / IVF-training update step. Each component is e3-quantized
+    (floor(x·1000+0.5), the knn_graph convention) and summed per
+    (label, dim) in exact int64; the centroid itself is sum/n outside
+    the gate (no float division touches the hash). Combiner shape:
+    one np.add.at over the batch's (label × dim) matrix — vector sums
+    enter the exchange as enum-sized partials (labels × 64 dims), the
+    raw vectors never move."""
+    from ..stages.simsearch import _to_matrix, quantize_e3
+    from .analytics import _merge_partials
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        q = quantize_e3(_to_matrix(batch["embedding"])).astype(np.int64)
+        codes, uniq = pd.factorize(lab)
+        dim = q.shape[1]
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, codes, q)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim)),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                    len(uniq))),
+            "sum_q_e3": pa.array(sums.reshape(-1)),
+            "n_vecs": pa.array(np.repeat(n, dim))})
+
+    out = _merge_partials(
+        ds.map_batches(part, batch_format="pyarrow"),
+        ["label", "dim"], ["sum_q_e3", "n_vecs"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+def q_host_triangles(sf_dir: str):
+    """TRIANGLE COUNTING over the source link graph (third graph op
+    next to PageRank and components): per node, the number of
+    triangles through it in the undirected distinct-edge set
+    (self-loops excluded), plus its degree. Same scale split as the
+    siblings: distributed distinct-edge combiner over the doc stream,
+    then diag(A³)/2 on the driver's ≤S² adjacency matrix
+    (config-sized node domain BY ASSUMPTION; web-scale uses the
+    standard per-edge wedge-join). SQL twin: three-way self-join over
+    the identical mirrored edge set."""
+    from ..stages.sampling import row_hash
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    parts = ds.map_batches(
+        lambda t: pa.table({"source": pc.unique(t["source"])}),
+        batch_format="pyarrow").to_pandas()
+    nodes = sorted(set(parts["source"]))
+    S = len(nodes)
+    idx = {s: i for i, s in enumerate(nodes)}
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        h = row_hash(batch["doc_id"], HC_SALT)
+        step = 4 * (1 + (h % np.uint64(8)).astype(np.int64))
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        u_idx = np.fromiter((idx[u] for u in uniq), np.int64, len(uniq))
+        si = u_idx[codes]
+        di = (si + step) % S
+        u = np.unique(si * S + di)
+        return pa.table({"si": pa.array((u // S).astype(np.int64)),
+                         "di": pa.array((u % S).astype(np.int64))})
+
+    edges = (ds.map_batches(edge_partials, batch_format="pyarrow")
+             .to_pandas().drop_duplicates())
+    a = edges["si"].to_numpy(dtype=np.int64)
+    b = edges["di"].to_numpy(dtype=np.int64)
+    keep = a != b  # self-loops never form triangles
+    A = np.zeros((S, S), dtype=np.int64)
+    A[a[keep], b[keep]] = 1
+    A |= A.T  # undirected
+    tri = np.diag(A @ A @ A) // 2
+    deg = A.sum(axis=1)
+    return pd.DataFrame({"source": nodes,
+                         "degree": deg.astype(np.int64),
+                         "n_triangles": tri.astype(np.int64)})
+
+
+def _host_triangles_oracle_sql() -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    w, c = splitmix64_cte(
+        "SELECT doc_id, source FROM documents",
+        f"xor(CAST(doc_id AS UBIGINT), CAST({HC_SALT} AS UBIGINT))",
+        "h", carry_cols=("doc_id", "source"), prefix="ht_")
+    return w + (
+        ", ht_s AS (SELECT source AS node, CAST(row_number() OVER "
+        "(ORDER BY source) - 1 AS BIGINT) AS idx FROM "
+        "(SELECT DISTINCT source FROM documents)), "
+        "ht_n AS (SELECT count(*) AS n FROM ht_s), "
+        f"ht_e0 AS (SELECT DISTINCT s1.node AS src, s2.node AS dst "
+        f"FROM {c} d JOIN ht_s s1 ON s1.node = d.source "
+        "JOIN ht_s s2 ON s2.idx = (s1.idx + 4 * (1 + "
+        "CAST(d.h % 8 AS BIGINT))) % (SELECT n FROM ht_n) "
+        "WHERE s1.node <> s2.node), "
+        "ht_e AS (SELECT src, dst FROM ht_e0 "
+        "UNION SELECT dst, src FROM ht_e0), "
+        "ht_t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c_ "
+        "FROM ht_e e1 JOIN ht_e e2 ON e2.src = e1.dst "
+        "JOIN ht_e e3 ON e3.src = e2.dst AND e3.dst = e1.src "
+        "WHERE e1.src < e1.dst AND e1.dst < e2.dst), "
+        "ht_m AS (SELECT a AS node FROM ht_t UNION ALL "
+        "SELECT b FROM ht_t UNION ALL SELECT c_ FROM ht_t), "
+        "ht_c AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles "
+        "FROM ht_m GROUP BY 1), "
+        "ht_d AS (SELECT src AS node, CAST(count(*) AS BIGINT) "
+        "AS degree FROM ht_e GROUP BY 1) "
+        "SELECT s.node AS source, coalesce(d.degree, 0) AS degree, "
+        "coalesce(t.n_triangles, 0) AS n_triangles FROM ht_s s "
+        "LEFT JOIN ht_d d ON d.node = s.node "
+        "LEFT JOIN ht_c t ON t.node = s.node ORDER BY 1")
+
+
 def q_text_normalize(sf_dir: str):
     """Canonical TEXT NORMALIZATION (the pre-dedup pass): lowercase +
     non-[a-z0-9] runs collapse to one space + trim; per doc the gate
@@ -3120,6 +3239,16 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "lm_bigram_score": _lm_bigram_oracle_sql(),
     "typo_token_pairs": _typo_pairs_oracle_sql(),
     "top_terms_concat": _top_terms_concat_oracle_sql(),
+    "label_centroids":
+        "WITH lc_e AS (SELECT label, embedding, "
+        "unnest(range(1, len(embedding) + 1)) AS i FROM embeddings) "
+        "SELECT CAST(label AS BIGINT) AS label, "
+        "CAST(i - 1 AS BIGINT) AS dim, "
+        "CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) "
+        "AS BIGINT)) AS BIGINT) AS sum_q_e3, "
+        "CAST(count(*) AS BIGINT) AS n_vecs "
+        "FROM lc_e GROUP BY 1, 2 ORDER BY 1, 2",
+    "host_triangles": _host_triangles_oracle_sql(),
     "boilerplate_stats": _boilerplate_oracle_sql(),
     "source_terms": _source_terms_oracle_sql(),
     "dedup_minhash_pairs": _minhash_pairs_oracle_sql(),

@@ -313,6 +313,61 @@ def test_top_terms_concat_rank_order(ray_session, tmp_path):
     assert out.loc[0, "n_terms"] == 3
 
 
+def test_label_centroids_exact_sums(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+    from crawling_infrastructure_ray.pipelines.training import \
+        q_label_centroids
+
+    vecs = [[1.0, -2.0], [3.0, 0.5], [10.0, 10.0]]
+    labels = [0, 0, 1]
+    t = pa.table({"vec_id": pa.array(range(3), pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                  "label": pa.array(labels, pa.int32())})
+    _pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = q_label_centroids(str(tmp_path)).set_index(["label", "dim"])
+    assert out.loc[(0, 0), "sum_q_e3"] == 1000 + 3000
+    assert out.loc[(0, 1), "sum_q_e3"] == -2000 + 500
+    assert out.loc[(1, 0), "sum_q_e3"] == 10000
+    assert out.loc[(0, 0), "n_vecs"] == 2
+    assert out.loc[(1, 1), "n_vecs"] == 1
+
+
+def test_host_triangles_match_brute(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+    from crawling_infrastructure_ray.pipelines.training import (
+        HC_SALT, q_host_triangles)
+    from crawling_infrastructure_ray.stages.sampling import row_hash
+
+    S, n_docs = 7, 80
+    sources = [f"h{i}" for i in range(S)]
+    doc_ids = np.arange(n_docs, dtype=np.int64)
+    src_col = [sources[i % S] for i in range(n_docs)]
+    t = pa.table({"doc_id": pa.array(doc_ids),
+                  "source": pa.array(src_col, pa.string()),
+                  "text": pa.array([""] * n_docs, pa.string()),
+                  "lang": pa.array(["en"] * n_docs, pa.string()),
+                  "n_chars": pa.array([0] * n_docs, pa.int64())})
+    _pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_host_triangles(str(tmp_path)).set_index("source")
+
+    # brute adjacency over the same deterministic edge rule
+    h = row_hash(pa.array(doc_ids), HC_SALT)
+    step = 4 * (1 + (h % np.uint64(8)).astype(np.int64))
+    nodes = sorted(sources)
+    idx = {s: i for i, s in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
+    for d in range(n_docs):
+        a = idx[src_col[d]]
+        b = int((a + step[d]) % len(nodes))
+        if a != b:
+            A[a, b] = A[b, a] = 1
+    tri = np.diag(A @ A @ A) // 2
+    assert tri.sum() > 0  # non-degenerate by construction
+    for s in nodes:
+        assert out.loc[s, "n_triangles"] == tri[idx[s]]
+        assert out.loc[s, "degree"] == A[idx[s]].sum()
+
+
 def test_lm_bigram_score_exact(ray_session, tmp_path):
     from crawling_infrastructure_ray.pipelines.training import \
         q_lm_bigram_score
