@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session-8: list-column centroid aggregate, triangle counting
         "label_centroids": qt.q_label_centroids,
         "host_triangles": qt.q_host_triangles,
+        # session-8: per-brand skyline (dominance query)
+        "part_pareto_frontier": qa.q_part_pareto_frontier,
         # extended joins / windows the Dataset API lacks: as-of join,
         # range join, grouped top-k, rolling frame, pivot, rollup —
         # all bucketed map_groups compositions

@@ -2832,6 +2832,63 @@ def q_value_outliers_mad(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_part_pareto_frontier(sf_dir: str):
+    """SKYLINE / PARETO-FRONTIER query per brand: parts not dominated
+    on (price, size) — s dominates r iff s is ≤ on both and < on at
+    least one (minimize both). Duplicated points survive together
+    (neither strictly dominates).
+
+    Scale shape: brands hash-bucket (each brand wholly in one
+    bucket); inside a bucket the 2-D skyline is VECTORIZED — sort by
+    (brand, price, size), per-(brand, price) min size, prefix-cummin
+    of that over the brand's price groups, two comparisons. No
+    pairwise dominance test (the SQL twin's NOT EXISTS is the
+    quadratic formulation, valid at gate scale)."""
+    ds = read_table(sf_dir, "part",
+                    columns=["p_partkey", "p_brand", "p_retailprice",
+                             "p_size"])
+
+    def to_c(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": pc.cast(batch["p_partkey"], pa.int64()),
+            "p_brand": batch["p_brand"],
+            "price_c": pc.cast(pc.round(pc.multiply(
+                batch["p_retailprice"], 100.0)), pa.int64()),
+            "p_size": pc.cast(batch["p_size"], pa.int64())})
+
+    def skyline_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_brand", "price_c", "p_size"]) \
+            .reset_index(drop=True)
+        # min size within each (brand, price) group
+        minz_bp = g.groupby(["p_brand", "price_c"], sort=False)["p_size"] \
+            .transform("min")
+        dominated_same_p = g["p_size"] > minz_bp
+        # min size over all STRICTLY cheaper price groups of the brand
+        bp = (g.groupby(["p_brand", "price_c"], as_index=False)
+              ["p_size"].min().rename(columns={"p_size": "minz"}))
+        bp["prevmin"] = (bp.groupby("p_brand", sort=False)["minz"]
+                         .cummin().shift())
+        first = ~bp["p_brand"].eq(bp["p_brand"].shift())
+        bp.loc[first, "prevmin"] = np.nan
+        g = g.merge(bp[["p_brand", "price_c", "prevmin"]],
+                    on=["p_brand", "price_c"], how="left")
+        dominated_cheaper = g["prevmin"].notna() & \
+            (g["prevmin"] <= g["p_size"])
+        out = g[~(dominated_same_p.to_numpy()
+                  | dominated_cheaper.to_numpy())]
+        return out[["p_partkey", "p_brand", "price_c", "p_size"]]
+
+    out = (ds.map_batches(to_c, batch_format="pyarrow")
+           .repartition(32)
+           .map_batches(_tag_bucket(["p_brand"]), batch_format="pyarrow")
+           .groupby("_kb").map_groups(skyline_bucket,
+                                      batch_format="pandas")
+           .to_pandas())
+    for c in ["p_partkey", "price_c", "p_size"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
 # ----------------------------------------------------------------------
 # oracle SQL (column names and rounding MUST match the fns above)
 # ----------------------------------------------------------------------
@@ -3179,6 +3236,16 @@ def q_part_price_rank_dense(sf_dir: str):
 
 
 ORACLE_SQL: dict[str, str] = {
+    "part_pareto_frontier":
+        "WITH pf AS (SELECT p_partkey, p_brand, "
+        "CAST(round(p_retailprice * 100) AS BIGINT) AS price_c, "
+        "CAST(p_size AS BIGINT) AS p_size FROM part) "
+        "SELECT CAST(a.p_partkey AS BIGINT) AS p_partkey, a.p_brand, "
+        "a.price_c, a.p_size FROM pf a WHERE NOT EXISTS ("
+        "SELECT 1 FROM pf b WHERE b.p_brand = a.p_brand "
+        "AND b.price_c <= a.price_c AND b.p_size <= a.p_size "
+        "AND (b.price_c < a.price_c OR b.p_size < a.p_size)) "
+        "ORDER BY 1",
     "value_outliers_mad":
         "WITH om_b AS (SELECT event_type, "
         "CAST(round(value * 100) AS BIGINT) AS v_c FROM events), "

@@ -368,6 +368,29 @@ def test_host_triangles_match_brute(ray_session, tmp_path):
         assert out.loc[s, "degree"] == A[idx[s]].sum()
 
 
+def test_pareto_frontier_dominance_and_ties(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_part_pareto_frontier
+
+    # brand B1 (price, size): (1,5) frontier; (2,3) frontier;
+    # (2,4) dominated by (2,3) same-price; (3,3) dominated by (2,3);
+    # (3,2) frontier; duplicates (4,1)x2 both survive (no strict
+    # dominance between equals); (5,1) dominated by (4,1)
+    pts = [(1, 5), (2, 3), (2, 4), (3, 3), (3, 2), (4, 1), (4, 1),
+           (5, 1)]
+    t = pa.table({"p_partkey": pa.array(range(len(pts)), pa.int64()),
+                  "p_brand": pa.array(["B1"] * len(pts), pa.string()),
+                  "p_name": pa.array(["x"] * len(pts), pa.string()),
+                  "p_type": pa.array(["t"] * len(pts), pa.string()),
+                  "p_size": pa.array([z for _, z in pts], pa.int32()),
+                  "p_retailprice": pa.array(
+                      [float(p) for p, _ in pts], pa.float64())})
+    _pq.write_table(t, str(tmp_path / "part.parquet"))
+    out = q_part_pareto_frontier(str(tmp_path))
+    assert sorted(out["p_partkey"]) == [0, 1, 4, 5, 6]
+
+
 def test_lm_bigram_score_exact(ray_session, tmp_path):
     from crawling_infrastructure_ray.pipelines.training import \
         q_lm_bigram_score
