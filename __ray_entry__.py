@@ -87,8 +87,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session-8: list-column centroid aggregate, triangle counting
         "label_centroids": qt.q_label_centroids,
         "host_triangles": qt.q_host_triangles,
-        # session-8: per-brand skyline (dominance query)
+        # session-8: per-brand skyline (dominance query), distinct
+        # users per overlapping window
         "part_pareto_frontier": qa.q_part_pareto_frontier,
+        "hopping_distinct_users": qa.q_hopping_distinct_users,
         # extended joins / windows the Dataset API lacks: as-of join,
         # range join, grouped top-k, rolling frame, pivot, rollup —
         # all bucketed map_groups compositions

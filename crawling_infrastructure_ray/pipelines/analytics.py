@@ -2503,6 +2503,50 @@ def q_events_hopping_window(sf_dir: str):
     return out.sort_values("window_start").reset_index(drop=True)
 
 
+def q_hopping_distinct_users(sf_dir: str):
+    """DISTINCT-over-sliding-window: distinct active users per
+    overlapping 2-hour/1-hour-hop window (composes the hopping-window
+    replication with the exact distributed distinct-count shape).
+    Map side: events replicate to their two window starts and dedup
+    to (window, user) pairs per batch; the pairs hash-bucket by
+    (window, user) so the global dedup is per-bucket-local; per-window
+    count partials merge in Ray. Raw events never cross an exchange
+    twice — only deduped pair partials."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    hour_us = 3_600_000_000
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        base = pc.cast(pc.floor_temporal(batch["ts"], unit="hour"),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        u = pc.cast(batch["user_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        # pack (hour index, user) into one int64 for a single
+        # np.unique — hour index < 2^42, user_id < 2^20 (asserted)
+        assert not len(u) or int(u.max()) < (1 << 20)
+        wh = np.concatenate([base // hour_us, base // hour_us - 1])
+        uu = np.concatenate([u, u])
+        key = np.unique(wh * np.int64(1 << 20) + uu)
+        return pa.table({"w_us": pa.array((key >> 20) * hour_us),
+                         "user_id": pa.array(key & ((1 << 20) - 1))})
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["w_us", "user_id"])
+        return (d.groupby("w_us", as_index=False)
+                .agg(n_users=("user_id", "size")))
+
+    parts = (ds.map_batches(pairs, batch_format="pyarrow")
+             .repartition(32)
+             .map_batches(_tag_bucket(["w_us", "user_id"]),
+                          batch_format="pyarrow")
+             .groupby("_kb").map_groups(count_bucket,
+                                        batch_format="pandas"))
+    out = _merge_partials_ray(parts, ["w_us"], ["n_users"]).to_pandas()
+    out["window_start"] = pd.to_datetime(out.pop("w_us"), unit="us")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out[["window_start", "n_users"]] \
+        .sort_values("window_start").reset_index(drop=True)
+
+
 def q_cube_order_counts(sf_dir: str):
     """GROUPING SETS / CUBE (rollup's complete lattice): order counts
     and totalprice cents at ALL FOUR levels of (priority, status) —
@@ -3236,6 +3280,14 @@ def q_part_price_rank_dense(sf_dir: str):
 
 
 ORACLE_SQL: dict[str, str] = {
+    "hopping_distinct_users":
+        "WITH hd AS (SELECT date_trunc('hour', ts) AS h, user_id "
+        "FROM events), "
+        "hx AS (SELECT h + to_microseconds(CAST(u.off * -3600000000 "
+        "AS BIGINT)) AS window_start, user_id "
+        "FROM hd, unnest([0, 1]) AS u(off)) "
+        "SELECT window_start, CAST(count(DISTINCT user_id) AS BIGINT) "
+        "AS n_users FROM hx GROUP BY 1 ORDER BY 1",
     "part_pareto_frontier":
         "WITH pf AS (SELECT p_partkey, p_brand, "
         "CAST(round(p_retailprice * 100) AS BIGINT) AS price_c, "

@@ -391,6 +391,23 @@ def test_pareto_frontier_dominance_and_ties(ray_session, tmp_path):
     assert sorted(out["p_partkey"]) == [0, 1, 4, 5, 6]
 
 
+def test_hopping_distinct_users_dedups_within_window(ray_session,
+                                                     tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_hopping_distinct_users
+
+    h = 3_600_000_000
+    # user 1 twice inside hour 1 (dedups); user 2 once; each event
+    # lands in windows [hour, hour-1] -> window at hour 0 and hour 1
+    # both see {1, 2}
+    rows = [(h + 10, 1, "view", 1.0), (h + 20, 1, "view", 1.0),
+            (h + 30, 2, "view", 1.0)]
+    out = q_hopping_distinct_users(_write_events(tmp_path, rows))
+    got = {int(w.value // (h * 1000)): n for w, n in  # .value is ns
+           zip(out["window_start"], out["n_users"])}
+    assert got == {0: 2, 1: 2}
+
+
 def test_lm_bigram_score_exact(ray_session, tmp_path):
     from crawling_infrastructure_ray.pipelines.training import \
         q_lm_bigram_score
