@@ -2521,13 +2521,15 @@ def q_hopping_distinct_users(sf_dir: str):
         u = pc.cast(batch["user_id"], pa.int64()) \
             .to_numpy(zero_copy_only=False)
         # pack (hour index, user) into one int64 for a single
-        # np.unique — hour index < 2^42, user_id < 2^20 (asserted)
-        assert not len(u) or int(u.max()) < (1 << 20)
+        # np.unique — hour index < 2^31 (fine past year 200k),
+        # user_id < 2^32 (asserted; wider ids would switch the pack
+        # to a (wh, u) lexsort-unique instead)
+        assert not len(u) or int(u.max()) < (1 << 32)
         wh = np.concatenate([base // hour_us, base // hour_us - 1])
         uu = np.concatenate([u, u])
-        key = np.unique(wh * np.int64(1 << 20) + uu)
-        return pa.table({"w_us": pa.array((key >> 20) * hour_us),
-                         "user_id": pa.array(key & ((1 << 20) - 1))})
+        key = np.unique(wh * np.int64(1 << 32) + uu)
+        return pa.table({"w_us": pa.array((key >> 32) * hour_us),
+                         "user_id": pa.array(key & ((1 << 32) - 1))})
 
     def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
         d = g.drop_duplicates(["w_us", "user_id"])
