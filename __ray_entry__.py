@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # users per overlapping window
         "part_pareto_frontier": qa.q_part_pareto_frontier,
         "hopping_distinct_users": qa.q_hopping_distinct_users,
+        # session-8: length-weighted (PPS) sampling
+        "pps_sample": qt.q_pps_sample,
         # extended joins / windows the Dataset API lacks: as-of join,
         # range join, grouped top-k, rolling frame, pivot, rollup —
         # all bucketed map_groups compositions

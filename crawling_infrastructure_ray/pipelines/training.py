@@ -187,6 +187,44 @@ def q_mixture_sample(sf_dir: str):
     return sp.mixture_sample_ds(ds, sp.source_rate_e6)
 
 
+PPS_SALT = 0x5EED_D0C5_1ED0_0007  # length-weighted sampling draw
+
+
+def q_pps_sample(sf_dir: str):
+    """Probability-proportional-to-size (PPS) SAMPLING: each doc is
+    kept with probability min(1, n_chars / 600) — longer documents
+    are proportionally more likely to survive (the length-weighted
+    counterpart of mixture_sample's per-source rates). Deterministic:
+    keep iff splitmix64(doc_id ^ PPS_SALT) % 600 < n_chars, one
+    vectorized hash per row, no shuffle, no state. ORACLE-CHECKED
+    bit-for-bit (shared splitmix mirror + the same inequality)."""
+    from ..stages.sampling import row_hash
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        draws = (row_hash(batch["doc_id"], PPS_SALT)
+                 % np.uint64(600)).astype(np.int64)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(draws < n))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _pps_oracle_sql() -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    w, c = splitmix64_cte(
+        "SELECT doc_id, n_chars FROM documents",
+        f"xor(CAST(doc_id AS UBIGINT), CAST({PPS_SALT} AS UBIGINT))",
+        "h", carry_cols=("doc_id", "n_chars"), prefix="pp_")
+    return w + (
+        f" SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM {c} "
+        "WHERE CAST(h % 600 AS BIGINT) < n_chars ORDER BY 1")
+
+
 def q_decontaminate(sf_dir: str):
     """Eval-set DECONTAMINATION: remove train-split docs sharing any
     token 8-gram with any test-split doc (the train/benchmark overlap
@@ -3205,6 +3243,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     # sqlmirror.splitmix64_cte
     "stratified_split": _stratified_split_oracle_sql(),
     "mixture_sample": _mixture_oracle_sql(),
+    "pps_sample": _pps_oracle_sql(),
     "decontaminate": _decontaminate_oracle_sql(),
     "vocab_topk": _vocab_topk_oracle_sql(),
     "bpe_pair_counts": _bpe_pair_oracle_sql(),

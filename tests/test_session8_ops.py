@@ -408,6 +408,31 @@ def test_hopping_distinct_users_dedups_within_window(ray_session,
     assert got == {0: 2, 1: 2}
 
 
+def test_pps_sample_weighting_bounds(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+    from crawling_infrastructure_ray.pipelines.training import (
+        PPS_SALT, q_pps_sample)
+    from crawling_infrastructure_ray.stages.sampling import row_hash
+
+    # n_chars >= 600 -> always kept; n_chars == 0 -> never kept;
+    # in between -> exactly when draw < n_chars
+    n_chars = [600, 700, 0, 0, 300, 300, 300, 300]
+    t = pa.table({"doc_id": pa.array(range(len(n_chars)), pa.int64()),
+                  "text": pa.array(["x"] * len(n_chars), pa.string()),
+                  "lang": pa.array(["en"] * len(n_chars), pa.string()),
+                  "source": pa.array(["s"] * len(n_chars), pa.string()),
+                  "n_chars": pa.array(n_chars, pa.int64())})
+    _pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_pps_sample(str(tmp_path))
+    kept = set(out["doc_id"])
+    assert {0, 1} <= kept and not ({2, 3} & kept)
+    draws = row_hash(pa.array(np.arange(len(n_chars), dtype=np.int64)),
+                     PPS_SALT) % np.uint64(600)
+    expect = {i for i, (d, n) in enumerate(zip(draws, n_chars))
+              if int(d) < n}
+    assert kept == expect
+
+
 def test_lm_bigram_score_exact(ray_session, tmp_path):
     from crawling_infrastructure_ray.pipelines.training import \
         q_lm_bigram_score
