@@ -153,6 +153,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_volume_shipping": qa.q_q7_volume_shipping,
         "q19_discounted_revenue": qa.q_q19_discounted_revenue,
         "quantiles_value_per_type": qa.q_quantiles_value_per_type,
+        # heavy hitters: local-candidate lemma + exact verify pass
+        "heavy_hitter_tokens": qt.q_heavy_hitter_tokens,
+        # grouped MODE with deterministic tie-break
+        "mode_chars_per_source": qa.q_mode_chars_per_source,
+        # set ops over distinct user sets (INTERSECT / EXCEPT)
+        "intersect_users": qa.q_intersect_users,
+        "except_users": qa.q_except_users,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

@@ -2824,6 +2824,100 @@ def q_median_value_per_type(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_mode_chars_per_source(sf_dir: str):
+    """Grouped MODE (most frequent value) with deterministic
+    tie-break (count desc, value asc): per-batch (source, n_chars)
+    count combiner, bucketed merge over the pair domain, per-source
+    vectorized argmax. Only (group, value, count) partials cross the
+    exchange — never rows — so the plan is bounded by the value
+    domain exactly like the distributed-median family."""
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "n_chars"]).aggregate(
+            [("n_chars", "count")])
+        return g.rename_columns(["source", "n_chars", "n"])
+
+    merged = _merge_partials_ray(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "n_chars"], ["n"])
+
+    def mode_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "n", "n_chars"],
+                          ascending=[True, False, True])
+        out = g.drop_duplicates("source", keep="first")
+        return out.rename(columns={"n_chars": "mode_chars",
+                                   "n": "n_mode"})[
+            ["source", "mode_chars", "n_mode"]]
+
+    out = (merged.map_batches(_tag_bucket(["source"]),
+                              batch_format="pyarrow")
+           .groupby("_kb").map_groups(mode_bucket, batch_format="pandas")
+           .to_pandas())
+    for c in ("mode_chars", "n_mode"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _set_op_users(sf_dir: str, keep_right: bool, min_cents: int = 9500):
+    """Shared plan for INTERSECT / EXCEPT over distinct user sets
+    (left = users with a high-value 'click', right = users with a
+    high-value 'purchase'; the value floor keeps both sets proper
+    subsets so the ops are non-degenerate): per-batch distinct
+    (user_id, side) flag partials, bucketed merge keyed on user_id
+    (presence = sum > 0), vectorized set filter per bucket. The
+    driver never holds a user set; output is the result rows only."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        v_c = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                      pa.int64())
+        keep = pc.and_(
+            pc.or_(pc.equal(et, "click"), pc.equal(et, "purchase")),
+            pc.greater(v_c, min_cents))
+        t = batch.filter(keep)
+        in_click = pc.cast(pc.equal(t["event_type"], "click"), pa.int64())
+        pairs = pa.table({"user_id": t["user_id"], "in_click": in_click,
+                          "in_purch": pc.subtract(pa.scalar(1, pa.int64()),
+                                                  in_click)})
+        g = pairs.group_by("user_id").aggregate(
+            [("in_click", "max"), ("in_purch", "max")])
+        return g.rename_columns(["user_id", "in_click", "in_purch"])
+
+    merged = _merge_partials_ray(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], ["in_click", "in_purch"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        lhs = pc.greater(batch["in_click"], 0)
+        rhs = pc.greater(batch["in_purch"], 0)
+        mask = pc.and_(lhs, rhs) if keep_right else \
+            pc.and_(lhs, pc.invert(rhs))
+        return batch.filter(mask).select(["user_id"])
+
+    out = merged.map_batches(pick, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_intersect_users(sf_dir: str):
+    """Set op INTERSECT: distinct user_ids with at least one
+    high-value 'click' AND at least one high-value 'purchase' event
+    (one pass, no self-join)."""
+    return _set_op_users(sf_dir, keep_right=True)
+
+
+def q_except_users(sf_dir: str):
+    """Set op EXCEPT: distinct user_ids with a high-value 'click'
+    but NO high-value 'purchase' event (one pass, no anti-join
+    materialization)."""
+    return _set_op_users(sf_dir, keep_right=False)
+
+
 def q_value_outliers_mad(sf_dir: str):
     """Robust OUTLIER DETECTION per group — median / MAD (median
     absolute deviation) in exact integer cents, outliers = values
@@ -3589,6 +3683,28 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
         "quantile_disc(v_c, 0.5) AS median_value_c FROM c "
         "GROUP BY event_type",
+    "mode_chars_per_source":
+        "WITH c AS (SELECT source, n_chars, count(*) AS n "
+        "FROM documents GROUP BY 1, 2), "
+        "r AS (SELECT source, n_chars, n, row_number() OVER "
+        "(PARTITION BY source ORDER BY n DESC, n_chars) AS rn FROM c) "
+        "SELECT source, CAST(n_chars AS BIGINT) AS mode_chars, "
+        "CAST(n AS BIGINT) AS n_mode FROM r WHERE rn = 1 "
+        "ORDER BY source",
+    "intersect_users":
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "AND CAST(round(value * 100) AS BIGINT) > 9500 "
+        "INTERSECT "
+        "SELECT user_id FROM events WHERE event_type = 'purchase' "
+        "AND CAST(round(value * 100) AS BIGINT) > 9500 "
+        "ORDER BY user_id",
+    "except_users":
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "AND CAST(round(value * 100) AS BIGINT) > 9500 "
+        "EXCEPT "
+        "SELECT user_id FROM events WHERE event_type = 'purchase' "
+        "AND CAST(round(value * 100) AS BIGINT) > 9500 "
+        "ORDER BY user_id",
     "q13_customer_distribution":
         "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM "
         "(SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count "

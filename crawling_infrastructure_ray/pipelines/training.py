@@ -265,6 +265,62 @@ def q_vocab_topk(sf_dir: str):
             .head(100).reset_index(drop=True))
 
 
+def q_heavy_hitter_tokens(sf_dir: str, phi_recip: int = 31):
+    """HEAVY HITTERS (frequency ≥ total/phi_recip) via the
+    local-frequency candidate lemma + an exact verification pass —
+    the SpaceSaving-style workflow with a deterministic, provably
+    exact output. By pigeonhole, any token with global count
+    ≥ N/phi_recip has batch count ≥ N_b/phi_recip in at least one
+    batch (if it were below the local threshold everywhere, the sum
+    would be below N/phi_recip), so the union of per-batch local
+    heavy hitters is a guaranteed candidate superset of size
+    ≤ phi_recip per batch. At 100 TB that candidate set — not the
+    full vocabulary — is what gets broadcast and exactly counted; the
+    false positives are removed by the exact filter, so the output is
+    identical to the brute GROUP BY / HAVING. (On the synthetic
+    corpus the vocab is ~31 tokens so pruning is invisible; the shape
+    is what scales.) ORACLE-CHECKED (GROUP BY + HAVING n*phi_recip >=
+    total twin)."""
+    import ray as _ray
+
+    from ..stages import sampling as sp
+    from .analytics import _merge_partials_ray
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = sp.vocab_partial_counts(batch)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        local_hh = n * phi_recip >= int(n.sum())
+        return t.append_column("local_hh", pa.array(local_hh))
+
+    # combiner partials are distinct-token-sized per batch — small;
+    # materialized once so candidates + exact counts share one pass
+    # over the corpus text
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    def only_hh(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch["local_hh"]).select(["token"])
+
+    cand = (partials.map_batches(only_hh, batch_format="pyarrow")
+            .unique("token"))
+    cand_ref = _ray.put(np.asarray(sorted(cand), dtype=object))
+    total = int(partials.sum("n"))
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["token"],
+                        value_set=pa.array(_ray.get(cand_ref)))
+        return batch.filter(keep).select(["token", "n"])
+
+    merged = _merge_partials_ray(
+        partials.map_batches(keep_candidates, batch_format="pyarrow"),
+        ["token"], ["n"])
+    df = merged.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    df = df[df["n"] * phi_recip >= total]
+    return (df.sort_values(["n", "token"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
 def q_bpe_pair_counts(sf_dir: str, k: int = 20):
     """BPE-MERGE STEP counting: the corpus's top-k adjacent token
     pairs (bigrams, never crossing doc boundaries) with deterministic
@@ -3224,6 +3280,18 @@ def _vocab_topk_oracle_sql() -> str:
         "GROUP BY token ORDER BY n DESC, token LIMIT 100")
 
 
+def _heavy_hitter_oracle_sql(phi_recip: int = 31) -> str:
+    from ..functions.sqlmirror import tokens_sql
+    return (
+        f"WITH vt AS (SELECT unnest({tokens_sql('text')}) AS token "
+        "FROM documents), "
+        "c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM vt "
+        "GROUP BY token), "
+        "t AS (SELECT sum(n) AS tot FROM c) "
+        f"SELECT token, n FROM c, t WHERE n * {phi_recip} >= tot "
+        "ORDER BY n DESC, token")
+
+
 def _length_bins_oracle_sql(k_bins: int = 8) -> str:
     return (
         "WITH lb AS (SELECT n_chars, row_number() OVER "
@@ -3246,6 +3314,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "pps_sample": _pps_oracle_sql(),
     "decontaminate": _decontaminate_oracle_sql(),
     "vocab_topk": _vocab_topk_oracle_sql(),
+    "heavy_hitter_tokens": _heavy_hitter_oracle_sql(),
     "bpe_pair_counts": _bpe_pair_oracle_sql(),
     "length_bins": _length_bins_oracle_sql(),
     # K=1 conformance run replayed closed-form in SQL (r03): the

@@ -1,0 +1,94 @@
+"""Crafted-case tests for the round-3 session-9 operators: exact
+heavy hitters (local-candidate lemma + exact verify), grouped MODE
+with deterministic tie-break, and INTERSECT / EXCEPT set ops. The
+parametrized oracle mirror (test_queries_oracle) hash-checks them
+against DuckDB; these pin the SEMANTICS on crafted edges."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, rows):
+    t = pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array([r[0] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _write_events(tmp_path, rows):
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array([""] * len(rows), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_heavy_hitters_threshold_boundary(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.training import \
+        q_heavy_hitter_tokens
+
+    # counts: a=50, b=2, z=1; total=53. With phi_recip=31 the bar is
+    # n*31 >= 53 -> n >= 2 (2*31=62): a and b pass (b exactly at the
+    # >= boundary), z fails. z IS a local candidate (single tiny
+    # batch) -- the exact pass must remove it.
+    text = " ".join(["a"] * 50 + ["b"] * 2 + ["z"])
+    d = _write_docs(tmp_path, [(text, "s1", len(text))])
+    out = q_heavy_hitter_tokens(d)
+    assert list(out["token"]) == ["a", "b"]
+    assert list(out["n"]) == [50, 2]
+
+
+def test_mode_tie_breaks_to_smallest_value(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_mode_chars_per_source
+
+    # s1: n_chars 10 x2 and 20 x2 tie -> mode must be 10 (value asc);
+    # s2: clear mode 7 x3 over 9 x1
+    rows = [("t", "s1", 10), ("t", "s1", 10),
+            ("t", "s1", 20), ("t", "s1", 20),
+            ("t", "s2", 7), ("t", "s2", 7), ("t", "s2", 7),
+            ("t", "s2", 9)]
+    out = q_mode_chars_per_source(_write_docs(tmp_path, rows)) \
+        .set_index("source")
+    assert out.loc["s1", "mode_chars"] == 10
+    assert out.loc["s1", "n_mode"] == 2
+    assert out.loc["s2", "mode_chars"] == 7
+    assert out.loc["s2", "n_mode"] == 3
+
+
+def test_set_ops_users(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import (
+        q_except_users, q_intersect_users)
+
+    HI, LO = 96.0, 10.0  # bar is value_cents > 9500
+    rows = [
+        (100, 1, "click", HI), (200, 1, "purchase", HI),   # intersect
+        (100, 2, "click", HI), (200, 2, "purchase", LO),   # except
+        (100, 3, "purchase", HI),                          # neither
+        (100, 4, "click", LO),                             # neither
+        (100, 5, "click", 95.0),                           # 9500 !> 9500
+        (100, 6, "click", HI), (150, 6, "click", HI),      # dup-safe
+        (200, 6, "purchase", HI),
+    ]
+    d = _write_events(tmp_path, rows)
+    assert list(q_intersect_users(d)["user_id"]) == [1, 6]
+    assert list(q_except_users(d)["user_id"]) == [2]
+
+
+def test_set_ops_empty_result(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_intersect_users
+
+    rows = [(100, 1, "click", 96.0)]
+    out = q_intersect_users(_write_events(tmp_path, rows))
+    assert len(out) == 0 and list(out.columns) == ["user_id"]
