@@ -160,6 +160,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # set ops over distinct user sets (INTERSECT / EXCEPT)
         "intersect_users": qa.q_intersect_users,
         "except_users": qa.q_except_users,
+        # exact cross-moment sufficient stats (COVAR/CORR family)
+        "covar_qty_discount": qa.q_covar_qty_discount,
+        # MIN-merge aggregation: first-view -> first-purchase lag
+        "conversion_lag": qa.q_conversion_lag,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

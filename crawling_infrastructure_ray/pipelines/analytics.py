@@ -3304,6 +3304,90 @@ def q_value_stats_per_type(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_covar_qty_discount(sf_dir: str):
+    """Grouped COVARIANCE/CORRELATION sufficient statistics: per
+    l_returnflag the exact integer (n, Σq, Σd_e2, Σq², Σd_e2², Σq·d_e2)
+    — everything COVAR_POP/CORR divides outside the engine, kept as
+    raw cross-moments so the gate never meets float math (the
+    value_stats_per_type convention extended to the CROSS moment).
+    Pure combiner, zero shuffle; overflow bound: q ≤ 50, d_e2 ≤ 10 →
+    Σq·q ≤ 2.5e3/row, safe in int64 past 10^15 rows."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(batch["l_quantity"]), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        d = pc.cast(pc.round(pc.multiply(batch["l_discount"], 100.0)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "sum_q": pa.array(q), "sum_d_e2": pa.array(d),
+                      "sumsq_q": pa.array(q * q),
+                      "sumsq_d_e4": pa.array(d * d),
+                      "sum_qd_e2": pa.array(q * d)})
+        cols = ["n", "sum_q", "sum_d_e2", "sumsq_q", "sumsq_d_e4",
+                "sum_qd_e2"]
+        g = t.group_by("l_returnflag").aggregate(
+            [(c, "sum") for c in cols])
+        return g.rename_columns(["l_returnflag"] + cols)
+
+    cols = ["n", "sum_q", "sum_d_e2", "sumsq_q", "sumsq_d_e4",
+            "sum_qd_e2"]
+    out = _merge_partials(
+        ds.map_batches(part, batch_format="pyarrow"),
+        ["l_returnflag"], cols)
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_conversion_lag(sf_dir: str):
+    """Per-user CONVERSION LAG: µs from the user's first 'view' to
+    their first 'purchase' (users with both; negative = purchased
+    before ever viewing). A MIN-merge aggregation — the non-additive
+    counterpart of the sum combiners: per-batch min-ts per (user,
+    side), user-bucketed global min in one map_groups, vectorized
+    diff. Only (user, 2 timestamps) partials cross the exchange."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts"])
+    BIG = np.int64(2**62)
+
+    def part(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        keep = pc.or_(pc.equal(et, "view"), pc.equal(et, "purchase"))
+        t = batch.filter(keep)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        is_view = pc.equal(t["event_type"], "view") \
+            .to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "user_id": t["user_id"],
+            "min_view": pa.array(np.where(is_view, ts, BIG)),
+            "min_purch": pa.array(np.where(is_view, BIG, ts)),
+        }).group_by("user_id").aggregate(
+            [("min_view", "min"), ("min_purch", "min")])
+        return g.rename_columns(["user_id", "min_view", "min_purch"])
+
+    def min_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id", as_index=False)[
+            ["min_view", "min_purch"]].min()
+        m = m[(m["min_view"] < BIG) & (m["min_purch"] < BIG)]
+        m["lag_us"] = m["min_purch"] - m["min_view"]
+        return m[["user_id", "lag_us"]]
+
+    partials = ds.map_batches(part, batch_format="pyarrow")
+    out = (partials.repartition(32)
+           .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow")
+           .groupby("_kb").map_groups(min_bucket, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        out = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                            "lag_us": pd.Series([], dtype="int64")})
+    for c in ("user_id", "lag_us"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_event_transitions(sf_dir: str):
     """MARKOV TRANSITION MATRIX over the per-user event stream: counts
     of consecutive (from_type → to_type) transitions ordered by
@@ -3705,6 +3789,26 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT user_id FROM events WHERE event_type = 'purchase' "
         "AND CAST(round(value * 100) AS BIGINT) > 9500 "
         "ORDER BY user_id",
+    "covar_qty_discount":
+        "WITH c AS (SELECT l_returnflag, "
+        "CAST(round(l_quantity) AS BIGINT) AS q, "
+        "CAST(round(l_discount * 100) AS BIGINT) AS d FROM lineitem) "
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(q) AS BIGINT) AS sum_q, "
+        "CAST(sum(d) AS BIGINT) AS sum_d_e2, "
+        "CAST(sum(q * q) AS BIGINT) AS sumsq_q, "
+        "CAST(sum(d * d) AS BIGINT) AS sumsq_d_e4, "
+        "CAST(sum(q * d) AS BIGINT) AS sum_qd_e2 "
+        "FROM c GROUP BY l_returnflag ORDER BY l_returnflag",
+    "conversion_lag":
+        "SELECT user_id, "
+        "CAST(epoch_us(min(CASE WHEN event_type = 'purchase' THEN ts "
+        "END)) - epoch_us(min(CASE WHEN event_type = 'view' THEN ts "
+        "END)) AS BIGINT) AS lag_us "
+        "FROM events GROUP BY user_id "
+        "HAVING min(CASE WHEN event_type = 'purchase' THEN ts END) "
+        "IS NOT NULL AND min(CASE WHEN event_type = 'view' THEN ts "
+        "END) IS NOT NULL ORDER BY user_id",
     "q13_customer_distribution":
         "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM "
         "(SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count "

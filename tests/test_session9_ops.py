@@ -92,3 +92,38 @@ def test_set_ops_empty_result(ray_session, tmp_path):
     rows = [(100, 1, "click", 96.0)]
     out = q_intersect_users(_write_events(tmp_path, rows))
     assert len(out) == 0 and list(out.columns) == ["user_id"]
+
+
+def test_covar_stats_exact(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_covar_qty_discount
+
+    t = pa.table({
+        "l_returnflag": pa.array(["A", "A", "R"], pa.string()),
+        "l_quantity": pa.array([2.0, 3.0, 5.0], pa.float64()),
+        "l_discount": pa.array([0.01, 0.10, 0.05], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    out = q_covar_qty_discount(str(tmp_path)).set_index("l_returnflag")
+    # A: q=(2,3) d_e2=(1,10) -> n=2 sq=5 sd=11 sqq=13 sdd=101 sqd=32
+    assert out.loc["A"].tolist() == [2, 5, 11, 13, 101, 32]
+    assert out.loc["R"].tolist() == [1, 5, 5, 25, 25, 25]
+
+
+def test_conversion_lag_min_merge(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_conversion_lag
+
+    rows = [
+        (100, 1, "view", 0.0), (300, 1, "purchase", 0.0),   # +200
+        (50, 2, "purchase", 0.0), (100, 2, "view", 0.0),    # -50
+        (100, 3, "view", 0.0),                              # absent
+        (100, 4, "purchase", 0.0),                          # absent
+        (150, 5, "view", 0.0), (50, 5, "view", 0.0),        # min view 50
+        (400, 5, "purchase", 0.0), (200, 5, "purchase", 0.0),  # +150
+        (100, 6, "click", 0.0),                             # absent
+    ]
+    out = q_conversion_lag(_write_events(tmp_path, rows)) \
+        .set_index("user_id")
+    assert out.index.tolist() == [1, 2, 5]
+    assert out["lag_us"].tolist() == [200, -50, 150]
