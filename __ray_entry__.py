@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "covar_qty_discount": qa.q_covar_qty_discount,
         # MIN-merge aggregation: first-view -> first-purchase lag
         "conversion_lag": qa.q_conversion_lag,
+        # weighted median (curriculum/packing statistic)
+        "weighted_median_chars": qa.q_weighted_median_chars,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

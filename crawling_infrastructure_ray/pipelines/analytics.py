@@ -2824,6 +2824,51 @@ def q_median_value_per_type(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_weighted_median_chars(sf_dir: str):
+    """WEIGHTED MEDIAN per group (lower-median convention): the doc
+    length L per source such that ≥50% of the source's total
+    characters live in docs of length ≤ L — 'the median byte's
+    document length', a curriculum/packing statistic. Extends the
+    distributed-median count-table plan with weights: per-batch
+    (source, n_chars) weight-sum combiner, domain-sized bucketed
+    merge, per-source cumsum pick at 2·cumw ≥ totw. Exact integers
+    throughout; only (group, value, weight) partials cross the
+    exchange."""
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch["source"],
+                      "n_chars": batch["n_chars"],
+                      "w": batch["n_chars"]})
+        g = t.group_by(["source", "n_chars"]).aggregate([("w", "sum")])
+        return g.rename_columns(["source", "n_chars", "w"])
+
+    merged = _merge_partials_ray(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "n_chars"], ["w"])
+
+    def wmedian_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, grp in g.groupby("source", sort=False):
+            grp = grp.sort_values("n_chars")
+            w = grp["w"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(w)
+            tot = int(cum[-1])
+            idx = int(np.searchsorted(cum * 2, tot))
+            rows.append({"source": src,
+                         "wmedian_chars":
+                             int(grp["n_chars"].to_numpy()[idx])})
+        return pd.DataFrame(rows)
+
+    out = (merged.map_batches(_tag_bucket(["source"]),
+                              batch_format="pyarrow")
+           .groupby("_kb").map_groups(wmedian_bucket,
+                                      batch_format="pandas")
+           .to_pandas())
+    out["wmedian_chars"] = out["wmedian_chars"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def q_mode_chars_per_source(sf_dir: str):
     """Grouped MODE (most frequent value) with deterministic
     tie-break (count desc, value asc): per-batch (source, n_chars)
@@ -3767,6 +3812,16 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
         "quantile_disc(v_c, 0.5) AS median_value_c FROM c "
         "GROUP BY event_type",
+    "weighted_median_chars":
+        "WITH c AS (SELECT source, n_chars, "
+        "CAST(sum(n_chars) AS BIGINT) AS w FROM documents "
+        "GROUP BY 1, 2), "
+        "t AS (SELECT source, sum(w) AS tw FROM c GROUP BY 1), "
+        "r AS (SELECT c.source, n_chars, sum(w) OVER "
+        "(PARTITION BY c.source ORDER BY n_chars) AS cw, tw "
+        "FROM c JOIN t USING (source)) "
+        "SELECT source, CAST(min(n_chars) AS BIGINT) AS wmedian_chars "
+        "FROM r WHERE cw * 2 >= tw GROUP BY source ORDER BY source",
     "mode_chars_per_source":
         "WITH c AS (SELECT source, n_chars, count(*) AS n "
         "FROM documents GROUP BY 1, 2), "

@@ -127,3 +127,20 @@ def test_conversion_lag_min_merge(ray_session, tmp_path):
         .set_index("user_id")
     assert out.index.tolist() == [1, 2, 5]
     assert out["lag_us"].tolist() == [200, -50, 150]
+
+
+def test_weighted_median_lower_convention(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_weighted_median_chars
+
+    # s1: lengths 1x5 (w=5) and 10x1 (w=10) -> tot=15, cum(1)=5
+    # (2*5<15), cum(10)=15 (2*15>=15) -> wmedian 10, though the
+    # UNweighted median of (1,1,1,1,1,10) is 1
+    rows = [("t", "s1", 1)] * 5 + [("t", "s1", 10)]
+    # s2: exact midpoint pick -- lengths 3 (w=3) and 3x1? use 2,2,4:
+    # w(2)=4, w(4)=4, tot=8; cum(2)=4, 2*4>=8 -> wmedian 2 (lower)
+    rows += [("t", "s2", 2), ("t", "s2", 2), ("t", "s2", 4)]
+    out = q_weighted_median_chars(_write_docs(tmp_path, rows)) \
+        .set_index("source")
+    assert out.loc["s1", "wmedian_chars"] == 10
+    assert out.loc["s2", "wmedian_chars"] == 2
