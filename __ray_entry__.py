@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_lag": qa.q_conversion_lag,
         # weighted median (curriculum/packing statistic)
         "weighted_median_chars": qa.q_weighted_median_chars,
+        # RANGE-frame (time-based) trailing window aggregate
+        "trailing_window_value": qa.q_trailing_window_value,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

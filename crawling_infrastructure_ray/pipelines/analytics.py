@@ -1129,6 +1129,48 @@ def q_rolling_window_value(sf_dir: str):
             .groupby("_kb").map_groups(roll_bucket, batch_format="pandas"))
 
 
+def q_trailing_window_value(sf_dir: str):
+    """RANGE-frame (time-based) windowed aggregate — the
+    variable-width counterpart of q_rolling_window_value's ROWS
+    frame: per event, the user's Σ value_cents and row count over
+    RANGE INTERVAL 1 HOUR PRECEDING .. CURRENT ROW (peers at equal ts
+    included, per SQL RANGE semantics).
+
+    Scale shape: users hash-bucketed; inside each bucket ONE
+    vectorized pass — factorize users, build a composite int64 key
+    (user_code · SPAN + ts_rel) whose per-user gap exceeds the window
+    so a single global prefix-sum + two np.searchsorted calls resolve
+    every row's frame (no per-user Python, no per-row loop). Composite
+    overflow asserted like the range-join's (split buckets to
+    narrow)."""
+    WIN_US = 3_600_000_000
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id",
+                                               "ts", "value"])
+
+    def trail_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]) \
+             .reset_index(drop=True)
+        ts = g["ts"].astype("int64").to_numpy()
+        ts_rel = ts - ts.min()
+        codes, _ = pd.factorize(g["user_id"], sort=True)
+        span = int(ts_rel.max()) + 2 * WIN_US + 1
+        assert (int(codes.max()) + 1) * span < 2**63, \
+            "composite window key overflow: split into narrower buckets"
+        key = codes.astype(np.int64) * span + ts_rel
+        v_c = (g["value"] * 100).round().astype("int64").to_numpy()
+        pref = np.concatenate(([0], np.cumsum(v_c)))
+        lo = np.searchsorted(key, key - WIN_US, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        g["trailing_sum_c"] = (pref[hi] - pref[lo]).astype("int64")
+        g["n_in_range"] = (hi - lo).astype("int64")
+        return g[["user_id", "event_id", "trailing_sum_c", "n_in_range"]]
+
+    return (ds.repartition(32)
+            .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow")
+            .groupby("_kb").map_groups(trail_bucket, batch_format="pandas"))
+
+
 def q_pivot_priority_status(sf_dir: str):
     """PIVOT: order counts as one row per o_orderpriority with one
     column per o_orderstatus (wide layout). Statuses are a bounded
@@ -3812,6 +3854,13 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
         "quantile_disc(v_c, 0.5) AS median_value_c FROM c "
         "GROUP BY event_type",
+    "trailing_window_value":
+        "SELECT user_id, event_id, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+        "AS trailing_sum_c, "
+        "CAST(count(*) OVER w AS BIGINT) AS n_in_range "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)",
     "weighted_median_chars":
         "WITH c AS (SELECT source, n_chars, "
         "CAST(sum(n_chars) AS BIGINT) AS w FROM documents "

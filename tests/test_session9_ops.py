@@ -144,3 +144,21 @@ def test_weighted_median_lower_convention(ray_session, tmp_path):
         .set_index("source")
     assert out.loc["s1", "wmedian_chars"] == 10
     assert out.loc["s2", "wmedian_chars"] == 2
+
+
+def test_trailing_range_window(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_trailing_window_value
+
+    H = 3_600_000_000  # 1h in us
+    rows = [
+        (0, 1, "view", 1.0),            # frame: {0} -> 100
+        (H, 1, "view", 2.0),            # [0, H]: both -> 300
+        (2 * H + 1, 1, "view", 4.0),    # [H+1, 2H+1]: only self -> 400
+        (2 * H + 1, 1, "view", 8.0),    # equal-ts PEER: both 4+8 -> 1200
+        (0, 2, "view", 16.0),           # other user isolated -> 1600
+    ]
+    out = q_trailing_window_value(_write_events(tmp_path, rows))
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert df["trailing_sum_c"].tolist() == [100, 300, 1200, 1200, 1600]
+    assert df["n_in_range"].tolist() == [1, 2, 2, 2, 1]
