@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_chars": qa.q_weighted_median_chars,
         # RANGE-frame (time-based) trailing window aggregate
         "trailing_window_value": qa.q_trailing_window_value,
+        # cross-source vocabulary overlap (exact set similarity)
+        "source_vocab_overlap": qt.q_source_vocab_overlap,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

@@ -321,6 +321,79 @@ def q_heavy_hitter_tokens(sf_dir: str, phi_recip: int = 31):
             .reset_index(drop=True))
 
 
+def q_source_vocab_overlap(sf_dir: str):
+    """CROSS-SOURCE VOCABULARY OVERLAP matrix (exact set similarity
+    between corpus slices): for every source pair (a < b) the distinct
+    tokens they share, plus each side's vocabulary size — the integer
+    sufficient statistics of Jaccard (inter / (n_a + n_b − inter),
+    divided outside the engine so the gate never meets float math).
+
+    Scale shape: per-batch distinct (source, token) pairs (map-side
+    dedup), token-bucketed global dedup so every token's source list
+    co-locates, then pair emission per token — a loop bounded by the
+    VOCAB domain in the bucket, never corpus rows, with ≤ |sources|²
+    pairs per token — and an enum²-keyed final merge (the source-pair
+    domain is config-sized). The inverted-index pairing shape shared
+    with dedup_jaccard_exact, one level up (sets are sources, not
+    docs)."""
+    from .analytics import _merge_partials, _tag_bucket
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        s_out: list = []
+        t_out: list = []
+        for s, txt in zip(srcs, texts):
+            for tok in set((txt or "").split()):
+                s_out.append(s)
+                t_out.append(tok)
+        t = pa.table({"source": pa.array(s_out, pa.string()),
+                      "token": pa.array(t_out, pa.string())})
+        return t.group_by(["source", "token"]).aggregate([])
+
+    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["source", "token"])
+        rows_a: list = []
+        rows_b: list = []
+        for _, grp in g.groupby("token", sort=False):
+            ss = sorted(grp["source"].tolist())
+            for i, a in enumerate(ss):
+                rows_a.extend([a] * (len(ss) - 1 - i))
+                rows_b.extend(ss[i + 1:])
+        pair = pd.DataFrame({"src_a": rows_a, "src_b": rows_b})
+        out = pair.groupby(["src_a", "src_b"], as_index=False).size()
+        return out.rename(columns={"size": "n_common"})
+
+    # distinct (source, token) partials are vocab-x-sources-sized —
+    # materialized once so pairs and sizes share a single corpus pass
+    dedup = (ds.map_batches(pairs_partial, batch_format="pyarrow")
+             .repartition(32).materialize())
+    pair_partials = (dedup
+                     .map_batches(_tag_bucket(["token"]),
+                                  batch_format="pyarrow")
+                     .groupby("_kb").map_groups(emit_bucket,
+                                                batch_format="pandas"))
+    out = _merge_partials(pair_partials, ["src_a", "src_b"],
+                          ["n_common"])
+
+    def size_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["source", "token"])
+        return g.groupby("source", as_index=False).size() \
+            .rename(columns={"size": "n_vocab"})
+
+    sizes = _merge_partials(
+        dedup.map_batches(_tag_bucket(["token"]), batch_format="pyarrow")
+        .groupby("_kb").map_groups(size_bucket, batch_format="pandas"),
+        ["source"], ["n_vocab"])
+    sz = dict(zip(sizes["source"], sizes["n_vocab"].astype("int64")))
+    out["n_a"] = out["src_a"].map(sz).astype("int64")
+    out["n_b"] = out["src_b"].map(sz).astype("int64")
+    out["n_common"] = out["n_common"].astype("int64")
+    return (out.sort_values(["src_a", "src_b"])
+            .reset_index(drop=True))
+
+
 def q_bpe_pair_counts(sf_dir: str, k: int = 20):
     """BPE-MERGE STEP counting: the corpus's top-k adjacent token
     pairs (bigrams, never crossing doc boundaries) with deterministic
@@ -3280,6 +3353,24 @@ def _vocab_topk_oracle_sql() -> str:
         "GROUP BY token ORDER BY n DESC, token LIMIT 100")
 
 
+def _source_vocab_overlap_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    return (
+        f"WITH raw AS (SELECT source, unnest({tokens_sql('text')}) "
+        "AS token FROM documents), "
+        "st AS (SELECT DISTINCT source, token FROM raw), "
+        "sz AS (SELECT source, count(*) AS n FROM st GROUP BY source) "
+        "SELECT a.source AS src_a, b.source AS src_b, "
+        "CAST(count(*) AS BIGINT) AS n_common, "
+        "CAST(min(za.n) AS BIGINT) AS n_a, "
+        "CAST(min(zb.n) AS BIGINT) AS n_b "
+        "FROM st a JOIN st b ON a.token = b.token "
+        "AND a.source < b.source "
+        "JOIN sz za ON za.source = a.source "
+        "JOIN sz zb ON zb.source = b.source "
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 def _heavy_hitter_oracle_sql(phi_recip: int = 31) -> str:
     from ..functions.sqlmirror import tokens_sql
     return (
@@ -3315,6 +3406,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "decontaminate": _decontaminate_oracle_sql(),
     "vocab_topk": _vocab_topk_oracle_sql(),
     "heavy_hitter_tokens": _heavy_hitter_oracle_sql(),
+    "source_vocab_overlap": _source_vocab_overlap_oracle_sql(),
     "bpe_pair_counts": _bpe_pair_oracle_sql(),
     "length_bins": _length_bins_oracle_sql(),
     # K=1 conformance run replayed closed-form in SQL (r03): the

@@ -162,3 +162,22 @@ def test_trailing_range_window(ray_session, tmp_path):
     df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
     assert df["trailing_sum_c"].tolist() == [100, 300, 1200, 1200, 1600]
     assert df["n_in_range"].tolist() == [1, 2, 2, 2, 1]
+
+
+def test_source_vocab_overlap_exact(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.training import \
+        q_source_vocab_overlap
+
+    rows = [
+        ("a b c", "s1", 5), ("b c", "s1", 3),   # s1 vocab {a,b,c}
+        ("b c d", "s2", 5),                     # s2 vocab {b,c,d}
+        ("x", "s3", 1),                         # s3 disjoint
+    ]
+    out = q_source_vocab_overlap(_write_docs(tmp_path, rows))
+    out = out.set_index(["src_a", "src_b"])
+    assert out.loc[("s1", "s2"), "n_common"] == 2   # {b, c}
+    assert out.loc[("s1", "s2"), "n_a"] == 3
+    assert out.loc[("s1", "s2"), "n_b"] == 3
+    # disjoint pairs are absent, matching the SQL inner-join twin
+    assert ("s1", "s3") not in out.index
+    assert len(out) == 1
