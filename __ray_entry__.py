@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_window_value": qa.q_trailing_window_value,
         # cross-source vocabulary overlap (exact set similarity)
         "source_vocab_overlap": qt.q_source_vocab_overlap,
+        # runtime-filter (bloom) pushdown semi-join, exact output
+        "bloom_semi_orders": qa.q_bloom_semi_orders,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

@@ -1129,6 +1129,25 @@ def q_rolling_window_value(sf_dir: str):
             .groupby("_kb").map_groups(roll_bucket, batch_format="pandas"))
 
 
+def q_bloom_semi_orders(sf_dir: str):
+    """RUNTIME-FILTER pushdown semi-join: orders of 'BUILDING'-segment
+    customers via a bloom filter built over the key side, broadcast
+    once, probed vectorized per batch, then made exact by the bucketed
+    semi-join over the survivors only (stages/joins.bloom_semi_join).
+    Output equals the plain IN-subquery semi-join; the all-to-all
+    carries ~|matches| + FPP·|orders| instead of |orders|."""
+    from ..stages.joins import bloom_semi_join
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"])
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    keys = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        .select(["c_custkey"]).rename_columns(["o_custkey"]),
+        batch_format="pyarrow")
+    return bloom_semi_join(orders, keys, on="o_custkey")
+
+
 def q_trailing_window_value(sf_dir: str):
     """RANGE-frame (time-based) windowed aggregate — the
     variable-width counterpart of q_rolling_window_value's ROWS
@@ -3854,6 +3873,10 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
         "quantile_disc(v_c, 0.5) AS median_value_c FROM c "
         "GROUP BY event_type",
+    "bloom_semi_orders":
+        "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer "
+        "WHERE c_mktsegment = 'BUILDING') ORDER BY o_orderkey",
     "trailing_window_value":
         "SELECT user_id, event_id, "
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "

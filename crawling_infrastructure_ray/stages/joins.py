@@ -137,3 +137,73 @@ def union_find_components(pairs) -> dict:
             lo, hi = (ra, rb) if ra <= rb else (rb, ra)
             parent[hi] = lo
     return {x: find(x) for x in list(parent)}
+
+
+def bloom_semi_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,
+                    nbits: int = 1 << 20, n_hashes: int = 4,
+                    num_buckets: int = 64) -> rd.Dataset:
+    """RUNTIME-FILTER (bloom) pushdown semi-join for integer keys —
+    the modern engines' build-side runtime filter, composed from Ray
+    stages: output is EXACTLY the plain semi-join, but the all-to-all
+    only ever carries the bloom survivors.
+
+    Stage 1 (build): per-block bloom bitmap partials over ``keys``
+    (vectorized double-hash bit set), OR-merged on the driver — the
+    reduce is bitmap-sized (nbits/8 bytes × blocks), never key-sized.
+    Stage 2 (probe): the merged bitmap rides the object store once
+    (``ray.put``); each data batch tests membership vectorized.
+    Bloom filters have NO false negatives, so survivors are a
+    guaranteed superset of the matches. Stage 3 (exact): the standard
+    ``bucketed_semi_join`` over survivors removes the ~FPP false
+    positives. At 1% FPP the exchange volume drops from |data| to
+    ~|matches| + 1%·|data| — the win that motivates runtime filters.
+    """
+    import numpy as np
+    import ray as _ray
+
+    C1 = np.uint64(0xFF51AFD7ED558CCD)
+    C2 = np.uint64(0x9E3779B97F4A7C15)
+
+    def _h1h2(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        with np.errstate(over="ignore"):
+            h = v.astype("int64", copy=False).astype(np.uint64)
+            h1 = h * C1
+            h1 ^= h1 >> np.uint64(33)
+            h2 = (h1 * C2) | np.uint64(1)  # odd stride
+        return h1, h2
+
+    def build_partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        v = batch[on].to_numpy(zero_copy_only=False)
+        words = np.zeros(nbits // 64, dtype=np.uint64)
+        h1, h2 = _h1h2(v)
+        with np.errstate(over="ignore"):
+            for i in range(n_hashes):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(nbits)
+                np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                                 np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bm": pa.array([words.tobytes()], pa.binary())})
+
+    merged = np.zeros(nbits // 64, dtype=np.uint64)
+    for row in (keys.map_batches(build_partial, batch_format="pyarrow")
+                .iter_rows()):
+        merged |= np.frombuffer(row["bm"], dtype=np.uint64)
+    bm_ref = _ray.put(merged)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        words = _ray.get(bm_ref)
+        v = batch[on].to_numpy(zero_copy_only=False)
+        h1, h2 = _h1h2(v)
+        hit = np.ones(len(v), dtype=bool)
+        with np.errstate(over="ignore"):
+            for i in range(n_hashes):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(nbits)
+                bits = (words[(pos >> np.uint64(6)).astype(np.int64)]
+                        >> (pos & np.uint64(63))) & np.uint64(1)
+                hit &= bits.astype(bool)
+        return batch.filter(pa.array(hit))
+
+    survivors = data.map_batches(probe, batch_format="pyarrow")
+    return bucketed_semi_join(survivors, keys, on=on,
+                              num_buckets=num_buckets)

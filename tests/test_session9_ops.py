@@ -181,3 +181,30 @@ def test_source_vocab_overlap_exact(ray_session, tmp_path):
     # disjoint pairs are absent, matching the SQL inner-join twin
     assert ("s1", "s3") not in out.index
     assert len(out) == 1
+
+
+def test_bloom_semi_join_exact_and_superset(ray_session, tmp_path):
+    import ray.data as rd
+    from crawling_infrastructure_ray.stages.joins import bloom_semi_join
+
+    data = rd.from_items(
+        [{"k": i, "payload": i * 10} for i in range(2000)])
+    keys = rd.from_items([{"k": i} for i in range(0, 2000, 7)])
+    out = bloom_semi_join(data, keys, on="k").to_pandas()
+    # exact: precisely the multiples of 7, no bloom false positives
+    # survive the exact stage
+    assert sorted(out["k"]) == list(range(0, 2000, 7))
+    assert (out.set_index("k")["payload"] ==
+            out.set_index("k").index * 10).all()
+
+
+def test_bloom_semi_join_tiny_filter_still_exact(ray_session):
+    # undersized bitmap -> high FPP; the exact stage must still
+    # remove every false positive
+    import ray.data as rd
+    from crawling_infrastructure_ray.stages.joins import bloom_semi_join
+
+    data = rd.from_items([{"k": i} for i in range(500)])
+    keys = rd.from_items([{"k": 3}, {"k": 497}])
+    out = bloom_semi_join(data, keys, on="k", nbits=64).to_pandas()
+    assert sorted(out["k"]) == [3, 497]
