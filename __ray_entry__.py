@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": qt.q_source_vocab_overlap,
         # runtime-filter (bloom) pushdown semi-join, exact output
         "bloom_semi_orders": qa.q_bloom_semi_orders,
+        # per-group quantile winsorization (outlier clipping)
+        "winsorize_value": qa.q_winsorize_value,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

@@ -2816,6 +2816,68 @@ def q_quantiles_value_per_type(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_winsorize_value(sf_dir: str):
+    """Per-group QUANTILE WINSORIZATION (outlier clipping, the
+    data-cleaning normalizer): every event's value clipped to its
+    type's [p05, p95] — exact quantile_disc bounds from the
+    domain-sized count-table plan (no global sort), the enum-sized
+    (type → lo, hi) table broadcast once, then one vectorized clip
+    pass. Two reads of the input, zero data-sized driver state."""
+    import ray as _ray
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v_c = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                      pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "v_c": v_c})
+        g = t.group_by(["event_type", "v_c"]).aggregate([("v_c", "count")])
+        return g.rename_columns(["event_type", "v_c", "n"])
+
+    merged = _merge_partials_ray(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "v_c"], ["n"])
+
+    def bounds_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in g.groupby("event_type", sort=False):
+            grp = grp.sort_values("v_c")
+            n = int(grp["n"].sum())
+            cum = grp["n"].cumsum().to_numpy()
+            vals = grp["v_c"].to_numpy()
+            pick = lambda a, b: int(vals[np.searchsorted(
+                cum, max(0, (a * n + b - 1) // b - 1) + 1)])
+            rows.append({"event_type": et,
+                         "lo": pick(1, 20), "hi": pick(19, 20)})
+        return pd.DataFrame(rows)
+
+    bounds = (merged.map_batches(_tag_bucket(["event_type"]),
+                                 batch_format="pyarrow")
+              .groupby("_kb").map_groups(bounds_bucket,
+                                         batch_format="pandas")
+              .to_pandas())  # enum-sized: one row per event type
+    bmap = {r.event_type: (int(r.lo), int(r.hi))
+            for r in bounds.itertuples()}
+    bref = _ray.put(bmap)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        bm = _ray.get(bref)
+        enc = pc.dictionary_encode(batch["event_type"].combine_chunks())
+        dvals = enc.dictionary.to_pylist()  # enum-sized lookup only
+        lo_d = np.array([bm[e][0] for e in dvals], np.int64)
+        hi_d = np.array([bm[e][1] for e in dvals], np.int64)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        v_c = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        out = np.clip(v_c, lo_d[idx], hi_d[idx])
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "value_clip_c": pa.array(out)})
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
 def q_distinct_users_per_type(sf_dir: str):
     """Exact PER-GROUP COUNT DISTINCT, distributed (the grouped form
     of g6): per-batch (event_type, user_id) pair dedup (map-side
@@ -3873,6 +3935,15 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
         "quantile_disc(v_c, 0.5) AS median_value_c FROM c "
         "GROUP BY event_type",
+    "winsorize_value":
+        "WITH c AS (SELECT event_id, event_type, "
+        "CAST(round(value * 100) AS BIGINT) AS v_c FROM events), "
+        "q AS (SELECT event_type, quantile_disc(v_c, 0.05) AS lo, "
+        "quantile_disc(v_c, 0.95) AS hi FROM c GROUP BY 1) "
+        "SELECT event_id, c.event_type AS event_type, "
+        "CAST(least(greatest(v_c, lo), hi) AS BIGINT) AS value_clip_c "
+        "FROM c JOIN q ON q.event_type = c.event_type "
+        "ORDER BY event_id",
     "bloom_semi_orders":
         "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
         "(SELECT c_custkey FROM customer "

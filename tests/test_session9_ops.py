@@ -208,3 +208,19 @@ def test_bloom_semi_join_tiny_filter_still_exact(ray_session):
     keys = rd.from_items([{"k": 3}, {"k": 497}])
     out = bloom_semi_join(data, keys, on="k", nbits=64).to_pandas()
     assert sorted(out["k"]) == [3, 497]
+
+
+def test_winsorize_clip_bounds(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_winsorize_value
+
+    # 20 'view' values 1..20 cents-> p05 = ceil(0.05*20)-1 = idx 0 ->
+    # 1c... use dollars: v=k -> v_c=100k. p05 idx 0 -> 100, p95 idx
+    # ceil(19)-1=18 -> 1900. Values clip to [100, 1900].
+    rows = [(i, 1, "view", float(i + 1)) for i in range(20)]
+    out = q_winsorize_value(_write_events(tmp_path, rows)).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    assert out["value_clip_c"].iloc[0] == 100
+    assert out["value_clip_c"].iloc[18] == 1900
+    assert out["value_clip_c"].iloc[19] == 1900  # 2000 clipped down
+    assert out["value_clip_c"].iloc[5] == 600    # interior untouched
