@@ -184,22 +184,36 @@ def run_scaling(pair: tuple[int, int] = (8, 32)) -> dict:
     Default pair (8, 32); a second pair (e.g. ``--scaling-pair 4 16``)
     shows the ≥0.8 efficiency bar is not a single-point artifact
     (recorded in BASELINE.md)."""
-    results = {}
-    for ncpu in pair:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_ONLY="crawl",   # scaling criterion is the crawl
-                   # longer run amortizes ramp/tail so the measurement
-                   # reflects steady-state scaling, not fixed costs
-                   # (100k seeds → 0.69 measured; 200k → 0.885 — the
-                   # ~5s ramp+drain tail is a third of a 15s run but
-                   # noise on a 40s one)
-                   GRAFT_CRAWL_SEEDS=os.environ.get("GRAFT_CRAWL_SEEDS", "200000"))
-        # noise control now lives inside the subprocess (best-of-REPS)
-        log(f"--- scaling run at num_cpus={ncpu} ---")
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              env=env, capture_output=True, text=True,
-                              check=True)
-        results[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    # PASS-MAJOR across phases (same noise control as the main bench,
+    # one level up): the VM weather oscillates on a ~5-minute period,
+    # so running all of phase N then all of phase 4N correlates each
+    # phase with ONE weather window and corrupts the RATIO (measured
+    # 0.654 / 0.757 / 1.089 on identical code as the windows flipped).
+    # Alternating 8,32,8,32,... and taking each phase's best samples
+    # both phases across the same windows; the efficiency then
+    # compares two clean-window numbers.
+    results: dict[int, dict] = {}
+    for pas in range(max(1, int(os.environ.get("GRAFT_SCALING_PASSES",
+                                               "3")))):
+        for ncpu in pair:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_BENCH_ONLY="crawl",  # criterion is the crawl
+                       GRAFT_BENCH_REPS="1",      # reps live up here now
+                       # longer run amortizes ramp/tail so the
+                       # measurement reflects steady-state scaling, not
+                       # fixed costs (100k seeds → 0.69 measured; 200k
+                       # → 0.885 — the ~5s ramp+drain tail is a third
+                       # of a 15s run but noise on a 40s one)
+                       GRAFT_CRAWL_SEEDS=os.environ.get(
+                           "GRAFT_CRAWL_SEEDS", "200000"))
+            log(f"--- scaling pass {pas} at num_cpus={ncpu} ---")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True)
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            if (ncpu not in results or r["crawl_urls_per_sec"]
+                    > results[ncpu]["crawl_urls_per_sec"]):
+                results[ncpu] = r
     lo, hi = pair
     t_lo = results[lo]["crawl_urls_per_sec"]
     t_hi = results[hi]["crawl_urls_per_sec"]
