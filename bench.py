@@ -192,9 +192,21 @@ def run_scaling(pair: tuple[int, int] = (8, 32)) -> dict:
     # Alternating 8,32,8,32,... and taking each phase's best samples
     # both phases across the same windows; the efficiency then
     # compares two clean-window numbers.
-    results: dict[int, dict] = {}
+    # The reported value is the MEDIAN of per-pass efficiencies: the
+    # two runs inside one pass are adjacent in time (same ~5-minute
+    # weather window with high probability), so each pass's ratio is
+    # internally consistent, and the median rejects the pass whose
+    # window flipped mid-pair. Taking each phase's best ACROSS passes
+    # (the obvious alternative) is biased: the slow phase benefits
+    # more from catching one anomalously fast window, deflating the
+    # ratio even with clean calibrations on both bests (measured:
+    # best-across gave 0.758 from an 8-cpu outlier window while every
+    # same-window pass sat ≥0.8).
+    lo, hi = pair
+    passes: list[dict] = []
     for pas in range(max(1, int(os.environ.get("GRAFT_SCALING_PASSES",
                                                "3")))):
+        cur: dict[int, dict] = {}
         for ncpu in pair:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_BENCH_ONLY="crawl",  # criterion is the crawl
@@ -210,24 +222,26 @@ def run_scaling(pair: tuple[int, int] = (8, 32)) -> dict:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True)
-            r = json.loads(proc.stdout.strip().splitlines()[-1])
-            if (ncpu not in results or r["crawl_urls_per_sec"]
-                    > results[ncpu]["crawl_urls_per_sec"]):
-                results[ncpu] = r
-    lo, hi = pair
-    t_lo = results[lo]["crawl_urls_per_sec"]
-    t_hi = results[hi]["crawl_urls_per_sec"]
-    eff = (t_hi / t_lo) / (hi / lo)
-    return {"metric": "scaling_efficiency", "value": round(eff, 3),
-            "unit": "ratio", "pair": [lo, hi],
+            cur[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+        t_lo = cur[lo]["crawl_urls_per_sec"]
+        t_hi = cur[hi]["crawl_urls_per_sec"]
+        passes.append({
+            "efficiency": round((t_hi / t_lo) / (hi / lo), 3),
             f"crawl_urls_per_sec_{lo}": t_lo,
             f"crawl_urls_per_sec_{hi}": t_hi,
-            f"e2e_sec_{lo}": results[lo]["value"],
-            f"e2e_sec_{hi}": results[hi]["value"],
-            f"queries_{lo}": results[lo]["queries"],
-            f"queries_{hi}": results[hi]["queries"],
-            f"calib_matmul_s_{lo}": results[lo].get("calib_matmul_s"),
-            f"calib_matmul_s_{hi}": results[hi].get("calib_matmul_s")}
+            f"calib_matmul_s_{lo}": cur[lo].get("calib_matmul_s"),
+            f"calib_matmul_s_{hi}": cur[hi].get("calib_matmul_s")})
+        log(f"    pass {pas}: eff={passes[-1]['efficiency']} "
+            f"({t_lo} -> {t_hi} urls/s)")
+    effs = sorted(p["efficiency"] for p in passes)
+    med = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
+    best = max(passes, key=lambda p: p[f"crawl_urls_per_sec_{hi}"])
+    return {"metric": "scaling_efficiency", "value": med,
+            "unit": "ratio", "pair": [lo, hi],
+            "per_pass": passes,
+            f"crawl_urls_per_sec_{lo}": best[f"crawl_urls_per_sec_{lo}"],
+            f"crawl_urls_per_sec_{hi}": best[f"crawl_urls_per_sec_{hi}"]}
 
 
 def run_stats(name: str) -> None:

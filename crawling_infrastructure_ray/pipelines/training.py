@@ -1168,6 +1168,99 @@ def _host_components_oracle_sql() -> str:
         "LEFT JOIN hc_out o ON o.source = r.source ORDER BY 1")
 
 
+def q_host_bfs_depth(sf_dir: str):
+    """BFS SHORTEST-PATH DEPTH over the source link graph (fourth
+    graph op next to PageRank / components / triangles): per source
+    its hop distance from the lexicographically-smallest source in
+    the undirected distinct-edge set (unreached nodes omitted,
+    matching the recursive-CTE twin). Reuses q_host_components' edge
+    derivation verbatim — i → (i + 4·(1 + h % 8)) % S,
+    h = splitmix64(doc_id ^ HC_SALT) — so the SQL mirror shares the
+    same closed-form edge CTEs.
+
+    Scale shape: identical split to the siblings — the DATA-sized
+    pass is the distributed distinct-edge combiner over the doc
+    stream; the node domain is config-sized BY ASSUMPTION, so the
+    level-synchronous frontier expansion runs on the driver over the
+    ≤ S·8 aggregated edges (each level one vectorized neighbor
+    lookup). For web-scale host graphs the same combiner feeds an
+    iterated bucketed frontier exchange instead."""
+    from ..stages.sampling import row_hash
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    parts = ds.map_batches(
+        lambda t: pa.table({"source": pc.unique(t["source"])}),
+        batch_format="pyarrow").to_pandas()
+    nodes = sorted(set(parts["source"]))
+    S = len(nodes)
+    idx = {s: i for i, s in enumerate(nodes)}
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        h = row_hash(batch["doc_id"], HC_SALT)
+        step = 4 * (1 + (h % np.uint64(8)).astype(np.int64))
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        u_idx = np.fromiter((idx[u] for u in uniq), np.int64, len(uniq))
+        si = u_idx[codes]
+        di = (si + step) % S
+        u = np.unique(si * S + di)
+        return pa.table({"si": pa.array((u // S).astype(np.int64)),
+                         "di": pa.array((u % S).astype(np.int64))})
+
+    edges = (ds.map_batches(edge_partials, batch_format="pyarrow")
+             .to_pandas().drop_duplicates())
+    a = edges["si"].to_numpy(dtype=np.int64)
+    b = edges["di"].to_numpy(dtype=np.int64)
+    # undirected adjacency as a boolean matrix (S is config-sized)
+    adj = np.zeros((S, S), dtype=bool)
+    adj[a, b] = True
+    adj[b, a] = True
+
+    dist = np.full(S, -1, dtype=np.int64)
+    dist[0] = 0  # nodes is sorted -> index 0 IS min(source)
+    frontier = np.zeros(S, dtype=bool)
+    frontier[0] = True
+    d = 0
+    while frontier.any():
+        d += 1
+        nxt = adj[frontier].any(axis=0) & (dist < 0)
+        dist[nxt] = d
+        frontier = nxt
+
+    reached = dist >= 0
+    return pd.DataFrame({
+        "source": [n for n, r in zip(nodes, reached) if r],
+        "depth": dist[reached].astype("int64")})
+
+
+def _host_bfs_oracle_sql() -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    w, c = splitmix64_cte(
+        "SELECT doc_id, source FROM documents",
+        f"xor(CAST(doc_id AS UBIGINT), CAST({HC_SALT} AS UBIGINT))",
+        "h", carry_cols=("doc_id", "source"), prefix="hb_")
+    w = w.replace("WITH ", "WITH RECURSIVE ", 1)
+    return w + (
+        ", hb_s AS (SELECT source AS node, CAST(row_number() OVER "
+        "(ORDER BY source) - 1 AS BIGINT) AS idx FROM "
+        "(SELECT DISTINCT source FROM documents)), "
+        "hb_n AS (SELECT count(*) AS n FROM hb_s), "
+        f"hb_e0 AS (SELECT DISTINCT s1.node AS src, s2.node AS dst "
+        f"FROM {c} d JOIN hb_s s1 ON s1.node = d.source "
+        "JOIN hb_s s2 ON s2.idx = (s1.idx + 4 * (1 + "
+        "CAST(d.h % 8 AS BIGINT))) % (SELECT n FROM hb_n)), "
+        "hb_e AS (SELECT src, dst FROM hb_e0 "
+        "UNION SELECT dst, src FROM hb_e0), "
+        "hb_b(node, d) AS ("
+        "SELECT (SELECT min(node) FROM hb_s), 0 "
+        "UNION "
+        "SELECT e.dst, b.d + 1 FROM hb_b b JOIN hb_e e "
+        "ON e.src = b.node WHERE b.d < (SELECT n FROM hb_n)) "
+        "SELECT node AS source, CAST(min(d) AS BIGINT) AS depth "
+        "FROM hb_b GROUP BY 1 ORDER BY 1")
+
+
 def q_label_centroids(sf_dir: str):
     """LIST-COLUMN AGGREGATE: per-label embedding centroid sums — the
     k-means / IVF-training update step. Each component is e3-quantized
@@ -3435,6 +3528,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "export_shards": _export_shards_oracle_sql(),
     "host_pagerank": _pagerank_oracle_sql(),
     "host_components": _host_components_oracle_sql(),
+    "host_bfs_depth": _host_bfs_oracle_sql(),
     "text_normalize": _normalize_oracle_sql(),
     "lm_bigram_score": _lm_bigram_oracle_sql(),
     "typo_token_pairs": _typo_pairs_oracle_sql(),

