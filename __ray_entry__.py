@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_value": qa.q_winsorize_value,
         # BFS hop depth (4th graph op; recursive-CTE twin)
         "host_bfs_depth": qt.q_host_bfs_depth,
+        # sessionization (inactivity-gap islands per user)
+        "sessionize_events": qa.q_sessionize_events,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

@@ -2654,6 +2654,67 @@ def q_cube_order_counts(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_sessionize_events(sf_dir: str, session_gap_us: int = 28_800_000_000):
+    """SESSIONIZATION (gaps-and-islands over inactivity): split each
+    user's event stream into sessions wherever the inter-event gap
+    exceeds the threshold, then emit one row per (user, session) with
+    its event count and exact start/end microseconds — the classic
+    web-analytics operator the reference's `elasticsearch` log views
+    imply (crawl_worker logs grouped into per-worker activity bursts).
+    Threshold 8h: the synthetic corpus's median inter-event gap is
+    ~7.3h, so 8h yields multi-event sessions AND multi-session users
+    (the real-web default would be 30min).
+
+    Plan: one hash-bucket shuffle on user_id so each user's history
+    lands wholly in one bucket; per bucket ONE sort + diff + cumsum
+    over the flat frame assigns session ordinals (a user's first row
+    always starts a session, so per-user ordinals are the global
+    boundary cumsum minus the user's first boundary index — no
+    per-user Python loop); session stats are a grouped min/max/size.
+    Session boundaries depend on ts diffs only, so equal-ts tie order
+    cannot change the output (the SQL twin needs no total order)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.cast(batch["user_id"], pa.int64()),
+                         "ts_us": pc.cast(batch["ts"], pa.int64())})
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us"])
+        u = g["user_id"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        if not len(u):
+            return pd.DataFrame({"user_id": [], "session_id": [],
+                                 "n_events": [], "start_us": [],
+                                 "end_us": []})
+        gap = np.diff(t, prepend=t[:1])
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        new = (~same) | (gap > session_gap_us)
+        sid_global = np.cumsum(new) - 1
+        # first row of each user is always a boundary -> subtracting
+        # the user's first global sid yields the per-user ordinal
+        base = np.where(~same, sid_global, 0)
+        np.maximum.accumulate(base, out=base)
+        sid = sid_global - base
+        out = pd.DataFrame({"user_id": u, "session_id": sid, "ts_us": t})
+        res = out.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("ts_us", "size"), start_us=("ts_us", "min"),
+            end_us=("ts_us", "max"))
+        return res.astype({"user_id": "int64", "session_id": "int64",
+                           "n_events": "int64", "start_us": "int64",
+                           "end_us": "int64"})
+
+    out = (ds.map_batches(to_us, batch_format="pyarrow")
+           .repartition(32)
+           .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow")
+           .groupby("_kb").map_groups(sessions_bucket, batch_format="pandas")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["user_id", "session_id"])
+            .reset_index(drop=True))
+
+
 def q_events_lag_gaps(sf_dir: str, long_gap_us: int = 3_600_000_000):
     """LAG WINDOW FUNCTION per partition: inter-event gap per user
     (ordered by ts, event_id) — the per-user max gap and the count of
@@ -3809,6 +3870,21 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
         "AS total_c FROM orders "
         "GROUP BY CUBE(o_orderpriority, o_orderstatus) ORDER BY 1, 2",
+    "sessionize_events":
+        "WITH se_d AS (SELECT user_id, epoch_us(ts) AS t, "
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
+        "AS pt FROM events), "
+        "se_b AS (SELECT user_id, t, CASE WHEN pt IS NULL "
+        "OR t - pt > 28800000000 THEN 1 ELSE 0 END AS new FROM se_d), "
+        "se_s AS (SELECT user_id, t, sum(new) OVER (PARTITION BY "
+        "user_id ORDER BY t ROWS UNBOUNDED PRECEDING) - 1 "
+        "AS session_id FROM se_b) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id, "
+        "CAST(session_id AS BIGINT) AS session_id, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(min(t) AS BIGINT) AS start_us, "
+        "CAST(max(t) AS BIGINT) AS end_us "
+        "FROM se_s GROUP BY 1, 2 ORDER BY 1, 2",
     "events_lag_gaps":
         "WITH d AS (SELECT user_id, epoch_us(ts) AS t, "
         "lag(epoch_us(ts)) OVER (PARTITION BY user_id "

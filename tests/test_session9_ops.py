@@ -243,3 +243,27 @@ def test_host_bfs_depth_levels(ray_session, tmp_path):
     # depths are contiguous levels: no gaps in the sorted unique set
     ds_ = sorted(out["depth"].unique())
     assert ds_ == list(range(len(ds_)))
+
+
+def test_sessionize_gap_boundaries(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_sessionize_events
+
+    H = 3_600_000_000  # 1h in us
+    # user 1: events at 0h, 1h, 20h, 21h -> two 2-event sessions
+    # (8h threshold); user 2: 0h, 9h, 18h -> gaps exactly 9h > 8h
+    # each -> three 1-event sessions; user 3: 0h, 8h -> gap == 8h
+    # is NOT > threshold -> one session
+    rows = [(0, 1, "v", 0.0), (1 * H, 1, "v", 0.0),
+            (20 * H, 1, "v", 0.0), (21 * H, 1, "v", 0.0),
+            (0, 2, "v", 0.0), (9 * H, 2, "v", 0.0),
+            (18 * H, 2, "v", 0.0),
+            (0, 3, "v", 0.0), (8 * H, 3, "v", 0.0)]
+    out = q_sessionize_events(_write_events(tmp_path, rows))
+    got = {(r.user_id, r.session_id): (r.n_events, r.start_us, r.end_us)
+           for r in out.itertuples()}
+    assert got == {
+        (1, 0): (2, 0, 1 * H), (1, 1): (2, 20 * H, 21 * H),
+        (2, 0): (1, 0, 0), (2, 1): (1, 9 * H, 9 * H),
+        (2, 2): (1, 18 * H, 18 * H),
+        (3, 0): (2, 0, 8 * H)}
