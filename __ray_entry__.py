@@ -178,6 +178,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_bfs_depth": qt.q_host_bfs_depth,
         # sessionization (inactivity-gap islands per user)
         "sessionize_events": qa.q_sessionize_events,
+        # recrawl snapshot diff (CDC over two crawl snapshots)
+        "snapshot_diff": qt.q_snapshot_diff,
+        # Z-order layout manifest (multi-dim clustering + pruning stats)
+        "zorder_layout": qt.q_zorder_layout,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

@@ -118,6 +118,127 @@ def q_dedup_incremental(sf_dir: str):
     return kept
 
 
+def q_snapshot_diff(sf_dir: str):
+    """RECRAWL SNAPSHOT DIFF (change-data-capture): diff two crawl
+    snapshots of the documents table keyed by doc_id and emit
+    added / removed / changed rows — how a consumer of the reference's
+    interval-rescheduled crawl tasks (`scheduler/` daemon re-enqueues
+    finished tasks) turns recrawls into a change feed.
+
+    Snapshot B is derived from snapshot A by a DETERMINISTIC edit
+    rule both engines apply independently (no synthetic side data):
+    doc_id % 7 == 0 → page disappeared (removed); surviving pages with
+    doc_id % 5 == 0 → content grew by 17 chars (changed); doc_id % 11
+    == 0 → a new page was discovered at doc_id + 10_000_000 with
+    n_chars + 3 (added). The diff itself is the generic
+    ``stages.joins.snapshot_diff``: one hash shuffle of A ∪ B,
+    per-bucket vectorized outer merge, no driver key sets."""
+    from ..stages.joins import snapshot_diff
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def derive_b(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        nch = t["n_chars"].to_numpy()
+        keep = did % 7 != 0
+        chg = (did % 5 == 0)[keep]
+        add = did % 11 == 0
+        ids = np.concatenate([did[keep], did[add] + 10_000_000])
+        chs = np.concatenate([nch[keep] + np.where(chg, 17, 0),
+                              nch[add] + 3])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_chars": pa.array(chs, pa.int64())})
+
+    snap_b = ds.map_batches(derive_b, batch_format="pyarrow")
+    out = snapshot_diff(ds, snap_b, on="doc_id", value="n_chars") \
+        .to_pandas()
+    out = out.rename(columns={"old": "old_chars", "new": "new_chars"})
+    return out.sort_values(["doc_id", "change"]).reset_index(drop=True)
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-ORDER (Morton) DATA-LAYOUT MANIFEST: interleave the bits of
+    two scan-predicate columns into one sort key, range-partition the
+    key space into 16 shards, and emit each shard's file-level pruning
+    stats (count, zkey span, n_chars span) — the multi-dimensional
+    clustering trick (Z-order / Hilbert layouts in analytic stores)
+    that lets a 100-TB scan skip shards on EITHER column's predicate
+    from manifest min/max alone. x = least(n_chars, 1023) (10 bits,
+    even positions), y = doc_id % 1024 (10 bits, odd positions) — 10
+    bits per dimension matches the corpus domains (n_chars tops out
+    in the hundreds) so the 4 shard-prefix bits actually stratify
+    BOTH columns instead of sitting in always-zero high bits.
+
+    Shape: the Morton key is a per-batch vectorized magic-number bit
+    spread (no shuffle); shard stats are per-batch partial aggregates
+    over the 16-value shard domain → a 16-row Ray groupby — exchange
+    is O(shards × blocks), never row-sized. At real scale the same
+    zkey feeds ``write_parquet`` partitioned by shard; here the
+    manifest itself is the output (it is what pruning reads)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def _spread(v: np.ndarray) -> np.ndarray:
+        # <=16-bit value -> bits at even positions (magic-number spread)
+        v = v.astype(np.uint64)
+        v = (v | (v << 8)) & np.uint64(0x00FF00FF)
+        v = (v | (v << 4)) & np.uint64(0x0F0F0F0F)
+        v = (v | (v << 2)) & np.uint64(0x33333333)
+        v = (v | (v << 1)) & np.uint64(0x55555555)
+        return v
+
+    def partial(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        nch = t["n_chars"].to_numpy()
+        x = np.minimum(nch, 1023)
+        y = did % 1024
+        zkey = (_spread(x) | (_spread(y) << np.uint64(1))) \
+            .astype(np.int64)
+        g = pa.table({"shard": pa.array(zkey >> 16, pa.int64()),
+                      "n_docs": pa.array(np.ones(len(zkey), np.int64)),
+                      "min_zkey": pa.array(zkey), "max_zkey": pa.array(zkey),
+                      "min_chars": pa.array(nch), "max_chars": pa.array(nch)})
+        return g.group_by("shard").aggregate(
+            [("n_docs", "sum"), ("min_zkey", "min"), ("max_zkey", "max"),
+             ("min_chars", "min"), ("max_chars", "max")]).rename_columns(
+            ["shard", "n_docs", "min_zkey", "max_zkey",
+             "min_chars", "max_chars"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("shard")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Min("min_zkey", alias_name="min_zkey"),
+                      Max("max_zkey", alias_name="max_zkey"),
+                      Min("min_chars", alias_name="min_chars"),
+                      Max("max_chars", alias_name="max_chars"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("shard").reset_index(drop=True)
+
+
+def _zorder_oracle_sql() -> str:
+    def spread(col: str, shift: int) -> str:
+        return "(" + " + ".join(
+            f"((({col} >> {i}) & 1) << {2 * i + shift})"
+            for i in range(10)) + ")"
+
+    return (
+        "WITH zo_v AS (SELECT doc_id, n_chars, "
+        "least(n_chars, 1023) AS xv, doc_id % 1024 AS yv "
+        "FROM documents), "
+        f"zo_k AS (SELECT n_chars, {spread('xv', 0)} + {spread('yv', 1)} "
+        "AS zkey FROM zo_v) "
+        "SELECT CAST(zkey >> 16 AS BIGINT) AS shard, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(min(zkey) AS BIGINT) AS min_zkey, "
+        "CAST(max(zkey) AS BIGINT) AS max_zkey, "
+        "CAST(min(n_chars) AS BIGINT) AS min_chars, "
+        "CAST(max(n_chars) AS BIGINT) AS max_chars "
+        "FROM zo_k GROUP BY 1 ORDER BY 1")
+
+
 def q_pack_sequences(sf_dir: str, budget: int = 2048):
     """Sequence PACKING for training-data assembly: per source shard,
     documents in doc_id order are packed into fixed token-budget
@@ -3493,6 +3614,24 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     # mixture sampling / decontamination / vocabulary / curriculum
     # bins — split+mixture draws mirrored bit-for-bit via
     # sqlmirror.splitmix64_cte
+    "snapshot_diff":
+        "WITH sd_a AS (SELECT doc_id, n_chars FROM documents), "
+        "sd_b AS ("
+        "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN n_chars + 17 "
+        "ELSE n_chars END AS n_chars FROM documents WHERE doc_id % 7 <> 0 "
+        "UNION ALL SELECT doc_id + 10000000, n_chars + 3 FROM documents "
+        "WHERE doc_id % 11 = 0), "
+        "sd_j AS (SELECT coalesce(sd_a.doc_id, sd_b.doc_id) AS doc_id, "
+        "sd_a.n_chars AS old_c, sd_b.n_chars AS new_c "
+        "FROM sd_a FULL OUTER JOIN sd_b ON sd_a.doc_id = sd_b.doc_id) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CASE WHEN old_c IS NULL THEN 'added' "
+        "WHEN new_c IS NULL THEN 'removed' ELSE 'changed' END AS change, "
+        "CAST(coalesce(old_c, -1) AS BIGINT) AS old_chars, "
+        "CAST(coalesce(new_c, -1) AS BIGINT) AS new_chars "
+        "FROM sd_j WHERE old_c IS NULL OR new_c IS NULL OR old_c <> new_c "
+        "ORDER BY 1, 2",
+    "zorder_layout": _zorder_oracle_sql(),
     "stratified_split": _stratified_split_oracle_sql(),
     "mixture_sample": _mixture_oracle_sql(),
     "pps_sample": _pps_oracle_sql(),

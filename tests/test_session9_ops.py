@@ -267,3 +267,45 @@ def test_sessionize_gap_boundaries(ray_session, tmp_path):
         (2, 0): (1, 0, 0), (2, 1): (1, 9 * H, 9 * H),
         (2, 2): (1, 18 * H, 18 * H),
         (3, 0): (2, 0, 8 * H)}
+
+
+def test_snapshot_diff_classification(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.training import q_snapshot_diff
+
+    # deterministic edit rule: %7==0 removed, survivors %5==0 changed
+    # (+17), %11==0 spawns added at id+10M (+3 chars). ids 0..10:
+    #  0: %7 & %11 -> removed + added(10000000)
+    #  5: %5 -> changed 105->122 ; 7: %7 -> removed
+    #  10: %5 -> changed 110->127 ; others unchanged (dropped)
+    rows = [("x" * (100 + i), "s", 100 + i) for i in range(11)]
+    out = q_snapshot_diff(_write_docs(tmp_path, rows))
+    got = {(r.doc_id, r.change): (r.old_chars, r.new_chars)
+           for r in out.itertuples()}
+    assert got == {
+        (0, "removed"): (100, -1),
+        (7, "removed"): (107, -1),
+        (5, "changed"): (105, 122),
+        (10, "changed"): (110, 127),
+        (10000000, "added"): (-1, 103)}
+
+
+def test_zorder_interleave_golden(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.training import q_zorder_layout
+
+    # doc_id 0, n_chars 3 (=0b11) -> zkey 0b0101 = 5, shard 0;
+    # doc_id 1023 (y=0b1111111111), n_chars 1023 -> zkey 2^20-1,
+    # shard (2^20-1)>>16 = 15. Interleave golden: x bits at even
+    # positions, y bits at odd.
+    rows = [("aaa", "s", 3)] + [("b", "s", 1023)]
+    sf = _write_docs(tmp_path, rows)
+    # overwrite doc_id of the second row to 1023 for the y-bit case
+    import pyarrow.parquet as pq
+    t = pq.read_table(sf + "/documents.parquet")
+    t = t.set_column(0, "doc_id", pa.array([0, 1023], pa.int64()))
+    pq.write_table(t, sf + "/documents.parquet")
+    out = q_zorder_layout(sf)
+    by_shard = {r.shard: r for r in out.itertuples()}
+    assert set(by_shard) == {0, 15}
+    assert by_shard[0].min_zkey == 5 and by_shard[0].max_zkey == 5
+    assert by_shard[15].min_zkey == (1 << 20) - 1
+    assert by_shard[0].min_chars == 3 and by_shard[15].max_chars == 1023
