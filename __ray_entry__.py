@@ -182,6 +182,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": qt.q_snapshot_diff,
         # Z-order layout manifest (multi-dim clustering + pruning stats)
         "zorder_layout": qt.q_zorder_layout,
+        # TPC-H Q12: shipmode priority-class counts (last feasible
+        # anchor; linestatus stands in for the absent shipmode column)
+        "q12_shipmode": qa.q_q12_shipmode,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

@@ -727,6 +727,79 @@ def q_q4_priority_exists(sf_dir: str):
     return df.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def q_q12_shipmode(sf_dir: str):
+    """TPC-H Q12 shape: shipmode priority-class counts — lines shipped
+    in 1995 grouped by l_linestatus (stands in for l_shipmode; the
+    testdata lineitem carries no shipmode/commitdate columns), each
+    group counting lines whose ORDER is high priority
+    ('1-URGENT'/'2-HIGH') vs low. Large-large join through the
+    tagged-union bucketed hash join with map-side combine: lineitem
+    collapses to (l_orderkey, l_linestatus, n) count partials BEFORE
+    the shuffle (≤ 2 rows per orderkey per block) and orders ships
+    only (o_orderkey, is_high); the per-bucket merge emits enum-keyed
+    (l_linestatus, high/low) partials so the final merge is
+    driver-side over ≤ 2 × buckets rows."""
+    lo = pa.scalar(np.datetime64("1995-01-01T00:00:00", "us"))
+    hi = pa.scalar(np.datetime64("1996-01-01T00:00:00", "us"))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linestatus", "l_shipdate"])
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                                 pc.less(batch["l_shipdate"], hi)))
+        g = (b.select(["l_orderkey", "l_linestatus"])
+             .group_by(["l_orderkey", "l_linestatus"])
+             .aggregate([("l_orderkey", "count")]))
+        g = g.rename_columns(["key", "l_linestatus", "n"])
+        return pa.table({"key": pc.cast(g["key"], pa.int64()),
+                         "l_linestatus": g["l_linestatus"],
+                         "n": pc.cast(g["n"], pa.int64()),
+                         "is_high": pa.nulls(g.num_rows, pa.int64()),
+                         "side": pa.array(["l"] * g.num_rows)})
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"])
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        hi_flag = pc.is_in(batch["o_orderpriority"],
+                           value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        n = batch.num_rows
+        return pa.table({"key": pc.cast(batch["o_orderkey"], pa.int64()),
+                         "l_linestatus": pa.nulls(n, pa.string()),
+                         "n": pa.nulls(n, pa.int64()),
+                         "is_high": pc.cast(hi_flag, pa.int64()),
+                         "side": pa.array(["o"] * n)})
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "l"][["key", "l_linestatus", "n"]]
+        right = g[g["side"] == "o"][["key", "is_high"]]
+        m = left.merge(right, on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame({
+                "l_linestatus": pd.Series([], dtype="object"),
+                "high_line_count": pd.Series([], dtype="int64"),
+                "low_line_count": pd.Series([], dtype="int64")})
+        n = m["n"].to_numpy().astype(np.int64)
+        ishi = m["is_high"].to_numpy().astype(np.int64)
+        m = m.assign(high_line_count=n * ishi,
+                     low_line_count=n * (1 - ishi))
+        out = (m.groupby("l_linestatus", as_index=False)
+               [["high_line_count", "low_line_count"]].sum())
+        return out
+
+    fact = _tagged_union_join(
+        li.map_batches(li_side, batch_format="pyarrow"),
+        orders.map_batches(ord_side, batch_format="pyarrow"),
+        "key", join_bucket)
+
+    df = _merge_partials(fact, ["l_linestatus"],
+                         ["high_line_count", "low_line_count"])
+    for c in ("high_line_count", "low_line_count"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("l_linestatus").reset_index(drop=True)
+
+
 def q_q14_promo_share(sf_dir: str):
     """TPC-H Q14 shape: conditional revenue share — the fraction of
     one month's revenue from 'promo' parts (p_size < 25 stands in for
@@ -4172,6 +4245,16 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' "
         "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45) "
         "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "q12_shipmode":
+        "SELECT l_linestatus, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-01-01' "
+        "GROUP BY l_linestatus ORDER BY l_linestatus",
     "q14_promo_share":
         "WITH f AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) * "
         "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4, p_size "

@@ -4,6 +4,7 @@ with deterministic tie-break, and INTERSECT / EXCEPT set ops. The
 parametrized oracle mirror (test_queries_oracle) hash-checks them
 against DuckDB; these pin the SEMANTICS on crafted edges."""
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -309,3 +310,41 @@ def test_zorder_interleave_golden(ray_session, tmp_path):
     assert by_shard[0].min_zkey == 5 and by_shard[0].max_zkey == 5
     assert by_shard[15].min_zkey == (1 << 20) - 1
     assert by_shard[0].min_chars == 3 and by_shard[15].max_chars == 1023
+
+
+def test_q12_priority_classes(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import q_q12_shipmode
+
+    # orders: 1 high (1-URGENT), 2 high (2-HIGH), 3 low (5-LOW);
+    # lineitem: order 1 -> 2 'F' lines in-window + 1 out-of-window,
+    # order 2 -> 1 'O' line, order 3 -> 1 'F' + 1 'O' line.
+    # Expect F: high 2 / low 1 ; O: high 1 / low 1.
+    d_in = np.datetime64("1995-06-01T00:00:00", "us")
+    d_out = np.datetime64("1997-06-01T00:00:00", "us")
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], pa.int64()),
+        "o_orderstatus": pa.array(["F", "F", "F"]),
+        "o_totalprice": pa.array([1.0, 1.0, 1.0], pa.float64()),
+        "o_orderdate": pa.array([d_in] * 3, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "5-LOW"])})
+    li_rows = [(1, "F", d_in), (1, "F", d_in), (1, "F", d_out),
+               (2, "O", d_in), (3, "F", d_in), (3, "O", d_in)]
+    lineitem = pa.table({
+        "l_orderkey": pa.array([r[0] for r in li_rows], pa.int64()),
+        "l_partkey": pa.array([1] * 6, pa.int64()),
+        "l_suppkey": pa.array([1] * 6, pa.int64()),
+        "l_linenumber": pa.array(range(6), pa.int32()),
+        "l_quantity": pa.array([1.0] * 6, pa.float64()),
+        "l_extendedprice": pa.array([1.0] * 6, pa.float64()),
+        "l_discount": pa.array([0.0] * 6, pa.float64()),
+        "l_tax": pa.array([0.0] * 6, pa.float64()),
+        "l_returnflag": pa.array(["N"] * 6),
+        "l_linestatus": pa.array([r[1] for r in li_rows]),
+        "l_shipdate": pa.array([r[2] for r in li_rows], pa.timestamp("us"))})
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(lineitem, str(tmp_path / "lineitem.parquet"))
+    out = q_q12_shipmode(str(tmp_path))
+    got = {r.l_linestatus: (r.high_line_count, r.low_line_count)
+           for r in out.itertuples()}
+    assert got == {"F": (2, 1), "O": (1, 1)}
