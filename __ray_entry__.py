@@ -185,6 +185,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q12: shipmode priority-class counts (last feasible
         # anchor; linestatus stands in for the absent shipmode column)
         "q12_shipmode": qa.q_q12_shipmode,
+        # phrase search for the corpus's top bigram (positions, not
+        # just membership); NTILE window; UNPIVOT reshape
+        "search_phrase": qt.q_search_phrase,
+        "part_ntile": qa.q_part_ntile,
+        "unpivot_part": qa.q_unpivot_part,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

@@ -800,6 +800,74 @@ def q_q12_shipmode(sf_dir: str):
     return df.sort_values("l_linestatus").reset_index(drop=True)
 
 
+def q_part_ntile(sf_dir: str, k: int = 4):
+    """NTILE(k) window — equal-height tile assignment per brand over
+    the total order (p_retailprice, p_partkey); the quantile-bucket
+    member of the window family (DENSE_RANK: part_price_rank_dense;
+    global quantile bins: length_bins). SQL fill rule reproduced
+    exactly: the first n % k tiles carry one extra row. Ordering uses
+    the RAW double price (ties broken by partkey) so both engines
+    compare identical IEEE values; cents appear only as an output
+    column. Shape: brand-hash bucket shuffle → per-brand vectorized
+    lexsort + repeat assignment. part is dimension-sized; for a
+    fact-sized input the count-table plan (length_bins) is the
+    documented scale path — NTILE needs each partition's total order."""
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_brand", "p_retailprice"])
+    tag = _tag_bucket(["p_brand"], 16, "_nb")
+
+    def tile_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for brand, grp in g.groupby("p_brand"):
+            price = grp["p_retailprice"].to_numpy()
+            pk = grp["p_partkey"].to_numpy().astype(np.int64)
+            order = np.lexsort((pk, price))
+            n = len(order)
+            base, extra = divmod(n, k)
+            sizes = np.full(k, base, np.int64)
+            sizes[:extra] += 1
+            tiles = np.repeat(np.arange(1, k + 1, dtype=np.int64), sizes)
+            t = np.empty(n, np.int64)
+            t[order] = tiles
+            outs.append(pd.DataFrame({
+                "p_partkey": pk, "p_brand": brand,
+                "price_c": np.round(price * 100).astype(np.int64),
+                "tile": t}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                          "p_brand": pd.Series([], dtype="object"),
+                          "price_c": pd.Series([], dtype="int64"),
+                          "tile": pd.Series([], dtype="int64")})
+
+    out = (part.map_batches(tag, batch_format="pyarrow")
+           .groupby("_nb").map_groups(tile_bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["p_brand", "p_partkey"]).reset_index(drop=True)
+
+
+def q_unpivot_part(sf_dir: str):
+    """UNPIVOT / melt — wide part measures (retail price in cents,
+    size) to long (p_partkey, measure, value) rows; the inverse of
+    pivot_priority_status and the reshape every metrics store needs.
+    Pure per-batch vectorized explode (two concats), zero shuffle,
+    output streams."""
+    ds = read_table(sf_dir, "part",
+                    columns=["p_partkey", "p_size", "p_retailprice"])
+
+    def melt(t: pa.Table) -> pa.Table:
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        size_v = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price_c = np.round(t["p_retailprice"].to_numpy(zero_copy_only=False)
+                           * 100).astype(np.int64)
+        n = len(pk)
+        return pa.table({
+            "p_partkey": pa.array(np.concatenate([pk, pk]), pa.int64()),
+            "measure": pa.array(["p_retailprice_c"] * n + ["p_size"] * n),
+            "value": pa.array(np.concatenate([price_c, size_v]), pa.int64())})
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
 def q_q14_promo_share(sf_dir: str):
     """TPC-H Q14 shape: conditional revenue share — the fraction of
     one month's revenue from 'promo' parts (p_size < 25 stands in for
@@ -4245,6 +4313,18 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' "
         "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45) "
         "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "part_ntile":
+        "SELECT p_partkey, p_brand, "
+        "CAST(round(p_retailprice * 100) AS BIGINT) AS price_c, "
+        "CAST(NTILE(4) OVER (PARTITION BY p_brand "
+        "ORDER BY p_retailprice, p_partkey) AS BIGINT) AS tile "
+        "FROM part ORDER BY p_brand, p_partkey",
+    "unpivot_part":
+        "SELECT p_partkey, 'p_retailprice_c' AS measure, "
+        "CAST(round(p_retailprice * 100) AS BIGINT) AS value FROM part "
+        "UNION ALL SELECT p_partkey, 'p_size' AS measure, "
+        "CAST(p_size AS BIGINT) AS value FROM part "
+        "ORDER BY p_partkey, measure",
     "q12_shipmode":
         "SELECT l_linestatus, "
         "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "

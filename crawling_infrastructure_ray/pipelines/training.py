@@ -542,6 +542,68 @@ def q_bpe_pair_counts(sf_dir: str, k: int = 20):
             .head(k).reset_index(drop=True))
 
 
+def q_search_phrase(sf_dir: str):
+    """PHRASE SEARCH: per-doc occurrence counts of the corpus's most
+    frequent bigram — the adjacency-constrained search-engine query
+    (boolean AND is the weaker form; phrase needs positions). The
+    query phrase is derived from the corpus itself (count desc,
+    left/right asc tie-break) so both engines agree on it without
+    side data. Two passes: (1) the bpe_pair combiner → bucketed merge
+    → top-1 (config-sized driver result — the 'query'), (2) per-batch
+    per-doc bigram combiner filtered to the phrase BEFORE the
+    exchange; a doc never splits across batches, so each doc's count
+    is complete with no further merge — the second pass ships only
+    matching (doc, phrase) rows."""
+    from ..stages import sampling as sp
+    from .analytics import _merge_partials_ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    partials = ds.map_batches(sp.bpe_pair_partial_counts,
+                              batch_format="pyarrow")
+    merged = _merge_partials_ray(partials, ["left_tok", "right_tok"], ["n"])
+
+    def top1_block(batch: pa.Table) -> pa.Table:
+        return batch.sort_by([("n", "descending"), ("left_tok", "ascending"),
+                              ("right_tok", "ascending")]).slice(0, 1)
+
+    head = (merged.map_batches(top1_block, batch_format="pyarrow")
+            .to_pandas().sort_values(["n", "left_tok", "right_tok"],
+                                     ascending=[False, True, True]))
+    left, right = head.iloc[0]["left_tok"], head.iloc[0]["right_tok"]
+
+    def phrase_hits(batch: pa.Table) -> pa.Table:
+        g = sp.doc_bigram_partial_counts(batch)
+        m = pc.and_(pc.equal(g["left_tok"], left),
+                    pc.equal(g["right_tok"], right))
+        g = g.filter(m)
+        return pa.table({"doc_id": g["doc_id"],
+                         "left_tok": g["left_tok"],
+                         "right_tok": g["right_tok"],
+                         "n_hits": g["occ"]})
+
+    out = ds.map_batches(phrase_hits, batch_format="pyarrow").to_pandas()
+    out["n_hits"] = out["n_hits"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _search_phrase_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    toks = tokens_sql("coalesce(text,'')")
+    return (
+        f"WITH sp_d AS (SELECT doc_id, {toks} AS t FROM documents), "
+        "sp_i AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i "
+        "FROM sp_d WHERE len(t) >= 2), "
+        "sp_p AS (SELECT doc_id, t[i] AS left_tok, t[i + 1] AS right_tok "
+        "FROM sp_i), "
+        "sp_top AS (SELECT left_tok, right_tok FROM sp_p GROUP BY 1, 2 "
+        "ORDER BY count(*) DESC, left_tok, right_tok LIMIT 1) "
+        "SELECT p.doc_id, p.left_tok, p.right_tok, "
+        "CAST(count(*) AS BIGINT) AS n_hits "
+        "FROM sp_p p JOIN sp_top USING (left_tok, right_tok) "
+        "GROUP BY 1, 2, 3 ORDER BY doc_id")
+
+
 def q_length_bins(sf_dir: str, k_bins: int = 8):
     """CURRICULUM BINNING: exact K-quantile bins over the global
     (n_chars, doc_id) order WITHOUT a global sort — per-length counts
@@ -3632,6 +3694,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
         "FROM sd_j WHERE old_c IS NULL OR new_c IS NULL OR old_c <> new_c "
         "ORDER BY 1, 2",
     "zorder_layout": _zorder_oracle_sql(),
+    "search_phrase": _search_phrase_oracle_sql(),
     "stratified_split": _stratified_split_oracle_sql(),
     "mixture_sample": _mixture_oracle_sql(),
     "pps_sample": _pps_oracle_sql(),

@@ -348,3 +348,40 @@ def test_q12_priority_classes(ray_session, tmp_path):
     got = {r.l_linestatus: (r.high_line_count, r.low_line_count)
            for r in out.itertuples()}
     assert got == {"F": (2, 1), "O": (1, 1)}
+
+
+def test_ntile_fill_rule(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import q_part_ntile
+
+    # brand A: 6 rows, k=4 -> sizes 2,2,1,1 (first n%k tiles get the
+    # extra row); brand B: 2 rows < k -> tiles 1,2 (zero-size tails).
+    # Price ties inside brand A (rows 2,3 equal) break by partkey.
+    prices = {"A": [10.0, 10.0, 10.0, 20.0, 30.0, 40.0], "B": [5.0, 6.0]}
+    rows = [(b, p) for b in ("A", "B") for p in prices[b]]
+    t = pa.table({
+        "p_partkey": pa.array(range(len(rows)), pa.int64()),
+        "p_name": pa.array(["x"] * len(rows)),
+        "p_brand": pa.array([r[0] for r in rows]),
+        "p_type": pa.array(["T"] * len(rows)),
+        "p_size": pa.array([1] * len(rows), pa.int32()),
+        "p_retailprice": pa.array([r[1] for r in rows], pa.float64())})
+    pq.write_table(t, str(tmp_path / "part.parquet"))
+    out = q_part_ntile(str(tmp_path))
+    tiles = {r.p_partkey: r.tile for r in out.itertuples()}
+    # brand A order = partkeys 0..5 (price asc, key tiebreak)
+    assert [tiles[i] for i in range(6)] == [1, 1, 2, 2, 3, 4]
+    assert [tiles[i] for i in (6, 7)] == [1, 2]
+
+
+def test_search_phrase_boundaries(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.training import q_search_phrase
+
+    # top bigram = 'a b' (3 occurrences; 'b a' has 2 -> count wins);
+    # doc 2 ends with 'a' and doc 3 starts with 'b' -- the boundary
+    # must NOT produce a phantom 'a b' hit across docs.
+    rows = [("a b a b", "s", 7), ("a b c", "s", 5),
+            ("c a", "s", 3), ("b c", "s", 3)]
+    out = q_search_phrase(_write_docs(tmp_path, rows))
+    assert list(out["doc_id"]) == [0, 1]
+    assert list(out["n_hits"]) == [2, 1]
+    assert set(out["left_tok"]) == {"a"} and set(out["right_tok"]) == {"b"}
