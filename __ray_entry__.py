@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase": qt.q_search_phrase,
         "part_ntile": qa.q_part_ntile,
         "unpivot_part": qa.q_unpivot_part,
+        # forward-fill resampling to a daily grid (gap filling)
+        "events_ffill_daily": qa.q_events_ffill_daily,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

@@ -1072,6 +1072,53 @@ def q_latest_event_per_user(sf_dir: str):
             .groupby("_kb").map_groups(reduce_bucket, batch_format="pandas"))
 
 
+def q_events_ffill_daily(sf_dir: str):
+    """FORWARD-FILL RESAMPLING to a daily grid (time-series gap
+    filling): per user, one row per calendar day from the user's first
+    to last event day; ``value_c`` carries the latest event value (in
+    cents) at-or-before the end of that day, ``is_observed`` flags
+    days with at least one event. Per-day 'latest' = max (ts,
+    event_id), so the fill is deterministic under equal timestamps.
+
+    Shape: ONE user-hash bucket shuffle; per user the per-day last
+    value is a vectorized lexsort + boundary mask, the grid an arange
+    of day ordinals, and the fill a single searchsorted — never a
+    row-at-a-time scan. Output is grid-sized (users × span days), not
+    event-sized, and each user's grid is built wholly inside its
+    bucket."""
+    DAY_US = 86_400_000_000
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "value"])
+
+    def fill_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for uid, grp in g.groupby("user_id"):
+            ts = grp["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            eid = grp["event_id"].to_numpy().astype(np.int64)
+            vc = np.round(grp["value"].to_numpy() * 100).astype(np.int64)
+            day = ts // DAY_US
+            order = np.lexsort((eid, ts))
+            day_o, vc_o = day[order], vc[order]
+            last_mask = np.r_[day_o[1:] != day_o[:-1], True]
+            days, vals = day_o[last_mask], vc_o[last_mask]
+            grid = np.arange(days[0], days[-1] + 1, dtype=np.int64)
+            idx = np.searchsorted(days, grid, side="right") - 1
+            outs.append(pd.DataFrame({
+                "user_id": np.full(len(grid), uid, np.int64),
+                "grid_day": (grid * DAY_US).astype("datetime64[us]"),
+                "value_c": vals[idx],
+                "is_observed": (days[idx] == grid).astype(np.int64)}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "grid_day": pd.Series([], dtype="datetime64[us]"),
+                          "value_c": pd.Series([], dtype="int64"),
+                          "is_observed": pd.Series([], dtype="int64")})
+
+    return (ds.map_batches(_tag_bucket(["user_id"], 32, "_fb"),
+                           batch_format="pyarrow")
+            .groupby("_fb").map_groups(fill_bucket, batch_format="pandas"))
+
+
 def q_events_cumsum(sf_dir: str):
     """Running per-user cumulative count ordered by ts (window frame
     rows unbounded preceding).
@@ -4378,6 +4425,25 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT user_id, session_id, count(*) AS n_events, "
         "min(ts) AS session_start, max(ts) AS session_end "
         "FROM s GROUP BY user_id, session_id",
+    "events_ffill_daily":
+        "WITH ff_e AS (SELECT user_id, ts, event_id, "
+        "CAST(round(value * 100) AS BIGINT) AS value_c, "
+        "date_trunc('day', ts) AS d FROM events), "
+        "ff_last AS (SELECT user_id, d, value_c FROM ("
+        "SELECT user_id, d, value_c, row_number() OVER ("
+        "PARTITION BY user_id, d ORDER BY ts DESC, event_id DESC) AS rn "
+        "FROM ff_e) WHERE rn = 1), "
+        "ff_b AS (SELECT user_id, min(d) AS d0, max(d) AS d1 "
+        "FROM ff_e GROUP BY 1), "
+        "ff_g AS (SELECT user_id, unnest(generate_series(d0, d1, "
+        "INTERVAL 1 DAY)) AS grid_day FROM ff_b) "
+        "SELECT g.user_id, g.grid_day, "
+        "last_value(l.value_c IGNORE NULLS) OVER ("
+        "PARTITION BY g.user_id ORDER BY g.grid_day) AS value_c, "
+        "CAST(l.value_c IS NOT NULL AS BIGINT) AS is_observed "
+        "FROM ff_g g LEFT JOIN ff_last l "
+        "ON l.user_id = g.user_id AND l.d = g.grid_day "
+        "ORDER BY 1, 2",
     "latest_event_per_user":
         "SELECT user_id, event_id, ts, event_type FROM events "
         "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) = 1",

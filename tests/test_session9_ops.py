@@ -385,3 +385,28 @@ def test_search_phrase_boundaries(ray_session, tmp_path):
     assert list(out["doc_id"]) == [0, 1]
     assert list(out["n_hits"]) == [2, 1]
     assert set(out["left_tok"]) == {"a"} and set(out["right_tok"]) == {"b"}
+
+
+def test_ffill_daily_gaps_and_ties(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_events_ffill_daily
+
+    D = 86_400_000_000  # 1 day in us
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = [
+        # user 1: day 0 has two equal-ts events (event_id 1 wins the
+        # per-day-last), day 1-2 empty (filled with 2.0), day 3 = 9.0
+        (t0, 1, "view", 5.0), (t0, 1, "view", 2.0),
+        (t0 + 3 * D, 1, "view", 9.0),
+        # user 2: single event -> one grid row, observed
+        (t0 + 10 * D, 2, "click", 7.0),
+    ]
+    out = (q_events_ffill_daily(_write_events(tmp_path, rows))
+           .to_pandas().sort_values(["user_id", "grid_day"])
+           .reset_index(drop=True))
+    u1 = out[out["user_id"] == 1]
+    assert list(u1["value_c"]) == [200, 200, 200, 900]
+    assert list(u1["is_observed"]) == [1, 0, 0, 1]
+    u2 = out[out["user_id"] == 2]
+    assert len(u2) == 1 and u2.iloc[0]["value_c"] == 700 \
+        and u2.iloc[0]["is_observed"] == 1
