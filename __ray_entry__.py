@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_part": qa.q_unpivot_part,
         # forward-fill resampling to a daily grid (gap filling)
         "events_ffill_daily": qa.q_events_ffill_daily,
+        # integer-quantized BM25 ranking for a corpus-derived query
+        "bm25_topk": qt.q_bm25_topk,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

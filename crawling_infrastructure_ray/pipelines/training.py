@@ -386,6 +386,157 @@ def q_vocab_topk(sf_dir: str):
             .head(100).reset_index(drop=True))
 
 
+def q_bm25_topk(sf_dir: str, k: int = 20):
+    """BM25-SHAPED SEARCH RANKING, integer-quantized so the gate can
+    hash it: top-k docs for a two-term query by
+    score = Σ_t idf'(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)),
+    with k1 = 6/5 and b = 3/4 chosen RATIONAL so the per-term factor
+    is the exact integer (idf' * tf*44*avgdl) // (20*avgdl*tf +
+    6*avgdl + 18*dl), and idf'(t) = ((N-df)*1e6) // df (the
+    source_terms integer-idf proxy standing in for the float log).
+    The query is derived from the corpus in both engines — frequency
+    ranks 5 and 6 (count desc, token asc) — so there is no side data.
+
+    Shape: pass 1 is the vocab combiner (terms + total token count
+    fall out of the same distributed merge; N from parquet metadata);
+    pass 2 scans once, computes per-doc (tf1, tf2, dl) vectorized via
+    a flattened token stream, and ships ONLY matching docs; df and
+    the final top-k reduce over that match-sized set (partial top-k
+    per block, ≤ k × blocks rows to the driver)."""
+    from ..stages import sampling as sp
+    from .analytics import _merge_partials_ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # pass 1: distributed vocab — query terms (ranks 5/6) + total
+    # token count from the same merged result
+    merged = _merge_partials_ray(
+        ds.map_batches(sp.vocab_partial_counts, batch_format="pyarrow"),
+        ["token"], ["n"])
+
+    def top_block(batch: pa.Table) -> pa.Table:
+        return batch.sort_by([("n", "descending"),
+                              ("token", "ascending")]).slice(0, 6)
+
+    head = (merged.map_batches(top_block, batch_format="pyarrow")
+            .to_pandas().sort_values(["n", "token"],
+                                     ascending=[False, True]))
+    t1, t2 = head.iloc[4]["token"], head.iloc[5]["token"]
+
+    # corpus totals: one tiny (1 row per block) combiner + metadata count
+    def ntok_partial(batch: pa.Table) -> pa.Table:
+        n = sum(len((s or "").split()) for s in batch["text"].to_pylist())
+        return pa.table({"n_tok": pa.array([n], pa.int64())})
+
+    total_tokens = int(ds.map_batches(ntok_partial, batch_format="pyarrow")
+                       .to_pandas()["n_tok"].sum())
+    n_docs = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+    avgdl = max(total_tokens // n_docs, 1)
+
+    # pass 2: per-doc (tf1, tf2, dl), matches only leave the worker
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        toks: list = []
+        docix: list = []
+        dl = np.zeros(len(texts), np.int64)
+        for i, s in enumerate(texts):
+            tt = (s or "").split()
+            dl[i] = len(tt)
+            toks.extend(tt)
+            docix.extend([i] * len(tt))
+        ta = np.asarray(toks, dtype=object)
+        di = np.asarray(docix, dtype=np.int64)
+        tf1 = np.bincount(di[ta == t1], minlength=len(texts)) \
+            if len(ta) else np.zeros(len(texts), np.int64)
+        tf2 = np.bincount(di[ta == t2], minlength=len(texts)) \
+            if len(ta) else np.zeros(len(texts), np.int64)
+        m = (tf1 + tf2) > 0
+        return pa.table({"doc_id": pa.array(ids[m], pa.int64()),
+                         "tf1": pa.array(tf1[m].astype(np.int64)),
+                         "tf2": pa.array(tf2[m].astype(np.int64)),
+                         "dl": pa.array(dl[m], pa.int64())})
+
+    matches = ds.map_batches(tf_batch, batch_format="pyarrow").materialize()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "df1": pa.array([int(pc.sum(pc.greater(batch["tf1"], 0))
+                                 .as_py() or 0)], pa.int64()),
+            "df2": pa.array([int(pc.sum(pc.greater(batch["tf2"], 0))
+                                 .as_py() or 0)], pa.int64())})
+
+    dfs = matches.map_batches(df_partial, batch_format="pyarrow") \
+        .to_pandas().sum()
+    df1, df2 = int(dfs["df1"]), int(dfs["df2"])
+    idf1 = ((n_docs - df1) * 1_000_000) // df1 if df1 else 0
+    idf2 = ((n_docs - df2) * 1_000_000) // df2 if df2 else 0
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        tf1a = batch["tf1"].to_numpy()
+        tf2a = batch["tf2"].to_numpy()
+        dla = batch["dl"].to_numpy()
+        den_base = 6 * avgdl + 18 * dla
+        s1 = (idf1 * tf1a * 44 * avgdl) // (20 * avgdl * tf1a + den_base)
+        s2 = (idf2 * tf2a * 44 * avgdl) // (20 * avgdl * tf2a + den_base)
+        s1 = np.where(tf1a > 0, s1, 0)
+        s2 = np.where(tf2a > 0, s2, 0)
+        t = batch.append_column("score_e6",
+                                pa.array(s1 + s2, pa.int64()))
+        return t.sort_by([("score_e6", "descending"),
+                          ("doc_id", "ascending")]).slice(0, k)
+
+    out = matches.map_batches(score_block,
+                              batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["score_e6", "doc_id"],
+                          ascending=[False, True]).head(k)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "tf1", "tf2", "dl", "score_e6"]] \
+        .reset_index(drop=True)
+
+
+def _bm25_oracle_sql(k: int = 20) -> str:
+    from ..functions.sqlmirror import tokens_sql
+    toks = tokens_sql("coalesce(text,'')")
+    return (
+        f"WITH bm_tok AS (SELECT doc_id, unnest({toks}) AS tok "
+        "FROM documents), "
+        "bm_v AS (SELECT tok, count(*) AS n FROM bm_tok GROUP BY 1), "
+        "bm_rk AS (SELECT tok, row_number() OVER (ORDER BY n DESC, tok) "
+        "AS rk FROM bm_v), "
+        "bm_q AS (SELECT (SELECT tok FROM bm_rk WHERE rk = 5) AS t1, "
+        "(SELECT tok FROM bm_rk WHERE rk = 6) AS t2), "
+        "bm_c AS (SELECT (SELECT count(*) FROM documents) AS n_docs, "
+        "(SELECT count(*) FROM bm_tok) AS n_tok), "
+        "bm_a AS (SELECT n_docs, greatest(n_tok // n_docs, 1) AS avgdl "
+        "FROM bm_c), "
+        "bm_tf AS (SELECT doc_id, "
+        "CAST(sum(CASE WHEN tok = (SELECT t1 FROM bm_q) THEN 1 ELSE 0 "
+        "END) AS BIGINT) AS tf1, "
+        "CAST(sum(CASE WHEN tok = (SELECT t2 FROM bm_q) THEN 1 ELSE 0 "
+        "END) AS BIGINT) AS tf2, "
+        "CAST(count(*) AS BIGINT) AS dl "
+        "FROM bm_tok GROUP BY 1 HAVING tf1 + tf2 > 0), "
+        "bm_df AS (SELECT sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1, "
+        "sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM bm_tf), "
+        "bm_idf AS (SELECT CASE WHEN df1 > 0 THEN ((SELECT n_docs FROM "
+        "bm_a) - df1) * 1000000 // df1 ELSE 0 END AS idf1, "
+        "CASE WHEN df2 > 0 THEN ((SELECT n_docs FROM bm_a) - df2) "
+        "* 1000000 // df2 ELSE 0 END AS idf2 FROM bm_df) "
+        "SELECT doc_id, tf1, tf2, dl, "
+        "CAST((CASE WHEN tf1 > 0 THEN (SELECT idf1 FROM bm_idf) * tf1 "
+        "* 44 * (SELECT avgdl FROM bm_a) // (20 * (SELECT avgdl FROM "
+        "bm_a) * tf1 + 6 * (SELECT avgdl FROM bm_a) + 18 * dl) "
+        "ELSE 0 END) + "
+        "(CASE WHEN tf2 > 0 THEN (SELECT idf2 FROM bm_idf) * tf2 "
+        "* 44 * (SELECT avgdl FROM bm_a) // (20 * (SELECT avgdl FROM "
+        "bm_a) * tf2 + 6 * (SELECT avgdl FROM bm_a) + 18 * dl) "
+        "ELSE 0 END) AS BIGINT) AS score_e6 "
+        "FROM bm_tf "
+        f"ORDER BY score_e6 DESC, doc_id LIMIT {k}")
+
+
 def q_heavy_hitter_tokens(sf_dir: str, phi_recip: int = 31):
     """HEAVY HITTERS (frequency ≥ total/phi_recip) via the
     local-frequency candidate lemma + an exact verification pass —
@@ -3695,6 +3846,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
         "ORDER BY 1, 2",
     "zorder_layout": _zorder_oracle_sql(),
     "search_phrase": _search_phrase_oracle_sql(),
+    "bm25_topk": _bm25_oracle_sql(),
     "stratified_split": _stratified_split_oracle_sql(),
     "mixture_sample": _mixture_oracle_sql(),
     "pps_sample": _pps_oracle_sql(),

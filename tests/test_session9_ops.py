@@ -410,3 +410,39 @@ def test_ffill_daily_gaps_and_ties(ray_session, tmp_path):
     u2 = out[out["user_id"] == 2]
     assert len(u2) == 1 and u2.iloc[0]["value_c"] == 700 \
         and u2.iloc[0]["is_observed"] == 1
+
+
+def test_bm25_formula_brute(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.training import q_bm25_topk
+
+    # frequency ranks: a x10, b x9, c x8, d x7, e x6, f x5 -> query
+    # terms are ranks 5 and 6 = (e, f). doc2 has neither (excluded).
+    docs = ["a a a a b b b c c e e f", "a a a b b b c c c e",
+            "a a a b b b c c c d d d", "d d d d e e e f f f f"]
+    rows = [(t, "s", len(t)) for t in docs]
+    out = q_bm25_topk(_write_docs(tmp_path, rows))
+
+    # brute recompute of the documented integer formula
+    toks = [d.split() for d in docs]
+    n_docs, total = len(docs), sum(len(t) for t in toks)
+    avgdl = max(total // n_docs, 1)
+    tf = [(t.count("e"), t.count("f"), len(t)) for t in toks]
+    df1 = sum(1 for x in tf if x[0] > 0)
+    df2 = sum(1 for x in tf if x[1] > 0)
+    idf1 = (n_docs - df1) * 1_000_000 // df1
+    idf2 = (n_docs - df2) * 1_000_000 // df2
+    exp = {}
+    for i, (t1, t2, dl) in enumerate(tf):
+        if t1 + t2 == 0:
+            continue
+        s = 0
+        if t1:
+            s += idf1 * t1 * 44 * avgdl // (20 * avgdl * t1 + 6 * avgdl + 18 * dl)
+        if t2:
+            s += idf2 * t2 * 44 * avgdl // (20 * avgdl * t2 + 6 * avgdl + 18 * dl)
+        exp[i] = s
+    got = {r.doc_id: r.score_e6 for r in out.itertuples()}
+    assert got == exp
+    assert 2 not in got  # no-match doc excluded
+    # ranking order: score desc, doc_id asc
+    assert list(out["score_e6"]) == sorted(out["score_e6"], reverse=True)
