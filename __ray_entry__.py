@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ffill_daily": qa.q_events_ffill_daily,
         # integer-quantized BM25 ranking for a corpus-derived query
         "bm25_topk": qt.q_bm25_topk,
+        # greedy debounce/throttle (sequential-per-key streaming op)
+        "throttle_events": qa.q_throttle_events,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

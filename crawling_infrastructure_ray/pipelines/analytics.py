@@ -1119,6 +1119,56 @@ def q_events_ffill_daily(sf_dir: str):
             .groupby("_fb").map_groups(fill_bucket, batch_format="pandas"))
 
 
+def q_throttle_events(sf_dir: str, gap_hours: int = 24):
+    """DEBOUNCE / THROTTLE (the notification/recrawl rate-limit): per
+    user keep an event only if it is ≥ gap after the LAST KEPT event.
+    Unlike sessionize (gap vs the previous RAW event) the predicate
+    depends on the operator's own output — the greedy chain is
+    inherently sequential per key, the stateful-streaming case the
+    Dataset API can't express directly.
+
+    Shape: one user-hash bucket shuffle; per user the chain advances
+    with ONE searchsorted per KEPT event over the sorted timestamp
+    array (O(kept · log n), never a per-event Python step, never
+    O(n²)); equal timestamps order by event_id and only the first can
+    be kept. SQL twin: recursive CTE whose recursive term advances
+    every user's frontier one kept event per iteration (min_by over
+    the qualifying suffix)."""
+    gap_us = gap_hours * 3_600_000_000
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def chain_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for uid, grp in g.groupby("user_id"):
+            ts = grp["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            eid = grp["event_id"].to_numpy().astype(np.int64)
+            order = np.lexsort((eid, ts))
+            ts_o, eid_o = ts[order], eid[order]
+            kept = []
+            i, n = 0, len(ts_o)
+            while i < n:
+                kept.append(i)
+                # first index with ts >= kept_ts + gap; target exceeds
+                # ts_o[i], so the chain strictly advances
+                i = int(np.searchsorted(ts_o, ts_o[i] + gap_us,
+                                        side="left"))
+            ki = np.asarray(kept, dtype=np.int64)
+            outs.append(pd.DataFrame({
+                "user_id": np.full(len(ki), uid, np.int64),
+                "event_id": eid_o[ki],
+                "ts": ts_o[ki].astype("datetime64[us]"),
+                "keep_rank": np.arange(1, len(ki) + 1, dtype=np.int64)}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "event_id": pd.Series([], dtype="int64"),
+                          "ts": pd.Series([], dtype="datetime64[us]"),
+                          "keep_rank": pd.Series([], dtype="int64")})
+
+    return (ds.map_batches(_tag_bucket(["user_id"], 32, "_tb"),
+                           batch_format="pyarrow")
+            .groupby("_tb").map_groups(chain_bucket, batch_format="pandas"))
+
+
 def q_events_cumsum(sf_dir: str):
     """Running per-user cumulative count ordered by ts (window frame
     rows unbounded preceding).
@@ -4425,6 +4475,21 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT user_id, session_id, count(*) AS n_events, "
         "min(ts) AS session_start, max(ts) AS session_end "
         "FROM s GROUP BY user_id, session_id",
+    "throttle_events":
+        "WITH RECURSIVE te_e AS (SELECT user_id, event_id, ts, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS rn FROM events), "
+        "te_k AS ("
+        "SELECT user_id, event_id, ts, rn, 1 AS keep_rank "
+        "FROM te_e WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT e.user_id, min_by(e.event_id, e.rn), min_by(e.ts, e.rn), "
+        "min(e.rn), min(k.keep_rank) + 1 "
+        "FROM te_k k JOIN te_e e ON e.user_id = k.user_id "
+        "AND e.ts >= k.ts + INTERVAL 24 HOUR AND e.rn > k.rn "
+        "GROUP BY e.user_id) "
+        "SELECT user_id, event_id, ts, CAST(keep_rank AS BIGINT) "
+        "AS keep_rank FROM te_k ORDER BY user_id, keep_rank",
     "events_ffill_daily":
         "WITH ff_e AS (SELECT user_id, ts, event_id, "
         "CAST(round(value * 100) AS BIGINT) AS value_c, "

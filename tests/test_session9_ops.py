@@ -446,3 +446,26 @@ def test_bm25_formula_brute(ray_session, tmp_path):
     assert 2 not in got  # no-match doc excluded
     # ranking order: score desc, doc_id asc
     assert list(out["score_e6"]) == sorted(out["score_e6"], reverse=True)
+
+
+def test_throttle_greedy_chain(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_throttle_events
+
+    H = 3_600_000_000  # 1h in us
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    # user 1 hours: 0,1,2,25,26,49 with 24h gap -> keep 0, 25, 49.
+    # NOTE: vs sessionize semantics, 25 is kept because the chain
+    # measures from the last KEPT (0), not the previous raw event (2).
+    hrs = [0, 1, 2, 25, 26, 49]
+    rows = [(t0 + h * H, 1, "view", 0.0) for h in hrs]
+    # user 2: equal-ts pair -> only the lower event_id is kept
+    rows += [(t0, 2, "view", 0.0), (t0, 2, "view", 0.0)]
+    out = (q_throttle_events(_write_events(tmp_path, rows))
+           .to_pandas().sort_values(["user_id", "keep_rank"])
+           .reset_index(drop=True))
+    u1 = out[out["user_id"] == 1]
+    assert list(u1["event_id"]) == [0, 3, 5]
+    assert list(u1["keep_rank"]) == [1, 2, 3]
+    u2 = out[out["user_id"] == 2]
+    assert list(u2["event_id"]) == [6] and list(u2["keep_rank"]) == [1]
