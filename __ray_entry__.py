@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": qt.q_bm25_topk,
         # greedy debounce/throttle (sequential-per-key streaming op)
         "throttle_events": qa.q_throttle_events,
+        # OHLC candles per user-hour (non-additive mergeable agg)
+        "events_ohlc_hourly": qa.q_events_ohlc_hourly,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

@@ -1119,6 +1119,61 @@ def q_events_ffill_daily(sf_dir: str):
             .groupby("_fb").map_groups(fill_bucket, batch_format="pandas"))
 
 
+def q_events_ohlc_hourly(sf_dir: str):
+    """OHLC DOWNSAMPLING (candles): per (user, hour) the opening value
+    (first event by ts, event_id), closing value (last), high, low and
+    count, in exact cents — the time-series reduction every monitoring
+    / viz store runs, and the canonical NON-additive mergeable
+    aggregate (first/last merge by keeping the extremal key, not by
+    summing). Shape: per-batch OHLC partials (each carries its open/
+    close keys), then a bucketed exact merge — two vectorized sorts +
+    groupby per bucket, no per-key Python."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "value"])
+    HOUR_US = 3_600_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy().astype(np.int64),
+            "h": (ts // HOUR_US) * HOUR_US,
+            "ts_i": ts,
+            "event_id": df["event_id"].to_numpy().astype(np.int64),
+            "value_c": np.round(df["value"].to_numpy() * 100)
+            .astype(np.int64)})
+        d = d.sort_values(["user_id", "h", "ts_i", "event_id"])
+        g = d.groupby(["user_id", "h"], as_index=False)
+        out = g.agg(open_ts=("ts_i", "first"), open_eid=("event_id", "first"),
+                    open_c=("value_c", "first"), close_ts=("ts_i", "last"),
+                    close_eid=("event_id", "last"), close_c=("value_c", "last"),
+                    high_c=("value_c", "max"), low_c=("value_c", "min"),
+                    n=("value_c", "size"))
+        return out
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys = ["user_id", "h"]
+        g = g.sort_values(keys + ["open_ts", "open_eid"])
+        opens = g.groupby(keys, as_index=False)[["open_c"]].first()
+        g2 = g.sort_values(keys + ["close_ts", "close_eid"])
+        closes = g2.groupby(keys, as_index=False)[["close_c"]].last()
+        aggs = g.groupby(keys, as_index=False).agg(
+            high_c=("high_c", "max"), low_c=("low_c", "min"),
+            n=("n", "sum"))
+        out = opens.merge(closes, on=keys).merge(aggs, on=keys)
+        out["hour"] = out.pop("h").astype("datetime64[us]")
+        return out[["user_id", "hour", "open_c", "high_c", "low_c",
+                    "close_c", "n"]].astype(
+            {c: "int64" for c in ("user_id", "open_c", "high_c",
+                                  "low_c", "close_c", "n")})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return (partials.repartition(32)
+            .map_batches(_tag_bucket(["user_id", "h"], 32, "_kb"),
+                         batch_format="pyarrow")
+            .groupby("_kb").map_groups(reduce_bucket,
+                                       batch_format="pandas"))
+
+
 def q_throttle_events(sf_dir: str, gap_hours: int = 24):
     """DEBOUNCE / THROTTLE (the notification/recrawl rate-limit): per
     user keep an event only if it is ≥ gap after the LAST KEPT event.
@@ -4475,6 +4530,24 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT user_id, session_id, count(*) AS n_events, "
         "min(ts) AS session_start, max(ts) AS session_end "
         "FROM s GROUP BY user_id, session_id",
+    "events_ohlc_hourly":
+        "WITH oh_e AS (SELECT user_id, date_trunc('hour', ts) AS hour, "
+        "ts, event_id, CAST(round(value * 100) AS BIGINT) AS value_c "
+        "FROM events), "
+        "oh_o AS (SELECT user_id, hour, value_c AS open_c FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY user_id, hour "
+        "ORDER BY ts, event_id) AS rn FROM oh_e) WHERE rn = 1), "
+        "oh_c AS (SELECT user_id, hour, value_c AS close_c FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY user_id, hour "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM oh_e) WHERE rn = 1), "
+        "oh_a AS (SELECT user_id, hour, max(value_c) AS high_c, "
+        "min(value_c) AS low_c, CAST(count(*) AS BIGINT) AS n "
+        "FROM oh_e GROUP BY 1, 2) "
+        "SELECT a.user_id, a.hour, o.open_c, a.high_c, a.low_c, "
+        "c.close_c, a.n FROM oh_a a "
+        "JOIN oh_o o ON o.user_id = a.user_id AND o.hour = a.hour "
+        "JOIN oh_c c ON c.user_id = a.user_id AND c.hour = a.hour "
+        "ORDER BY 1, 2",
     "throttle_events":
         "WITH RECURSIVE te_e AS (SELECT user_id, event_id, ts, "
         "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "

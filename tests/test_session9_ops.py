@@ -469,3 +469,31 @@ def test_throttle_greedy_chain(ray_session, tmp_path):
     assert list(u1["keep_rank"]) == [1, 2, 3]
     u2 = out[out["user_id"] == 2]
     assert list(u2["event_id"]) == [6] and list(u2["keep_rank"]) == [1]
+
+
+def test_ohlc_merge_semantics(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_events_ohlc_hourly
+
+    M = 60_000_000  # 1 min in us
+    t0 = np.datetime64("2024-01-01T10:00:00", "us")
+    rows = [
+        # user 1, hour 10: open=5 (t+0), high=9, low=2, close=7 (t+50m)
+        (t0 + 10 * M, 1, "view", 9.0), (t0, 1, "view", 5.0),
+        (t0 + 20 * M, 1, "view", 2.0), (t0 + 50 * M, 1, "view", 7.0),
+        # user 1, hour 11: single event -> all four equal
+        (t0 + 70 * M, 1, "view", 3.0),
+        # user 2, hour 10: equal-ts pair -> event_id breaks open/close
+        (t0, 2, "view", 1.0), (t0, 2, "view", 4.0),
+    ]
+    out = (q_events_ohlc_hourly(_write_events(tmp_path, rows))
+           .to_pandas().sort_values(["user_id", "hour"])
+           .reset_index(drop=True))
+    r = out[(out["user_id"] == 1)].reset_index(drop=True)
+    assert r.loc[0, ["open_c", "high_c", "low_c", "close_c", "n"]] \
+        .tolist() == [500, 900, 200, 700, 4]
+    assert r.loc[1, ["open_c", "high_c", "low_c", "close_c", "n"]] \
+        .tolist() == [300, 300, 300, 300, 1]
+    r2 = out[out["user_id"] == 2].reset_index(drop=True)
+    # event_id 5 (value 1.0) precedes event_id 6 (4.0) at equal ts
+    assert r2.loc[0, ["open_c", "close_c"]].tolist() == [100, 400]
