@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "throttle_events": qa.q_throttle_events,
         # OHLC candles per user-hour (non-additive mergeable agg)
         "events_ohlc_hourly": qa.q_events_ohlc_hourly,
+        # market-basket association rules via bitmask histogram
+        "basket_rules": qa.q_basket_rules,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

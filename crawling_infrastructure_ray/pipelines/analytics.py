@@ -1119,6 +1119,79 @@ def q_events_ffill_daily(sf_dir: str):
             .groupby("_fb").map_groups(fill_bucket, batch_format="pandas"))
 
 
+def q_basket_rules(sf_dir: str):
+    """MARKET-BASKET ASSOCIATION RULES: baskets = (user, hour), items
+    = event types; for every co-occurring unordered type pair emit
+    n_ab, the marginals, and integer-quantized support / confidence
+    (a→b) / lift. The item domain is enum-sized, so the whole plan
+    collapses to a BITMASK HISTOGRAM: per-batch OR-partials of each
+    basket's type bits (OR is mergeable), one basket-hash bucket
+    shuffle to finish the per-basket OR, then a ≤2^|types| mask
+    histogram — the exchange after the basket shuffle is mask-sized
+    (≤32 rows per bucket), never pair- or basket-sized. Type→bit
+    codes are the alphabetical rank, derived identically in SQL."""
+    HOUR_US = 3_600_000_000
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type"])
+
+    # enum-sized type domain: per-block distinct partials, tiny driver
+    # merge (never a data-sized ds.unique collect)
+    types_df = ds.map_batches(
+        lambda t: pa.table({"event_type":
+                            pc.unique(t["event_type"].combine_chunks())}),
+        batch_format="pyarrow").to_pandas()
+    types = sorted(types_df["event_type"].unique())
+    code = {t: i for i, t in enumerate(types)}
+
+    def mask_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        bits = np.array([1 << code[t] for t in df["event_type"]],
+                        dtype=np.int64)
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy()
+                          .astype(np.int64),
+                          "h": (ts // HOUR_US), "bit": bits})
+        return d.groupby(["user_id", "h"], as_index=False)["bit"] \
+            .agg(lambda v: int(np.bitwise_or.reduce(v.to_numpy()))) \
+            .rename(columns={"bit": "mask"})
+
+    def mask_hist(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["user_id", "h"])["mask"] \
+            .agg(lambda v: int(np.bitwise_or.reduce(v.to_numpy())))
+        vc = m.value_counts()
+        return pd.DataFrame({"mask": vc.index.to_numpy().astype("int64"),
+                             "n": vc.to_numpy().astype("int64")})
+
+    hist = _merge_partials(
+        ds.map_batches(mask_partial, batch_format="pandas")
+        .repartition(32)
+        .map_batches(_tag_bucket(["user_id", "h"], 32, "_kb"),
+                     batch_format="pyarrow")
+        .groupby("_kb").map_groups(mask_hist, batch_format="pandas"),
+        ["mask"], ["n"])
+
+    masks = hist["mask"].to_numpy().astype(np.int64)
+    cnt = hist["n"].to_numpy().astype(np.int64)
+    total = int(cnt.sum())
+    rows = []
+    for a in range(len(types)):
+        for b in range(a + 1, len(types)):
+            n_a = int(cnt[(masks >> a) & 1 == 1].sum())
+            n_b = int(cnt[(masks >> b) & 1 == 1].sum())
+            both = ((masks >> a) & 1 == 1) & ((masks >> b) & 1 == 1)
+            n_ab = int(cnt[both].sum())
+            if n_ab == 0:
+                continue
+            rows.append({
+                "type_a": types[a], "type_b": types[b],
+                "n_ab": n_ab, "n_a": n_a, "n_b": n_b,
+                "n_baskets": total,
+                "support_e6": n_ab * 1_000_000 // total,
+                "confidence_e6": n_ab * 1_000_000 // n_a,
+                "lift_e6": n_ab * total * 1_000_000 // (n_a * n_b)})
+    out = pd.DataFrame(rows)
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
 def q_events_ohlc_hourly(sf_dir: str):
     """OHLC DOWNSAMPLING (candles): per (user, hour) the opening value
     (first event by ts, event_id), closing value (last), high, low and
@@ -4530,6 +4603,26 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT user_id, session_id, count(*) AS n_events, "
         "min(ts) AS session_start, max(ts) AS session_end "
         "FROM s GROUP BY user_id, session_id",
+    "basket_rules":
+        "WITH br_bt AS (SELECT DISTINCT user_id, "
+        "date_trunc('hour', ts) AS h, event_type FROM events), "
+        "br_tot AS (SELECT count(*) AS total FROM ("
+        "SELECT DISTINCT user_id, h FROM br_bt)), "
+        "br_na AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n "
+        "FROM br_bt GROUP BY 1), "
+        "br_p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, "
+        "CAST(count(*) AS BIGINT) AS n_ab "
+        "FROM br_bt a JOIN br_bt b ON a.user_id = b.user_id "
+        "AND a.h = b.h AND a.event_type < b.event_type GROUP BY 1, 2) "
+        "SELECT type_a, type_b, n_ab, na.n AS n_a, nb.n AS n_b, "
+        "CAST(total AS BIGINT) AS n_baskets, "
+        "CAST(n_ab * 1000000 // total AS BIGINT) AS support_e6, "
+        "CAST(n_ab * 1000000 // na.n AS BIGINT) AS confidence_e6, "
+        "CAST(n_ab * total * 1000000 // (na.n * nb.n) AS BIGINT) "
+        "AS lift_e6 "
+        "FROM br_p JOIN br_na na ON na.event_type = type_a "
+        "JOIN br_na nb ON nb.event_type = type_b, br_tot "
+        "ORDER BY 1, 2",
     "events_ohlc_hourly":
         "WITH oh_e AS (SELECT user_id, date_trunc('hour', ts) AS hour, "
         "ts, event_id, CAST(round(value * 100) AS BIGINT) AS value_c "

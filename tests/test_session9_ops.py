@@ -497,3 +497,31 @@ def test_ohlc_merge_semantics(ray_session, tmp_path):
     r2 = out[out["user_id"] == 2].reset_index(drop=True)
     # event_id 5 (value 1.0) precedes event_id 6 (4.0) at equal ts
     assert r2.loc[0, ["open_c", "close_c"]].tolist() == [100, 400]
+
+
+def test_basket_rules_counts(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_basket_rules
+
+    H = 3_600_000_000
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    # baskets: u1h0 {click,view}, u1h1 {click}, u2h0 {view,click,buy}
+    # (duplicate click in u1h0 must not double-count), u3h0 {view}
+    rows = [
+        (t0, 1, "click", 0.0), (t0, 1, "view", 0.0), (t0, 1, "click", 0.0),
+        (t0 + H, 1, "click", 0.0),
+        (t0, 2, "view", 0.0), (t0, 2, "click", 0.0), (t0, 2, "buy", 0.0),
+        (t0, 3, "view", 0.0),
+    ]
+    out = q_basket_rules(_write_events(tmp_path, rows))
+    got = {(r.type_a, r.type_b): (r.n_ab, r.n_a, r.n_b) for r in
+           out.itertuples()}
+    # totals: 4 baskets; click in 3, view in 3, buy in 1
+    assert got == {("buy", "click"): (1, 1, 3),
+                   ("buy", "view"): (1, 1, 3),
+                   ("click", "view"): (2, 3, 3)}
+    r = out.set_index(["type_a", "type_b"]).loc[("click", "view")]
+    assert r["n_baskets"] == 4
+    assert r["support_e6"] == 2 * 1_000_000 // 4
+    assert r["confidence_e6"] == 2 * 1_000_000 // 3
+    assert r["lift_e6"] == 2 * 4 * 1_000_000 // 9
