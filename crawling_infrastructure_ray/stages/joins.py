@@ -19,6 +19,16 @@ import ray.data as rd
 from ..functions.bucketing import tag_bucket_fn
 
 
+def _int_casts(schema: pa.Schema) -> dict:
+    """Dtype-restore map for the bucketed joins: the key side pads
+    non-join columns with nulls, which promotes int64 columns to
+    float64 in the per-bucket pandas frame; after the key rows are
+    dropped the values are loss-free, so cast integers back so the
+    output schema matches the input's exactly."""
+    return {name: "int64" for name, typ in zip(schema.names, schema.types)
+            if pa.types.is_integer(typ)}
+
+
 def _tagged_union(data: rd.Dataset, keys: rd.Dataset, on: str,
                   num_buckets: int, salt: int = 1) -> rd.Dataset:
     """Shared front half of the bucketed semi/anti joins: tag both
@@ -85,11 +95,12 @@ def bucketed_semi_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,
     data-sized key sets (same family as q_j2's bucketed hash join).
     """
     both = _tagged_union(data, keys, on, num_buckets, salt)
+    casts = _int_casts(data.schema())
 
     def semi(g: pd.DataFrame) -> pd.DataFrame:
         ks = set(g.loc[g["is_key"], on])
         out = g[~g["is_key"] & g[on].isin(ks)]
-        return out.drop(columns=["jbucket", "is_key"])
+        return out.drop(columns=["jbucket", "is_key"]).astype(casts)
 
     return both.groupby("jbucket").map_groups(semi, batch_format="pandas")
 
@@ -101,11 +112,12 @@ def bucketed_anti_join(data: rd.Dataset, keys: rd.Dataset, *, on: str,
     ``bucketed_semi_join`` with the membership inverted (the J4
     truly-failed-audit shape at data-sized key cardinality)."""
     both = _tagged_union(data, keys, on, num_buckets, salt)
+    casts = _int_casts(data.schema())
 
     def anti(g: pd.DataFrame) -> pd.DataFrame:
         ks = set(g.loc[g["is_key"], on])
         out = g[~g["is_key"] & ~g[on].isin(ks)]
-        return out.drop(columns=["jbucket", "is_key"])
+        return out.drop(columns=["jbucket", "is_key"]).astype(casts)
 
     return both.groupby("jbucket").map_groups(anti, batch_format="pandas")
 
