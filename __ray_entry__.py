@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ohlc_hourly": qa.q_events_ohlc_hourly,
         # market-basket association rules via bitmask histogram
         "basket_rules": qa.q_basket_rules,
+        # one-pass data profiler (count/null/exact-distinct/min/max)
+        "profile_events": qa.q_profile_events,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

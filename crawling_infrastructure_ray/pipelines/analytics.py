@@ -1119,6 +1119,95 @@ def q_events_ffill_daily(sf_dir: str):
             .groupby("_fb").map_groups(fill_bucket, batch_format="pandas"))
 
 
+def q_profile_events(sf_dir: str):
+    """DATA PROFILER over the events table: one row per column with
+    n, n_null, exact n_distinct, and min/max (numeric columns in
+    integer units — value as cents, ts as epoch µs — string columns
+    as strings; the inapplicable pair carries the -1/'' sentinel so
+    the schema is uniform). The operator every ingestion pipeline
+    runs before trusting a new dump.
+
+    Shape: ONE scan emits per-batch per-column partials (count/null/
+    min/max fold to one row per batch; distinct folds to the batch's
+    value set tagged by column); the distinct sets merge through a
+    single (column, value)-bucketed shuffle and each bucket reports
+    only counts (the g6 shape generalized to all columns at once —
+    the driver never sees a value list)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "value", "ts"])
+
+    NUM = {"user_id", "value_c", "ts_us"}
+
+    def to_cols(batch: pa.Table) -> dict:
+        ts = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return {
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "event_type": batch["event_type"].to_pylist(),
+            "value_c": np.round(batch["value"].to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64),
+            "ts_us": ts}
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        cols = to_cols(batch)
+        rows = []
+        for name, v in cols.items():
+            if name in NUM:
+                rows.append({"column": name, "n": len(v),
+                             "n_null": 0,
+                             "min_i": int(v.min()), "max_i": int(v.max()),
+                             "min_s": "", "max_s": ""})
+            else:
+                nn = sum(1 for x in v if x is None)
+                vv = [x for x in v if x is not None]
+                rows.append({"column": name, "n": len(v), "n_null": nn,
+                             "min_i": -1, "max_i": -1,
+                             "min_s": min(vv) if vv else "",
+                             "max_s": max(vv) if vv else ""})
+        return pa.Table.from_pylist(rows)
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        cols = to_cols(batch)
+        names: list = []
+        vals: list = []
+        for name, v in cols.items():
+            u = np.unique(v if name in NUM
+                          else np.asarray([x for x in v if x is not None],
+                                          dtype=object)).tolist()
+            names.extend([name] * len(u))
+            vals.extend(str(x) for x in u)
+        return pa.table({"column": pa.array(names, pa.string()),
+                         "val": pa.array(vals, pa.string())})
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["column", "val"]) \
+            .groupby("column", as_index=False)["val"].count() \
+            .rename(columns={"val": "n_distinct"})
+        out["n_distinct"] = out["n_distinct"].astype("int64")
+        return out
+
+    dist = _merge_partials(
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .repartition(32)
+        .map_batches(_tag_bucket(["column", "val"], 32, "_kb"),
+                     batch_format="pyarrow")
+        .groupby("_kb").map_groups(count_bucket, batch_format="pandas"),
+        ["column"], ["n_distinct"])
+
+    st = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    base = st.groupby("column", as_index=False).agg(
+        n=("n", "sum"), n_null=("n_null", "sum"),
+        min_i=("min_i", "min"), max_i=("max_i", "max"),
+        min_s=("min_s", "min"), max_s=("max_s", "max"))
+    out = base.merge(dist, on="column")
+    for c in ("n", "n_null", "min_i", "max_i", "n_distinct"):
+        out[c] = out[c].astype("int64")
+    return out[["column", "n", "n_null", "n_distinct",
+                "min_i", "max_i", "min_s", "max_s"]] \
+        .sort_values("column").reset_index(drop=True)
+
+
 def q_basket_rules(sf_dir: str):
     """MARKET-BASKET ASSOCIATION RULES: baskets = (user, hour), items
     = event types; for every co-occurring unordered type pair emit
@@ -4603,6 +4692,23 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT user_id, session_id, count(*) AS n_events, "
         "min(ts) AS session_start, max(ts) AS session_end "
         "FROM s GROUP BY user_id, session_id",
+    "profile_events":
+        "WITH pr_e AS (SELECT user_id, event_type, "
+        "CAST(round(value * 100) AS BIGINT) AS value_c, "
+        "CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events) "
+        "SELECT 'event_type' AS \"column\", CAST(count(*) AS BIGINT) AS n, "
+        "CAST(count(*) - count(event_type) AS BIGINT) AS n_null, "
+        "CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct, "
+        "CAST(-1 AS BIGINT) AS min_i, CAST(-1 AS BIGINT) AS max_i, "
+        "min(event_type) AS min_s, max(event_type) AS max_s FROM pr_e "
+        "UNION ALL SELECT 'ts_us', count(*), 0, count(DISTINCT ts_us), "
+        "min(ts_us), max(ts_us), '', '' FROM pr_e "
+        "UNION ALL SELECT 'user_id', count(*), 0, "
+        "count(DISTINCT user_id), min(user_id), max(user_id), '', '' "
+        "FROM pr_e "
+        "UNION ALL SELECT 'value_c', count(*), 0, "
+        "count(DISTINCT value_c), min(value_c), max(value_c), '', '' "
+        "FROM pr_e ORDER BY 1",
     "basket_rules":
         "WITH br_bt AS (SELECT DISTINCT user_id, "
         "date_trunc('hour', ts) AS h, event_type FROM events), "

@@ -525,3 +525,20 @@ def test_basket_rules_counts(ray_session, tmp_path):
     assert r["support_e6"] == 2 * 1_000_000 // 4
     assert r["confidence_e6"] == 2 * 1_000_000 // 3
     assert r["lift_e6"] == 2 * 4 * 1_000_000 // 9
+
+
+def test_profiler_distinct_and_bounds(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_profile_events
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = [(t0, 7, "click", 1.5), (t0, 7, "view", 2.0),
+            (t0 + 1, 9, "click", 1.5)]
+    out = q_profile_events(_write_events(tmp_path, rows)) \
+        .set_index("column")
+    assert out.loc["user_id"].tolist() == [3, 0, 2, 7, 9, "", ""]
+    assert out.loc["value_c"].tolist() == [3, 0, 2, 150, 200, "", ""]
+    assert out.loc["event_type", "n_distinct"] == 2
+    assert out.loc["event_type", "min_s"] == "click"
+    assert out.loc["event_type", "max_s"] == "view"
+    assert out.loc["ts_us", "n_distinct"] == 2
