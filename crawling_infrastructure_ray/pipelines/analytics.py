@@ -1159,12 +1159,13 @@ def q_profile_events(sf_dir: str):
                              "min_i": int(v.min()), "max_i": int(v.max()),
                              "min_s": "", "max_s": ""})
             else:
-                nn = sum(1 for x in v if x is None)
-                vv = [x for x in v if x is not None]
-                rows.append({"column": name, "n": len(v), "n_null": nn,
+                arr = batch[name]
+                mm = pc.min_max(arr).as_py()
+                rows.append({"column": name, "n": len(arr),
+                             "n_null": arr.null_count,
                              "min_i": -1, "max_i": -1,
-                             "min_s": min(vv) if vv else "",
-                             "max_s": max(vv) if vv else ""})
+                             "min_s": mm["min"] or "",
+                             "max_s": mm["max"] or ""})
         return pa.Table.from_pylist(rows)
 
     def distinct_partial(batch: pa.Table) -> pa.Table:
@@ -1234,21 +1235,31 @@ def q_basket_rules(sf_dir: str):
 
     def mask_partial(df: pd.DataFrame) -> pd.DataFrame:
         ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        bits = np.array([1 << code[t] for t in df["event_type"]],
-                        dtype=np.int64)
+        bitmap = np.asarray([1 << code[t] for t in types], dtype=np.int64)
+        tcode = pd.Categorical(df["event_type"], categories=types).codes
         d = pd.DataFrame({"user_id": df["user_id"].to_numpy()
                           .astype(np.int64),
-                          "h": (ts // HOUR_US), "bit": bits})
+                          "h": (ts // HOUR_US),
+                          "bit": bitmap[tcode]})
+        # within a basket each bit is a distinct power of two, so
+        # OR == sum over DISTINCT bits — fully vectorized
+        d = d.drop_duplicates(["user_id", "h", "bit"])
         return d.groupby(["user_id", "h"], as_index=False)["bit"] \
-            .agg(lambda v: int(np.bitwise_or.reduce(v.to_numpy()))) \
-            .rename(columns={"bit": "mask"})
+            .sum().rename(columns={"bit": "mask"})
 
     def mask_hist(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby(["user_id", "h"])["mask"] \
-            .agg(lambda v: int(np.bitwise_or.reduce(v.to_numpy())))
-        vc = m.value_counts()
-        return pd.DataFrame({"mask": vc.index.to_numpy().astype("int64"),
-                             "n": vc.to_numpy().astype("int64")})
+        if not len(g):
+            return pd.DataFrame({"mask": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        g = g.sort_values(["user_id", "h"])
+        u = g["user_id"].to_numpy(np.int64)
+        h = g["h"].to_numpy(np.int64)
+        chg = (u[1:] != u[:-1]) | (h[1:] != h[:-1])
+        starts = np.r_[0, np.flatnonzero(chg) + 1]
+        m = np.bitwise_or.reduceat(g["mask"].to_numpy(np.int64), starts)
+        vals, cnts = np.unique(m, return_counts=True)
+        return pd.DataFrame({"mask": vals.astype("int64"),
+                             "n": cnts.astype("int64")})
 
     hist = _merge_partials(
         ds.map_batches(mask_partial, batch_format="pandas")
