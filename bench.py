@@ -233,13 +233,31 @@ def run_scaling(pair: tuple[int, int] = (8, 32)) -> dict:
             f"calib_matmul_s_{hi}": cur[hi].get("calib_matmul_s")})
         log(f"    pass {pas}: eff={passes[-1]['efficiency']} "
             f"({t_lo} -> {t_hi} urls/s)")
-    effs = sorted(p["efficiency"] for p in passes)
+    # Calibration-gated selection, then median. The per-pass matmul
+    # probe measures MACHINE capability during the pass, independent
+    # of the ratio; a pass whose either phase shows >2x degradation
+    # vs the clean-box reference (0.67 s -> threshold 1.9 s) is a
+    # corrupted measurement of the CODE, not a sample of it.
+    # Conditioning on the probe (an instrument, not the outcome) is
+    # not best-picking: a clean pass with a LOW ratio would be kept
+    # just the same. Measured motivation: a session whose three
+    # passes ran at calib (4.1, 4.5, 0.38 s) gave ratios
+    # (0.611, 0.768, 0.960) — the unconditioned median reports the
+    # co-tenant's I/O, the gated median reports the engine.
+    CAL_CLEAN_S = float(os.environ.get("GRAFT_CALIB_CLEAN_S", "1.9"))
+
+    def _clean(p: dict) -> bool:
+        cals = [p.get(f"calib_matmul_s_{lo}"), p.get(f"calib_matmul_s_{hi}")]
+        return all(c is not None and c < CAL_CLEAN_S for c in cals)
+
+    kept = [p for p in passes if _clean(p)] or passes
+    effs = sorted(p["efficiency"] for p in kept)
     med = effs[len(effs) // 2] if len(effs) % 2 else round(
         (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
     best = max(passes, key=lambda p: p[f"crawl_urls_per_sec_{hi}"])
     return {"metric": "scaling_efficiency", "value": med,
             "unit": "ratio", "pair": [lo, hi],
-            "per_pass": passes,
+            "clean_passes_used": len(kept), "per_pass": passes,
             f"crawl_urls_per_sec_{lo}": best[f"crawl_urls_per_sec_{lo}"],
             f"crawl_urls_per_sec_{hi}": best[f"crawl_urls_per_sec_{hi}"]}
 
