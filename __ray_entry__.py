@@ -202,6 +202,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_rules": qa.q_basket_rules,
         # one-pass data profiler (count/null/exact-distinct/min/max)
         "profile_events": qa.q_profile_events,
+        # percent_rank/cume_dist (SQL tie semantics, exact e6)
+        "percentile_rank_parts": qa.q_percentile_rank_parts,
+        # equi-width value histogram (width_bucket)
+        "value_histogram": qa.q_value_histogram,
+        # heterogeneous stream zipper merge (events + orders timeline)
+        "user_timeline": qa.q_user_timeline,
+        # Gini fairness of per-host crawl budget (skew measurable)
+        "crawl_fairness": qa.q_crawl_fairness,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

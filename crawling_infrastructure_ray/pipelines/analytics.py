@@ -845,6 +845,154 @@ def q_part_ntile(sf_dir: str, k: int = 4):
     return out.sort_values(["p_brand", "p_partkey"]).reset_index(drop=True)
 
 
+def q_percentile_rank_parts(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per brand over p_retailprice — the
+    remaining rank-window pair, with SQL tie semantics exactly: ties
+    share the (min) rank for percent_rank and count inclusively for
+    cume_dist, both emitted as exact integer e6 floors. Per brand the
+    whole computation is two vectorized searchsorteds against the
+    brand's sorted price array (rank = left + 1, cume = right) — no
+    per-row work, no per-tie grouping."""
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_brand", "p_retailprice"])
+    tag = _tag_bucket(["p_brand"], 16, "_pb")
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for brand, grp in g.groupby("p_brand"):
+            price = grp["p_retailprice"].to_numpy()
+            pk = grp["p_partkey"].to_numpy().astype(np.int64)
+            n = len(price)
+            sp = np.sort(price)
+            rank = np.searchsorted(sp, price, side="left") + 1
+            cume = np.searchsorted(sp, price, side="right")
+            pr = ((rank - 1) * 1_000_000 // (n - 1)) if n > 1 \
+                else np.zeros(n, np.int64)
+            outs.append(pd.DataFrame({
+                "p_partkey": pk, "p_brand": brand,
+                "price_c": np.round(price * 100).astype(np.int64),
+                "pr_e6": pr.astype(np.int64),
+                "cd_e6": (cume * 1_000_000 // n).astype(np.int64)}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                          "p_brand": pd.Series([], dtype="object"),
+                          "price_c": pd.Series([], dtype="int64"),
+                          "pr_e6": pd.Series([], dtype="int64"),
+                          "cd_e6": pd.Series([], dtype="int64")})
+
+    out = (part.map_batches(tag, batch_format="pyarrow")
+           .groupby("_pb").map_groups(rank_bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["p_brand", "p_partkey"]).reset_index(drop=True)
+
+
+def q_value_histogram(sf_dir: str):
+    """EQUI-WIDTH HISTOGRAM (width_bucket): event values in cents
+    into 20 fixed $10 bins (clamped), count + exact sum per
+    (event_type, bin) — zero-shuffle enum-keyed combine; the profiler
+    complement for distribution shape."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100).astype(np.int64)
+        b = np.clip(vc // 1000, 0, 19)
+        t = pa.table({"event_type": batch["event_type"],
+                      "bin": pa.array(b, pa.int64()),
+                      "n": pa.array(np.ones(len(b), np.int64)),
+                      "sum_value_c": pa.array(vc)})
+        g = t.group_by(["event_type", "bin"]).aggregate(
+            [("n", "sum"), ("sum_value_c", "sum")])
+        return g.rename_columns(["event_type", "bin", "n", "sum_value_c"])
+
+    df = _merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["event_type", "bin"], ["n", "sum_value_c"])
+    for c in ("bin", "n", "sum_value_c"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["event_type", "bin"]).reset_index(drop=True)
+
+
+def q_user_timeline(sf_dir: str):
+    """HETEROGENEOUS STREAM ZIPPER: merge the events stream and the
+    orders stream (custkey read in the same id space, as the synthetic
+    corpus intends) into one per-user timeline with a global sequence
+    ordinal per user — the stream-merge every CDP/session store runs.
+    Order = (ts, source flag, entity id), fully deterministic. One
+    user-hash bucket shuffle over the union; per user one lexsort."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id",
+                                               "ts", "event_type"])
+    od = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey",
+                                               "o_orderdate",
+                                               "o_orderstatus"])
+
+    def ev_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts": t["ts"],
+            "src": pa.array(np.zeros(t.num_rows, np.int64)),
+            "eid": pc.cast(t["event_id"], pa.int64()),
+            "item": pc.binary_join_element_wise(
+                pa.scalar("event:"), t["event_type"], "")})
+
+    def od_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["o_custkey"], pa.int64()),
+            "ts": t["o_orderdate"],
+            "src": pa.array(np.ones(t.num_rows, np.int64)),
+            "eid": pc.cast(t["o_orderkey"], pa.int64()),
+            "item": pc.binary_join_element_wise(
+                pa.scalar("order:"), t["o_orderstatus"], "")})
+
+    both = (ev.map_batches(ev_side, batch_format="pyarrow")
+            .union(od.map_batches(od_side, batch_format="pyarrow"))
+            .repartition(32))
+
+    def seq_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((g["eid"].to_numpy(np.int64),
+                            g["src"].to_numpy(np.int64), ts,
+                            g["user_id"].to_numpy(np.int64)))
+        g = g.iloc[order].reset_index(drop=True)
+        seq = g.groupby("user_id").cumcount().to_numpy() + 1
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "ts": g["ts"].to_numpy(),
+            "item": g["item"],
+            "seq": seq.astype(np.int64)})
+
+    return (both.map_batches(_tag_bucket(["user_id"], 32, "_zb"),
+                             batch_format="pyarrow")
+            .groupby("_zb").map_groups(seq_bucket, batch_format="pandas"))
+
+
+def q_crawl_fairness(sf_dir: str):
+    """CRAWL-BUDGET FAIRNESS: the Gini coefficient of per-host
+    (source) document counts in exact integer e6 units — the skew
+    metric a frontier scheduler watches to decide when hot-host
+    salting / budgets must kick in (the north rule's skew concern as
+    a measurable). G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over counts
+    sorted ascending; within tied counts the index assignment is a
+    permutation of a constant multiset, so the sum — and the gate —
+    is order-invariant. Counts come from the combiner + enum-keyed
+    merge (host domain is config-sized here; the g7 Ray-side reduce
+    is the data-sized path)."""
+    ds = read_table(sf_dir, "documents", columns=["source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source").aggregate([("source", "count")])
+        return g.rename_columns(["source", "n"])
+
+    counts = _merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                             ["source"], ["n"])
+    x = np.sort(counts["n"].to_numpy().astype(np.int64))
+    n, tot = len(x), int(x.sum())
+    i = np.arange(1, n + 1, dtype=np.int64)
+    gini_e6 = int((2 * int((i * x).sum()) - (n + 1) * tot) * 1_000_000
+                  // (n * tot)) if n and tot else 0
+    return pd.DataFrame([{"n_hosts": n, "total_docs": tot,
+                          "gini_e6": gini_e6}])
+
+
 def q_unpivot_part(sf_dir: str):
     """UNPIVOT / melt — wide part measures (retail price in cents,
     size) to long (p_partkey, measure, value) rows; the inverse of
@@ -4638,6 +4786,47 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' "
         "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45) "
         "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "percentile_rank_parts":
+        "WITH prk AS (SELECT p_partkey, p_brand, p_retailprice, "
+        "rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS rk, "
+        "count(*) OVER (PARTITION BY p_brand ORDER BY p_retailprice) "
+        "AS cume, "
+        "count(*) OVER (PARTITION BY p_brand) AS cnt FROM part) "
+        "SELECT p_partkey, p_brand, "
+        "CAST(round(p_retailprice * 100) AS BIGINT) AS price_c, "
+        "CAST((rk - 1) * 1000000 // greatest(cnt - 1, 1) AS BIGINT) "
+        "AS pr_e6, "
+        "CAST(cume * 1000000 // cnt AS BIGINT) AS cd_e6 "
+        "FROM prk ORDER BY p_brand, p_partkey",
+    "value_histogram":
+        "WITH vh AS (SELECT event_type, "
+        "CAST(round(value * 100) AS BIGINT) AS vc FROM events) "
+        "SELECT event_type, "
+        "CAST(least(greatest(vc // 1000, 0), 19) AS BIGINT) AS bin, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(vc) AS BIGINT) AS sum_value_c "
+        "FROM vh GROUP BY 1, 2 ORDER BY 1, 2",
+    "user_timeline":
+        "WITH ut AS ("
+        "SELECT user_id, ts, 0 AS src, event_id AS eid, "
+        "'event:' || event_type AS item FROM events "
+        "UNION ALL "
+        "SELECT o_custkey, o_orderdate, 1, o_orderkey, "
+        "'order:' || o_orderstatus FROM orders) "
+        "SELECT user_id, ts, item, "
+        "CAST(row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts, src, eid) AS BIGINT) AS seq "
+        "FROM ut ORDER BY user_id, seq",
+    "crawl_fairness":
+        "WITH cf_c AS (SELECT source, CAST(count(*) AS BIGINT) AS n "
+        "FROM documents GROUP BY 1), "
+        "cf_r AS (SELECT n, row_number() OVER (ORDER BY n, source) AS i "
+        "FROM cf_c) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_hosts, "
+        "CAST(sum(n) AS BIGINT) AS total_docs, "
+        "CAST((2 * sum(i * n) - (count(*) + 1) * sum(n)) * 1000000 "
+        "// (count(*) * sum(n)) AS BIGINT) AS gini_e6 "
+        "FROM cf_r",
     "part_ntile":
         "SELECT p_partkey, p_brand, "
         "CAST(round(p_retailprice * 100) AS BIGINT) AS price_c, "

@@ -542,3 +542,80 @@ def test_profiler_distinct_and_bounds(ray_session, tmp_path):
     assert out.loc["event_type", "min_s"] == "click"
     assert out.loc["event_type", "max_s"] == "view"
     assert out.loc["ts_us", "n_distinct"] == 2
+
+
+def test_percent_rank_tie_semantics(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_percentile_rank_parts
+
+    t = pa.table({
+        "p_partkey": pa.array([0, 1, 2, 3], pa.int64()),
+        "p_name": pa.array(["x"] * 4),
+        "p_brand": pa.array(["A", "A", "A", "B"]),
+        "p_type": pa.array(["T"] * 4),
+        "p_size": pa.array([1] * 4, pa.int32()),
+        "p_retailprice": pa.array([10.0, 10.0, 20.0, 5.0], pa.float64())})
+    pq.write_table(t, str(tmp_path / "part.parquet"))
+    out = q_percentile_rank_parts(str(tmp_path)).set_index("p_partkey")
+    # brand A: ties at 10 share rank 1 -> pr 0; cume counts peers
+    # inclusively (2 of 3)
+    assert out.loc[0, "pr_e6"] == 0 and out.loc[1, "pr_e6"] == 0
+    assert out.loc[2, "pr_e6"] == 1_000_000
+    assert out.loc[0, "cd_e6"] == 2 * 1_000_000 // 3
+    assert out.loc[2, "cd_e6"] == 1_000_000
+    # single-row brand: pr 0, cd 1
+    assert out.loc[3, "pr_e6"] == 0 and out.loc[3, "cd_e6"] == 1_000_000
+
+
+def test_value_histogram_clamp(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_value_histogram
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = [(t0, 1, "click", 0.01),   # bin 0
+            (t0, 1, "click", 9.99),   # 999 -> bin 0
+            (t0, 1, "click", 10.00),  # 1000 -> bin 1
+            (t0, 1, "click", 250.0)]  # 25000 -> clamped bin 19
+    out = q_value_histogram(_write_events(tmp_path, rows)) \
+        .set_index("bin")
+    assert out.loc[0, "n"] == 2 and out.loc[0, "sum_value_c"] == 1000
+    assert out.loc[1, "n"] == 1
+    assert out.loc[19, "n"] == 1 and out.loc[19, "sum_value_c"] == 25000
+
+
+def test_timeline_zipper_tiebreak(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_user_timeline
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    _write_events(tmp_path, [(t0, 1, "view", 0.0),
+                             (t0 + 5, 1, "click", 0.0)])
+    orders = pa.table({
+        "o_orderkey": pa.array([100], pa.int64()),
+        "o_custkey": pa.array([1], pa.int64()),
+        "o_orderstatus": pa.array(["F"]),
+        "o_totalprice": pa.array([1.0], pa.float64()),
+        "o_orderdate": pa.array([t0], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["5-LOW"])})
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    out = (q_user_timeline(str(tmp_path)).to_pandas()
+           .sort_values("seq").reset_index(drop=True))
+    # equal ts at t0: event (src 0) precedes order (src 1)
+    assert list(out["item"]) == ["event:view", "order:F", "event:click"]
+    assert list(out["seq"]) == [1, 2, 3]
+
+
+def test_gini_fairness_golden(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_crawl_fairness
+
+    # equal counts -> gini 0
+    rows = [("t", "s1", 1), ("t", "s2", 1), ("t", "s3", 1)]
+    out = q_crawl_fairness(_write_docs(tmp_path, rows))
+    assert out.iloc[0]["gini_e6"] == 0
+    # counts (1, 3): G = (2*(1*1+2*3) - 3*4) / (2*4) = 0.25
+    d2 = tmp_path / "g2"
+    d2.mkdir()
+    rows = [("t", "a", 1)] + [("t", "b", 1)] * 3
+    out = q_crawl_fairness(_write_docs(d2, rows))
+    assert out.iloc[0].tolist() == [2, 4, 250_000]
