@@ -210,6 +210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_timeline": qa.q_user_timeline,
         # Gini fairness of per-host crawl budget (skew measurable)
         "crawl_fairness": qa.q_crawl_fairness,
+        # recursive hierarchy subtree rollup (WITH RECURSIVE twin)
+        "hierarchy_rollup": qt.q_hierarchy_rollup,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

@@ -693,6 +693,51 @@ def q_bpe_pair_counts(sf_dir: str, k: int = 20):
             .head(k).reset_index(drop=True))
 
 
+def q_hierarchy_rollup(sf_dir: str):
+    """HIERARCHICAL (recursive) subtree rollup: docs live in a
+    deterministic decimal id-tree (parent(v) = v // 10, root 0) and
+    every node reports its SUBTREE doc count and char sum — the
+    org-chart / category-tree aggregation relational engines need a
+    recursive CTE for. Ray shape: no iteration at all — each doc
+    emits its ≤ ceil(log10(max_id))+1 ancestors (a log-bounded
+    vectorized explode, 7 levels at 1e6 ids), per-batch combine, then
+    ONE bucketed merge on node; exchange ≤ depth × docs. SQL twin is
+    the textbook WITH RECURSIVE ancestor walk."""
+    from .analytics import _merge_partials_ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ch = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cur = ids
+        alln: list = [ids]
+        allc: list = [ch]
+        while cur.max(initial=0) > 0:
+            m = cur > 0
+            cur = cur[m] // 10
+            ch = ch[m]
+            alln.append(cur)
+            allc.append(ch)
+        node = np.concatenate(alln)
+        chs = np.concatenate(allc)
+        t = pa.table({"node": pa.array(node, pa.int64()),
+                      "n_docs": pa.array(np.ones(len(node), np.int64)),
+                      "sum_chars": pa.array(chs, pa.int64())})
+        g = t.group_by("node").aggregate([("n_docs", "sum"),
+                                          ("sum_chars", "sum")])
+        return g.rename_columns(["node", "n_docs", "sum_chars"])
+
+    out = _merge_partials_ray(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["node"], ["n_docs", "sum_chars"]).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_search_phrase(sf_dir: str):
     """PHRASE SEARCH: per-doc occurrence counts of the corpus's most
     frequent bigram — the adjacency-constrained search-engine query
@@ -3846,6 +3891,13 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
         "ORDER BY 1, 2",
     "zorder_layout": _zorder_oracle_sql(),
     "search_phrase": _search_phrase_oracle_sql(),
+    "hierarchy_rollup":
+        "WITH RECURSIVE hr AS ("
+        "SELECT doc_id AS node, n_chars FROM documents "
+        "UNION ALL SELECT node // 10, n_chars FROM hr WHERE node > 0) "
+        "SELECT node, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+        "FROM hr GROUP BY node ORDER BY node",
     "bm25_topk": _bm25_oracle_sql(),
     "stratified_split": _stratified_split_oracle_sql(),
     "mixture_sample": _mixture_oracle_sql(),

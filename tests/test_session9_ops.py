@@ -619,3 +619,23 @@ def test_gini_fairness_golden(ray_session, tmp_path):
     rows = [("t", "a", 1)] + [("t", "b", 1)] * 3
     out = q_crawl_fairness(_write_docs(d2, rows))
     assert out.iloc[0].tolist() == [2, 4, 250_000]
+
+
+def test_hierarchy_rollup_sparse_tree(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.training import \
+        q_hierarchy_rollup
+
+    # docs at sparse ids: 305 (path 305->30->3->0), 307 (->30->3->0),
+    # 42 (->4->0). Internal nodes 30/3/4 are NOT docs themselves.
+    rows = [("a", "s", 10), ("b", "s", 20), ("c", "s", 7)]
+    sf = _write_docs(tmp_path, rows)
+    t = pq.read_table(sf + "/documents.parquet")
+    t = t.set_column(0, "doc_id", pa.array([305, 307, 42], pa.int64()))
+    pq.write_table(t, sf + "/documents.parquet")
+    out = q_hierarchy_rollup(sf).set_index("node")
+    assert out.loc[305].tolist() == [1, 10]
+    assert out.loc[30].tolist() == [2, 30]   # subtree {305, 307}
+    assert out.loc[3].tolist() == [2, 30]
+    assert out.loc[4].tolist() == [1, 7]     # subtree {42}
+    assert out.loc[0].tolist() == [3, 37]    # root sees everything
+    assert set(out.index) == {305, 307, 30, 3, 42, 4, 0}
