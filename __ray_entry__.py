@@ -212,6 +212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_fairness": qa.q_crawl_fairness,
         # recursive hierarchy subtree rollup (WITH RECURSIVE twin)
         "hierarchy_rollup": qt.q_hierarchy_rollup,
+        # product-quantization encode (IVF-PQ second half)
+        "pq_codes": qt.q_pq_codes,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

@@ -693,6 +693,82 @@ def q_bpe_pair_counts(sf_dir: str, k: int = 20):
             .head(k).reset_index(drop=True))
 
 
+def q_pq_codes(sf_dir: str, m_sub: int = 4, k_cent: int = 16):
+    """PRODUCT QUANTIZATION encode — the IVF-PQ second half: each
+    64-dim vector splits into 4 16-dim subvectors, each assigned to
+    its nearest of 16 per-subspace centroids; output = the 4 codes +
+    the total quantization error, all exact integers. Centroids are
+    DERIVED, not trained — component c[m,k,d] = splitmix64(m·256 +
+    k·16 + d) % 2001 − 1000 in the same e3 units as the quantized
+    vectors (floor(x·1000+0.5), the knn_graph IEEE-stable expression)
+    — so both engines build the identical codebook with no side data.
+    A trained codebook would broadcast via ``ray.put`` into the same
+    batch fn.
+
+    Shape: codebook built once per process (1024 ints), one matmul
+    per (batch, subspace) for the −2·x·c cross term; argmin ties
+    break to the smallest k (np.argmin first-hit == SQL
+    row_number ORDER BY dist, k). Zero shuffle; output streams."""
+    from ..functions.hashing import splitmix64_np
+
+    sub = 64 // m_sub
+    comp = splitmix64_np(np.arange(m_sub * k_cent * sub, dtype=np.uint64))
+    cb = ((comp % np.uint64(2001)).astype(np.int64) - 1000) \
+        .reshape(m_sub, k_cent, sub)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+        x = np.floor(emb.astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
+        n = x.shape[0]
+        cols = {"vec_id": pc.cast(batch["vec_id"], pa.int64())}
+        err = np.zeros(n, np.int64)
+        for m in range(m_sub):
+            xm = x[:, m * sub:(m + 1) * sub]
+            cm = cb[m]
+            d = (xm * xm).sum(axis=1)[:, None] \
+                + (cm * cm).sum(axis=1)[None, :] - 2 * (xm @ cm.T)
+            code = np.argmin(d, axis=1)
+            err += d[np.arange(n), code]
+            cols[f"code{m}"] = pa.array(code.astype(np.int64))
+        cols["err"] = pa.array(err)
+        return pa.table(cols)
+
+    out = ds.map_batches(encode, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _pq_oracle_sql(m_sub: int = 4, k_cent: int = 16) -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    sub = 64 // m_sub
+    wth, fin = splitmix64_cte(
+        f"SELECT unnest(range({m_sub * k_cent * sub})) AS idx",
+        "idx", "h", carry_cols=("idx",), prefix="pqh")
+    return wth + (
+        f", pq_c AS (SELECT idx // {k_cent * sub} AS m, "
+        f"(idx % {k_cent * sub}) // {sub} AS k, idx % {sub} AS d, "
+        f"CAST(h % 2001 AS BIGINT) - 1000 AS c FROM {fin}), "
+        "pq_x AS (SELECT vec_id, "
+        f"CAST((i - 1) // {sub} AS BIGINT) AS m, "
+        f"CAST((i - 1) % {sub} AS BIGINT) AS d, "
+        "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) "
+        "AS x FROM (SELECT vec_id, embedding, "
+        "unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)), "
+        "pq_d AS (SELECT vec_id, x.m, k, "
+        "CAST(sum((x - c) * (x - c)) AS BIGINT) AS dist "
+        "FROM pq_x x JOIN pq_c c ON c.m = x.m AND c.d = x.d "
+        "GROUP BY 1, 2, 3), "
+        "pq_a AS (SELECT vec_id, m, k, dist, row_number() OVER ("
+        "PARTITION BY vec_id, m ORDER BY dist, k) AS rn FROM pq_d) "
+        "SELECT vec_id, "
+        + ", ".join(
+            f"CAST(max(CASE WHEN m = {m} THEN k END) AS BIGINT) AS code{m}"
+            for m in range(m_sub)) + ", "
+        "CAST(sum(dist) AS BIGINT) AS err "
+        "FROM pq_a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id")
+
+
 def q_hierarchy_rollup(sf_dir: str):
     """HIERARCHICAL (recursive) subtree rollup: docs live in a
     deterministic decimal id-tree (parent(v) = v // 10, root 0) and
@@ -3891,6 +3967,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
         "ORDER BY 1, 2",
     "zorder_layout": _zorder_oracle_sql(),
     "search_phrase": _search_phrase_oracle_sql(),
+    "pq_codes": _pq_oracle_sql(),
     "hierarchy_rollup":
         "WITH RECURSIVE hr AS ("
         "SELECT doc_id AS node, n_chars FROM documents "

@@ -639,3 +639,31 @@ def test_hierarchy_rollup_sparse_tree(ray_session, tmp_path):
     assert out.loc[4].tolist() == [1, 7]     # subtree {42}
     assert out.loc[0].tolist() == [3, 37]    # root sees everything
     assert set(out.index) == {305, 307, 30, 3, 42, 4, 0}
+
+
+def test_pq_codes_brute(ray_session, tmp_path):
+    from crawling_infrastructure_ray.functions.hashing import splitmix64_np
+    from crawling_infrastructure_ray.pipelines.training import q_pq_codes
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((6, 64)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(6), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(),
+                                        pa.list_(pa.float32())),
+                  "label": pa.array([0] * 6, pa.int32())})
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = q_pq_codes(str(tmp_path)).set_index("vec_id")
+
+    comp = splitmix64_np(np.arange(4 * 16 * 16, dtype=np.uint64))
+    cb = ((comp % np.uint64(2001)).astype(np.int64) - 1000) \
+        .reshape(4, 16, 16)
+    x = np.floor(vecs.astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
+    for v in range(6):
+        err = 0
+        for m in range(4):
+            d = ((x[v, m * 16:(m + 1) * 16][None, :] - cb[m]) ** 2) \
+                .sum(axis=1)
+            k = int(np.argmin(d))
+            assert out.loc[v, f"code{m}"] == k
+            err += int(d[k])
+        assert out.loc[v, "err"] == err
