@@ -214,6 +214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hierarchy_rollup": qt.q_hierarchy_rollup,
         # product-quantization encode (IVF-PQ second half)
         "pq_codes": qt.q_pq_codes,
+        # contrastive positives + splitmix negatives w/ member flag
+        "contrastive_pairs": qt.q_contrastive_pairs,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

@@ -693,6 +693,133 @@ def q_bpe_pair_counts(sf_dir: str, k: int = 20):
             .head(k).reset_index(drop=True))
 
 
+def q_contrastive_pairs(sf_dir: str, negs: int = 2):
+    """CONTRASTIVE TRAINING-PAIR assembly: positives = (anchor,
+    candidate) pairs from a BLOCKING KEY — docs sharing
+    (source, n_chars), the record-linkage blocking step (the driver
+    corpus has no exact text dups, so the block key is what a real
+    pipeline would pair on before verification; anchor = min doc_id
+    per block), negatives = ``negs`` deterministic splitmix draws
+    per positive over the id range, each flagged ``neg_clean`` = the
+    drawn id is NOT itself a member of any dup group (the real
+    pipeline drops unclean draws and redraws; the flag keeps the op
+    closed-form for the gate). The retrieval/embedding-training data
+    op (in-batch negatives' offline twin).
+
+    Shape: one content-hash bucket shuffle builds the pairs (per
+    bucket: vectorized min + non-min pairing); draws are pure hash
+    arithmetic in the same pass; the membership flag is ONE
+    neg_id-bucketed shuffle against the (output-sized) member-id
+    stream — isin per bucket, the semi-join machinery as a flag."""
+    from ..functions.bucketing import tag_bucket_fn
+    from ..functions.hashing import splitmix64_np
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "n_chars"])
+    ids = read_table(sf_dir, "documents", columns=["doc_id"])
+    mod = int(ids.max("doc_id")) + 1
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch["source"], pc.cast(batch["n_chars"], pa.string()), ":")
+        return pa.table({"content_hash": key,
+                         "doc_id": pc.cast(batch["doc_id"], pa.int64())})
+
+    htag = tag_bucket_fn(["content_hash"], 64, "_cb")
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["content_hash", "doc_id"])
+        anchor = g.groupby("content_hash")["doc_id"].transform("min")
+        m = g["doc_id"].to_numpy() != anchor.to_numpy()
+        return pd.DataFrame({
+            "anchor": anchor.to_numpy()[m].astype("int64"),
+            "positive": g["doc_id"].to_numpy()[m].astype("int64")})
+
+    # output-sized (one row per duplicate member): safe to pin so the
+    # content-hash shuffle runs once for both consumers below
+    pairs = (ds.map_batches(hash_rows, batch_format="pyarrow")
+             .map_batches(htag, batch_format="pyarrow")
+             .groupby("_cb").map_groups(pairs_bucket,
+                                        batch_format="pandas")
+             .materialize())
+
+    def draw(t: pa.Table) -> pa.Table:
+        a = t["anchor"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["positive"].to_numpy(zero_copy_only=False).astype(np.int64)
+        an = np.repeat(a, negs)
+        pn = np.repeat(p, negs)
+        j = np.tile(np.arange(negs, dtype=np.int64), len(a))
+        neg = (splitmix64_np((an * negs + j).astype(np.uint64))
+               % np.uint64(mod)).astype(np.int64)
+        return pa.table({"anchor": pa.array(an), "positive": pa.array(pn),
+                         "neg_slot": pa.array(j),
+                         "neg_id": pa.array(neg),
+                         "is_member": pa.array(np.zeros(len(an), np.int64)),
+                         "side": pa.array(["d"] * len(an))})
+
+    def member_side(t: pa.Table) -> pa.Table:
+        # dup-group members = anchors ∪ positives of this block
+        ids_ = np.unique(np.concatenate([
+            t["anchor"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["positive"].to_numpy(zero_copy_only=False).astype(np.int64)]))
+        n = len(ids_)
+        return pa.table({"anchor": pa.array(np.full(n, -1, np.int64)),
+                         "positive": pa.array(np.full(n, -1, np.int64)),
+                         "neg_slot": pa.array(np.full(n, -1, np.int64)),
+                         "neg_id": pa.array(ids_, pa.int64()),
+                         "is_member": pa.array(np.ones(n, np.int64)),
+                         "side": pa.array(["m"] * n)})
+
+    ntag = tag_bucket_fn(["neg_id"], 64, "_nb")
+    both = (pairs.map_batches(draw, batch_format="pyarrow")
+            .union(pairs.map_batches(member_side, batch_format="pyarrow"))
+            .map_batches(ntag, batch_format="pyarrow")
+            .repartition(32))
+
+    def flag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        mem = set(g.loc[g["side"] == "m", "neg_id"])
+        d = g[g["side"] == "d"]
+        return pd.DataFrame({
+            "anchor": d["anchor"].to_numpy().astype("int64"),
+            "positive": d["positive"].to_numpy().astype("int64"),
+            "neg_slot": d["neg_slot"].to_numpy().astype("int64"),
+            "neg_id": d["neg_id"].to_numpy().astype("int64"),
+            "neg_clean": (~d["neg_id"].isin(mem)).to_numpy()
+            .astype("int64")})
+
+    out = (both.groupby("_nb").map_groups(flag_bucket,
+                                          batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["anchor", "positive", "neg_slot"]) \
+        .reset_index(drop=True)
+
+
+def _contrastive_oracle_sql(negs: int = 2) -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    wth, fin = splitmix64_cte(
+        f"SELECT anchor, positive, j, CAST(anchor * {negs} + j AS UBIGINT) "
+        "AS seed FROM (SELECT g.anchor, d.doc_id AS positive "
+        "FROM documents d JOIN (SELECT source, n_chars, "
+        "min(doc_id) AS anchor, count(*) AS n FROM documents "
+        "GROUP BY source, n_chars) g ON d.source = g.source "
+        "AND d.n_chars = g.n_chars AND g.n > 1 "
+        "AND d.doc_id <> g.anchor) "
+        f", (SELECT unnest(range({negs})) AS j)",
+        "seed", "h", carry_cols=("anchor", "positive", "j"),
+        prefix="cph")
+    return wth + (
+        ", cp_mx AS (SELECT max(doc_id) + 1 AS mod FROM documents), "
+        "cp_mem AS (SELECT DISTINCT doc_id FROM documents d "
+        "JOIN (SELECT source, n_chars, count(*) AS n FROM documents "
+        "GROUP BY source, n_chars) g ON d.source = g.source "
+        "AND d.n_chars = g.n_chars AND g.n > 1) "
+        "SELECT anchor, positive, CAST(j AS BIGINT) AS neg_slot, "
+        "CAST(h % (SELECT mod FROM cp_mx) AS BIGINT) AS neg_id, "
+        "CAST(CAST(h % (SELECT mod FROM cp_mx) AS BIGINT) NOT IN "
+        "(SELECT doc_id FROM cp_mem) AS BIGINT) AS neg_clean "
+        f"FROM {fin} ORDER BY anchor, positive, neg_slot")
+
+
 def q_pq_codes(sf_dir: str, m_sub: int = 4, k_cent: int = 16):
     """PRODUCT QUANTIZATION encode — the IVF-PQ second half: each
     64-dim vector splits into 4 16-dim subvectors, each assigned to
@@ -3968,6 +4095,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "zorder_layout": _zorder_oracle_sql(),
     "search_phrase": _search_phrase_oracle_sql(),
     "pq_codes": _pq_oracle_sql(),
+    "contrastive_pairs": _contrastive_oracle_sql(),
     "hierarchy_rollup":
         "WITH RECURSIVE hr AS ("
         "SELECT doc_id AS node, n_chars FROM documents "

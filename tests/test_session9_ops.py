@@ -667,3 +667,27 @@ def test_pq_codes_brute(ray_session, tmp_path):
             assert out.loc[v, f"code{m}"] == k
             err += int(d[k])
         assert out.loc[v, "err"] == err
+
+
+def test_contrastive_pairs_blocking(ray_session, tmp_path):
+    from crawling_infrastructure_ray.functions.hashing import splitmix64_np
+    from crawling_infrastructure_ray.pipelines.training import \
+        q_contrastive_pairs
+
+    # blocks: (s1, 10) -> docs {0, 2, 3}; (s1, 20) -> {1}; (s2, 10)
+    # -> {4, 5}. Positives: (0,2), (0,3), (4,5).
+    rows = [("a", "s1", 10), ("b", "s1", 20), ("c", "s1", 10),
+            ("d", "s1", 10), ("e", "s2", 10), ("f", "s2", 10)]
+    out = q_contrastive_pairs(_write_docs(tmp_path, rows))
+    got_pos = set(zip(out["anchor"], out["positive"]))
+    assert got_pos == {(0, 2), (0, 3), (4, 5)}
+    assert len(out) == 6  # 3 positives x 2 neg slots
+    # draws: neg_id = splitmix64(anchor*2 + j) % 6; member set =
+    # {0, 2, 3, 4, 5} (1 is in a singleton block)
+    mem = {0, 2, 3, 4, 5}
+    for r in out.itertuples():
+        exp_neg = int(splitmix64_np(
+            np.array([r.anchor * 2 + r.neg_slot], np.uint64))[0]
+            % np.uint64(6))
+        assert r.neg_id == exp_neg
+        assert r.neg_clean == int(exp_neg not in mem)
