@@ -250,14 +250,16 @@ def run_scaling(pair: tuple[int, int] = (8, 32)) -> dict:
         cals = [p.get(f"calib_matmul_s_{lo}"), p.get(f"calib_matmul_s_{hi}")]
         return all(c is not None and c < CAL_CLEAN_S for c in cals)
 
-    kept = [p for p in passes if _clean(p)] or passes
+    clean = [p for p in passes if _clean(p)]
+    kept = clean or passes  # fallback: ungated median when all dirty
     effs = sorted(p["efficiency"] for p in kept)
     med = effs[len(effs) // 2] if len(effs) % 2 else round(
         (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
     best = max(passes, key=lambda p: p[f"crawl_urls_per_sec_{hi}"])
     return {"metric": "scaling_efficiency", "value": med,
             "unit": "ratio", "pair": [lo, hi],
-            "clean_passes_used": len(kept), "per_pass": passes,
+            "clean_passes_used": len(clean),
+            "gated": bool(clean), "per_pass": passes,
             f"crawl_urls_per_sec_{lo}": best[f"crawl_urls_per_sec_{lo}"],
             f"crawl_urls_per_sec_{hi}": best[f"crawl_urls_per_sec_{hi}"]}
 
