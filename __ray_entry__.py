@@ -216,6 +216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": qt.q_pq_codes,
         # contrastive positives + splitmix negatives w/ member flag
         "contrastive_pairs": qt.q_contrastive_pairs,
+        # interpolated (percentile_cont) median, exact 2x-cents
+        "median_cont_value_per_type": qa.q_median_cont_value_per_type,
         # M8 randomizer draw mirrored bit-for-bit in SQL
         "m8_randomizers": qt.q_m8_randomizers,
         # exact all-pairs Jaccard via shingle inverted index

@@ -3622,6 +3622,48 @@ def q_median_value_per_type(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_median_cont_value_per_type(sf_dir: str):
+    """INTERPOLATED (percentile_cont) median per group, exactly: the
+    two middle order statistics at indices (n-1)//2 and n//2 are
+    picked from the same domain-sized count-table plan as the
+    discrete median, and the gate column is their SUM (med2x_c =
+    2×median in cents — integer, so no ½ ever touches a float). For
+    odd n the indices coincide and the value doubles. Only counts
+    cross the exchange; no global sort."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v_c = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "v_c": v_c})
+        g = t.group_by(["event_type", "v_c"]).aggregate([("v_c", "count")])
+        return g.rename_columns(["event_type", "v_c", "n"])
+
+    merged = _merge_partials_ray(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "v_c"], ["n"])
+
+    def pick_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in g.groupby("event_type", sort=False):
+            grp = grp.sort_values("v_c")
+            n = int(grp["n"].sum())
+            cum = grp["n"].cumsum().to_numpy()
+            vals = grp["v_c"].to_numpy()
+            lo = int(vals[np.searchsorted(cum, (n - 1) // 2 + 1)])
+            hi = int(vals[np.searchsorted(cum, n // 2 + 1)])
+            rows.append({"event_type": et, "n_events": n,
+                         "med2x_c": lo + hi})
+        return pd.DataFrame(rows)
+
+    out = (merged.map_batches(_tag_bucket(["event_type"]),
+                              batch_format="pyarrow")
+           .groupby("_kb").map_groups(pick_bucket, batch_format="pandas")
+           .to_pandas())
+    for c in ("n_events", "med2x_c"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_weighted_median_chars(sf_dir: str):
     """WEIGHTED MEDIAN per group (lower-median convention): the doc
     length L per source such that ≥50% of the source's total
@@ -4786,6 +4828,16 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' "
         "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45) "
         "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "median_cont_value_per_type":
+        "WITH mc_v AS (SELECT event_type, "
+        "CAST(round(value * 100) AS BIGINT) AS vc FROM events), "
+        "mc_r AS (SELECT event_type, vc, row_number() OVER ("
+        "PARTITION BY event_type ORDER BY vc) - 1 AS i, "
+        "count(*) OVER (PARTITION BY event_type) AS n FROM mc_v) "
+        "SELECT event_type, CAST(max(n) AS BIGINT) AS n_events, "
+        "CAST(sum(CASE WHEN i = (n - 1) // 2 THEN vc ELSE 0 END) + "
+        "sum(CASE WHEN i = n // 2 THEN vc ELSE 0 END) AS BIGINT) "
+        "AS med2x_c FROM mc_r GROUP BY event_type ORDER BY event_type",
     "percentile_rank_parts":
         "WITH prk AS (SELECT p_partkey, p_brand, p_retailprice, "
         "rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS rk, "

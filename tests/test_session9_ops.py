@@ -691,3 +691,18 @@ def test_contrastive_pairs_blocking(ray_session, tmp_path):
             % np.uint64(6))
         assert r.neg_id == exp_neg
         assert r.neg_clean == int(exp_neg not in mem)
+
+
+def test_median_cont_even_odd(ray_session, tmp_path):
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_median_cont_value_per_type
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    # even n: values (1, 2, 3, 4) -> middles 2,3 -> med2x 500;
+    # odd n: (1, 2, 10) -> middle 2 doubled -> 400
+    rows = [(t0, 1, "even", float(v)) for v in (1, 2, 3, 4)]
+    rows += [(t0, 1, "odd", float(v)) for v in (1, 2, 10)]
+    out = q_median_cont_value_per_type(_write_events(tmp_path, rows)) \
+        .set_index("event_type")
+    assert out.loc["even", "med2x_c"] == 500
+    assert out.loc["odd", "med2x_c"] == 400
