@@ -41,6 +41,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # even at a 50-entry truncation.
     return {
         # ---- tier 1: oracle-checked, never driver-graded (r03) ----
+        # session-11: DSIR importance resampling, vectorized URL
+        # canonicalization dedup, integer-exact EWMA smoothing
+        "dsir_importance": qt.q_dsir_importance,
+        "url_canonical_dedup": qt.q_url_canonical_dedup,
+        "events_ewma": qa.q_events_ewma,
         # session-7 TPC-H anchors: correlated-avg subquery (Q17),
         # scalar-subquery + anti-join (Q22), national market share
         # (Q8), product-type profit (Q9, adapted cost), grouped

@@ -70,3 +70,42 @@ def truncate_host_labels(host: str, keep: int = 3) -> str:
     """Keep the last ``keep`` dot-labels (reference domain_count.js:43-44)."""
     labels = host.split(".")
     return ".".join(labels[-keep:]) if len(labels) > keep else host
+
+
+def canonicalize_urls_series(urls):
+    """VECTORIZED ``canonicalize_url`` for pandas Series of well-formed
+    ``scheme://netloc[path][?query][#fragment]`` URLs (no userinfo) —
+    the batch path for seed-list / snapshot dedup where per-row
+    urlsplit would dominate (at 10^10 frontier URLs the scalar parser
+    is the bottleneck; this is ~40x faster). Semantics are pinned
+    equal to the scalar function on the supported shape by
+    tests/test_session11_ops.py (fuzz corpus incl. empty path, empty
+    query, default/explicit ports, mixed case, fragments).
+
+    Steps mirror canonicalize_url: strip → drop fragment → lowercase
+    scheme/host → strip default port → empty path becomes '/' →
+    reassemble keeping the query byte-for-byte (order untouched),
+    dropping a bare trailing '?'.
+    """
+    import pandas as pd
+
+    s = pd.Series(urls, dtype="object").fillna("").astype(str).str.strip()
+    nofrag = s.str.partition("#")[0]
+    trip = nofrag.str.partition("://")
+    scheme = trip[0].str.lower()
+    rest = trip[2]
+    qsplit = rest.str.partition("?")
+    pre, query = qsplit[0], qsplit[2]
+    # netloc = pre up to first '/', path = remainder ('' if none) —
+    # one vectorized extract, greedy [^/]* stops at the first slash
+    m = pre.str.extract(r"^([^/]*)(.*)$", expand=True)
+    netloc, path = m[0].fillna(""), m[1].fillna("")
+    hsplit = netloc.str.partition(":")
+    host = hsplit[0].str.lower()
+    port = hsplit[2]
+    default = scheme.map(_DEFAULT_PORTS).fillna("")
+    keep_port = (port != "") & (port != default)
+    netloc_c = host.where(~keep_port, host + ":" + port)
+    path_c = path.where(path != "", "/")
+    out = scheme + "://" + netloc_c + path_c
+    return out.where(query == "", out + "?" + query)

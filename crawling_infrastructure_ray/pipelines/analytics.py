@@ -1804,6 +1804,64 @@ def q_trailing_window_value(sf_dir: str):
             .groupby("_kb").map_groups(trail_bucket, batch_format="pandas"))
 
 
+EWMA_W = 16  # EWMA window: alpha=1/2 truncated to 16 terms
+
+
+def q_events_ewma(sf_dir: str):
+    """EXPONENTIAL SMOOTHING (EWMA) per user — the weighted member of
+    the rolling-window family (ROWS frame = q_rolling_window_value,
+    RANGE frame = q_trailing_window_value): per event, ordered by
+    (ts, event_id), ewma16_c = Σ_{j=0..15} vc[i-j] · 2^(15-j) over the
+    user's own rows (missing lags contribute 0), vc = value cents.
+    alpha = 1/2 with the weights kept UNNORMALIZED as powers of two so
+    the gate column is exact integer — the standard trick for
+    integer-exact exponential decay.
+
+    Scale shape: users hash-bucketed; inside each bucket the smoothing
+    is 16 shifted vector adds over the (user, ts, event_id)-sorted
+    frame with a same-user mask — no per-user Python, no per-row
+    loop."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id",
+                                               "ts", "value"])
+
+    def ewma_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]) \
+             .reset_index(drop=True)
+        v = (g["value"] * 100).round().astype("int64").to_numpy()
+        u = g["user_id"].to_numpy()
+        n = len(g)
+        out = v * (1 << (EWMA_W - 1))
+        for j in range(1, EWMA_W):
+            w = 1 << (EWMA_W - 1 - j)
+            shifted = np.zeros(n, dtype=np.int64)
+            shifted[j:] = v[:-j]
+            same = np.zeros(n, dtype=bool)
+            same[j:] = u[j:] == u[:-j]
+            out = out + np.where(same, shifted, 0) * w
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "event_id": g["event_id"].astype("int64"),
+            "ewma16_c": out.astype("int64")})
+
+    return (ds.repartition(32)
+            .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow")
+            .groupby("_kb").map_groups(ewma_bucket, batch_format="pandas"))
+
+
+def _ewma_oracle_sql() -> str:
+    terms = " + ".join(
+        f"coalesce(lag(vc, {j}) OVER w, 0) * {1 << (EWMA_W - 1 - j)}"
+        if j else f"vc * {1 << (EWMA_W - 1)}"
+        for j in range(EWMA_W))
+    return (
+        "SELECT user_id, event_id, "
+        f"CAST({terms} AS BIGINT) AS ewma16_c "
+        "FROM (SELECT user_id, event_id, ts, "
+        "CAST(round(value * 100) AS BIGINT) AS vc FROM events) "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+        "ORDER BY 1, 2")
+
+
 def q_pivot_priority_status(sf_dir: str):
     """PIVOT: order counts as one row per o_orderpriority with one
     column per o_orderstatus (wide layout). Statuses are a bounded
@@ -4680,6 +4738,7 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
         "(SELECT c_custkey FROM customer "
         "WHERE c_mktsegment = 'BUILDING') ORDER BY o_orderkey",
+    "events_ewma": _ewma_oracle_sql(),
     "trailing_window_value":
         "SELECT user_id, event_id, "
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "

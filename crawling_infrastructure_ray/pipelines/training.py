@@ -4070,7 +4070,256 @@ def _length_bins_oracle_sql(k_bins: int = 8) -> str:
         "FROM lb, tot GROUP BY 1")
 
 
+def q_dsir_importance(sf_dir: str):
+    """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    doc by how much more likely its hashed-bigram profile is under a
+    TARGET corpus (here: the lexicographically-smallest source) than
+    under the raw corpus — the standard select-web-data-that-looks-
+    like-the-target primitive. Integer-exact variant: per bigram b,
+    w(b) = floor(1e4 * (c_t(b)+1) * (N_r+1) / ((c_r(b)+1) * (N_t+1)))
+    (add-1 smoothed probability ratio, e4-quantized), and
+    dsir_score(doc) = sum over the doc's bigram occurrences of w(b).
+    Docs with < 2 tokens have no bigrams and are excluded.
+
+    Scale shape: pass 1 is a cheap vectorized token-count scan
+    reducing to TWO scalars (N_r, N_t); pass 2 reuses the
+    doc_bigram_partial_counts combiner, buckets by the FULL bigram so
+    c_t, c_r and every doc's partial score for that bigram are
+    bucket-local (no model table ever materializes), then the per-doc
+    partials merge through the standard bucketed reduce. Overflow
+    bound asserted: 1e4*(c_t+1)*(N_r+1) must fit int64 (holds to
+    ~sf100 on this corpus; beyond, lift w to object ints)."""
+    from ..stages.sampling import doc_bigram_partial_counts
+    from .analytics import _merge_partials_ray
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "source"])
+    srcs = ds.groupby("source").count().to_pandas()  # config-sized
+    target = srcs["source"].min()
+
+    def totals_batch(batch: pa.Table) -> pa.Table:
+        stripped = pc.utf8_trim_whitespace(
+            pc.coalesce(batch["text"], ""))
+        lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+        n_tok = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_tok[np.asarray(pc.equal(stripped, "").to_numpy(
+            zero_copy_only=False))] = 0
+        n_bg = np.maximum(n_tok - 1, 0)
+        is_t = pc.equal(batch["source"], target).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"n_r": pa.array([int(n_bg.sum())], pa.int64()),
+                         "n_t": pa.array([int(n_bg[is_t].sum())],
+                                         pa.int64())})
+
+    tot = ds.map_batches(totals_batch, batch_format="pyarrow") \
+        .sum(["n_r", "n_t"])
+    n_r, n_t = int(tot["sum(n_r)"]), int(tot["sum(n_t)"])
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        part = doc_bigram_partial_counts(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        is_t = pc.equal(batch["source"], target).to_numpy(
+            zero_copy_only=False)
+        pd_ids = part["doc_id"].to_numpy(zero_copy_only=False)
+        # vectorized doc -> is_target lookup (pandas hash reindex)
+        flags = pd.Series(is_t.astype(np.int64), index=ids) \
+            .reindex(pd_ids).to_numpy()
+        return part.append_column("is_t", pa.array(flags, pa.int64()))
+
+    partials = ds.map_batches(pair_partials, batch_format="pyarrow")
+    tag = tag_bucket_fn(["left_tok", "right_tok"], 64, "_bg")
+    tagged = partials.map_batches(tag, batch_format="pyarrow") \
+        .repartition(32)
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby(["left_tok", "right_tok"], sort=False)
+        c_r = grp["occ"].transform("sum").to_numpy()
+        c_t = g.assign(_t=g["occ"] * g["is_t"]).groupby(
+            ["left_tok", "right_tok"], sort=False)["_t"] \
+            .transform("sum").to_numpy()
+        assert 10000 * (int(c_t.max()) + 1) * (n_r + 1) < 2 ** 63
+        w = (10000 * (c_t + 1) * (n_r + 1)) // ((c_r + 1) * (n_t + 1))
+        part = pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "n_bigrams": g["occ"].astype("int64"),
+            "dsir_score": (g["occ"].to_numpy() * w).astype("int64")})
+        return part.groupby("doc_id", as_index=False).sum()
+
+    parts = tagged.groupby("_bg").map_groups(score_bucket,
+                                             batch_format="pandas")
+    out = _merge_partials_ray(parts, ["doc_id"],
+                              ["n_bigrams", "dsir_score"]).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _dsir_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    toks = tokens_sql("coalesce(text,'')")
+    return (
+        f"WITH di_t AS (SELECT doc_id, source, {toks} AS t "
+        "FROM documents), "
+        "di_p AS (SELECT doc_id, source, t[i] AS l, t[i + 1] AS r FROM "
+        "(SELECT doc_id, source, t, unnest(range(1, len(t))) AS i "
+        "FROM di_t WHERE len(t) >= 2)), "
+        "di_tgt AS (SELECT min(source) AS tgt FROM documents), "
+        "di_c AS (SELECT l, r, CAST(count(*) AS BIGINT) AS c_r, "
+        "CAST(count(*) FILTER (WHERE source = (SELECT tgt FROM di_tgt)) "
+        "AS BIGINT) AS c_t FROM di_p GROUP BY 1, 2), "
+        "di_n AS (SELECT CAST(count(*) AS BIGINT) AS n_r, "
+        "CAST(count(*) FILTER (WHERE source = (SELECT tgt FROM di_tgt)) "
+        "AS BIGINT) AS n_t FROM di_p), "
+        "di_w AS (SELECT l, r, CAST((CAST(10000 AS HUGEINT) * (c_t + 1) "
+        "* (n_r + 1)) // ((c_r + 1) * (n_t + 1)) AS BIGINT) AS w "
+        "FROM di_c, di_n), "
+        "di_d AS (SELECT doc_id, l, r, CAST(count(*) AS BIGINT) AS occ "
+        "FROM di_p GROUP BY 1, 2, 3) "
+        "SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams, "
+        "CAST(sum(occ * w) AS BIGINT) AS dsir_score "
+        "FROM di_d JOIN di_w ON di_d.l = di_w.l AND di_d.r = di_w.r "
+        "GROUP BY 1 ORDER BY 1")
+
+
+def _messy_urls_np(ids: np.ndarray) -> pd.Series:
+    """Deterministic MESSY URL per doc_id (the synthetic corpus has no
+    URL column, so — like redact_pii's injected spans — both engines
+    derive the same input from doc_id): mixed-case scheme/host,
+    default and explicit ports, empty paths, bounded path/query
+    residues (so canonical groups have real size), bare '?', and
+    fragments. The SQL twin builds the identical string with CASE
+    arithmetic, then canonicalizes it with its own string ops."""
+    i = ids.astype(np.int64)
+    scheme = np.where(i % 2 == 0, "HTTP", "https").astype(object)
+    site = pd.Series((i % 7).astype(str), dtype="object")
+    host = np.where(i % 4 == 0,
+                    "WWW.Site" + site + ".Example.COM",
+                    "www.site" + site + ".example.com").astype(object)
+    defport = np.where(i % 2 == 0, ":80", ":443").astype(object)
+    port = np.where(i % 3 == 0, defport,
+                    np.where(i % 3 == 1, ":8080", "")).astype(object)
+    path = np.where(i % 5 == 0, "",
+                    "/p/" + pd.Series((i % 50).astype(str),
+                                      dtype="object")).astype(object)
+    query = np.where(i % 4 == 0,
+                     "?a=" + pd.Series((i % 9).astype(str),
+                                       dtype="object"),
+                     np.where(i % 4 == 2, "?", "")).astype(object)
+    frag = np.where(i % 6 == 0,
+                    "#s" + pd.Series((i % 3).astype(str),
+                                     dtype="object"), "").astype(object)
+    return pd.Series(scheme) + "://" + host + port + path + query + frag
+
+
+def q_url_canonical_dedup(sf_dir: str):
+    """URL CANONICALIZATION dedup — the crawl north-star's URL-seen
+    primitive as a batch operator: canonicalize every (deterministic
+    messy) URL with the VECTORIZED canonicalizer
+    (functions/urltools.canonicalize_urls_series — pinned equal to the
+    scalar urlsplit path by pytest), then group by canonical form:
+    (canonical_url, n_urls, n_forms=distinct messy spellings,
+    keeper_doc=min doc_id). This is what seed-list ingest runs at
+    10^10 URLs before the frontier ever sees them.
+
+    Scale shape: canonicalization is zero-shuffle vectorized
+    map_batches; the group is ONE canonical-hash bucket shuffle with a
+    per-bucket vectorized nunique/min/count reduce (keys are
+    data-sized, the driver never holds them)."""
+    from ..functions.urltools import canonicalize_urls_series
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def canon_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        messy = _messy_urls_np(ids)
+        canon = canonicalize_urls_series(messy)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "messy_url": pa.array(messy, pa.string()),
+                         "canonical_url": pa.array(canon, pa.string())})
+
+    tagged = ds.map_batches(canon_batch, batch_format="pyarrow") \
+        .map_batches(tag_bucket_fn(["canonical_url"], 64, "_cu"),
+                     batch_format="pyarrow") \
+        .repartition(32)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("canonical_url", as_index=False)
+        out = grp.agg(n_urls=("doc_id", "size"),
+                      n_forms=("messy_url", "nunique"),
+                      keeper_doc=("doc_id", "min"))
+        for c in ("n_urls", "n_forms", "keeper_doc"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return tagged.groupby("_cu").map_groups(reduce_bucket,
+                                            batch_format="pandas")
+
+
+def _url_canonical_oracle_sql() -> str:
+    # identical messy construction, then canonicalization via SQL
+    # string ops (lower / split / default-port strip / '' -> '/'),
+    # exercising the same parse the engine's vectorized path does
+    messy = (
+        "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || "
+        "'://' || "
+        "CASE WHEN doc_id % 4 = 0 THEN 'WWW.Site' || (doc_id % 7) || "
+        "'.Example.COM' ELSE 'www.site' || (doc_id % 7) || "
+        "'.example.com' END || "
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        "(CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) "
+        "WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END || "
+        "CASE WHEN doc_id % 5 = 0 THEN '' "
+        "ELSE '/p/' || (doc_id % 50) END || "
+        "CASE WHEN doc_id % 4 = 0 THEN '?a=' || (doc_id % 9) "
+        "WHEN doc_id % 4 = 2 THEN '?' ELSE '' END || "
+        "CASE WHEN doc_id % 6 = 0 THEN '#s' || (doc_id % 3) "
+        "ELSE '' END)")
+    return (
+        f"WITH uc_m AS (SELECT doc_id, {messy} AS u FROM documents), "
+        "uc_s AS (SELECT doc_id, u, split_part(u, '#', 1) AS nf "
+        "FROM uc_m), "
+        "uc_p AS (SELECT doc_id, u, "
+        "lower(split_part(nf, '://', 1)) AS sch, "
+        "substr(nf, length(split_part(nf, '://', 1)) + 4) AS rest "
+        "FROM uc_s), "
+        "uc_q AS (SELECT doc_id, u, sch, "
+        "CASE WHEN strpos(rest, '?') > 0 "
+        "THEN substr(rest, 1, strpos(rest, '?') - 1) ELSE rest END "
+        "AS pre, "
+        "CASE WHEN strpos(rest, '?') > 0 "
+        "THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS q "
+        "FROM uc_p), "
+        "uc_n AS (SELECT doc_id, u, sch, q, "
+        "split_part(pre, '/', 1) AS netloc, "
+        "substr(pre, length(split_part(pre, '/', 1)) + 1) AS path "
+        "FROM uc_q), "
+        "uc_h AS (SELECT doc_id, u, sch, q, path, "
+        "lower(split_part(netloc, ':', 1)) AS host, "
+        "CASE WHEN strpos(netloc, ':') > 0 "
+        "THEN split_part(netloc, ':', 2) ELSE '' END AS port "
+        "FROM uc_n), "
+        "uc_c AS (SELECT doc_id, u, sch || '://' || host || "
+        "CASE WHEN port <> '' AND port <> "
+        "(CASE WHEN sch = 'http' THEN '80' "
+        "WHEN sch = 'https' THEN '443' ELSE '' END) "
+        "THEN ':' || port ELSE '' END || "
+        "CASE WHEN path = '' THEN '/' ELSE path END || "
+        "CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canon "
+        "FROM uc_h) "
+        "SELECT canon AS canonical_url, "
+        "CAST(count(*) AS BIGINT) AS n_urls, "
+        "CAST(count(DISTINCT u) AS BIGINT) AS n_forms, "
+        "CAST(min(doc_id) AS BIGINT) AS keeper_doc "
+        "FROM uc_c GROUP BY 1 ORDER BY 1")
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
+    # session-11 additions: DSIR importance resampling scores and
+    # URL-canonicalization dedup (the vectorized seed-ingest primitive)
+    "dsir_importance": _dsir_oracle_sql(),
+    "url_canonical_dedup": _url_canonical_oracle_sql(),
     # training-data assembly additions (r03): deterministic splits /
     # mixture sampling / decontamination / vocabulary / curriculum
     # bins — split+mixture draws mirrored bit-for-bit via

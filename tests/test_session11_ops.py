@@ -1,0 +1,173 @@
+"""Crafted-case tests for the session-11 operators: vectorized URL
+canonicalization (+ dedup grouping), DSIR importance scoring, EWMA
+exponential smoothing. The parametrized oracle mirror
+(test_queries_oracle) hash-checks them against DuckDB; these pin the
+SEMANTICS on inputs constructed to hit the edges."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, rows):
+    t = pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array([r[0] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[0]) for r in rows], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _write_events(tmp_path, rows):
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+        "props": pa.array([""] * len(rows), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_canonicalize_vectorized_matches_scalar():
+    """The batch canonicalizer must equal the scalar urlsplit path on
+    the whole supported shape: the messy synthetic corpus plus
+    handcrafted edges (bare host, bare '?', default/explicit ports,
+    fragments, surrounding whitespace, deep paths)."""
+    from crawling_infrastructure_ray.functions.urltools import (
+        canonicalize_url, canonicalize_urls_series)
+    from crawling_infrastructure_ray.pipelines.training import \
+        _messy_urls_np
+
+    urls = list(_messy_urls_np(np.arange(5000, dtype=np.int64)))
+    urls += [
+        "HTTP://WWW.EDGE.COM:80/p?a=1&b=2#f",
+        "https://edge.com:443", "https://edge.com:8443",
+        "http://edge.com?", "http://edge.com?#f",
+        "  http://Pad.com/x  ", "https://h.com/#only-frag",
+        "http://h.com:8080", "http://h.com:8080/",
+        "https://deep.com/a/b/c?q=1&q=2",
+    ]
+    got = canonicalize_urls_series(pd.Series(urls, dtype="object"))
+    want = [canonicalize_url(u) for u in urls]
+    mism = [(u, g, w) for u, g, w in zip(urls, got, want) if g != w]
+    assert not mism, mism[:5]
+
+
+def test_url_dedup_groups_vs_brute(ray_session, tmp_path):
+    """Group table equals a sequential-Python oracle (scalar
+    canonicalizer + dict grouping) on 400 docs, and case/port/fragment
+    variants genuinely collapse (some group has n_forms > 1)."""
+    from crawling_infrastructure_ray.functions.urltools import \
+        canonicalize_url
+    from crawling_infrastructure_ray.pipelines.training import (
+        _messy_urls_np, q_url_canonical_dedup)
+
+    n = 400
+    sf = _write_docs(tmp_path, [("t", "s")] * n)
+    out = q_url_canonical_dedup(sf).to_pandas() \
+        .sort_values("canonical_url").reset_index(drop=True)
+
+    messy = list(_messy_urls_np(np.arange(n, dtype=np.int64)))
+    groups = {}
+    for i, u in enumerate(messy):
+        c = canonicalize_url(u)
+        g = groups.setdefault(c, {"n": 0, "forms": set(), "min": i})
+        g["n"] += 1
+        g["forms"].add(u)
+        g["min"] = min(g["min"], i)
+    want = pd.DataFrame(
+        [(c, g["n"], len(g["forms"]), g["min"])
+         for c, g in sorted(groups.items())],
+        columns=["canonical_url", "n_urls", "n_forms", "keeper_doc"])
+    pd.testing.assert_frame_equal(
+        out[want.columns], want, check_dtype=False)
+    assert (out["n_forms"] > 1).any()  # variants actually collapsed
+    assert out["n_urls"].sum() == n
+
+
+def test_ewma_brute(ray_session, tmp_path):
+    """ewma16_c equals the brute per-row weighted sum; user boundaries
+    and the 16-term truncation are respected; equal-ts ties break by
+    event_id."""
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_events_ewma
+
+    rows = []
+    # user 1: 20 events (window truncates at 16); two share ts=500
+    for k in range(20):
+        rows.append((500 if k in (4, 5) else k * 1000, 1,
+                     float(k + 1) + 0.25))
+    # user 2: 3 events interleaved in time with user 1's
+    for k in range(3):
+        rows.append((k * 1500 + 100, 2, 10.0 * (k + 1)))
+    sf = _write_events(tmp_path, rows)
+    out = q_events_ewma(sf).to_pandas().set_index("event_id") \
+        .sort_index()
+
+    df = pd.DataFrame(rows, columns=["ts", "user_id", "value"])
+    df["event_id"] = range(len(df))
+    df["vc"] = (df["value"] * 100).round().astype("int64")
+    df = df.sort_values(["user_id", "ts", "event_id"]) \
+        .reset_index(drop=True)
+    for u in df["user_id"].unique():
+        sub = df[df["user_id"] == u].reset_index(drop=True)
+        for i in range(len(sub)):
+            want = sum(int(sub["vc"][i - j]) * (1 << (15 - j))
+                       for j in range(16) if i - j >= 0)
+            eid = int(sub["event_id"][i])
+            assert int(out.loc[eid, "ewma16_c"]) == want, (u, eid)
+
+
+def test_dsir_prefers_target_like_docs(ray_session, tmp_path):
+    """Scores equal a sequential dict-based brute, and a doc written
+    in the target source's bigram distribution outscores one written
+    in the other source's (per bigram, normalized by length)."""
+    from crawling_infrastructure_ray.pipelines.training import \
+        q_dsir_importance
+
+    # target = min(source) = 'a'. 'a' docs talk about "big data",
+    # 'z' docs about "slow sort"; doc 4 ('z' source, target-like text)
+    # must outscore doc 5 ('z' source, raw-like text) per bigram.
+    rows = [
+        ("big data big data big data", "a"),
+        ("big data pipeline", "a"),
+        ("slow sort slow sort slow sort", "z"),
+        ("slow sort merge", "z"),
+        ("big data big data", "z"),
+        ("slow sort slow sort", "z"),
+        ("x", "z"),  # < 2 tokens: excluded
+    ]
+    sf = _write_docs(tmp_path, rows)
+    out = q_dsir_importance(sf).set_index("doc_id")
+    assert 6 not in out.index  # single-token doc excluded
+
+    # sequential brute
+    docs = [(i, r[0].split(), r[1]) for i, r in enumerate(rows)]
+    pairs = [(i, (t[k], t[k + 1])) for i, t, s in docs
+             for k in range(len(t) - 1)]
+    c_r, c_t = {}, {}
+    n_r = n_t = 0
+    for i, b in pairs:
+        c_r[b] = c_r.get(b, 0) + 1
+        n_r += 1
+        if docs[i][2] == "a":
+            c_t[b] = c_t.get(b, 0) + 1
+            n_t += 1
+    for i, toks, s in docs:
+        bgs = [(toks[k], toks[k + 1]) for k in range(len(toks) - 1)]
+        if not bgs:
+            continue
+        want = sum((10000 * (c_t.get(b, 0) + 1) * (n_r + 1))
+                   // ((c_r[b] + 1) * (n_t + 1)) for b in bgs)
+        assert int(out.loc[i, "dsir_score"]) == want, i
+        assert int(out.loc[i, "n_bigrams"]) == len(bgs)
+
+    per_bg = out["dsir_score"] / out["n_bigrams"]
+    assert per_bg.loc[4] > per_bg.loc[5]
