@@ -46,6 +46,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance": qt.q_dsir_importance,
         "url_canonical_dedup": qt.q_url_canonical_dedup,
         "events_ewma": qa.q_events_ewma,
+        "media_frame_plan": qt.q_media_frame_plan,
+        "value_trend_per_user": qa.q_value_trend_per_user,
+        "late_event_flags": qa.q_late_event_flags,
         # session-7 TPC-H anchors: correlated-avg subquery (Q17),
         # scalar-subquery + anti-join (Q22), national market share
         # (Q8), product-type profit (Q9, adapted cost), grouped

@@ -1848,6 +1848,134 @@ def q_events_ewma(sf_dir: str):
             .groupby("_kb").map_groups(ewma_bucket, batch_format="pandas"))
 
 
+REGR_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01, the corpus origin
+
+
+def q_value_trend_per_user(sf_dir: str):
+    """GROUPED LINEAR REGRESSION (SQL REGR_SLOPE/REGR_INTERCEPT family)
+    in exact integer sufficient statistics: per user, fit value_cents
+    against event-time in HOURS since the corpus epoch and emit the
+    slope as an exact integer rational —
+    slope_num = n·Σxy − Σx·Σy, slope_den = n·Σx² − (Σx)² — plus n.
+    Hour granularity keeps n·Σx² far inside int64 (asserted; at finer
+    granularity lift to object ints). Completes the moments family:
+    variance (value_stats_per_type), covariance (covar_qty_discount),
+    now the regression fit itself.
+
+    Scale shape: zero shuffle — per-batch (user, n, Σx, Σy, Σxy, Σx²)
+    combiner partials, bucketed merge, final rational computed from
+    merged sums."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = (ts - REGR_EPOCH_US) // 3_600_000_000
+        y = pc.cast(pc.round(pc.multiply(batch["value"],
+                                         pa.scalar(100.0))),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"user_id": batch["user_id"]
+                           .to_numpy(zero_copy_only=False),
+                           "n": 1, "sx": x, "sy": y,
+                           "sxy": x * y, "sxx": x * x})
+        return pa.Table.from_pandas(
+            df.groupby("user_id", as_index=False).sum(),
+            preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = _merge_partials_ray(parts, ["user_id"],
+                              ["n", "sx", "sy", "sxy", "sxx"]).to_pandas()
+    n = out["n"].astype("int64")
+    sx, sy = out["sx"].astype("int64"), out["sy"].astype("int64")
+    sxy, sxx = out["sxy"].astype("int64"), out["sxx"].astype("int64")
+    assert int((n * sxx).abs().max()) < 2 ** 62, \
+        "regression moment overflow: coarsen x granularity"
+    res = pd.DataFrame({
+        "user_id": out["user_id"].astype("int64"),
+        "n": n,
+        "slope_num": (n * sxy - sx * sy).astype("int64"),
+        "slope_den": (n * sxx - sx * sx).astype("int64")})
+    return res.sort_values("user_id").reset_index(drop=True)
+
+
+def _value_trend_oracle_sql() -> str:
+    return (
+        "WITH vt AS (SELECT user_id, "
+        f"(epoch_us(ts) - {REGR_EPOCH_US}) // 3600000000 AS x, "
+        "CAST(round(value * 100) AS BIGINT) AS y FROM events), "
+        "vs AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+        "CAST(sum(x * y) AS BIGINT) AS sxy, "
+        "CAST(sum(x * x) AS BIGINT) AS sxx FROM vt GROUP BY 1) "
+        "SELECT user_id, n, "
+        "CAST(n * sxy - sx * sy AS BIGINT) AS slope_num, "
+        "CAST(n * sxx - sx * sx AS BIGINT) AS slope_den "
+        "FROM vs ORDER BY 1")
+
+
+LATE_GRACE_US = 3_600_000_000  # allowed lateness: 1 hour
+
+
+def q_late_event_flags(sf_dir: str):
+    """STREAMING WATERMARK semantics — late-event detection: events
+    arrive in event_id order; a user's watermark before event i is the
+    max ts among their earlier-arriving events, and an event is LATE
+    when ts + 1h < watermark (it missed its window even with 1h
+    allowed lateness — exactly what a streaming ingest would drop or
+    side-channel). Emits per-user totals: n_events, n_late, and the
+    worst lateness in µs.
+
+    Scale shape: one user-hash bucket shuffle; per bucket the
+    watermark is a grouped shifted cummax (vectorized), no per-row
+    Python."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id",
+                                               "ts"])
+
+    def late_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy()
+        # per-user running max (grouped cummax, C path), shifted by
+        # one row; the first row of each user has no watermark
+        wm = pd.Series(ts).groupby(g["user_id"], sort=False) \
+            .cummax().to_numpy()
+        prev = np.empty_like(wm)
+        prev[1:] = wm[:-1]
+        prev[0] = np.iinfo(np.int64).min
+        first = np.zeros(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        prev[first] = np.iinfo(np.int64).min
+        late = ts + LATE_GRACE_US < prev
+        lateness = np.where(late, prev - ts, 0)
+        out = pd.DataFrame({"user_id": g["user_id"].astype("int64"),
+                            "late": late.astype("int64"),
+                            "lateness": lateness.astype("int64")})
+        agg = out.groupby("user_id", as_index=False).agg(
+            n_events=("late", "size"), n_late=("late", "sum"),
+            max_lateness_us=("lateness", "max"))
+        for c in ("n_events", "n_late", "max_lateness_us"):
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    return (ds.repartition(32)
+            .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow")
+            .groupby("_kb").map_groups(late_bucket, batch_format="pandas"))
+
+
+def _late_events_oracle_sql() -> str:
+    return (
+        "WITH le AS (SELECT user_id, epoch_us(ts) AS tu, "
+        "max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm "
+        "FROM events) "
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+        f"CAST(count(*) FILTER (WHERE tu + {LATE_GRACE_US} < wm) "
+        "AS BIGINT) AS n_late, "
+        f"CAST(coalesce(max(wm - tu) FILTER (WHERE tu + {LATE_GRACE_US} "
+        "< wm), 0) AS BIGINT) AS max_lateness_us "
+        "FROM le GROUP BY 1 ORDER BY 1")
+
+
 def _ewma_oracle_sql() -> str:
     terms = " + ".join(
         f"coalesce(lag(vc, {j}) OVER w, 0) * {1 << (EWMA_W - 1 - j)}"
@@ -4739,6 +4867,8 @@ ORACLE_SQL: dict[str, str] = {
         "(SELECT c_custkey FROM customer "
         "WHERE c_mktsegment = 'BUILDING') ORDER BY o_orderkey",
     "events_ewma": _ewma_oracle_sql(),
+    "value_trend_per_user": _value_trend_oracle_sql(),
+    "late_event_flags": _late_events_oracle_sql(),
     "trailing_window_value":
         "SELECT user_id, event_id, "
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "

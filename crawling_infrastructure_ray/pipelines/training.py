@@ -2982,6 +2982,40 @@ def q_media_spans(sf_dir: str):
     return docs.map_batches(mm.media_rows_from_spans, batch_format="pyarrow")
 
 
+def q_media_frame_plan(sf_dir: str):
+    """Multimodal FRAME-SAMPLING plan: the crawl's video spans exploded
+    to one row per planned frame timestamp (every 30 s, frames at
+    0..duration_ms-1) — the schedule a real extractor actor pool would
+    consume; extraction itself is the stubbed decode. Vectorized
+    explode (stages/multimodal.frame_sample_plan), zero shuffle.
+    ORACLE-CHECKED: DuckDB recomputes every video's hash-derived
+    duration from the crawl mirror and unrolls generate_series."""
+    out = _crawl_out_dir(sf_dir)
+    if not os.path.isdir(os.path.join(out, "documents")):
+        q_crawl_documents(sf_dir)
+    docs = read_documents(out)
+    media = docs.map_batches(mm.media_rows_from_spans,
+                             batch_format="pyarrow")
+    return media.map_batches(
+        lambda b: mm.frame_sample_plan(b, every_ms=30_000),
+        batch_format="pyarrow")
+
+
+def _media_frame_plan_oracle_sql(seed: int = 42,
+                                 every_ms: int = 30_000) -> str:
+    """Wraps the media-spans mirror: video rows only, one row per
+    frame offset. generate_series is end-INCLUSIVE so the stop is
+    duration_ms - 1 (matching Python range(0, dur, step)); dur = 0
+    yields an empty series on both sides."""
+    base = _media_spans_oracle_sql(seed=seed)
+    return (
+        f"WITH mfp AS ({base}) "
+        f"SELECT media_ref, CAST(f AS INTEGER) AS frame_ts_ms "
+        f"FROM mfp, unnest(generate_series(0, duration_ms - 1, "
+        f"{every_ms})) AS t(f) "
+        f"WHERE media_type = 'video' ORDER BY 1, 2")
+
+
 def q_media_ann_topk(sf_dir: str):
     """Multimodal → similarity-search END TO END: media spans exploded
     to typed rows, feature extraction through the decode ACTOR POOL
@@ -4320,6 +4354,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     # URL-canonicalization dedup (the vectorized seed-ingest primitive)
     "dsir_importance": _dsir_oracle_sql(),
     "url_canonical_dedup": _url_canonical_oracle_sql(),
+    "media_frame_plan": _media_frame_plan_oracle_sql(),
     # training-data assembly additions (r03): deterministic splits /
     # mixture sampling / decontamination / vocabulary / curriculum
     # bins — split+mixture draws mirrored bit-for-bit via

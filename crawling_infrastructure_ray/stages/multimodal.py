@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import stable_hash64
 
@@ -105,16 +106,19 @@ class ResizeStub:
 
 def frame_sample_plan(batch: pa.Table, every_ms: int = 1000) -> pa.Table:
     """Video frame-sampling plan: one row per planned frame timestamp
-    (plumbing only — extraction itself is the stubbed decode)."""
-    refs = batch["media_ref"].to_pylist()
-    durs = batch["duration_ms"].to_pylist()
-    types = batch["media_type"].to_pylist()
-    r, ts = [], []
-    for ref, dur, ty in zip(refs, durs, types):
-        if ty != "video":
-            continue
-        for t in range(0, int(dur), every_ms):
-            r.append(ref)
-            ts.append(t)
-    return pa.table({"media_ref": pa.array(r, pa.string()),
-                     "frame_ts_ms": pa.array(ts, pa.int32())})
+    (plumbing only — extraction itself is the stubbed decode).
+    Vectorized explode: per-video frame counts via ceil-div, then one
+    np.repeat + offset arange — no per-ref Python loop."""
+    mask = pc.equal(batch["media_type"], "video").to_numpy(
+        zero_copy_only=False)
+    refs = np.asarray(batch["media_ref"].to_pylist(), dtype=object)[mask]
+    dur = batch["duration_ms"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[mask]
+    n = (dur + every_ms - 1) // every_ms  # frames at 0..dur-1
+    idx = np.repeat(np.arange(len(refs)), n)
+    total = int(n.sum())
+    starts = np.concatenate(([0], np.cumsum(n)))[:-1]
+    offs = np.arange(total, dtype=np.int64) - np.repeat(starts, n)
+    return pa.table({"media_ref": pa.array(refs[idx], pa.string()),
+                     "frame_ts_ms": pa.array(
+                         (offs * every_ms).astype(np.int32), pa.int32())})

@@ -171,3 +171,74 @@ def test_dsir_prefers_target_like_docs(ray_session, tmp_path):
 
     per_bg = out["dsir_score"] / out["n_bigrams"]
     assert per_bg.loc[4] > per_bg.loc[5]
+
+
+def test_late_event_flags_brute(ray_session, tmp_path):
+    """Out-of-order arrivals: watermark is per-user max over EARLIER
+    event_ids; late iff ts + 1h < watermark; boundary (exactly 1h
+    late) is NOT late."""
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_late_event_flags
+
+    H = 3_600_000_000
+    rows = [
+        (10 * H, 1, 1.0),       # e0: wm None
+        (2 * H, 1, 1.0),        # e1: wm 10H, lateness 8H -> late
+        (9 * H, 1, 1.0),        # e2: wm 10H, lateness 1H -> boundary, NOT late
+        (9 * H - 1, 1, 1.0),    # e3: lateness 1H+1us -> late
+        (11 * H, 1, 1.0),       # e4: ahead -> not late
+        (5 * H, 2, 1.0),        # other user: own watermark
+        (1 * H, 2, 1.0),        # late by 4H
+    ]
+    out = q_late_event_flags(_write_events(tmp_path, rows)) \
+        .to_pandas().set_index("user_id").sort_index()
+    assert out.loc[1, "n_events"] == 5
+    assert out.loc[1, "n_late"] == 2
+    assert out.loc[1, "max_lateness_us"] == 8 * H
+    assert out.loc[2, "n_events"] == 2
+    assert out.loc[2, "n_late"] == 1
+    assert out.loc[2, "max_lateness_us"] == 4 * H
+
+
+def test_value_trend_brute(ray_session, tmp_path):
+    """Exact rational slope: a user with perfectly linear
+    value-vs-hour must give slope_num/slope_den == the true slope; a
+    constant user gives slope_num == 0; a single-event user gives
+    den == 0 (undefined fit stays explicit, no division happens)."""
+    from crawling_infrastructure_ray.pipelines.analytics import (
+        REGR_EPOCH_US, q_value_trend_per_user)
+
+    H = 3_600_000_000
+    rows = []
+    # user 1: value = 2.0 + 0.5 * hour (cents: 200 + 50x), x = 0..4
+    for x in range(5):
+        rows.append((REGR_EPOCH_US - REGR_EPOCH_US + x * H, 1,
+                     2.0 + 0.5 * x))
+    # user 2: constant
+    for x in range(3):
+        rows.append((x * H, 2, 7.0))
+    # user 3: one event
+    rows.append((2 * H, 3, 1.0))
+    out = q_value_trend_per_user(_write_events(tmp_path, rows)) \
+        .set_index("user_id")
+    # slope in cents/hour = 50 -> num/den == 50
+    assert out.loc[1, "slope_num"] / out.loc[1, "slope_den"] == 50.0
+    assert out.loc[2, "slope_num"] == 0 and out.loc[2, "slope_den"] > 0
+    assert out.loc[3, "slope_den"] == 0
+
+
+def test_frame_plan_edges():
+    """dur=0 video yields no frames; non-video rows filtered; frame
+    count is ceil(dur/step)."""
+    import pyarrow as pa
+
+    from crawling_infrastructure_ray.stages.multimodal import \
+        frame_sample_plan
+
+    t = pa.table({
+        "media_ref": pa.array(["a", "b", "c", "d"], pa.string()),
+        "media_type": pa.array(["video", "image", "video", "video"]),
+        "duration_ms": pa.array([0, 99999, 1, 2500], pa.int32())})
+    out = frame_sample_plan(t, every_ms=1000).to_pandas()
+    assert list(out["media_ref"]) == ["c", "d", "d", "d"]
+    assert list(out["frame_ts_ms"]) == [0, 0, 1000, 2000]
