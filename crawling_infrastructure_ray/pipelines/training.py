@@ -2069,6 +2069,129 @@ def _lm_bigram_oracle_sql() -> str:
         "GROUP BY 1 ORDER BY 1")
 
 
+COLLOC_MIN_COUNT = 5
+
+
+def q_collocation_stats(sf_dir: str):
+    """COLLOCATION EXTRACTION (the PMI/likelihood-ratio sufficient
+    statistics): for every adjacent token pair occurring >=
+    COLLOC_MIN_COUNT times in the corpus, emit the exact integers PMI
+    is computed from — c_ab (pair count), c_a / c_b (unigram counts) —
+    plus cond_ab_e6 = floor(1e6 * c_ab / c_a), the e6-exact P(b|a).
+    PMI itself is log(c_ab * N^2 / (NB * c_a * c_b)), a float of these
+    integers; gating on the integer sufficient statistics avoids both
+    engine-vs-SQL log divergence and the N^2 int64 overflow a direct
+    e6 lift would hit at web-corpus N.
+
+    Scale shape: pair and unigram counts are per-batch combiner
+    partials merged in Ray (the bpe/vocab combiners); attaching c_a
+    then c_b to each surviving pair is TWO chained tagged-union
+    bucketed hash joins keyed on the token — the vocabulary is
+    data-sized (grows with the corpus), so neither side is broadcast.
+    The >= COLLOC_MIN_COUNT filter runs before the first join, so the
+    joins move only the collocation-candidate pairs."""
+    from ..functions.bucketing import tag_bucket_fn
+    from ..stages import sampling as sp
+    from .analytics import _merge_partials_ray
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    pair = _merge_partials_ray(
+        ds.map_batches(sp.bpe_pair_partial_counts, batch_format="pyarrow"),
+        ["left_tok", "right_tok"], ["n"])
+    uni = _merge_partials_ray(
+        ds.map_batches(sp.vocab_partial_counts, batch_format="pyarrow"),
+        ["token", ], ["n"])
+
+    def pair_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater_equal(batch["n"], COLLOC_MIN_COUNT))
+        return pa.table({"key": b["left_tok"], "other": b["right_tok"],
+                         "c_ab": pc.cast(b["n"], pa.int64()),
+                         "cnt": pa.nulls(b.num_rows, pa.int64()),
+                         "side": pa.array(["p"] * b.num_rows)})
+
+    def uni_side(with_c_first: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {"key": batch["token"],
+                    "other": pa.nulls(n, pa.string()),
+                    "c_ab": pa.nulls(n, pa.int64()),
+                    "cnt": pc.cast(batch["n"], pa.int64()),
+                    "side": pa.array(["u"] * n)}
+            if with_c_first:
+                cols["c_first"] = pa.nulls(n, pa.int64())
+            return pa.table(cols)
+        return fn
+
+    def attach(out_col: str, carry: list[str]):
+        def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            u = g[g["side"] == "u"]
+            p = g[g["side"] == "p"].copy()
+            lut = pd.Series(u["cnt"].to_numpy(),
+                            index=u["key"].to_numpy())
+            p[out_col] = p["key"].map(lut).astype("int64")
+            # the unioned null-padded columns promote to float64 in
+            # pandas; restore exact integer dtypes before the next hop
+            for c in ("c_ab", *carry):
+                p[c] = p[c].astype("int64")
+            return p[["key", "other", "c_ab", out_col] +
+                     [c for c in carry if c in p.columns]]
+        return join_bucket
+
+    tag = tag_bucket_fn(["key"], 64, "_jb")
+
+    # join 1: attach c_a, keyed on the left token
+    j1 = (pair.map_batches(pair_side, batch_format="pyarrow")
+          .union(uni.map_batches(uni_side(False), batch_format="pyarrow"))
+          .map_batches(tag, batch_format="pyarrow").repartition(32)
+          .groupby("_jb").map_groups(attach("c_first", []),
+                                     batch_format="pandas"))
+
+    # re-key on the right token for join 2 (sides realigned)
+    def rekey(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch["other"], "other": batch["key"],
+                         "c_ab": batch["c_ab"],
+                         "cnt": pa.nulls(batch.num_rows, pa.int64()),
+                         "side": pa.array(["p"] * batch.num_rows),
+                         "c_first": batch["c_first"]})
+
+    j2 = (j1.map_batches(rekey, batch_format="pyarrow")
+          .union(uni.map_batches(uni_side(True), batch_format="pyarrow"))
+          .map_batches(tag, batch_format="pyarrow").repartition(32)
+          .groupby("_jb").map_groups(attach("c_second", ["c_first"]),
+                                     batch_format="pandas"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c_ab = batch["c_ab"].to_numpy(zero_copy_only=False)
+        c_a = batch["c_first"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "token_a": batch["other"], "token_b": batch["key"],
+            "c_ab": pa.array(c_ab, pa.int64()),
+            "c_a": pa.array(c_a, pa.int64()),
+            "c_b": pc.cast(batch["c_second"], pa.int64()),
+            "cond_ab_e6": pa.array(c_ab * 1_000_000 // c_a, pa.int64())})
+
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def _collocation_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    toks = tokens_sql("coalesce(text,'')")
+    return (
+        f"WITH cl_t AS (SELECT {toks} AS t FROM documents), "
+        "cl_p AS (SELECT t[i] AS token_a, t[i + 1] AS token_b FROM "
+        "(SELECT t, unnest(range(1, len(t))) AS i FROM cl_t "
+        "WHERE len(t) >= 2)), "
+        "cl_ab AS (SELECT token_a, token_b, "
+        "CAST(count(*) AS BIGINT) AS c_ab FROM cl_p GROUP BY 1, 2 "
+        f"HAVING count(*) >= {COLLOC_MIN_COUNT}), "
+        "cl_u AS (SELECT u AS token, CAST(count(*) AS BIGINT) AS c "
+        "FROM (SELECT unnest(t) AS u FROM cl_t) GROUP BY 1) "
+        "SELECT token_a, token_b, c_ab, ua.c AS c_a, ub.c AS c_b, "
+        "CAST((1000000 * c_ab) // ua.c AS BIGINT) AS cond_ab_e6 "
+        "FROM cl_ab JOIN cl_u ua ON ua.token = token_a "
+        "JOIN cl_u ub ON ub.token = token_b ORDER BY 1, 2")
+
+
 def q_typo_token_pairs(sf_dir: str):
     """EDIT-DISTANCE-1 token pairs via the SymSpell deletion index —
     the typo-clustering / OOV-correction primitive: two tokens are
@@ -4355,6 +4478,9 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "dsir_importance": _dsir_oracle_sql(),
     "url_canonical_dedup": _url_canonical_oracle_sql(),
     "media_frame_plan": _media_frame_plan_oracle_sql(),
+    # session-11: PMI collocation sufficient statistics (two chained
+    # token-keyed bucketed joins; integer-exact gate columns)
+    "collocation_stats": _collocation_oracle_sql(),
     # training-data assembly additions (r03): deterministic splits /
     # mixture sampling / decontamination / vocabulary / curriculum
     # bins — split+mixture draws mirrored bit-for-bit via

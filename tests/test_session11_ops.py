@@ -242,3 +242,26 @@ def test_frame_plan_edges():
     out = frame_sample_plan(t, every_ms=1000).to_pandas()
     assert list(out["media_ref"]) == ["c", "d", "d", "d"]
     assert list(out["frame_ts_ms"]) == [0, 0, 1000, 2000]
+
+
+def test_collocation_stats_crafted(ray_session, tmp_path):
+    """Pin the pair-count filter and BOTH unigram joins: an alternating
+    a/b doc yields asymmetric pair counts (6 vs 5) over identical
+    unigram counts; a sub-threshold pair must not appear."""
+    from crawling_infrastructure_ray.pipelines.training import \
+        q_collocation_stats
+
+    sf = _write_docs(tmp_path, [
+        ("a b a b a b a b a b a b", "s0"),   # (a,b)x6, (b,a)x5
+        ("c d", "s0"),                        # (c,d)x1 -> filtered
+    ])
+    out = q_collocation_stats(sf)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    out = out.sort_values(["token_a", "token_b"]).reset_index(drop=True)
+    assert out[["token_a", "token_b"]].values.tolist() == [
+        ["a", "b"], ["b", "a"]]
+    assert out["c_ab"].tolist() == [6, 5]
+    assert out["c_a"].tolist() == [6, 6]
+    assert out["c_b"].tolist() == [6, 6]
+    assert out["cond_ab_e6"].tolist() == [1_000_000, 833_333]
