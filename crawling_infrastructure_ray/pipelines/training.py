@@ -2192,6 +2192,128 @@ def _collocation_oracle_sql() -> str:
         "JOIN cl_u ub ON ub.token = token_b ORDER BY 1, 2")
 
 
+SNB_WINDOW = 3       # compare each record with the next w in sort order
+SNB_BLOCK = 4096     # ranks per comparison block (halo width = w)
+
+
+def q_sorted_neighborhood_pairs(sf_dir: str,
+                                block: int = SNB_BLOCK):
+    """SORTED-NEIGHBORHOOD blocking (the classic record-linkage /
+    dedup candidate generator, Hernandez & Stolfo): order all records
+    by a sort key — here (n_chars, doc_id) — and emit a candidate
+    pair for every two records at most SNB_WINDOW apart in that
+    order. Output: (doc_a, doc_b, rank_diff, chars_diff) with doc_a
+    the lower-ranked record.
+
+    Distributed WITHOUT a global sort: (1) per-value counts of the
+    sort key's first component (combiner; the doc-length domain is
+    config-sized) give exact global base offsets on the driver —
+    the length_bins trick; (2) one n_chars-bucketed pass assigns each
+    row its global rank (base + within-value doc_id position); (3)
+    rows map to comparison block rank // SNB_BLOCK, and the first
+    SNB_WINDOW rows of each block are REPLICATED to the previous
+    block (halo exchange), so every window lies wholly inside one
+    block; (4) per-block vectorized searchsorted emits each pair
+    exactly once, anchored at its home-block lower rank. Exchange =
+    N + N·w/B rows; never a global all-to-all sort."""
+    import ray as _ray
+
+    from ..functions.bucketing import tag_bucket_fn
+    from .analytics import _merge_partials
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def val_counts(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"n_chars": pa.array(u.astype(np.int64)),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    counts = _merge_partials(
+        docs.map_batches(val_counts, batch_format="pyarrow"),
+        ["n_chars"], ["cnt"]).sort_values("n_chars").reset_index(drop=True)
+    vals = counts["n_chars"].to_numpy().astype(np.int64)
+    base = np.concatenate(
+        [[0], counts["cnt"].cumsum().to_numpy()[:-1]]).astype(np.int64)
+    base_ref = _ray.put((vals, base))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _rayw
+        bvals, bbase = _rayw.get(base_ref)
+        g = g.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        v = g["n_chars"].to_numpy().astype(np.int64)
+        # within-value position: arange minus each value-run's start
+        first = np.zeros(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = v[1:] != v[:-1]
+        starts = np.where(first, np.arange(len(g)), 0)
+        np.maximum.accumulate(starts, out=starts)
+        pos = np.arange(len(g)) - starts
+        rank = bbase[np.searchsorted(bvals, v)] + pos
+        return pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                             "n_chars": v,
+                             "rank": rank.astype(np.int64)})
+
+    ranked = (docs.repartition(32)
+              .map_batches(tag_bucket_fn(["n_chars"], 64, "_kb"),
+                           batch_format="pyarrow")
+              .groupby("_kb").map_groups(rank_bucket,
+                                         batch_format="pandas"))
+
+    def to_blocks(batch: pa.Table) -> pa.Table:
+        r = batch["rank"].to_numpy(zero_copy_only=False)
+        blk = r // block
+        halo = (r % block < SNB_WINDOW) & (blk > 0)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "blk": pa.array(np.concatenate([blk, blk[halo] - 1])),
+            "rank": pa.array(np.concatenate([r, r[halo]])),
+            "doc_id": pa.array(np.concatenate([ids, ids[halo]])),
+            "n_chars": pa.array(np.concatenate([nc, nc[halo]])),
+            "home": pa.array(np.concatenate(
+                [np.ones(len(r), bool), np.zeros(int(halo.sum()), bool)]))})
+
+    def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rank").reset_index(drop=True)
+        r = g["rank"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        nc = g["n_chars"].to_numpy()
+        home = g["home"].to_numpy()
+        frames = []
+        for d in range(1, SNB_WINDOW + 1):
+            j = np.searchsorted(r, r + d)
+            ok = (j < len(r))
+            ok[ok] &= r[j[ok]] == r[ok] + d
+            # anchor must be a home row of this block (halo rows are
+            # partners only — their pairs belong to the next block)
+            ok &= home
+            frames.append(pd.DataFrame({
+                "doc_a": ids[ok], "doc_b": ids[j[ok]],
+                "rank_diff": np.int64(d),
+                "chars_diff": np.abs(nc[j[ok]] - nc[ok])}))
+        out = pd.concat(frames, ignore_index=True)
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (ranked.map_batches(to_blocks, batch_format="pyarrow")
+            .repartition(32)
+            .groupby("blk").map_groups(pairs_in_block,
+                                       batch_format="pandas"))
+
+
+def _snb_oracle_sql() -> str:
+    return (
+        "WITH snb_r AS (SELECT doc_id, n_chars, row_number() OVER "
+        "(ORDER BY n_chars, doc_id) - 1 AS rk FROM documents) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(b.rk - a.rk AS BIGINT) AS rank_diff, "
+        "CAST(abs(b.n_chars - a.n_chars) AS BIGINT) AS chars_diff "
+        "FROM snb_r a JOIN snb_r b ON b.rk > a.rk AND "
+        f"b.rk <= a.rk + {SNB_WINDOW} ORDER BY 1, 2")
+
+
 def q_typo_token_pairs(sf_dir: str):
     """EDIT-DISTANCE-1 token pairs via the SymSpell deletion index —
     the typo-clustering / OOV-correction primitive: two tokens are
@@ -4481,6 +4603,9 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     # session-11: PMI collocation sufficient statistics (two chained
     # token-keyed bucketed joins; integer-exact gate columns)
     "collocation_stats": _collocation_oracle_sql(),
+    # session-11: sorted-neighborhood blocking (global rank without a
+    # global sort + halo-block windowed pair emission)
+    "sorted_neighborhood_pairs": _snb_oracle_sql(),
     # training-data assembly additions (r03): deterministic splits /
     # mixture sampling / decontamination / vocabulary / curriculum
     # bins — split+mixture draws mirrored bit-for-bit via

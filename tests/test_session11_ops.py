@@ -265,3 +265,29 @@ def test_collocation_stats_crafted(ray_session, tmp_path):
     assert out["c_a"].tolist() == [6, 6]
     assert out["c_b"].tolist() == [6, 6]
     assert out["cond_ab_e6"].tolist() == [1_000_000, 833_333]
+
+
+def test_sorted_neighborhood_halo_blocks(ray_session, tmp_path):
+    """Force rank windows ACROSS comparison-block boundaries (block=8,
+    40 docs with heavy n_chars ties) and compare against the brute
+    O(n^2) definition: pairs at most SNB_WINDOW apart in the global
+    (n_chars, doc_id) order."""
+    from crawling_infrastructure_ray.pipelines.training import (
+        SNB_WINDOW, q_sorted_neighborhood_pairs)
+
+    rows = [("x" * (5 + (i * 7) % 4), "s0") for i in range(40)]
+    sf = _write_docs(tmp_path, rows)
+    out = q_sorted_neighborhood_pairs(sf, block=8)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    got = set(map(tuple, out[["doc_a", "doc_b", "rank_diff",
+                              "chars_diff"]].values.tolist()))
+
+    order = sorted((len(t), i) for i, (t, _) in enumerate(rows))
+    want = set()
+    for a in range(len(order)):
+        for d in range(1, SNB_WINDOW + 1):
+            if a + d < len(order):
+                (nca, ia), (ncb, ib) = order[a], order[a + d]
+                want.add((ia, ib, d, abs(ncb - nca)))
+    assert got == want and len(want) > 100
