@@ -2192,6 +2192,141 @@ def _collocation_oracle_sql() -> str:
         "JOIN cl_u ub ON ub.token = token_b ORDER BY 1, 2")
 
 
+RRF_K = 60           # standard reciprocal-rank-fusion damping constant
+RRF_TOPK = 20
+
+
+def q_rank_fusion(sf_dir: str):
+    """RECIPROCAL RANK FUSION (Cormack et al.) of two retrieval-style
+    rankings — the standard way to combine heterogeneous relevance
+    signals without score calibration. Ranking 1 orders docs by
+    (n_chars DESC, doc_id), ranking 2 by (whitespace-token count DESC,
+    doc_id); each doc scores rrf_e9 = floor(1e9/(60+r1)) +
+    floor(1e9/(60+r2)) (integer-exact — the float 1/(k+r) sum is not
+    gate-safe), and the top RRF_TOPK fused docs are returned with both
+    ranks.
+
+    Scale shape: each global DESC rank is computed WITHOUT a global
+    sort via the count-table trick (per-value counts are combiner
+    partials; the value domains — doc length, token count — are
+    config-sized; driver base offsets broadcast once); the two rank
+    streams meet in a doc_id-bucketed tagged-union join, and the fused
+    top-k is a per-bucket partial top-k (a doc's score is bucket-local,
+    so the global top-k is contained in the union of bucket top-ks)."""
+    import ray as _ray
+
+    from ..functions.bucketing import tag_bucket_fn
+    from ..stages.text import _ws_token_counts
+    from .analytics import _merge_partials
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "n_chars"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+            "n_toks": pa.array(_ws_token_counts(
+                pc.fill_null(batch["text"], "")))})
+
+    fds = docs.map_batches(feats, batch_format="pyarrow")
+
+    def desc_ranks(col: str) -> "object":
+        """(doc_id, rank) with rank = 1-based position in the global
+        (col DESC, doc_id ASC) order; count-table offsets, one
+        col-bucketed shuffle."""
+        def val_counts(batch: pa.Table) -> pa.Table:
+            v = batch[col].to_numpy(zero_copy_only=False)
+            u, c = np.unique(v, return_counts=True)
+            return pa.table({col: pa.array(u.astype(np.int64)),
+                             "cnt": pa.array(c.astype(np.int64))})
+
+        counts = _merge_partials(
+            fds.map_batches(val_counts, batch_format="pyarrow"),
+            [col], ["cnt"]).sort_values(col).reset_index(drop=True)
+        vals = counts[col].to_numpy().astype(np.int64)
+        c = counts["cnt"].to_numpy().astype(np.int64)
+        # docs with value strictly GREATER rank earlier (DESC order)
+        greater = np.concatenate([c[1:][::-1].cumsum()[::-1], [0]])
+        ref = _ray.put((vals, greater))
+
+        def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            import ray as _rayw
+            bvals, bgreater = _rayw.get(ref)
+            g = g.sort_values([col, "doc_id"]).reset_index(drop=True)
+            v = g[col].to_numpy().astype(np.int64)
+            first = np.zeros(len(g), dtype=bool)
+            first[0] = True
+            first[1:] = v[1:] != v[:-1]
+            starts = np.where(first, np.arange(len(g)), 0)
+            np.maximum.accumulate(starts, out=starts)
+            pos = np.arange(len(g)) - starts
+            rank = bgreater[np.searchsorted(bvals, v)] + pos + 1
+            return pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                                 "rank": rank.astype(np.int64)})
+
+        return (fds.repartition(32)
+                .map_batches(tag_bucket_fn([col], 64, "_kb"),
+                             batch_format="pyarrow")
+                .groupby("_kb").map_groups(rank_bucket,
+                                           batch_format="pandas"))
+
+    r1 = desc_ranks("n_chars")
+    r2 = desc_ranks("n_toks")
+
+    def side(tagval: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": batch["doc_id"],
+                             "rank": batch["rank"],
+                             "side": pa.array([tagval] * batch.num_rows)})
+        return fn
+
+    tag = tag_bucket_fn(["doc_id"], 64, "_jb")
+
+    def fuse_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == "1"].set_index("doc_id")["rank"]
+        b = g[g["side"] == "2"].set_index("doc_id")["rank"]
+        j = pd.DataFrame({"r1": a, "r2": b}).reset_index()
+        rr1 = j["r1"].to_numpy().astype(np.int64)
+        rr2 = j["r2"].to_numpy().astype(np.int64)
+        j["rrf_e9"] = (1_000_000_000 // (RRF_K + rr1)
+                       + 1_000_000_000 // (RRF_K + rr2))
+        for c in j.columns:
+            j[c] = j[c].astype("int64")
+        # partial top-k: a doc's fused score is bucket-local
+        return (j.sort_values(["rrf_e9", "doc_id"],
+                              ascending=[False, True]).head(RRF_TOPK)
+                [["doc_id", "r1", "r2", "rrf_e9"]])
+
+    fused = (r1.map_batches(side("1"), batch_format="pyarrow")
+             .union(r2.map_batches(side("2"), batch_format="pyarrow"))
+             .map_batches(tag, batch_format="pyarrow").repartition(32)
+             .groupby("_jb").map_groups(fuse_bucket,
+                                        batch_format="pandas"))
+    out = fused.to_pandas()
+    return (out.sort_values(["rrf_e9", "doc_id"],
+                            ascending=[False, True])
+            .head(RRF_TOPK).reset_index(drop=True))
+
+
+def _rank_fusion_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    toks = tokens_sql("coalesce(text,'')")
+    return (
+        f"WITH rf_t AS (SELECT doc_id, n_chars, len({toks}) AS n_toks "
+        "FROM documents), "
+        "rf_1 AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY n_chars DESC, doc_id) AS r1 FROM rf_t), "
+        "rf_2 AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY n_toks DESC, doc_id) AS r2 FROM rf_t) "
+        "SELECT rf_1.doc_id AS doc_id, CAST(r1 AS BIGINT) AS r1, "
+        "CAST(r2 AS BIGINT) AS r2, "
+        f"CAST(1000000000 // ({RRF_K} + r1) + "
+        f"1000000000 // ({RRF_K} + r2) AS BIGINT) AS rrf_e9 "
+        "FROM rf_1 JOIN rf_2 ON rf_1.doc_id = rf_2.doc_id "
+        f"ORDER BY rrf_e9 DESC, doc_id LIMIT {RRF_TOPK}")
+
+
 SNB_WINDOW = 3       # compare each record with the next w in sort order
 SNB_BLOCK = 4096     # ranks per comparison block (halo width = w)
 
@@ -4606,6 +4741,8 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     # session-11: sorted-neighborhood blocking (global rank without a
     # global sort + halo-block windowed pair emission)
     "sorted_neighborhood_pairs": _snb_oracle_sql(),
+    # session-11: reciprocal-rank fusion of two count-table rankings
+    "rank_fusion": _rank_fusion_oracle_sql(),
     # training-data assembly additions (r03): deterministic splits /
     # mixture sampling / decontamination / vocabulary / curriculum
     # bins — split+mixture draws mirrored bit-for-bit via

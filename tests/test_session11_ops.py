@@ -291,3 +291,35 @@ def test_sorted_neighborhood_halo_blocks(ray_session, tmp_path):
                 (nca, ia), (ncb, ib) = order[a], order[a + d]
                 want.add((ia, ib, d, abs(ncb - nca)))
     assert got == want and len(want) > 100
+
+
+def test_rank_fusion_brute(ray_session, tmp_path):
+    """Brute-force RRF on a crafted corpus with heavy ties in BOTH
+    rankings (many equal lengths / token counts) — pins the 1-based
+    DESC rank assignment, the doc_id tie-break, and the integer
+    floor-division fusion."""
+    from crawling_infrastructure_ray.pipelines.training import (
+        RRF_K, RRF_TOPK, q_rank_fusion)
+
+    texts = []
+    for i in range(30):
+        n_tok = 1 + (i * 3) % 5
+        tok = "t" * (1 + (i * 7) % 4)
+        texts.append((" ".join([tok] * n_tok), "s0"))
+    sf = _write_docs(tmp_path, texts)
+    out = q_rank_fusion(sf)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+
+    feats = [(len(t), len(t.split()), i) for i, (t, _) in enumerate(texts)]
+    order1 = sorted(feats, key=lambda x: (-x[0], x[2]))
+    order2 = sorted(feats, key=lambda x: (-x[1], x[2]))
+    r1 = {d: i + 1 for i, (_, _, d) in enumerate(order1)}
+    r2 = {d: i + 1 for i, (_, _, d) in enumerate(order2)}
+    fused = sorted(
+        ((10**9 // (RRF_K + r1[d]) + 10**9 // (RRF_K + r2[d]), d)
+         for d in r1), key=lambda x: (-x[0], x[1]))[:RRF_TOPK]
+    want = [(d, r1[d], r2[d], s) for s, d in fused]
+    got = list(map(tuple, out[["doc_id", "r1", "r2",
+                               "rrf_e9"]].values.tolist()))
+    assert got == want
