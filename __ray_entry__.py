@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocation_stats": qt.q_collocation_stats,
         "sorted_neighborhood_pairs": qt.q_sorted_neighborhood_pairs,
         "rank_fusion": qt.q_rank_fusion,
+        "ppjoin_pairs": qt.q_ppjoin_pairs,
         "events_ewma": qa.q_events_ewma,
         "media_frame_plan": qt.q_media_frame_plan,
         "value_trend_per_user": qa.q_value_trend_per_user,

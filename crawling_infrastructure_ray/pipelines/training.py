@@ -2672,6 +2672,21 @@ def q_dedup_ngram_pairs(sf_dir: str):
                                      threshold_e6=300_000)
 
 
+def q_ppjoin_pairs(sf_dir: str):
+    """PREFIX-FILTERED exact set-similarity join (PPJoin/All-Pairs):
+    identical semantics to ``dedup_jaccard_exact`` — every doc pair
+    with exact distinct token-3-gram Jaccard >= 0.5 — through the
+    prefix-filtered plan (``dedup.ppjoin_pairs_ds``): only the
+    df-rarest n - ceil(t*n) + 1 shingles of each doc enter the
+    inverted index, so hot shingles never fan out quadratically.
+    ORACLE-CHECKED against the same brute-force shingle self-join as
+    dedup_jaccard_exact (the two registered plans must agree with the
+    oracle AND each other)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dd.ppjoin_pairs_ds(ds, shingle_k=3, kind="token",
+                              threshold_e6=500_000)
+
+
 def q_dedup_jaccard_exact(sf_dir: str):
     """EXACT all-pairs token-3-gram Jaccard >= 0.5 via the distributed
     shingle inverted index (dedup.jaccard_exact_pairs_ds) — the
@@ -4955,3 +4970,8 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
         "AS rank FROM sims) "
         "SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10",
 }
+
+# PPJoin shares dedup_jaccard_exact's brute-force oracle: two
+# registered plans (plain inverted index / prefix-filtered), one
+# ground truth.
+ORACLE_SQL_TRAINING["ppjoin_pairs"] = ORACLE_SQL_TRAINING["dedup_jaccard_exact"]

@@ -323,3 +323,42 @@ def test_rank_fusion_brute(ray_session, tmp_path):
     got = list(map(tuple, out[["doc_id", "r1", "r2",
                                "rrf_e9"]].values.tolist()))
     assert got == want
+
+
+def test_ppjoin_equals_plain_inverted_index(ray_session, tmp_path):
+    """The prefix-filtered plan must produce EXACTLY the plain
+    inverted-index plan's pairs on a crafted corpus with near-dups at
+    several overlap levels (including pairs just above/below the 0.5
+    threshold and size-filter edge cases)."""
+    import ray.data as rd
+
+    from crawling_infrastructure_ray.stages.dedup import (
+        jaccard_exact_pairs_ds, ppjoin_pairs_ds)
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omic pi rho sigma tau upsilon")
+    rows = [
+        (base, "s0"),
+        (base + " extra1", "s0"),                      # very high overlap
+        (base.replace("alpha", "qq"), "s0"),           # high overlap
+        ("alpha beta gamma " + "zz " * 30, "s0"),      # low overlap
+        ("totally different words here only once each", "s0"),
+        (base, "s0"),                                  # exact dup
+    ]
+    sf = _write_docs(tmp_path, rows)
+    ds1 = rd.read_parquet(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+    plain = jaccard_exact_pairs_ds(ds1, shingle_k=3, kind="token",
+                                   threshold_e6=500_000)
+    if hasattr(plain, "to_pandas"):
+        plain = plain.to_pandas()
+    ds2 = rd.read_parquet(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+    pp = ppjoin_pairs_ds(ds2, shingle_k=3, kind="token",
+                         threshold_e6=500_000)
+
+    key = ["a", "b", "inter", "jaccard_e6"]
+    p1 = set(map(tuple, plain[key].astype("int64").values.tolist()))
+    p2 = set(map(tuple, pp[key].astype("int64").values.tolist()))
+    assert p1 == p2 and len(p2) >= 2
+    assert (0, 5) in {(a, b) for a, b, _, _ in p2}  # the exact dup
