@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood_pairs": qt.q_sorted_neighborhood_pairs,
         "rank_fusion": qt.q_rank_fusion,
         "ppjoin_pairs": qt.q_ppjoin_pairs,
+        "scd2_intervals": qa.q_scd2_intervals,
+        "normalize_value_per_user": qa.q_normalize_value_per_user,
         "events_ewma": qa.q_events_ewma,
         "media_frame_plan": qt.q_media_frame_plan,
         "value_trend_per_user": qa.q_value_trend_per_user,

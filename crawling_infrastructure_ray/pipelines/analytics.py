@@ -1762,6 +1762,153 @@ def q_bloom_semi_orders(sf_dir: str):
     return bloom_semi_join(orders, keys, on="o_custkey")
 
 
+def q_scd2_intervals(sf_dir: str):
+    """SCD TYPE-2 HISTORY BUILD (the LEAD-window dimension-versioning
+    op): treat each user's events as a change stream and emit one
+    validity interval per change — valid_from_us = the event's
+    timestamp, valid_to_us = the NEXT event's timestamp in
+    (ts, event_id) order (−1 for the open current version), plus the
+    version ordinal. The LEAD counterpart of events_lag_gaps' LAG, and
+    the CDC-apply step downstream of snapshot_diff.
+
+    Scale shape: one user-hash bucket shuffle; per bucket the lead is
+    a grouped shift over the (user, ts, event_id)-sorted frame — two
+    vectorized ops, no per-user Python."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id",
+                                               "ts", "value"])
+
+    def scd_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]) \
+             .reset_index(drop=True)
+        ts = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy()
+        nxt = np.empty_like(ts)
+        nxt[:-1] = ts[1:]
+        nxt[-1] = -1
+        last = np.zeros(len(g), dtype=bool)
+        last[-1] = True
+        last[:-1] = u[:-1] != u[1:]
+        nxt[last] = -1
+        ver = g.groupby("user_id", sort=False).cumcount().to_numpy() + 1
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "event_id": g["event_id"].astype("int64"),
+            "version": ver.astype(np.int64),
+            "valid_from_us": ts,
+            "valid_to_us": nxt,
+            "value_c": (g["value"] * 100).round().astype("int64")})
+
+    return (ds.repartition(32)
+            .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow")
+            .groupby("_kb").map_groups(scd_bucket, batch_format="pandas"))
+
+
+def _scd2_oracle_sql() -> str:
+    return (
+        "SELECT user_id, event_id, "
+        "CAST(row_number() OVER w AS BIGINT) AS version, "
+        "epoch_us(ts) AS valid_from_us, "
+        "CAST(coalesce(lead(epoch_us(ts)) OVER w, -1) AS BIGINT) "
+        "AS valid_to_us, "
+        "CAST(round(value * 100) AS BIGINT) AS value_c "
+        "FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+        "ORDER BY 1, 2")
+
+
+def q_normalize_value_per_user(sf_dir: str):
+    """PER-GROUP MIN-MAX FEATURE SCALING: each event's value rescaled
+    to [0, 1e6] within its user's own range —
+    norm_e6 = (v − min_u) * 1e6 // (max_u − min_u), with single-value
+    (or constant) users pinned to 0 — the feature-engineering
+    normalization step (winsorize_value's clipping sibling).
+
+    Scale shape: grouped min/max are combiner partials (one row per
+    user per batch) merged in Ray; the data-sized rescale pass
+    re-reads events and probes the per-user bounds via a user-bucketed
+    tagged-union join — never a driver-held bounds map (users are
+    data-sized)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id",
+                                               "value"])
+
+    def bounds_partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(batch["value"],
+                                         pa.scalar(100.0))),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"user_id": batch["user_id"]
+                           .to_numpy(zero_copy_only=False), "v": v})
+        g = df.groupby("user_id", as_index=False)["v"].agg(["min", "max"])
+        g.columns = ["user_id", "vmin", "vmax"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bounds_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False).agg(
+            vmin=("vmin", "min"), vmax=("vmax", "max"))
+
+    tag = _tag_bucket(["user_id"], 64, "_jb")
+    bounds = (ds.map_batches(bounds_partial, batch_format="pyarrow")
+              .repartition(32)
+              .map_batches(tag, batch_format="pyarrow")
+              .groupby("_jb").map_groups(bounds_reduce,
+                                         batch_format="pandas"))
+
+    def b_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"user_id": pc.cast(batch["user_id"], pa.int64()),
+                         "event_id": pa.nulls(n, pa.int64()),
+                         "v": pa.nulls(n, pa.int64()),
+                         "vmin": pc.cast(batch["vmin"], pa.int64()),
+                         "vmax": pc.cast(batch["vmax"], pa.int64()),
+                         "side": pa.array(["b"] * n)})
+
+    def e_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        v = pc.cast(pc.round(pc.multiply(batch["value"],
+                                         pa.scalar(100.0))), pa.int64())
+        return pa.table({"user_id": pc.cast(batch["user_id"], pa.int64()),
+                         "event_id": pc.cast(batch["event_id"], pa.int64()),
+                         "v": v,
+                         "vmin": pa.nulls(n, pa.int64()),
+                         "vmax": pa.nulls(n, pa.int64()),
+                         "side": pa.array(["e"] * n)})
+
+    def norm_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = g[g["side"] == "b"]
+        e = g[g["side"] == "e"]
+        lo = pd.Series(b["vmin"].to_numpy(), index=b["user_id"].to_numpy())
+        hi = pd.Series(b["vmax"].to_numpy(), index=b["user_id"].to_numpy())
+        u = e["user_id"].to_numpy()
+        v = e["v"].to_numpy().astype(np.int64)
+        vmin = lo.reindex(u).to_numpy().astype(np.int64)
+        vmax = hi.reindex(u).to_numpy().astype(np.int64)
+        span = vmax - vmin
+        norm = np.where(span > 0, (v - vmin) * 1_000_000
+                        // np.maximum(span, 1), 0)
+        return pd.DataFrame({"user_id": u.astype(np.int64),
+                             "event_id": e["event_id"].to_numpy()
+                             .astype(np.int64),
+                             "norm_e6": norm.astype(np.int64)})
+
+    return (bounds.map_batches(b_side, batch_format="pyarrow")
+            .union(ds.map_batches(e_side, batch_format="pyarrow"))
+            .map_batches(tag, batch_format="pyarrow").repartition(32)
+            .groupby("_jb").map_groups(norm_bucket,
+                                       batch_format="pandas"))
+
+
+def _normalize_value_oracle_sql() -> str:
+    return (
+        "WITH nv AS (SELECT user_id, event_id, "
+        "CAST(round(value * 100) AS BIGINT) AS v FROM events), "
+        "nb AS (SELECT user_id, min(v) AS vmin, max(v) AS vmax "
+        "FROM nv GROUP BY 1) "
+        "SELECT nv.user_id AS user_id, event_id, "
+        "CAST(CASE WHEN vmax > vmin THEN "
+        "((v - vmin) * 1000000) // (vmax - vmin) ELSE 0 END AS BIGINT) "
+        "AS norm_e6 FROM nv JOIN nb ON nv.user_id = nb.user_id "
+        "ORDER BY 1, 2")
+
+
 def q_trailing_window_value(sf_dir: str):
     """RANGE-frame (time-based) windowed aggregate — the
     variable-width counterpart of q_rolling_window_value's ROWS
@@ -4869,6 +5016,8 @@ ORACLE_SQL: dict[str, str] = {
     "events_ewma": _ewma_oracle_sql(),
     "value_trend_per_user": _value_trend_oracle_sql(),
     "late_event_flags": _late_events_oracle_sql(),
+    "scd2_intervals": _scd2_oracle_sql(),
+    "normalize_value_per_user": _normalize_value_oracle_sql(),
     "trailing_window_value":
         "SELECT user_id, event_id, "
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "

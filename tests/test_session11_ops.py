@@ -362,3 +362,40 @@ def test_ppjoin_equals_plain_inverted_index(ray_session, tmp_path):
     p2 = set(map(tuple, pp[key].astype("int64").values.tolist()))
     assert p1 == p2 and len(p2) >= 2
     assert (0, 5) in {(a, b) for a, b, _, _ in p2}  # the exact dup
+
+
+def test_scd2_and_normalize_crafted(ray_session, tmp_path):
+    """SCD2: per-user LEAD chain with −1 open tail, version ordinals,
+    cross-user isolation. Normalize: constant-value user pins to 0,
+    range endpoints map to 0 / 1e6, interior uses floor division."""
+    import datetime as dt
+
+    from crawling_infrastructure_ray.pipelines.analytics import (
+        q_normalize_value_per_user, q_scd2_intervals)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0, 1, 10.0), (t0 + dt.timedelta(hours=1), 1, 20.0),
+        (t0 + dt.timedelta(hours=3), 1, 15.0),
+        (t0, 2, 7.0), (t0 + dt.timedelta(minutes=5), 2, 7.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+
+    scd = q_scd2_intervals(sf)
+    if hasattr(scd, "to_pandas"):
+        scd = scd.to_pandas()
+    scd = scd.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    u1 = scd[scd["user_id"] == 1]
+    assert u1["version"].tolist() == [1, 2, 3]
+    assert u1["valid_to_us"].tolist()[:2] == \
+        u1["valid_from_us"].tolist()[1:]
+    assert u1["valid_to_us"].iloc[-1] == -1
+    assert scd[scd["user_id"] == 2]["valid_to_us"].iloc[-1] == -1
+
+    nrm = q_normalize_value_per_user(sf)
+    if hasattr(nrm, "to_pandas"):
+        nrm = nrm.to_pandas()
+    nrm = nrm.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert nrm[nrm["user_id"] == 1]["norm_e6"].tolist() == [
+        0, 1_000_000, 500_000]
+    assert nrm[nrm["user_id"] == 2]["norm_e6"].tolist() == [0, 0]
