@@ -2672,6 +2672,92 @@ def q_dedup_ngram_pairs(sf_dir: str):
                                      threshold_e6=300_000)
 
 
+PIDX_TOPK = 50
+PIDX_DOC_MULT = 100_000  # position-hash mixing: doc_id*M + pos
+
+
+def q_positional_index(sf_dir: str):
+    """POSITIONAL INVERTED-INDEX BUILD (the search-engine index step
+    behind search_phrase/bm25): per token, the posting-list summary —
+    df (distinct docs), cf (total occurrences), and poshash =
+    Σ over occurrences of (doc_id · 1e5 + position) — an exact-integer
+    fold of the full positional posting list, so the gate pins every
+    (doc, position) pair without shipping the list itself. Returns the
+    top PIDX_TOPK tokens by (cf DESC, token ASC).
+
+    Scale shape: per-batch combiner emits one (token, df, cf, poshash)
+    partial per distinct token (positions fold in-batch via int64
+    np.add.at — float64 bincount weights would lose exactness past
+    2^53); bucketed merge; partial top-k per block before the tiny
+    driver head. One shuffle of vocabulary-sized partials."""
+    from .analytics import _merge_partials_ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def postings_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        texts = batch["text"].to_pylist()
+        tok_lists = [(t or "").split() for t in texts]
+        lens = np.fromiter((len(t) for t in tok_lists), np.int64,
+                           count=len(tok_lists))
+        flat = [t for toks in tok_lists for t in toks]
+        if not flat:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "cf": pa.array([], pa.int64()),
+                             "poshash": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        pos = np.arange(len(flat), dtype=np.int64) - \
+            np.repeat(np.concatenate(([0], lens.cumsum()[:-1])), lens) + 1
+        w = ids[doc_idx] * PIDX_DOC_MULT + pos
+        cf = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        poshash = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(poshash, codes, w)
+        # int64 headroom check (the merged cross-block sum gets ~2^2
+        # more room; at larger doc_id domains coarsen PIDX_DOC_MULT)
+        assert int(poshash.max(initial=0)) < 2 ** 60, \
+            "poshash overflow risk: shrink PIDX_DOC_MULT or batch size"
+        # df: distinct (token, doc) — docs never split across batches
+        comp = codes.astype(np.int64) * len(ids) + doc_idx
+        ucomp = np.unique(comp)
+        df = np.bincount((ucomp // len(ids)).astype(np.int64),
+                         minlength=len(uniq)).astype(np.int64)
+        return pa.table({"token": pa.array(uniq.astype(str)),
+                         "df": pa.array(df), "cf": pa.array(cf),
+                         "poshash": pa.array(poshash)})
+
+    merged = _merge_partials_ray(
+        ds.map_batches(postings_partial, batch_format="pyarrow"),
+        ["token"], ["df", "cf", "poshash"])
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        return batch.sort_by([("cf", "descending"),
+                              ("token", "ascending")]).slice(0, PIDX_TOPK)
+
+    df = merged.map_batches(topk_block, batch_format="pyarrow").to_pandas()
+    for c in ("df", "cf", "poshash"):
+        df[c] = df[c].astype("int64")
+    return (df.sort_values(["cf", "token"], ascending=[False, True])
+            .head(PIDX_TOPK).reset_index(drop=True))
+
+
+def _positional_index_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    toks = tokens_sql("coalesce(text,'')")
+    return (
+        f"WITH pi_t AS (SELECT doc_id, {toks} AS t FROM documents), "
+        "pi_p AS (SELECT doc_id, t[i] AS token, i AS pos FROM "
+        "(SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i "
+        "FROM pi_t WHERE len(t) >= 1)) "
+        "SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, "
+        "CAST(count(*) AS BIGINT) AS cf, "
+        f"CAST(sum(doc_id * {PIDX_DOC_MULT} + pos) AS BIGINT) AS poshash "
+        "FROM pi_p GROUP BY 1 "
+        f"ORDER BY cf DESC, token LIMIT {PIDX_TOPK}")
+
+
 def q_ppjoin_pairs(sf_dir: str):
     """PREFIX-FILTERED exact set-similarity join (PPJoin/All-Pairs):
     identical semantics to ``dedup_jaccard_exact`` — every doc pair
@@ -4756,6 +4842,8 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     # session-11: sorted-neighborhood blocking (global rank without a
     # global sort + halo-block windowed pair emission)
     "sorted_neighborhood_pairs": _snb_oracle_sql(),
+    # session-11: positional inverted-index posting summaries
+    "positional_index": _positional_index_oracle_sql(),
     # session-11: reciprocal-rank fusion of two count-table rankings
     "rank_fusion": _rank_fusion_oracle_sql(),
     # training-data assembly additions (r03): deterministic splits /

@@ -399,3 +399,25 @@ def test_scd2_and_normalize_crafted(ray_session, tmp_path):
     assert nrm[nrm["user_id"] == 1]["norm_e6"].tolist() == [
         0, 1_000_000, 500_000]
     assert nrm[nrm["user_id"] == 2]["norm_e6"].tolist() == [0, 0]
+
+
+def test_positional_index_brute(ray_session, tmp_path):
+    """Brute-force posting summary on a crafted corpus: repeated
+    tokens within a doc (cf > df), multi-doc tokens, and exact
+    positional fold doc_id*1e5 + 1-based position."""
+    from crawling_infrastructure_ray.pipelines.training import (
+        PIDX_DOC_MULT, q_positional_index)
+
+    rows = [("x y x", "s0"), ("y z", "s0"), ("x", "s0")]
+    sf = _write_docs(tmp_path, rows)
+    out = q_positional_index(sf)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    got = {r.token: (r.df, r.cf, r.poshash)
+           for r in out.itertuples()}
+    M = PIDX_DOC_MULT
+    assert got["x"] == (2, 3, (0 * M + 1) + (0 * M + 3) + (2 * M + 1))
+    assert got["y"] == (2, 2, (0 * M + 2) + (1 * M + 1))
+    assert got["z"] == (1, 1, 1 * M + 2)
+    # ranking: cf desc, token asc
+    assert out["token"].tolist() == ["x", "y", "z"]
