@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_intervals": qa.q_scd2_intervals,
         "normalize_value_per_user": qa.q_normalize_value_per_user,
         "positional_index": qt.q_positional_index,
+        "centroid_similarity": qt.q_centroid_similarity,
+        "greedy_vocab_cover": qt.q_greedy_vocab_cover,
         "events_ewma": qa.q_events_ewma,
         "media_frame_plan": qt.q_media_frame_plan,
         "value_trend_per_user": qa.q_value_trend_per_user,

@@ -1881,6 +1881,81 @@ def q_label_centroids(sf_dir: str):
     return out.sort_values(["label", "dim"]).reset_index(drop=True)
 
 
+def q_centroid_similarity(sf_dir: str):
+    """CENTROID SIMILARITY MATRIX: exact-integer cosine sufficient
+    statistics between every pair of label centroids — dot_num =
+    Σ_d s_a[d]·s_b[d], nrm2_a/nrm2_b = squared norms of the e3-
+    quantized per-label SUM vectors (cosine is scale-invariant, so the
+    sums stand in for the means with no float division anywhere near
+    the gate; cos = dot_num/√(nrm2_a·nrm2_b) is one float away for
+    consumers). The cluster-quality / label-confusion diagnostic on
+    top of label_centroids.
+
+    Scale shape: the data-sized work is the distributed per-(label,
+    dim) integer sum combine (label_centroids' plan); the pairwise
+    matrix is computed on the driver over the enum-sized label domain
+    (labels² × dims — config-sized BY ASSUMPTION, like
+    host_triangles' adjacency). Overflow asserted."""
+    from ..stages.simsearch import _to_matrix, quantize_e3
+    from .analytics import _merge_partials
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        q = quantize_e3(_to_matrix(batch["embedding"])).astype(np.int64)
+        codes, uniq = pd.factorize(lab)
+        dim = q.shape[1]
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, codes, q)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim)),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                    len(uniq))),
+            "sum_q_e3": pa.array(sums.reshape(-1))})
+
+    out = _merge_partials(
+        ds.map_batches(part, batch_format="pyarrow"),
+        ["label", "dim"], ["sum_q_e3"])
+    piv = out.pivot_table(index="label", columns="dim",
+                          values="sum_q_e3", aggfunc="sum").sort_index()
+    labels = piv.index.to_numpy().astype(np.int64)
+    m = piv.to_numpy().astype(np.int64)
+    assert (np.abs(m).max(initial=0)) ** 2 * m.shape[1] < 2 ** 62, \
+        "centroid dot overflow: coarsen quantization"
+    gram = m @ m.T  # exact: int64 within the asserted bound
+    nrm2 = np.diag(gram)
+    iu, ju = np.triu_indices(len(labels), k=1)
+    res = pd.DataFrame({
+        "label_a": labels[iu], "label_b": labels[ju],
+        "dot_num": gram[iu, ju],
+        "nrm2_a": nrm2[iu], "nrm2_b": nrm2[ju]})
+    for c in res.columns:
+        res[c] = res[c].astype("int64")
+    return res.sort_values(["label_a", "label_b"]).reset_index(drop=True)
+
+
+def _centroid_similarity_oracle_sql() -> str:
+    return (
+        "WITH cs_e AS (SELECT label, embedding, "
+        "unnest(range(1, len(embedding) + 1)) AS i FROM embeddings), "
+        "cs_s AS (SELECT CAST(label AS BIGINT) AS label, "
+        "CAST(i - 1 AS BIGINT) AS dim, "
+        "CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) "
+        "AS BIGINT)) AS BIGINT) AS s FROM cs_e GROUP BY 1, 2), "
+        "cs_n AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS nrm2 "
+        "FROM cs_s GROUP BY 1) "
+        "SELECT a.label AS label_a, b.label AS label_b, "
+        "CAST(sum(a.s * b.s) AS BIGINT) AS dot_num, "
+        "CAST(min(na.nrm2) AS BIGINT) AS nrm2_a, "
+        "CAST(min(nb.nrm2) AS BIGINT) AS nrm2_b "
+        "FROM cs_s a JOIN cs_s b ON a.dim = b.dim AND a.label < b.label "
+        "JOIN cs_n na ON na.label = a.label "
+        "JOIN cs_n nb ON nb.label = b.label "
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 def q_host_triangles(sf_dir: str):
     """TRIANGLE COUNTING over the source link graph (third graph op
     next to PageRank and components): per node, the number of
@@ -2670,6 +2745,119 @@ def q_dedup_ngram_pairs(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return dd.jaccard_exact_pairs_ds(ds, shingle_k=5, kind="char",
                                      threshold_e6=300_000)
+
+
+GVC_K = 5  # greedy max-coverage selection steps
+
+
+def q_greedy_vocab_cover(sf_dir: str):
+    """GREEDY SUBMODULAR SELECTION (max-coverage coreset, the
+    Nemhauser-greedy data-curation primitive): pick GVC_K documents
+    one at a time, each maximizing the number of NOT-YET-COVERED
+    distinct tokens (tie-break doc_id asc; already-chosen and
+    token-less docs excluded). Emits (step, doc_id, gain,
+    covered_total) — the classic 1−1/e-approximate coverage
+    curriculum/coreset selector.
+
+    Scale shape: inherently iterative (each pick conditions the next),
+    but each of the K rounds is ONE distributed pass — the covered
+    token set (bounded by the K chosen docs' vocabularies, tiny by
+    construction) broadcasts via ray.put; per batch a vectorized
+    factorize + isin + bincount yields every doc's marginal gain and
+    only the batch's top-1 row leaves the worker; the winner's token
+    set comes back through a doc_id predicate-pushdown parquet read.
+    Driver state is O(K · doc_vocab), never corpus-sized. ORACLE: the
+    K rounds unrolled as chained CTEs (the host_pagerank convention
+    for gate-able iterative algorithms)."""
+    import ray as _ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    covered: set = set()
+    chosen_ids: set = set()
+    rows_out = []
+    sfp = f"{sf_dir.rstrip('/')}/documents.parquet"
+    for step in range(1, GVC_K + 1):
+        cov_arr = np.asarray(sorted(covered), dtype=object)
+        ref = _ray.put((cov_arr, frozenset(chosen_ids)))
+
+        def gains(batch: pa.Table) -> pa.Table:
+            import ray as _rayw
+            carr, cids = _rayw.get(ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            tok_lists = [(t or "").split()
+                         for t in batch["text"].to_pylist()]
+            lens = np.fromiter((len(t) for t in tok_lists), np.int64,
+                               count=len(tok_lists))
+            flat = [t for toks in tok_lists for t in toks]
+            keepdoc = lens > 0
+            if not flat or not keepdoc.any():
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "gain": pa.array([], pa.int64())})
+            codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+            unc = ~np.isin(uniq, carr)
+            doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64),
+                                lens)
+            comp = np.unique(codes.astype(np.int64) * len(ids) + doc_idx)
+            gain = np.bincount(
+                (comp % len(ids)).astype(np.int64),
+                weights=unc[(comp // len(ids)).astype(np.int64)],
+                minlength=len(ids)).astype(np.int64)
+            ok = keepdoc & ~np.isin(ids, np.asarray(sorted(cids),
+                                                    dtype=np.int64))
+            d = pd.DataFrame({"doc_id": ids[ok], "gain": gain[ok]})
+            d = d.sort_values(["gain", "doc_id"],
+                              ascending=[False, True]).head(1)
+            return pa.Table.from_pandas(d, preserve_index=False)
+
+        parts = ds.map_batches(gains, batch_format="pyarrow").to_pandas()
+        win = parts.sort_values(["gain", "doc_id"],
+                                ascending=[False, True]).iloc[0]
+        wid, wgain = int(win["doc_id"]), int(win["gain"])
+        import pyarrow.dataset as pads
+        wtbl = pads.dataset(sfp).to_table(
+            filter=pads.field("doc_id") == wid, columns=["text"])
+        covered |= set((wtbl["text"][0].as_py() or "").split())
+        chosen_ids.add(wid)
+        rows_out.append((step, wid, wgain, len(covered)))
+    res = pd.DataFrame(rows_out, columns=["step", "doc_id", "gain",
+                                          "covered_total"])
+    for c in res.columns:
+        res[c] = res[c].astype("int64")
+    return res
+
+
+def _greedy_cover_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    toks = tokens_sql("coalesce(text,'')")
+    parts = [f"WITH gv_t AS (SELECT DISTINCT doc_id, unnest({toks}) "
+             "AS tok FROM documents)"]
+    sel = []
+    prev_w: list[str] = []
+    for i in range(1, GVC_K + 1):
+        notin_docs = (" WHERE doc_id NOT IN ("
+                      + " UNION ALL ".join(
+                          f"SELECT doc_id FROM w{j}" for j in prev_w)
+                      + ")") if prev_w else ""
+        gain_expr = ("count(*)" if i == 1 else
+                     f"count(*) FILTER (WHERE tok NOT IN "
+                     f"(SELECT tok FROM c{i - 1}))")
+        parts.append(
+            f", w{i} AS (SELECT doc_id, CAST({gain_expr} AS BIGINT) "
+            f"AS gain FROM gv_t{notin_docs} GROUP BY doc_id "
+            "ORDER BY gain DESC, doc_id LIMIT 1)")
+        cov_prev = (f"SELECT tok FROM c{i - 1} UNION "
+                    if i > 1 else "")
+        parts.append(
+            f", c{i} AS ({cov_prev}SELECT DISTINCT tok FROM gv_t "
+            f"WHERE doc_id IN (SELECT doc_id FROM w{i}))")
+        sel.append(
+            f"SELECT {i} AS step, doc_id, gain, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM c{i}) "
+            f"AS covered_total FROM w{i}")
+        prev_w.append(str(i))
+    return "".join(parts) + " " + " UNION ALL ".join(sel) + \
+        " ORDER BY step"
 
 
 PIDX_TOPK = 50
@@ -4844,6 +5032,10 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "sorted_neighborhood_pairs": _snb_oracle_sql(),
     # session-11: positional inverted-index posting summaries
     "positional_index": _positional_index_oracle_sql(),
+    # session-11: centroid cosine sufficient statistics
+    "centroid_similarity": _centroid_similarity_oracle_sql(),
+    # session-11: greedy max-coverage selection (K unrolled CTE rounds)
+    "greedy_vocab_cover": _greedy_cover_oracle_sql(),
     # session-11: reciprocal-rank fusion of two count-table rankings
     "rank_fusion": _rank_fusion_oracle_sql(),
     # training-data assembly additions (r03): deterministic splits /

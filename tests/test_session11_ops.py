@@ -421,3 +421,40 @@ def test_positional_index_brute(ray_session, tmp_path):
     assert got["z"] == (1, 1, 1 * M + 2)
     # ranking: cf desc, token asc
     assert out["token"].tolist() == ["x", "y", "z"]
+
+
+def test_greedy_vocab_cover_brute(ray_session, tmp_path):
+    """Brute-force greedy max-coverage on a crafted corpus where the
+    greedy choice differs from the by-size order (the classic
+    submodularity trap): doc0 is biggest but docs 1+2 together cover
+    more; ties broken by doc_id; gains hit zero before K is
+    exhausted."""
+    from crawling_infrastructure_ray.pipelines.training import (
+        GVC_K, q_greedy_vocab_cover)
+
+    rows = [
+        ("a b c d e", "s0"),
+        ("a b c f", "s0"),
+        ("d e g h", "s0"),
+        ("a b", "s0"),
+        ("z", "s0"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    out = q_greedy_vocab_cover(sf)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+
+    # brute-force greedy
+    sets = {i: set(t.split()) for i, (t, _) in enumerate(rows)}
+    covered, chosen, want = set(), set(), []
+    for step in range(1, GVC_K + 1):
+        best = max((len(sets[d] - covered), -d) for d in sets
+                   if d not in chosen)
+        gain, d = best[0], -best[1]
+        covered |= sets[d]
+        chosen.add(d)
+        want.append((step, d, gain, len(covered)))
+    got = list(map(tuple, out[["step", "doc_id", "gain",
+                               "covered_total"]].values.tolist()))
+    assert got == want
+    assert want[0][1] == 0 and want[-1][2] == 0  # trap + zero tail
