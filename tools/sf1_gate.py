@@ -88,7 +88,8 @@ def main() -> int:
     # BOTH engines) explodes by design, not by bug. Gate them at the
     # driver scale (sf0.01 testdata, where they are hash-green) and
     # skip here above scale 0.1.
-    skip_quadratic = {"dedup_jaccard_exact", "dedup_ngram_pairs",
+    skip_quadratic = {"dedup_jaccard_exact", "ppjoin_pairs",
+                      "dedup_ngram_pairs",
                       "dedup_simhash_pairs",
                       # the SQL mirror literally re-runs MinHash
                       # (docs x shingles x 64 perms) — driver-scale gate
