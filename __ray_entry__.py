@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "positional_index": qt.q_positional_index,
         "centroid_similarity": qt.q_centroid_similarity,
         "greedy_vocab_cover": qt.q_greedy_vocab_cover,
+        "part_price_rank": qa.q_part_price_rank,
+        "nation_revenue_share": qa.q_nation_revenue_share,
         "events_ewma": qa.q_events_ewma,
         "media_frame_plan": qt.q_media_frame_plan,
         "value_trend_per_user": qa.q_value_trend_per_user,

@@ -4677,7 +4677,101 @@ def q_part_price_rank_dense(sf_dir: str):
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
+def q_part_price_rank(sf_dir: str):
+    """RANK() — the with-gaps member completing the rank-function
+    triple (row_number → NTILE/top-k, dense_rank →
+    part_price_rank_dense): each part's rank by price (cents, DESC)
+    within its brand, ties share a rank and the next rank skips by
+    the tie count (SQL RANK semantics). Same brand-bucket shape as
+    the dense sibling; pandas' vectorized 'min' rank per bucket."""
+    ds = read_table(sf_dir, "part",
+                    columns=["p_partkey", "p_brand", "p_retailprice"])
+
+    def to_c(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": pc.cast(batch["p_partkey"], pa.int64()),
+            "p_brand": batch["p_brand"],
+            "price_c": pc.cast(pc.round(pc.multiply(
+                batch["p_retailprice"], 100.0)), pa.int64())})
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["rank_gaps"] = (g.groupby("p_brand", sort=False)["price_c"]
+                          .rank(method="min", ascending=False)
+                          .astype("int64"))
+        return g[["p_partkey", "p_brand", "price_c", "rank_gaps"]]
+
+    out = (ds.map_batches(to_c, batch_format="pyarrow")
+           .repartition(32)
+           .map_batches(_tag_bucket(["p_brand"]), batch_format="pyarrow")
+           .groupby("_kb").map_groups(rank_bucket, batch_format="pandas")
+           .to_pandas())
+    for c in ["p_partkey", "price_c", "rank_gaps"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_nation_revenue_share(sf_dir: str):
+    """RATIO_TO_REPORT (percent-of-total window aggregate): each
+    nation's customer-order revenue and its e6-exact share of the
+    global total — share_e6 = rev_c * 1e6 // total_c (the SUM() OVER
+    () pattern every BI rollup needs). Scale shape: revenue per
+    nation via the j1 broadcast-dimension probe inside a per-batch
+    combiner (nation key is enum-sized), tiny driver merge, exact
+    integer division for the share."""
+    import ray as _ray
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"]).to_pandas()
+    order_idx = np.argsort(cust["c_custkey"].to_numpy())
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)[order_idx]
+    nk = cust["c_nationkey"].to_numpy().astype(np.int64)[order_idx]
+    ref = _ray.put((ck, nk))
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _rayw
+        bck, bnk = _rayw.get(ref)
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = pc.cast(pc.round(pc.multiply(batch["o_totalprice"],
+                                         pa.scalar(100.0))),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(bck, c)
+        nat = bnk[pos]
+        sums = np.zeros(int(bnk.max()) + 1, dtype=np.int64)
+        np.add.at(sums, nat, v)
+        nz = np.nonzero(sums)[0]
+        return pa.table({"n_nationkey": pa.array(nz.astype(np.int64)),
+                         "rev_c": pa.array(sums[nz])})
+
+    out = _merge_partials(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["n_nationkey"], ["rev_c"])
+    total = int(out["rev_c"].sum())
+    out["rev_c"] = out["rev_c"].astype("int64")
+    out["share_e6"] = (out["rev_c"] * 1_000_000 // total).astype("int64")
+    out["n_nationkey"] = out["n_nationkey"].astype("int64")
+    return out.sort_values("n_nationkey").reset_index(drop=True)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "part_price_rank":
+        "SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand, "
+        "CAST(round(p_retailprice * 100) AS BIGINT) AS price_c, "
+        "CAST(rank() OVER (PARTITION BY p_brand "
+        "ORDER BY round(p_retailprice * 100) DESC) AS BIGINT) "
+        "AS rank_gaps FROM part ORDER BY 1",
+    "nation_revenue_share":
+        "WITH nr AS (SELECT c_nationkey AS n_nationkey, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS rev_c FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY 1) "
+        "SELECT n_nationkey, rev_c, "
+        "CAST((rev_c * 1000000) // (SELECT sum(rev_c) FROM nr) "
+        "AS BIGINT) AS share_e6 FROM nr ORDER BY 1",
     "hopping_distinct_users":
         "WITH hd AS (SELECT date_trunc('hour', ts) AS h, user_id "
         "FROM events), "

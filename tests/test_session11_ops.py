@@ -458,3 +458,27 @@ def test_greedy_vocab_cover_brute(ray_session, tmp_path):
                                "covered_total"]].values.tolist()))
     assert got == want
     assert want[0][1] == 0 and want[-1][2] == 0  # trap + zero tail
+
+
+def test_rank_gaps_vs_dense(ray_session):
+    """RANK must skip after ties while DENSE_RANK does not — compare
+    both on the driver corpus and assert the defining relationship:
+    rank_gaps >= rank_dense everywhere, equality iff no earlier tie
+    in the partition, and both start at 1 per brand."""
+    from crawling_infrastructure_ray.pipelines.analytics import (
+        q_part_price_rank, q_part_price_rank_dense)
+
+    SF = "/root/testdata/sf0.001"
+    g = q_part_price_rank(SF)
+    d = q_part_price_rank_dense(SF)
+    m = g.merge(d, on=["p_partkey", "p_brand", "price_c"])
+    assert (m["rank_gaps"] >= m["rank_dense"]).all()
+    assert (m.groupby("p_brand")["rank_gaps"].min() == 1).all()
+    assert (m.groupby("p_brand")["rank_dense"].min() == 1).all()
+    # with-gaps property: max rank == partition size
+    sz = m.groupby("p_brand").size()
+    mx = m.groupby("p_brand")["rank_gaps"].max()
+    ties_last = (m.sort_values(["p_brand", "price_c"])
+                 .groupby("p_brand")["price_c"]
+                 .agg(lambda s: (s == s.min()).sum()))
+    assert ((mx + ties_last - 1) == sz).all()
