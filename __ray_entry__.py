@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "greedy_vocab_cover": qt.q_greedy_vocab_cover,
         "part_price_rank": qa.q_part_price_rank,
         "nation_revenue_share": qa.q_nation_revenue_share,
+        "cms_token_counts": qt.q_cms_token_counts,
         "events_ewma": qa.q_events_ewma,
         "media_frame_plan": qt.q_media_frame_plan,
         "value_trend_per_user": qa.q_value_trend_per_user,

@@ -2747,6 +2747,124 @@ def q_dedup_ngram_pairs(sf_dir: str):
                                      threshold_e6=300_000)
 
 
+CMS_D, CMS_W = 4, 64     # count-min sketch: depth x width
+CMS_TOPK = 20
+# xor salts per row (pi-digit constants, all < 2^63 so the SQL xor
+# needs no HUGEINT decomposition)
+CMS_SEEDS = (0x243F6A8885A308D3, 0x13198A2E03707344,
+             0x452821E638D01377, 0x6C0CE934CF6654BE)
+
+
+def q_cms_token_counts(sf_dir: str):
+    """COUNT-MIN SKETCH over the token stream — the frequency-
+    estimation sketch completing the family next to HLL
+    (approx_distinct_users): CMS_D x CMS_W registers, register
+    (r, splitmix64(stable_hash64(token) XOR seed_r) % W) accumulates
+    the token's occurrence count; a token's estimate is the MIN over
+    its D registers (always >= the true count). Emits the CMS_TOPK
+    true-most-frequent tokens with (true_n, est_n) — est_n == true_n
+    when no collision landed on all D registers.
+
+    Scale shape: register partials are a per-batch np.add.at over the
+    D x W matrix (distinct tokens hashed once per batch) — the
+    exchange carries 256-row enum-sized partials, the canonical
+    mergeable-sketch shape; the true counts reuse the vocab combiner
+    with partial top-k. ORACLE-CHECKED end to end like the HLL: DuckDB
+    recomputes every register from the shared hash mirror (recursive
+    FNV CTE + 4 splitmix chains), so the gate verifies the DISTRIBUTED
+    register construction bit-for-bit, not just the estimates."""
+    from ..functions.hashing import splitmix64_np, stable_hash64_np
+    from .analytics import _merge_partials, _merge_partials_ray
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def regs_partial(batch: pa.Table) -> pa.Table:
+        flat = [t for s in batch["text"].to_pylist()
+                for t in (s or "").split()]
+        if not flat:
+            return pa.table({"r": pa.array([], pa.int64()),
+                             "reg": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        occ = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        h = stable_hash64_np(uniq.astype(str))
+        mat = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        for r, s in enumerate(CMS_SEEDS):
+            reg = (splitmix64_np(h ^ np.uint64(s))
+                   % np.uint64(CMS_W)).astype(np.int64)
+            np.add.at(mat[r], reg, occ)
+        rr = np.repeat(np.arange(CMS_D, dtype=np.int64), CMS_W)
+        gg = np.tile(np.arange(CMS_W, dtype=np.int64), CMS_D)
+        return pa.table({"r": pa.array(rr), "reg": pa.array(gg),
+                         "cnt": pa.array(mat.reshape(-1))})
+
+    regs = _merge_partials(
+        ds.map_batches(regs_partial, batch_format="pyarrow"),
+        ["r", "reg"], ["cnt"])
+    table = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    table[regs["r"].to_numpy(), regs["reg"].to_numpy()] = \
+        regs["cnt"].to_numpy()
+
+    from ..stages import sampling as sp
+    vocab = _merge_partials_ray(
+        ds.map_batches(sp.vocab_partial_counts, batch_format="pyarrow"),
+        ["token"], ["n"])
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        return batch.sort_by([("n", "descending"),
+                              ("token", "ascending")]).slice(0, CMS_TOPK)
+
+    top = (vocab.map_batches(topk_block, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["n", "token"], ascending=[False, True])
+           .head(CMS_TOPK).reset_index(drop=True))
+
+    th = stable_hash64_np(top["token"].to_numpy().astype(str))
+    est = np.full(len(top), np.iinfo(np.int64).max, dtype=np.int64)
+    for r, s in enumerate(CMS_SEEDS):
+        reg = (splitmix64_np(th ^ np.uint64(s))
+               % np.uint64(CMS_W)).astype(np.int64)
+        est = np.minimum(est, table[r, reg])
+    res = pd.DataFrame({"token": top["token"],
+                        "true_n": top["n"].astype("int64"),
+                        "est_n": est.astype(np.int64)})
+    assert (res["est_n"] >= res["true_n"]).all(), \
+        "CMS invariant violated: estimate below true count"
+    return res
+
+
+def _cms_oracle_sql() -> str:
+    from ..functions.sqlmirror import (splitmix64_cte, stable_hash64_cte,
+                                       tokens_sql)
+    toks = tokens_sql("coalesce(text,'')")
+    base = (f"SELECT tok, CAST(count(*) AS BIGINT) AS n FROM "
+            f"(SELECT unnest({toks}) AS tok FROM documents) GROUP BY 1")
+    sql, last = stable_hash64_cte(base, "tok", {"h": 0},
+                                  carry_cols=("n",), prefix="__cmsh")
+    finals = []
+    for r, s in enumerate(CMS_SEEDS):
+        part, lr = splitmix64_cte(
+            f"SELECT tok, n, xor(h, CAST({s} AS UBIGINT)) AS x "
+            f"FROM {last}", "x", f"g{r}", carry_cols=("tok", "n"),
+            prefix=f"__cms{r}_", include_with=False)
+        sql += part
+        finals.append((r, lr))
+    assign = " UNION ALL ".join(
+        f"SELECT tok, n, {r} AS r, CAST(g{r} % {CMS_W} AS BIGINT) AS reg "
+        f"FROM {lr}" for r, lr in finals)
+    return sql + (
+        f", cms_a AS ({assign}), "
+        "cms_regs AS (SELECT r, reg, CAST(sum(n) AS BIGINT) AS cnt "
+        "FROM cms_a GROUP BY 1, 2), "
+        "cms_est AS (SELECT tok, CAST(min(cnt) AS BIGINT) AS est_n "
+        "FROM cms_a JOIN cms_regs USING (r, reg) GROUP BY tok), "
+        f"cms_top AS (SELECT tok, n FROM {last} "
+        f"ORDER BY n DESC, tok LIMIT {CMS_TOPK}) "
+        "SELECT t.tok AS token, t.n AS true_n, e.est_n AS est_n "
+        "FROM cms_top t JOIN cms_est e ON e.tok = t.tok "
+        "ORDER BY true_n DESC, token")
+
+
 GVC_K = 5  # greedy max-coverage selection steps
 
 
@@ -5036,6 +5154,8 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "centroid_similarity": _centroid_similarity_oracle_sql(),
     # session-11: greedy max-coverage selection (K unrolled CTE rounds)
     "greedy_vocab_cover": _greedy_cover_oracle_sql(),
+    # session-11: count-min sketch registers mirrored bit-for-bit
+    "cms_token_counts": _cms_oracle_sql(),
     # session-11: reciprocal-rank fusion of two count-table rankings
     "rank_fusion": _rank_fusion_oracle_sql(),
     # training-data assembly additions (r03): deterministic splits /

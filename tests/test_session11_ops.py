@@ -482,3 +482,46 @@ def test_rank_gaps_vs_dense(ray_session):
                  .groupby("p_brand")["price_c"]
                  .agg(lambda s: (s == s.min()).sum()))
     assert ((mx + ties_last - 1) == sz).all()
+
+
+def test_cms_brute(ray_session, tmp_path):
+    """Sequential-Python CMS on a crafted corpus (heavy skew so the
+    top-k ordering and the min-over-rows estimate are exercised):
+    registers recomputed per token occurrence one at a time; the
+    engine's batched np.add.at build must agree exactly, and the
+    estimate invariant est >= true must hold."""
+    import numpy as np
+
+    from crawling_infrastructure_ray.functions.hashing import (
+        splitmix64_np, stable_hash64)
+    from crawling_infrastructure_ray.pipelines.training import (
+        CMS_D, CMS_SEEDS, CMS_W, q_cms_token_counts)
+
+    docs = [("aa " * 50 + "bb " * 20 + "cc " * 5 + "dd", "s0"),
+            ("bb " * 30 + "ee ff gg hh ii jj", "s0")]
+    sf = _write_docs(tmp_path, docs)
+    out = q_cms_token_counts(sf)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+
+    # brute: one register update per occurrence
+    table = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    from collections import Counter
+    counts = Counter(t for d, _ in docs for t in d.split())
+    for tok, n in counts.items():
+        h = np.uint64(stable_hash64(tok))
+        for r, s in enumerate(CMS_SEEDS):
+            # NB: np.uint64 scalar % python int promotes to float64
+            # (always 0 for 2^63-scale values) — keep it uint64
+            reg = int(splitmix64_np(np.array([h ^ np.uint64(s)]))[0]
+                      % np.uint64(CMS_W))
+            table[r, reg] += n
+    for row in out.itertuples():
+        h = np.uint64(stable_hash64(row.token))
+        est = min(int(table[r, int(splitmix64_np(
+            np.array([h ^ np.uint64(s)]))[0] % np.uint64(CMS_W))])
+            for r, s in enumerate(CMS_SEEDS))
+        assert row.est_n == est
+        assert row.true_n == counts[row.token]
+        assert row.est_n >= row.true_n
+    assert out["true_n"].iloc[0] == 50 and out["token"].iloc[0] == "aa"
