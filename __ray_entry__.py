@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_rank": qa.q_part_price_rank,
         "nation_revenue_share": qa.q_nation_revenue_share,
         "cms_token_counts": qt.q_cms_token_counts,
+        "vocab_coverage_curve": qt.q_vocab_coverage_curve,
         "events_ewma": qa.q_events_ewma,
         "media_frame_plan": qt.q_media_frame_plan,
         "value_trend_per_user": qa.q_value_trend_per_user,

@@ -2865,6 +2865,75 @@ def _cms_oracle_sql() -> str:
         "ORDER BY true_n DESC, token")
 
 
+VCC_KS = (1, 5, 10, 1000)  # coverage-curve cut points
+
+
+def q_vocab_coverage_curve(sf_dir: str):
+    """TOKENIZER COVERAGE CURVE: what share of the corpus token stream
+    a top-k vocabulary covers, at each cut k — the statistic that
+    sizes a tokenizer's vocab (share_e6 = covered·1e6 // total, exact
+    integers; cuts beyond the vocab clamp to full coverage). Rows:
+    (k, covered, total, share_e6).
+
+    Scale shape: vocab counts are the combiner + bucketed merge;
+    the max cut bounds a partial top-k per block (global top-k ⊆
+    union of block top-ks), so the driver sees max(VCC_KS) rows plus
+    one scalar total — never the vocabulary."""
+    from ..stages import sampling as sp
+    from .analytics import _merge_partials_ray
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    vocab = _merge_partials_ray(
+        ds.map_batches(sp.vocab_partial_counts, batch_format="pyarrow"),
+        ["token"], ["n"])
+    kmax = max(VCC_KS)
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        return batch.sort_by([("n", "descending"),
+                              ("token", "ascending")]).slice(0, kmax)
+
+    def total_block(batch: pa.Table) -> pa.Table:
+        return pa.table({"t": pa.array(
+            [int(pc.sum(batch["n"]).as_py() or 0)], pa.int64())})
+
+    top = (vocab.map_batches(topk_block, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["n", "token"], ascending=[False, True])
+           .head(kmax).reset_index(drop=True))
+    total = int(vocab.map_batches(total_block, batch_format="pyarrow")
+                .to_pandas()["t"].sum())
+    csum = top["n"].astype("int64").cumsum().to_numpy()
+    rows = []
+    for k in VCC_KS:
+        covered = int(csum[min(k, len(csum)) - 1]) if len(csum) else 0
+        rows.append((k, covered, total,
+                     covered * 1_000_000 // max(total, 1)))
+    res = pd.DataFrame(rows, columns=["k", "covered", "total",
+                                      "share_e6"])
+    for c in res.columns:
+        res[c] = res[c].astype("int64")
+    return res
+
+
+def _vocab_coverage_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    toks = tokens_sql("coalesce(text,'')")
+    ks = ", ".join(str(k) for k in VCC_KS)
+    return (
+        f"WITH vcc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM "
+        f"(SELECT unnest({toks}) AS tok FROM documents) GROUP BY 1), "
+        "vcr AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) "
+        "AS rk FROM vcc), "
+        "vct AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM vcc) "
+        f"SELECT CAST(kk AS BIGINT) AS k, "
+        "CAST((SELECT coalesce(sum(n), 0) FROM vcr WHERE rk <= kk) "
+        "AS BIGINT) AS covered, "
+        "(SELECT total FROM vct) AS total, "
+        "CAST((SELECT coalesce(sum(n), 0) FROM vcr WHERE rk <= kk) "
+        "* 1000000 // (SELECT total FROM vct) AS BIGINT) AS share_e6 "
+        f"FROM unnest([{ks}]) AS u(kk) ORDER BY 1")
+
+
 GVC_K = 5  # greedy max-coverage selection steps
 
 
@@ -5156,6 +5225,8 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "greedy_vocab_cover": _greedy_cover_oracle_sql(),
     # session-11: count-min sketch registers mirrored bit-for-bit
     "cms_token_counts": _cms_oracle_sql(),
+    # session-11: tokenizer coverage curve at vocab cut points
+    "vocab_coverage_curve": _vocab_coverage_oracle_sql(),
     # session-11: reciprocal-rank fusion of two count-table rankings
     "rank_fusion": _rank_fusion_oracle_sql(),
     # training-data assembly additions (r03): deterministic splits /

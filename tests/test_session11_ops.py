@@ -525,3 +525,21 @@ def test_cms_brute(ray_session, tmp_path):
         assert row.true_n == counts[row.token]
         assert row.est_n >= row.true_n
     assert out["true_n"].iloc[0] == 50 and out["token"].iloc[0] == "aa"
+
+
+def test_vocab_coverage_crafted(ray_session, tmp_path):
+    """Coverage cuts on a skewed crafted corpus: k=1 covers the
+    majority token exactly; cuts beyond the vocab clamp to full
+    coverage; shares are exact floor-e6."""
+    from crawling_infrastructure_ray.pipelines.training import \
+        q_vocab_coverage_curve
+
+    sf = _write_docs(tmp_path, [("a " * 70 + "b " * 20 + "c " * 10, "s0")])
+    out = q_vocab_coverage_curve(sf)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    out = out.set_index("k")
+    assert out.loc[1, "covered"] == 70 and out.loc[1, "total"] == 100
+    assert out.loc[1, "share_e6"] == 700_000
+    assert out.loc[5, "covered"] == 100  # whole 3-token vocab
+    assert out.loc[1000, "share_e6"] == 1_000_000
