@@ -1909,6 +1909,91 @@ def _normalize_value_oracle_sql() -> str:
         "ORDER BY 1, 2")
 
 
+COVISIT_MIN_SHARED = 3
+
+
+def q_covisit_user_pairs(sf_dir: str):
+    """CO-VISITATION PAIRS (the collaborative-filtering co-occurrence
+    statistic): pairs of users active in >= COVISIT_MIN_SHARED of the
+    same (day, event_type) context buckets — the user-user (or
+    item-item, transposed) similarity matrix recommenders precompute.
+    Output (user_a < user_b, n_shared).
+
+    Scale shape: distinct (user, day, type) triples are a per-batch
+    combiner; pair emission runs per (day, type) group after a
+    context-bucketed shuffle (inherently quadratic in group size —
+    same documented trade as dedup_jaccard_exact; cap or LSH-bucket
+    hot contexts at web scale); pair counts reduce through the
+    standard pair-bucketed merge, and only >= threshold pairs leave."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts",
+                                               "event_type"])
+
+    def triples(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(batch["ts"].cast(pa.int64()),
+                                pa.scalar(86_400_000_000, pa.int64())),
+                      pa.int64())
+        t = pa.table({"user_id": pc.cast(batch["user_id"], pa.int64()),
+                      "day": day, "event_type": batch["event_type"]})
+        return t.group_by(["user_id", "day", "event_type"]) \
+            .aggregate([]).select(["user_id", "day", "event_type"])
+
+    trip = ds.map_batches(triples, batch_format="pyarrow")
+
+    def dedup_ctx(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["user_id", "day", "event_type"])[
+            ["user_id", "day", "event_type"]]
+
+    def pairs_in_ctx(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, grp in g.groupby(["day", "event_type"], sort=False):
+            u = np.sort(grp["user_id"].to_numpy().astype(np.int64))
+            if len(u) < 2:
+                continue
+            iu, ju = np.triu_indices(len(u), k=1)
+            frames.append(pd.DataFrame({"user_a": u[iu],
+                                        "user_b": u[ju]}))
+        if not frames:
+            return pd.DataFrame({"user_a": pd.Series([], dtype=np.int64),
+                                 "user_b": pd.Series([], dtype=np.int64),
+                                 "n_shared": pd.Series([], dtype=np.int64)})
+        out = pd.concat(frames, ignore_index=True)
+        out["n_shared"] = 1
+        return out.groupby(["user_a", "user_b"],
+                           as_index=False)["n_shared"].sum()
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["user_a", "user_b"],
+                        as_index=False)["n_shared"].sum()
+        out = out[out["n_shared"] >= COVISIT_MIN_SHARED]
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    ctx_tag = _tag_bucket(["day", "event_type"], 64, "_cb")
+    pair_tag = _tag_bucket(["user_a", "user_b"], 64, "_pb")
+    return (trip.map_batches(ctx_tag, batch_format="pyarrow")
+            .repartition(32)
+            .groupby("_cb").map_groups(
+                lambda g: pairs_in_ctx(dedup_ctx(g)),
+                batch_format="pandas")
+            .map_batches(pair_tag, batch_format="pyarrow")
+            .repartition(32)
+            .groupby("_pb").map_groups(reduce_pairs,
+                                       batch_format="pandas"))
+
+
+def _covisit_oracle_sql() -> str:
+    return (
+        "WITH cv AS (SELECT DISTINCT user_id, "
+        "epoch_us(ts) // 86400000000 AS day, event_type FROM events) "
+        "SELECT a.user_id AS user_a, b.user_id AS user_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM cv a JOIN cv b ON a.day = b.day "
+        "AND a.event_type = b.event_type AND a.user_id < b.user_id "
+        f"GROUP BY 1, 2 HAVING count(*) >= {COVISIT_MIN_SHARED} "
+        "ORDER BY 1, 2")
+
+
 def q_trailing_window_value(sf_dir: str):
     """RANGE-frame (time-based) windowed aggregate — the
     variable-width counterpart of q_rolling_window_value's ROWS
@@ -5112,6 +5197,7 @@ ORACLE_SQL: dict[str, str] = {
     "late_event_flags": _late_events_oracle_sql(),
     "scd2_intervals": _scd2_oracle_sql(),
     "normalize_value_per_user": _normalize_value_oracle_sql(),
+    "covisit_user_pairs": _covisit_oracle_sql(),
     "trailing_window_value":
         "SELECT user_id, event_id, "
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "

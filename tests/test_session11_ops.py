@@ -543,3 +543,30 @@ def test_vocab_coverage_crafted(ray_session, tmp_path):
     assert out.loc[1, "share_e6"] == 700_000
     assert out.loc[5, "covered"] == 100  # whole 3-token vocab
     assert out.loc[1000, "share_e6"] == 1_000_000
+
+
+def test_covisit_crafted(ray_session, tmp_path):
+    """Co-visitation counting: same (day, type) context counted once
+    per user pair regardless of per-day event multiplicity; pairs
+    below the threshold are dropped."""
+    import datetime as dt
+
+    from crawling_infrastructure_ray.pipelines.analytics import (
+        COVISIT_MIN_SHARED, q_covisit_user_pairs)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # users 1+2 share 3 distinct days (threshold); user 3 shares 2
+    for d in range(3):
+        rows += [(t0 + dt.timedelta(days=d), 1, 1.0),
+                 (t0 + dt.timedelta(days=d), 1, 2.0),  # dup same day
+                 (t0 + dt.timedelta(days=d), 2, 1.0)]
+    for d in range(2):
+        rows += [(t0 + dt.timedelta(days=d), 3, 1.0)]
+    sf = _write_events(tmp_path, rows)
+    out = q_covisit_user_pairs(sf)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    got = {(r.user_a, r.user_b): r.n_shared for r in out.itertuples()}
+    assert got == {(1, 2): 3}
+    assert COVISIT_MIN_SHARED == 3
