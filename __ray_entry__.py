@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_counts": qt.q_cms_token_counts,
         "vocab_coverage_curve": qt.q_vocab_coverage_curve,
         "covisit_user_pairs": qa.q_covisit_user_pairs,
+        "entity_resolution": qt.q_entity_resolution,
         "events_ewma": qa.q_events_ewma,
         "media_frame_plan": qt.q_media_frame_plan,
         "value_trend_per_user": qa.q_value_trend_per_user,

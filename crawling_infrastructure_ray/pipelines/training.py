@@ -2267,6 +2267,176 @@ def _collocation_oracle_sql() -> str:
         "JOIN cl_u ub ON ub.token = token_b ORDER BY 1, 2")
 
 
+ER_JACCARD_E6 = 800_000  # entity-resolution match threshold
+
+
+def q_entity_resolution(sf_dir: str, block: int = 4096):
+    """END-TO-END ENTITY RESOLUTION (blocking → similarity
+    verification → clustering → canonicalization), the record-linkage
+    pipeline composed from this engine's primitives: (1) BLOCKING by
+    sorted neighborhood — global (n_chars, doc_id) rank via the
+    count-table trick, candidates = rank distance <= SNB_WINDOW; (2)
+    VERIFICATION — exact distinct-token-set Jaccard >= 0.8, computed
+    IN-BLOCK: each rank row carries its doc's distinct token-hash set
+    through the same halo-block shuffle, so no candidate list or
+    token map ever sits on the driver; (3) CLUSTERING — union-find
+    over the match edges (output-sized, the minhash_remove
+    convention); (4) CANONICAL record = min doc_id per cluster.
+    Emits (doc_id, canon_id, cluster_size) for every clustered doc.
+
+    ORACLE: rank window self-join + list_intersect Jaccard + WITH
+    RECURSIVE transitive closure in DuckDB (equal-string ⇔ equal-hash
+    convention for the token sets)."""
+    import ray as _ray
+
+    from ..functions.hashing import stable_hash64_np
+    from ..stages.joins import union_find_components
+    from .analytics import _merge_partials, _tag_bucket
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text",
+                                                    "n_chars"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        toksets = []
+        for t in batch["text"].to_pylist():
+            toks = np.unique(np.asarray((t or "").split(), dtype=object))
+            toksets.append(np.sort(
+                stable_hash64_np(toks).view(np.int64)))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+            "toks": pa.array([s.tolist() for s in toksets],
+                             pa.list_(pa.int64()))})
+
+    fds = docs.map_batches(feats, batch_format="pyarrow")
+
+    def val_counts(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"n_chars": pa.array(u.astype(np.int64)),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    counts = _merge_partials(
+        fds.map_batches(val_counts, batch_format="pyarrow"),
+        ["n_chars"], ["cnt"]).sort_values("n_chars").reset_index(drop=True)
+    vals = counts["n_chars"].to_numpy().astype(np.int64)
+    base = np.concatenate(
+        [[0], counts["cnt"].cumsum().to_numpy()[:-1]]).astype(np.int64)
+    base_ref = _ray.put((vals, base))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _rayw
+        bvals, bbase = _rayw.get(base_ref)
+        g = g.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        v = g["n_chars"].to_numpy().astype(np.int64)
+        first = np.zeros(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = v[1:] != v[:-1]
+        starts = np.where(first, np.arange(len(g)), 0)
+        np.maximum.accumulate(starts, out=starts)
+        rank = bbase[np.searchsorted(bvals, v)] + \
+            (np.arange(len(g)) - starts)
+        return pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                             "rank": rank.astype(np.int64),
+                             "toks": g["toks"]})
+
+    ranked = (fds.repartition(32)
+              .map_batches(_tag_bucket(["n_chars"], 64, "_kb"),
+                           batch_format="pyarrow")
+              .groupby("_kb").map_groups(rank_bucket,
+                                         batch_format="pandas"))
+
+    def to_blocks(batch: pa.Table) -> pa.Table:
+        r = batch["rank"].to_numpy(zero_copy_only=False)
+        blk = r // block
+        halo = (r % block < SNB_WINDOW) & (blk > 0)
+        idx = np.concatenate([np.arange(len(r)),
+                              np.nonzero(halo)[0]])
+        taken = batch.take(pa.array(idx, pa.int64()))
+        return pa.table({
+            "blk": pa.array(np.concatenate([blk, blk[halo] - 1])),
+            "rank": taken["rank"], "doc_id": taken["doc_id"],
+            "toks": taken["toks"],
+            "home": pa.array(np.concatenate(
+                [np.ones(len(r), bool),
+                 np.zeros(int(halo.sum()), bool)]))})
+
+    def match_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rank").reset_index(drop=True)
+        r = g["rank"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        home = g["home"].to_numpy()
+        toks = [np.asarray(t, dtype=np.int64)
+                for t in g["toks"].tolist()]
+        out = []
+        for d in range(1, SNB_WINDOW + 1):
+            j = np.searchsorted(r, r + d)
+            ok = j < len(r)
+            ok[ok] &= r[j[ok]] == r[ok] + d
+            ok &= home
+            for i in np.nonzero(ok)[0]:
+                sa, sb = toks[i], toks[j[i]]
+                inter = np.intersect1d(sa, sb,
+                                       assume_unique=True).size
+                union = sa.size + sb.size - inter
+                if union and inter * 1_000_000 // union >= ER_JACCARD_E6:
+                    out.append((ids[i], ids[j[i]]))
+        return pd.DataFrame(out, columns=["a", "b"]).astype("int64")
+
+    edges = (ranked.map_batches(to_blocks, batch_format="pyarrow")
+             .repartition(32)
+             .groupby("blk").map_groups(match_in_block,
+                                        batch_format="pandas")
+             .to_pandas())
+    if edges.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "canon_id": pd.Series([], dtype=np.int64),
+                             "cluster_size": pd.Series([],
+                                                       dtype=np.int64)})
+    roots = union_find_components(
+        (int(a), int(b)) for a, b in edges[["a", "b"]].values)
+    canon = {d: r for d, r in
+             ((d, roots[d]) for d in roots)}
+    from collections import Counter
+    sizes = Counter(canon.values())
+    res = pd.DataFrame(
+        [(d, c, sizes[c]) for d, c in sorted(canon.items())],
+        columns=["doc_id", "canon_id", "cluster_size"])
+    for c in res.columns:
+        res[c] = res[c].astype("int64")
+    return res
+
+
+def _entity_resolution_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    toks = tokens_sql("coalesce(text,'')")
+    return (
+        f"WITH er_r AS (SELECT doc_id, n_chars, "
+        f"list_distinct({toks}) AS t, row_number() OVER "
+        "(ORDER BY n_chars, doc_id) - 1 AS rk FROM documents), "
+        "er_e AS (SELECT a.doc_id AS a, b.doc_id AS b FROM er_r a "
+        "JOIN er_r b ON b.rk > a.rk AND "
+        f"b.rk <= a.rk + {SNB_WINDOW} "
+        "AND len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) > 0 "
+        "AND len(list_intersect(a.t, b.t)) * 1000000 // "
+        "(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) "
+        f">= {ER_JACCARD_E6}), "
+        "er_n AS (SELECT a AS node FROM er_e UNION "
+        "SELECT b FROM er_e), "
+        "er_c AS (SELECT node, "
+        "least(node, (WITH RECURSIVE reach(x) AS ("
+        "SELECT node AS x UNION "
+        "SELECT CASE WHEN e.a = r.x THEN e.b ELSE e.a END "
+        "FROM reach r JOIN er_e e ON e.a = r.x OR e.b = r.x) "
+        "SELECT min(x) FROM reach)) AS canon FROM er_n) "
+        "SELECT CAST(node AS BIGINT) AS doc_id, "
+        "CAST(canon AS BIGINT) AS canon_id, "
+        "CAST(count(*) OVER (PARTITION BY canon) AS BIGINT) "
+        "AS cluster_size FROM er_c ORDER BY 1")
+
+
 RRF_K = 60           # standard reciprocal-rank-fusion damping constant
 RRF_TOPK = 20
 
@@ -5227,6 +5397,8 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "cms_token_counts": _cms_oracle_sql(),
     # session-11: tokenizer coverage curve at vocab cut points
     "vocab_coverage_curve": _vocab_coverage_oracle_sql(),
+    # session-11: end-to-end entity resolution (block/verify/cluster)
+    "entity_resolution": _entity_resolution_oracle_sql(),
     # session-11: reciprocal-rank fusion of two count-table rankings
     "rank_fusion": _rank_fusion_oracle_sql(),
     # training-data assembly additions (r03): deterministic splits /

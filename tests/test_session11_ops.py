@@ -570,3 +570,28 @@ def test_covisit_crafted(ray_session, tmp_path):
     got = {(r.user_a, r.user_b): r.n_shared for r in out.itertuples()}
     assert got == {(1, 2): 3}
     assert COVISIT_MIN_SHARED == 3
+
+
+def test_entity_resolution_crafted(ray_session, tmp_path):
+    """End-to-end: same-length near-dups cluster transitively (A~B,
+    B~C => one cluster with canon = min doc_id) across a forced block
+    boundary (block=4); an unrelated same-length doc stays out."""
+    from crawling_infrastructure_ray.pipelines.training import \
+        q_entity_resolution
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (base, "s0"),                           # 0
+        (base, "s0"),                           # 1 exact dup of 0
+        (base.replace("kappa", "kappb"), "s0"),  # 2 one-token swap
+        ("zz yy xx ww vv uu tt ss rr qq".ljust(len(base)), "s0"),  # 3
+        ("m " * (len(base) // 2), "s0"),         # 4 different length
+    ]
+    sf = _write_docs(tmp_path, rows)
+    out = q_entity_resolution(sf, block=4)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    got = {r.doc_id: (r.canon_id, r.cluster_size)
+           for r in out.itertuples()}
+    assert got[0] == (0, 3) and got[1] == (0, 3) and got[2] == (0, 3)
+    assert 3 not in got and 4 not in got
