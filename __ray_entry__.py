@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage_curve": qt.q_vocab_coverage_curve,
         "covisit_user_pairs": qa.q_covisit_user_pairs,
         "entity_resolution": qt.q_entity_resolution,
+        "weekly_growth": qa.q_weekly_growth,
+        "benford_digits": qa.q_benford_digits,
         "events_ewma": qa.q_events_ewma,
         "media_frame_plan": qt.q_media_frame_plan,
         "value_trend_per_user": qa.q_value_trend_per_user,

@@ -1909,6 +1909,111 @@ def _normalize_value_oracle_sql() -> str:
         "ORDER BY 1, 2")
 
 
+def q_weekly_growth(sf_dir: str):
+    """PERIOD-OVER-PERIOD GROWTH (the WoW/MoM BI staple — a window
+    over an AGGREGATED series, not raw rows): weekly event counts per
+    event_type with the previous week's count and integer-exact
+    growth_e6 = (n − prev_n)·1e6 // prev_n (first week: prev_n = -1,
+    growth_e6 = 0). Scale shape: the count is a per-batch combiner
+    into the enum×weeks domain (driver-merged, config-sized); the lag
+    over the aggregated series is a vectorized shift on the tiny
+    result."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        wk = pc.cast(pc.divide(batch["ts"].cast(pa.int64()),
+                               pa.scalar(604_800_000_000, pa.int64())),
+                     pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "wk": wk})
+        g = t.group_by(["event_type", "wk"]).aggregate([("wk", "count")])
+        return g.rename_columns(["event_type", "wk", "n"])
+
+    out = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "wk"], ["n"])
+    out = out.sort_values(["event_type", "wk"]).reset_index(drop=True)
+    n = out["n"].astype("int64").to_numpy()
+    prev = np.empty_like(n)
+    prev[1:] = n[:-1]
+    prev[0] = -1
+    et = out["event_type"].to_numpy()
+    first = np.zeros(len(out), dtype=bool)
+    first[0] = True
+    first[1:] = et[1:] != et[:-1]
+    prev[first] = -1
+    # TRUNCATING division (DuckDB's integer // truncates toward zero
+    # on negatives; numpy // floors — match SQL semantics here since
+    # growth is signed, unlike the repo's nonnegative _e6 columns)
+    d6 = (n - prev) * 1_000_000
+    growth = np.where(prev > 0,
+                      np.sign(d6) * (np.abs(d6) // np.maximum(prev, 1)),
+                      0)
+    res = pd.DataFrame({"event_type": out["event_type"],
+                        "wk": out["wk"].astype("int64"),
+                        "n": n, "prev_n": prev.astype(np.int64),
+                        "growth_e6": growth.astype(np.int64)})
+    return res
+
+
+def _weekly_growth_oracle_sql() -> str:
+    return (
+        "WITH wg AS (SELECT event_type, "
+        "epoch_us(ts) // 604800000000 AS wk, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) "
+        "SELECT event_type, wk, n, "
+        "CAST(coalesce(lag(n) OVER w, -1) AS BIGINT) AS prev_n, "
+        "CAST(CASE WHEN coalesce(lag(n) OVER w, -1) > 0 THEN "
+        "((n - lag(n) OVER w) * 1000000) // lag(n) OVER w "
+        "ELSE 0 END AS BIGINT) AS growth_e6 "
+        "FROM wg WINDOW w AS (PARTITION BY event_type ORDER BY wk) "
+        "ORDER BY 1, 2")
+
+
+def q_benford_digits(sf_dir: str):
+    """BENFORD FIRST-DIGIT AUDIT (the fraud/data-quality screen):
+    distribution of the leading digit of value_cents across events —
+    per digit 1-9 the count and exact share_e6 of all positive values.
+    Scale shape: per-batch digit histogram (vectorized
+    log10-free: repeated integer division by 10), 9-row enum merge."""
+    ds = read_table(sf_dir, "events", columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(batch["value"],
+                                         pa.scalar(100.0))),
+                    pa.int64()).to_numpy(zero_copy_only=False).copy()
+        v = v[v > 0]
+        while (v >= 10).any():
+            v = np.where(v >= 10, v // 10, v)
+        cnt = np.bincount(v, minlength=10)[1:10].astype(np.int64)
+        return pa.table({"digit": pa.array(np.arange(1, 10,
+                                                     dtype=np.int64)),
+                         "n": pa.array(cnt)})
+
+    out = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["digit"], ["n"])
+    total = int(out["n"].sum())
+    out["n"] = out["n"].astype("int64")
+    out["share_e6"] = (out["n"] * 1_000_000 // max(total, 1)) \
+        .astype("int64")
+    out["digit"] = out["digit"].astype("int64")
+    return out.sort_values("digit").reset_index(drop=True)
+
+
+def _benford_oracle_sql() -> str:
+    return (
+        "WITH bf AS (SELECT CAST(substr(CAST(CAST(round(value * 100) "
+        "AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit "
+        "FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0), "
+        "bc AS (SELECT digit, CAST(count(*) AS BIGINT) AS n "
+        "FROM bf GROUP BY 1), "
+        "bd AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit) "
+        "SELECT bd.digit AS digit, CAST(coalesce(bc.n, 0) AS BIGINT) "
+        "AS n, CAST(coalesce(bc.n, 0) * 1000000 // "
+        "greatest((SELECT sum(n) FROM bc), 1) AS BIGINT) AS share_e6 "
+        "FROM bd LEFT JOIN bc ON bc.digit = bd.digit ORDER BY 1")
+
+
 COVISIT_MIN_SHARED = 3
 
 
@@ -5198,6 +5303,8 @@ ORACLE_SQL: dict[str, str] = {
     "scd2_intervals": _scd2_oracle_sql(),
     "normalize_value_per_user": _normalize_value_oracle_sql(),
     "covisit_user_pairs": _covisit_oracle_sql(),
+    "weekly_growth": _weekly_growth_oracle_sql(),
+    "benford_digits": _benford_oracle_sql(),
     "trailing_window_value":
         "SELECT user_id, event_id, "
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "

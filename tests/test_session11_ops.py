@@ -595,3 +595,38 @@ def test_entity_resolution_crafted(ray_session, tmp_path):
            for r in out.itertuples()}
     assert got[0] == (0, 3) and got[1] == (0, 3) and got[2] == (0, 3)
     assert 3 not in got and 4 not in got
+
+
+def test_weekly_growth_and_benford_crafted(ray_session, tmp_path):
+    """Growth: signed truncating division (SQL semantics) and -1/0
+    first-week sentinel; Benford: exact leading-digit histogram with
+    zero-count digits present."""
+    import datetime as dt
+
+    from crawling_infrastructure_ray.pipelines.analytics import (
+        q_benford_digits, q_weekly_growth)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # week A: 3 events; week B: 2 events (growth = -1/3 truncated)
+    for i in range(3):
+        rows.append((t0 + dt.timedelta(hours=i), 1, 1.23))
+    for i in range(2):
+        rows.append((t0 + dt.timedelta(days=7, hours=i), 1, 95.00))
+    sf = _write_events(tmp_path, rows)
+
+    g = q_weekly_growth(sf)
+    if hasattr(g, "to_pandas"):
+        g = g.to_pandas()
+    g = g.sort_values("wk").reset_index(drop=True)
+    assert g["prev_n"].tolist() == [-1, 3]
+    assert g["growth_e6"].tolist() == [0, -333333]  # trunc, not floor
+
+    b = q_benford_digits(sf)
+    if hasattr(b, "to_pandas"):
+        b = b.to_pandas()
+    by = b.set_index("digit")
+    assert by.loc[1, "n"] == 3      # 123 cents -> digit 1
+    assert by.loc[9, "n"] == 2      # 9500 cents -> digit 9
+    assert by.loc[2, "n"] == 0
+    assert by.loc[1, "share_e6"] == 600_000
