@@ -5,7 +5,9 @@ an sf1-scale synthetic table set (tools/make_sf.py) and compare —
 proving the bucketed/combined shapes hold an order of magnitude above
 the driver's sf0.1 bench data.
 
-Usage: python tools/sf1_gate.py [out_dir] [scale]
+Usage: python tools/sf1_gate.py [out_dir] [scale] [query ...]
+(optional query names restrict the sweep — for spot-checking new
+operators at scale without re-running the whole battery)
 Prints one JSON line; non-zero exit on any mismatch.
 """
 
@@ -39,6 +41,7 @@ def norm(df):
 def main() -> int:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     scale = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+    only = set(sys.argv[3:])
 
     # Reuse existing tables ONLY if they honor the engine's ASCII text
     # contract — a stale set from an older generator silently fails
@@ -109,7 +112,8 @@ def main() -> int:
         print(f"skipping at scale {scale} (exact all-pairs, quadratic "
               f"by design): {sorted(skip_quadratic)}", file=sys.stderr)
     results, failed = {}, []
-    for name in [k for k in qs if k in sqls and k not in skip_quadratic]:
+    for name in [k for k in qs if k in sqls and k not in skip_quadratic
+                 and (not only or k in only)]:
         t0 = time.perf_counter()
         try:
             res = qs[name](out_dir)
