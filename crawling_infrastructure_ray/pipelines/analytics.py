@@ -1909,6 +1909,180 @@ def _normalize_value_oracle_sql() -> str:
         "ORDER BY 1, 2")
 
 
+def q_event_trigrams(sf_dir: str):
+    """SEQUENCE-PATTERN MINING one rank above event_transitions:
+    counts of consecutive event-type TRIGRAMS in each user's
+    (ts, event_id)-ordered stream (windows never cross users),
+    ordered by (n DESC, trigram asc). The funnel-discovery statistic —
+    transitions tell you edges, trigrams tell you paths.
+
+    Scale shape: one user-hash bucket shuffle (a user's stream must
+    be contiguous to window over it); per bucket the trigrams are a
+    vectorized composite-code fold (two shifted compares + one
+    np.unique); the merge key space is the enum³ type domain, so the
+    final reduce is a tiny driver merge."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts",
+                                               "event_id", "event_type"])
+
+    def tri_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]) \
+             .reset_index(drop=True)
+        codes, uniq = pd.factorize(g["event_type"], sort=True)
+        u = g["user_id"].to_numpy()
+        n = len(g)
+        if n < 3:
+            return pd.DataFrame({"t1": pd.Series([], dtype=object),
+                                 "t2": pd.Series([], dtype=object),
+                                 "t3": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        same3 = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        k = len(uniq)
+        comp = (codes[:-2].astype(np.int64) * k + codes[1:-1]) * k \
+            + codes[2:]
+        comp = comp[same3]
+        vals, cnts = np.unique(comp, return_counts=True)
+        return pd.DataFrame({
+            "t1": uniq[(vals // (k * k)).astype(np.int64)],
+            "t2": uniq[((vals // k) % k).astype(np.int64)],
+            "t3": uniq[(vals % k).astype(np.int64)],
+            "n": cnts.astype(np.int64)})
+
+    parts = (ds.repartition(32)
+             .map_batches(_tag_bucket(["user_id"]), batch_format="pyarrow")
+             .groupby("_kb").map_groups(tri_bucket,
+                                        batch_format="pandas"))
+    out = _merge_partials(parts, ["t1", "t2", "t3"], ["n"])
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["n", "t1", "t2", "t3"],
+                            ascending=[False, True, True, True])
+            .reset_index(drop=True))
+
+
+def _event_trigrams_oracle_sql() -> str:
+    return (
+        "WITH tg AS (SELECT user_id, event_type, "
+        "lead(event_type, 1) OVER w AS e2, "
+        "lead(event_type, 2) OVER w AS e3 FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT event_type AS t1, e2 AS t2, e3 AS t3, "
+        "CAST(count(*) AS BIGINT) AS n FROM tg "
+        "WHERE e2 IS NOT NULL AND e3 IS NOT NULL "
+        "GROUP BY 1, 2, 3 ORDER BY n DESC, 1, 2, 3")
+
+
+F2_D, F2_W = 4, 256  # CMS registers for the F2 / join-size estimate
+F2_SEEDS = (0x243F6A8885A308D3, 0x13198A2E03707344,
+            0x452821E638D01377, 0x6C0CE934CF6654BE)
+
+
+def q_f2_selfjoin_estimate(sf_dir: str):
+    """SELF-JOIN SIZE / F2 MOMENT ESTIMATION — the query-optimizer
+    cardinality-estimation primitive: |lineitem ⋈ lineitem on
+    l_partkey| = Σ_k c(k)² (the second frequency moment), computed
+    BOTH exactly (per-key combiner counts → bucketed merge → Σ c² as
+    distributed partials) and as the classic CMS inner-product
+    estimate (min over depth rows of Σ_reg cnt[reg]²) — always >= the
+    exact value, equal when no register collisions. One row:
+    (n_rows, n_keys, exact_f2, est_f2).
+
+    Scale shape: the sketch side is a per-batch np.add.at into D×W
+    int64 registers (enum-sized mergeable partials — the cms shape on
+    a NUMERIC key, splitmix-hashed, no string FNV walk); the exact
+    side's Σ c² reduces per key-bucket so no key set ever centralizes.
+    ORACLE: DuckDB recomputes registers via the shared splitmix
+    chains and both moments in exact integers."""
+    from ..functions.hashing import splitmix64_np
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey"])
+
+    def regs_partial(batch: pa.Table) -> pa.Table:
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).astype(np.uint64)
+        h0 = splitmix64_np(k)
+        mat = np.zeros((F2_D, F2_W), dtype=np.int64)
+        for r, s in enumerate(F2_SEEDS):
+            reg = (splitmix64_np(h0 ^ np.uint64(s))
+                   % np.uint64(F2_W)).astype(np.int64)
+            np.add.at(mat[r], reg, 1)
+        rr = np.repeat(np.arange(F2_D, dtype=np.int64), F2_W)
+        gg = np.tile(np.arange(F2_W, dtype=np.int64), F2_D)
+        return pa.table({"r": pa.array(rr), "reg": pa.array(gg),
+                         "cnt": pa.array(mat.reshape(-1))})
+
+    regs = _merge_partials(
+        ds.map_batches(regs_partial, batch_format="pyarrow"),
+        ["r", "reg"], ["cnt"])
+    table = np.zeros((F2_D, F2_W), dtype=np.int64)
+    table[regs["r"].to_numpy(), regs["reg"].to_numpy()] = \
+        regs["cnt"].to_numpy()
+    est_f2 = int(min((row.astype(object) ** 2).sum()
+                     for row in table))
+
+    # exact side: per-key counts (combiner → bucketed merge) → Σ c²
+    # reduced per bucket, so the key set never centralizes
+    def key_partial(batch: pa.Table) -> pa.Table:
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u, c = np.unique(k, return_counts=True)
+        return pa.table({"k": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    merged = _merge_partials_ray(
+        ds.map_batches(key_partial, batch_format="pyarrow"),
+        ["k"], ["c"])
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"f2": pa.array([int((c.astype(object) ** 2)
+                                             .sum())], pa.int64()),
+                         "nk": pa.array([len(c)], pa.int64()),
+                         "nr": pa.array([int(c.sum())], pa.int64())})
+
+    mm = merged.map_batches(moment_partial,
+                            batch_format="pyarrow").to_pandas()
+    res = pd.DataFrame([{
+        "n_rows": int(mm["nr"].sum()),
+        "n_keys": int(mm["nk"].sum()),
+        "exact_f2": int(mm["f2"].sum()),
+        "est_f2": est_f2}])
+    assert int(res["est_f2"].iloc[0]) >= int(res["exact_f2"].iloc[0]), \
+        "CMS F2 invariant violated: estimate below exact moment"
+    for c in res.columns:
+        res[c] = res[c].astype("int64")
+    return res
+
+
+def _f2_oracle_sql() -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    sql, l0 = splitmix64_cte(
+        "SELECT CAST(l_partkey AS UBIGINT) AS k FROM lineitem",
+        "k", "h0", carry_cols=(), prefix="__f2h")
+    finals = []
+    for r, s in enumerate(F2_SEEDS):
+        part, lr = splitmix64_cte(
+            f"SELECT xor(h0, CAST({s} AS UBIGINT)) AS x FROM {l0}",
+            "x", f"g{r}", carry_cols=(), prefix=f"__f2_{r}_",
+            include_with=False)
+        sql += part
+        finals.append((r, lr))
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS r, CAST(g{r} % {F2_W} AS BIGINT) AS reg "
+        f"FROM {lr}" for r, lr in finals)
+    return sql + (
+        f", f2_a AS ({rows}), "
+        "f2_regs AS (SELECT r, reg, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM f2_a GROUP BY 1, 2), "
+        "f2_est AS (SELECT CAST(min(s2) AS BIGINT) AS est_f2 FROM "
+        "(SELECT r, sum(cnt * cnt) AS s2 FROM f2_regs GROUP BY 1)), "
+        "f2_ex AS (SELECT CAST(count(*) AS BIGINT) AS nk, "
+        "CAST(sum(c) AS BIGINT) AS nr, "
+        "CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM "
+        "(SELECT l_partkey, CAST(count(*) AS BIGINT) AS c "
+        "FROM lineitem GROUP BY 1)) "
+        "SELECT nr AS n_rows, nk AS n_keys, exact_f2, est_f2 "
+        "FROM f2_ex, f2_est")
+
+
 def q_weekly_growth(sf_dir: str):
     """PERIOD-OVER-PERIOD GROWTH (the WoW/MoM BI staple — a window
     over an AGGREGATED series, not raw rows): weekly event counts per
@@ -5305,6 +5479,8 @@ ORACLE_SQL: dict[str, str] = {
     "covisit_user_pairs": _covisit_oracle_sql(),
     "weekly_growth": _weekly_growth_oracle_sql(),
     "benford_digits": _benford_oracle_sql(),
+    "f2_selfjoin_estimate": _f2_oracle_sql(),
+    "event_trigrams": _event_trigrams_oracle_sql(),
     "trailing_window_value":
         "SELECT user_id, event_id, "
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "

@@ -2173,9 +2173,11 @@ def q_collocation_stats(sf_dir: str):
     pair = _merge_partials_ray(
         ds.map_batches(sp.bpe_pair_partial_counts, batch_format="pyarrow"),
         ["left_tok", "right_tok"], ["n"])
+    # vocab-sized; feeds BOTH joins — materialize so the corpus
+    # combiner runs once, not once per join
     uni = _merge_partials_ray(
         ds.map_batches(sp.vocab_partial_counts, batch_format="pyarrow"),
-        ["token", ], ["n"])
+        ["token", ], ["n"]).materialize()
 
     def pair_side(batch: pa.Table) -> pa.Table:
         b = batch.filter(pc.greater_equal(batch["n"], COLLOC_MIN_COUNT))
@@ -2318,8 +2320,12 @@ def q_entity_resolution(sf_dir: str, block: int = 4096):
         return pa.table({"n_chars": pa.array(u.astype(np.int64)),
                          "cnt": pa.array(c.astype(np.int64))})
 
+    # rank offsets need ONLY n_chars — a separate column-pruned read,
+    # so the tokenizing feats pass runs exactly once (in the rank
+    # shuffle below), never twice
     counts = _merge_partials(
-        fds.map_batches(val_counts, batch_format="pyarrow"),
+        read_table(sf_dir, "documents", columns=["n_chars"])
+        .map_batches(val_counts, batch_format="pyarrow"),
         ["n_chars"], ["cnt"]).sort_values("n_chars").reset_index(drop=True)
     vals = counts["n_chars"].to_numpy().astype(np.int64)
     base = np.concatenate(
@@ -2474,7 +2480,10 @@ def q_rank_fusion(sf_dir: str):
             "n_toks": pa.array(_ws_token_counts(
                 pc.fill_null(batch["text"], "")))})
 
-    fds = docs.map_batches(feats, batch_format="pyarrow")
+    # materialize the per-doc feature rows (3 ints/doc): four
+    # consumers below (two count scans, two rank passes) would
+    # otherwise each re-read and re-tokenize the corpus
+    fds = docs.map_batches(feats, batch_format="pyarrow").materialize()
 
     def desc_ranks(col: str) -> "object":
         """(doc_id, rank) with rank = 1-based position in the global
@@ -3053,9 +3062,12 @@ def q_vocab_coverage_curve(sf_dir: str):
     from .analytics import _merge_partials_ray
 
     ds = read_table(sf_dir, "documents", columns=["text"])
+    # materialize the vocab-sized merge: it feeds BOTH the top-k and
+    # the total below — without this the whole corpus combiner would
+    # lazily re-execute per consumer
     vocab = _merge_partials_ray(
         ds.map_batches(sp.vocab_partial_counts, batch_format="pyarrow"),
-        ["token"], ["n"])
+        ["token"], ["n"]).materialize()
     kmax = max(VCC_KS)
 
     def topk_block(batch: pa.Table) -> pa.Table:

@@ -630,3 +630,71 @@ def test_weekly_growth_and_benford_crafted(ray_session, tmp_path):
     assert by.loc[9, "n"] == 2      # 9500 cents -> digit 9
     assert by.loc[2, "n"] == 0
     assert by.loc[1, "share_e6"] == 600_000
+
+
+def test_f2_selfjoin_crafted(ray_session, tmp_path):
+    """Exact F2 on a crafted key multiset (3,2,1 -> 14) plus the CMS
+    estimate recomputed sequentially from first principles."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawling_infrastructure_ray.functions.hashing import \
+        splitmix64_np
+    from crawling_infrastructure_ray.pipelines.analytics import (
+        F2_SEEDS, F2_W, q_f2_selfjoin_estimate)
+
+    keys = [1, 1, 1, 2, 2, 3]
+    pq.write_table(pa.table({"l_partkey": pa.array(keys, pa.int64())}),
+                   str(tmp_path / "lineitem.parquet"))
+    out = q_f2_selfjoin_estimate(str(tmp_path))
+    row = out.iloc[0]
+    assert row["n_rows"] == 6 and row["n_keys"] == 3
+    assert row["exact_f2"] == 14
+
+    table = np.zeros((len(F2_SEEDS), F2_W), dtype=np.int64)
+    for k in keys:
+        h0 = splitmix64_np(np.array([k], dtype=np.uint64))[0]
+        for r, s in enumerate(F2_SEEDS):
+            reg = int(splitmix64_np(np.array([h0 ^ np.uint64(s)]))[0]
+                      % np.uint64(F2_W))
+            table[r, reg] += 1
+    want_est = min(int((row_ ** 2).sum()) for row_ in table)
+    assert row["est_f2"] == want_est >= 14
+
+
+def test_event_trigrams_crafted(ray_session, tmp_path):
+    """Trigram windows never cross users; counts are per-occurrence
+    (overlapping windows count separately)."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_event_trigrams
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a b a b -> (a,b,a), (b,a,b)
+        (t0, 1, "a"), (t0 + dt.timedelta(minutes=1), 1, "b"),
+        (t0 + dt.timedelta(minutes=2), 1, "a"),
+        (t0 + dt.timedelta(minutes=3), 1, "b"),
+        # user 2: only 2 events -> no trigram
+        (t0, 2, "a"), (t0 + dt.timedelta(minutes=1), 2, "b"),
+    ]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array([""] * len(rows), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_event_trigrams(str(tmp_path))
+    if hasattr(out, "to_pandas"):
+        out = pd.DataFrame(out)
+    got = {(r.t1, r.t2, r.t3): r.n for r in out.itertuples()}
+    assert got == {("a", "b", "a"): 1, ("b", "a", "b"): 1}
