@@ -194,32 +194,53 @@ def vocab_partial_counts(batch: pa.Table, column: str = "text") -> pa.Table:
                      "n": pa.array(counts)})
 
 
+def _flat_adjacent_pairs(batch: pa.Table, column: str):
+    """Shared vectorized bigram extraction: ONE Arrow RE2 split over
+    the batch (the chunk_batch tokenizer recipe, byte-identical to
+    Python str.split on ASCII), one factorize over the flat token
+    stream, and a same-doc adjacency mask — no per-doc Python loop.
+    Returns (codes, uniq, ok_mask, doc_idx) where pairs are
+    (codes[:-1][ok], codes[1:][ok]) and doc_idx[:-1][ok] maps each
+    pair to its row."""
+    stripped = pc.utf8_trim_whitespace(pc.fill_null(batch[column], ""))
+    lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    raw_lens = np.diff(offs)
+    empty = np.asarray(pc.equal(stripped, "")
+                       .to_numpy(zero_copy_only=False))
+    flat = lists.flatten().to_numpy(zero_copy_only=False)
+    if len(flat) < 2:
+        return None
+    codes, uniq = pd.factorize(flat)
+    doc_idx = np.repeat(np.arange(len(raw_lens), dtype=np.int64),
+                        raw_lens)
+    ok = doc_idx[:-1] == doc_idx[1:]
+    ok &= ~empty[doc_idx[:-1]]  # '' phantom rows of empty docs
+    if not ok.any():
+        return None
+    return codes, uniq, ok, doc_idx
+
+
 def bpe_pair_partial_counts(batch: pa.Table,
                             column: str = "text") -> pa.Table:
     """Per-batch ADJACENT-TOKEN-PAIR (bigram) combiner — the counting
     core of one BPE-merge training step: each doc's token stream
     contributes (tok[i], tok[i+1]) pairs (never across doc
-    boundaries); left/right factorize once, pairs collapse to a
-    composite code, and one np.unique yields the distinct-pair
-    partial counts that enter the exchange."""
-    texts = batch[column].to_pylist()
-    lefts: list = []
-    rights: list = []
-    for s in texts:
-        toks = (s or "").split()
-        if len(toks) >= 2:
-            lefts.extend(toks[:-1])
-            rights.extend(toks[1:])
-    if not lefts:
+    boundaries). Fully vectorized via _flat_adjacent_pairs (one Arrow
+    split + one factorize + composite-code np.unique)."""
+    res = _flat_adjacent_pairs(batch, column)
+    if res is None:
         return pa.table({"left_tok": pa.array([], pa.string()),
                          "right_tok": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})
-    lc, lu = pd.factorize(np.asarray(lefts, dtype=object))
-    rc, ru = pd.factorize(np.asarray(rights, dtype=object))
-    key = lc.astype(np.int64) * len(ru) + rc
+    codes, uniq, ok, _ = res
+    u = len(uniq)
+    key = codes[:-1][ok].astype(np.int64) * u + codes[1:][ok]
     ukey, counts = np.unique(key, return_counts=True)
-    return pa.table({"left_tok": pa.array(lu[ukey // len(ru)].astype(str)),
-                     "right_tok": pa.array(ru[ukey % len(ru)].astype(str)),
+    return pa.table({"left_tok": pa.array(uniq[ukey // u].astype(str)),
+                     "right_tok": pa.array(uniq[ukey % u].astype(str)),
                      "n": pa.array(counts.astype(np.int64))})
 
 
@@ -230,32 +251,29 @@ def doc_bigram_partial_counts(batch: pa.Table,
     the bigram-LM scoring join. One composite factorize + np.unique
     per batch; a doc never splits across batches, so each (doc, pair)
     key appears in exactly one partial row."""
-    texts = batch[column].to_pylist()
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    lefts: list = []
-    rights: list = []
-    docs: list = []
-    for d, s in zip(ids, texts):
-        toks = (s or "").split()
-        if len(toks) >= 2:
-            lefts.extend(toks[:-1])
-            rights.extend(toks[1:])
-            docs.extend([d] * (len(toks) - 1))
-    if not lefts:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    res = _flat_adjacent_pairs(batch, column)
+    if res is None:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "left_tok": pa.array([], pa.string()),
                          "right_tok": pa.array([], pa.string()),
                          "occ": pa.array([], pa.int64())})
-    lc, lu = pd.factorize(np.asarray(lefts, dtype=object))
-    rc, ru = pd.factorize(np.asarray(rights, dtype=object))
-    dc, du = pd.factorize(np.asarray(docs, dtype=np.int64))
-    key = (dc.astype(np.int64) * len(lu) + lc) * len(ru) + rc
+    codes, uniq, ok, doc_idx = res
+    u = len(uniq)
+    lc = codes[:-1][ok].astype(np.int64)
+    rc = codes[1:][ok].astype(np.int64)
+    dpos = doc_idx[:-1][ok]
+    assert len(ids) * u * u < 2 ** 62, \
+        "composite bigram code overflow: shrink batch size"
+    key = (dpos * u + lc) * u + rc
     ukey, counts = np.unique(key, return_counts=True)
-    pair = ukey % (len(lu) * len(ru))
+    pair = ukey % (u * u)
     return pa.table({
-        "doc_id": pa.array(du[ukey // (len(lu) * len(ru))], pa.int64()),
-        "left_tok": pa.array(lu[pair // len(ru)].astype(str)),
-        "right_tok": pa.array(ru[pair % len(ru)].astype(str)),
+        "doc_id": pa.array(ids[(ukey // (u * u)).astype(np.int64)],
+                           pa.int64()),
+        "left_tok": pa.array(uniq[pair // u].astype(str)),
+        "right_tok": pa.array(uniq[pair % u].astype(str)),
         "occ": pa.array(counts.astype(np.int64))})
 
 

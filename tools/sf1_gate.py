@@ -92,6 +92,10 @@ def main() -> int:
     # driver scale (sf0.01 testdata, where they are hash-green) and
     # skip here above scale 0.1.
     skip_quadratic = {"dedup_jaccard_exact", "ppjoin_pairs",
+                      # context groups are ~N/contexts users -> the
+                      # pair emission (both engines) is quadratic per
+                      # context by design; driver-scale gated
+                      "covisit_user_pairs",
                       "dedup_ngram_pairs",
                       "dedup_simhash_pairs",
                       # the SQL mirror literally re-runs MinHash
