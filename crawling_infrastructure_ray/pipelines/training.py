@@ -2419,7 +2419,7 @@ def _entity_resolution_oracle_sql() -> str:
     from ..functions.sqlmirror import tokens_sql
     toks = tokens_sql("coalesce(text,'')")
     return (
-        f"WITH er_r AS (SELECT doc_id, n_chars, "
+        f"WITH RECURSIVE er_r AS (SELECT doc_id, n_chars, "
         f"list_distinct({toks}) AS t, row_number() OVER "
         "(ORDER BY n_chars, doc_id) - 1 AS rk FROM documents), "
         "er_e AS (SELECT a.doc_id AS a, b.doc_id AS b FROM er_r a "
@@ -2429,14 +2429,18 @@ def _entity_resolution_oracle_sql() -> str:
         "AND len(list_intersect(a.t, b.t)) * 1000000 // "
         "(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) "
         f">= {ER_JACCARD_E6}), "
+        "er_d AS (SELECT a, b FROM er_e UNION "
+        "SELECT b, a FROM er_e), "
         "er_n AS (SELECT a AS node FROM er_e UNION "
-        "SELECT b FROM er_e), "
-        "er_c AS (SELECT node, "
-        "least(node, (WITH RECURSIVE reach(x) AS ("
-        "SELECT node AS x UNION "
-        "SELECT CASE WHEN e.a = r.x THEN e.b ELSE e.a END "
-        "FROM reach r JOIN er_e e ON e.a = r.x OR e.b = r.x) "
-        "SELECT min(x) FROM reach)) AS canon FROM er_n) "
+        "SELECT b FROM er_e) "
+        # set-at-a-time (semi-naive) closure: ONE recursive relation
+        # for all nodes — orders of magnitude faster than a correlated
+        # per-node recursion, though still O(Σ component²) pairs
+        ", er_reach(n, x) AS (SELECT node, node "
+        "FROM er_n UNION SELECT r.n, d.b FROM er_reach r "
+        "JOIN er_d d ON d.a = r.x), "
+        "er_c AS (SELECT n AS node, min(x) AS canon FROM er_reach "
+        "GROUP BY 1) "
         "SELECT CAST(node AS BIGINT) AS doc_id, "
         "CAST(canon AS BIGINT) AS canon_id, "
         "CAST(count(*) OVER (PARTITION BY canon) AS BIGINT) "

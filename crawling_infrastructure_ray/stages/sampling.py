@@ -180,15 +180,27 @@ def decontaminate_ds(docs: rd.Dataset, k: int = 8) -> rd.Dataset:
 # vocabulary (token frequency top-k)
 # ----------------------------------------------------------------------
 def vocab_partial_counts(batch: pa.Table, column: str = "text") -> pa.Table:
-    """Per-batch (token, n) combiner: factorize the batch's whitespace
-    token stream once (C path) and bincount — the exchange then
-    carries distinct-token partials only."""
-    texts = batch[column].to_pylist()
-    flat = [t for s in texts for t in (s or "").split()]
-    if not flat:
+    """Per-batch (token, n) combiner: ONE Arrow RE2 split over the
+    batch (byte-identical to Python str.split for ASCII — the
+    chunk_batch recipe), factorize the flat token stream once (C
+    path) and bincount — the exchange then carries distinct-token
+    partials only; no per-doc Python loop."""
+    stripped = pc.utf8_trim_whitespace(pc.fill_null(batch[column], ""))
+    lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    raw_lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+    empty = np.asarray(pc.equal(stripped, "")
+                       .to_numpy(zero_copy_only=False))
+    flat = lists.flatten().to_numpy(zero_copy_only=False)
+    # drop the '' phantom token empty/whitespace-only docs emit
+    keep = ~np.repeat(empty, raw_lens)
+    flat = flat[keep]
+    if not len(flat):
         return pa.table({"token": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})
-    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    codes, uniq = pd.factorize(flat)
     counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
     return pa.table({"token": pa.array(uniq.astype(str)),
                      "n": pa.array(counts)})
