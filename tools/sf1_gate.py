@@ -96,6 +96,11 @@ def main() -> int:
                       # pair emission (both engines) is quadratic per
                       # context by design; driver-scale gated
                       "covisit_user_pairs",
+                      # the engine side runs in ~8s at sf1, but the
+                      # SQL closure oracle is O(sum component^2) reach
+                      # pairs — the synthetic corpus chains same-length
+                      # near-dups into huge components at sf1
+                      "entity_resolution",
                       "dedup_ngram_pairs",
                       "dedup_simhash_pairs",
                       # the SQL mirror literally re-runs MinHash
