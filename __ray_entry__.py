@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_digits": qa.q_benford_digits,
         "f2_selfjoin_estimate": qa.q_f2_selfjoin_estimate,
         "event_trigrams": qa.q_event_trigrams,
+        "trending_types": qa.q_trending_types,
+        "bootstrap_sums": qa.q_bootstrap_sums,
         "events_ewma": qa.q_events_ewma,
         "media_frame_plan": qt.q_media_frame_plan,
         "value_trend_per_user": qa.q_value_trend_per_user,

@@ -1909,6 +1909,142 @@ def _normalize_value_oracle_sql() -> str:
         "ORDER BY 1, 2")
 
 
+TREND_WEEKS = 8  # decay horizon (weights 2^7 .. 2^0)
+
+
+def q_trending_types(sf_dir: str):
+    """TRENDING SCORE (decayed counting — the 'hot items' ranking):
+    per event_type, score = Σ_{j=0..7} n(maxwk − j) · 2^(7−j) over the
+    last TREND_WEEKS weekly counts — exponential half-life decay kept
+    exact-integer with power-of-two weights (the ewma trick at the
+    aggregate level). Emits (event_type, score, n_last) ordered by
+    score DESC. Scale shape: weekly counts are a per-batch combiner
+    into the enum×weeks domain; the decay fold runs on the tiny
+    merged series."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        wk = pc.cast(pc.divide(batch["ts"].cast(pa.int64()),
+                               pa.scalar(604_800_000_000, pa.int64())),
+                     pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "wk": wk})
+        g = t.group_by(["event_type", "wk"]).aggregate([("wk", "count")])
+        return g.rename_columns(["event_type", "wk", "n"])
+
+    out = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "wk"], ["n"])
+    maxwk = int(out["wk"].max())
+    recent = out[out["wk"] > maxwk - TREND_WEEKS].copy()
+    exp = (TREND_WEEKS - 1
+           - (maxwk - recent["wk"].astype("int64"))).to_numpy()
+    recent["score"] = recent["n"].astype("int64").to_numpy() \
+        * np.left_shift(np.int64(1), exp)
+    res = recent.groupby("event_type", as_index=False).agg(
+        score=("score", "sum"))
+    last = out[out["wk"] == maxwk][["event_type", "n"]] \
+        .rename(columns={"n": "n_last"})
+    res = res.merge(last, on="event_type", how="left").fillna(0)
+    for c in ("score", "n_last"):
+        res[c] = res[c].astype("int64")
+    return (res.sort_values(["score", "event_type"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def _trending_oracle_sql() -> str:
+    return (
+        "WITH tr AS (SELECT event_type, epoch_us(ts) // 604800000000 "
+        "AS wk, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "mx AS (SELECT max(wk) AS maxwk FROM tr) "
+        "SELECT event_type, "
+        f"CAST(sum(n * (1 << ({TREND_WEEKS} - 1 - (maxwk - wk)))) "
+        "AS BIGINT) AS score, "
+        "CAST(coalesce(sum(n) FILTER (WHERE wk = maxwk), 0) AS BIGINT) "
+        "AS n_last "
+        f"FROM tr, mx WHERE wk > maxwk - {TREND_WEEKS} "
+        "GROUP BY 1 ORDER BY score DESC, event_type")
+
+
+BOOT_R = 3
+BOOT_SALTS = (0x37E151628AED2A6A, 0x1E3779B97F4A7C15,
+              0x3C6EF372FE94F82B)  # all < 2^63: plain SQL literals
+# Poisson(1) tail probabilities quantized to e9 (shared constants on
+# both engines — determinism comes from the table, not from float exp)
+BOOT_T_E9 = (632_120_558, 264_241_117, 80_301_397, 18_988_156)
+
+
+def q_bootstrap_sums(sf_dir: str):
+    """DETERMINISTIC POISSON BOOTSTRAP (the online-bootstrap /
+    resampling-inference primitive): each event enters replicate r
+    with multiplicity = #(u_r < T_k) where u_r =
+    splitmix64(event_id XOR salt_r) % 1e9 and T is the fixed
+    e9-quantized Poisson(1) tail table (counts capped at 4) — the
+    streaming bootstrap without any RNG state, reproducible across
+    engines. Emits per replicate (replicate, n_effective,
+    sum_value_c): the spread across replicates IS the uncertainty
+    estimate for the corpus total.
+
+    Scale shape: zero shuffle — per-batch hash draws + one partial
+    row per replicate; driver merges BOOT_R rows."""
+    from ..functions.hashing import splitmix64_np
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).astype(np.uint64)
+        v = pc.cast(pc.round(pc.multiply(batch["value"],
+                                         pa.scalar(100.0))),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        rows = []
+        for r, s in enumerate(BOOT_SALTS):
+            u = (splitmix64_np(eid ^ np.uint64(s))
+                 % np.uint64(1_000_000_000)).astype(np.int64)
+            mult = np.zeros(len(eid), dtype=np.int64)
+            for t in BOOT_T_E9:
+                mult += (u < t)
+            rows.append((r, int(mult.sum()), int((mult * v).sum())))
+        return pa.table({
+            "replicate": pa.array([r for r, _, _ in rows], pa.int64()),
+            "n_effective": pa.array([n for _, n, _ in rows], pa.int64()),
+            "sum_value_c": pa.array([sv for _, _, sv in rows],
+                                    pa.int64())})
+
+    out = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["replicate"], ["n_effective", "sum_value_c"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("replicate").reset_index(drop=True)
+
+
+def _bootstrap_oracle_sql() -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    sql_parts = []
+    sels = []
+    first = True
+    for r, s in enumerate(BOOT_SALTS):
+        part, lr = splitmix64_cte(
+            "SELECT CAST(round(value * 100) AS BIGINT) AS vc, "
+            f"xor(CAST(event_id AS UBIGINT), CAST({s} AS UBIGINT)) "
+            "AS x "
+            "FROM events", "x", f"u{r}", carry_cols=("vc",),
+            prefix=f"__bt{r}_", include_with=first)
+        sql_parts.append(part)
+        first = False
+        mult = " + ".join(
+            f"CASE WHEN u{r} % 1000000000 < {t} THEN 1 ELSE 0 END"
+            for t in BOOT_T_E9)
+        sels.append(
+            f"SELECT {r} AS replicate, "
+            f"CAST(sum({mult}) AS BIGINT) AS n_effective, "
+            f"CAST(sum(({mult}) * vc) AS BIGINT) AS sum_value_c "
+            f"FROM {lr}")
+    return "".join(sql_parts) + " " + \
+        " UNION ALL ".join(sels) + " ORDER BY replicate"
+
+
 def q_event_trigrams(sf_dir: str):
     """SEQUENCE-PATTERN MINING one rank above event_transitions:
     counts of consecutive event-type TRIGRAMS in each user's
@@ -5481,6 +5617,8 @@ ORACLE_SQL: dict[str, str] = {
     "benford_digits": _benford_oracle_sql(),
     "f2_selfjoin_estimate": _f2_oracle_sql(),
     "event_trigrams": _event_trigrams_oracle_sql(),
+    "trending_types": _trending_oracle_sql(),
+    "bootstrap_sums": _bootstrap_oracle_sql(),
     "trailing_window_value":
         "SELECT user_id, event_id, "
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "

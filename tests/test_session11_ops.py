@@ -698,3 +698,53 @@ def test_event_trigrams_crafted(ray_session, tmp_path):
         out = pd.DataFrame(out)
     got = {(r.t1, r.t2, r.t3): r.n for r in out.itertuples()}
     assert got == {("a", "b", "a"): 1, ("b", "a", "b"): 1}
+
+
+def test_trending_and_bootstrap_crafted(ray_session, tmp_path):
+    """Trending: power-of-two decay weights over the last 8 weeks,
+    older weeks excluded. Bootstrap: multiplicities recomputed
+    sequentially from the threshold table; n_effective ~ n and the
+    replicate totals differ (real resampling spread)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from crawling_infrastructure_ray.functions.hashing import \
+        splitmix64_np
+    from crawling_infrastructure_ray.pipelines.analytics import (
+        BOOT_SALTS, BOOT_T_E9, TREND_WEEKS, q_bootstrap_sums,
+        q_trending_types)
+
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    # 2 events in the max week, 1 event one week earlier, and one
+    # event far outside the horizon
+    rows += [(t0, 1, 2.00), (t0 + dt.timedelta(hours=1), 1, 3.00)]
+    rows += [(t0 - dt.timedelta(days=7), 2, 5.00)]
+    rows += [(t0 - dt.timedelta(days=7 * 20), 3, 7.00)]
+    sf = _write_events(tmp_path, rows)
+
+    tr = q_trending_types(sf)
+    if hasattr(tr, "to_pandas"):
+        tr = tr.to_pandas()
+    # single event_type 'view': score = 2*2^7 + 1*2^6; old week ignored
+    assert tr["score"].tolist() == [2 * 128 + 64]
+    assert tr["n_last"].tolist() == [2]
+    assert TREND_WEEKS == 8
+
+    bs = q_bootstrap_sums(sf)
+    if hasattr(bs, "to_pandas"):
+        bs = bs.to_pandas()
+    vals = [200, 300, 500, 700]
+    for r, s in enumerate(BOOT_SALTS):
+        n_eff, sv = 0, 0
+        for eid, vc in enumerate(vals):
+            u = int(splitmix64_np(np.array([np.uint64(eid) ^
+                                            np.uint64(s)]))[0]
+                    % np.uint64(1_000_000_000))
+            m = sum(1 for t in BOOT_T_E9 if u < t)
+            n_eff += m
+            sv += m * vc
+        row = bs[bs["replicate"] == r].iloc[0]
+        assert row["n_effective"] == n_eff
+        assert row["sum_value_c"] == sv
