@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigrams": qa.q_event_trigrams,
         "trending_types": qa.q_trending_types,
         "bootstrap_sums": qa.q_bootstrap_sums,
+        "hourofday_profile": qa.q_hourofday_profile,
         "events_ewma": qa.q_events_ewma,
         "media_frame_plan": qt.q_media_frame_plan,
         "value_trend_per_user": qa.q_value_trend_per_user,

@@ -1909,6 +1909,53 @@ def _normalize_value_oracle_sql() -> str:
         "ORDER BY 1, 2")
 
 
+def q_hourofday_profile(sf_dir: str):
+    """CYCLIC SEASONALITY PROFILE (hour-of-day, the time-FEATURE
+    counterpart of the absolute-hour windows): per (event_type,
+    hour-of-day 0-23) the event count, exact value sum in cents, and
+    the hour's e6 share within its type — the load-shape statistic
+    schedulers and anomaly baselines are built from. Scale shape:
+    pure per-batch combiner into the enum×24 domain; tiny driver
+    merge, no shuffle."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts",
+                                               "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tsu = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hod = (tsu // 3_600_000_000) % 24
+        vc = pc.cast(pc.round(pc.multiply(batch["value"],
+                                          pa.scalar(100.0))),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": batch["event_type"]
+                           .to_numpy(zero_copy_only=False),
+                           "hod": hod.astype(np.int64), "n": 1,
+                           "sum_value_c": vc})
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "hod"], as_index=False).sum(),
+            preserve_index=False)
+
+    out = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hod"], ["n", "sum_value_c"])
+    tot = out.groupby("event_type")["n"].transform("sum")
+    out["share_e6"] = (out["n"] * 1_000_000 // tot).astype("int64")
+    for c in ("hod", "n", "sum_value_c"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "hod"]).reset_index(drop=True)
+
+
+def _hourofday_oracle_sql() -> str:
+    return (
+        "WITH hp AS (SELECT event_type, "
+        "(epoch_us(ts) // 3600000000) % 24 AS hod, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS sum_value_c FROM events GROUP BY 1, 2) "
+        "SELECT event_type, CAST(hod AS BIGINT) AS hod, n, sum_value_c, "
+        "CAST(n * 1000000 // (sum(n) OVER (PARTITION BY event_type)) "
+        "AS BIGINT) AS share_e6 FROM hp ORDER BY 1, 2")
+
+
 TREND_WEEKS = 8  # decay horizon (weights 2^7 .. 2^0)
 
 
@@ -5619,6 +5666,7 @@ ORACLE_SQL: dict[str, str] = {
     "event_trigrams": _event_trigrams_oracle_sql(),
     "trending_types": _trending_oracle_sql(),
     "bootstrap_sums": _bootstrap_oracle_sql(),
+    "hourofday_profile": _hourofday_oracle_sql(),
     "trailing_window_value":
         "SELECT user_id, event_id, "
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "

@@ -748,3 +748,25 @@ def test_trending_and_bootstrap_crafted(ray_session, tmp_path):
         row = bs[bs["replicate"] == r].iloc[0]
         assert row["n_effective"] == n_eff
         assert row["sum_value_c"] == sv
+
+
+def test_hourofday_profile_crafted(ray_session, tmp_path):
+    """Hour-of-day buckets are UTC-hour mod 24; shares are exact
+    floor-e6 within the type."""
+    import datetime as dt
+
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_hourofday_profile
+
+    t0 = dt.datetime(2024, 1, 1)  # midnight UTC
+    rows = [(t0, 1, 1.00), (t0 + dt.timedelta(hours=5), 1, 2.00),
+            (t0 + dt.timedelta(days=3, hours=5), 2, 4.00)]
+    sf = _write_events(tmp_path, rows)
+    out = q_hourofday_profile(sf)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    by = {(r.event_type, r.hod): (r.n, r.sum_value_c, r.share_e6)
+          for r in out.itertuples()}
+    assert by[("view", 0)] == (1, 100, 333333)
+    assert by[("view", 5)] == (2, 600, 666666)
+    assert len(by) == 2
