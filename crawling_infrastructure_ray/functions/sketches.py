@@ -44,6 +44,29 @@ class HyperLogLog:
             (stable_hash64(str(v), self.seed) for v in values),
             dtype=np.uint64))
 
+    def add_arrow(self, col) -> None:
+        """Vectorized hash feed for an Arrow column: dictionary-encode
+        so ``stable_hash64`` runs once per DISTINCT value (the
+        ``bucketing.tag_bucket_fn`` recipe) — and because HLL registers
+        are a per-index MAX, duplicate values can be dropped entirely:
+        the distinct hashes alone produce bit-identical registers. The
+        per-row cost is Arrow's C dictionary encode, not a Python
+        loop. Null handling matches ``add`` (str(None) == 'None')."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not (pa.types.is_string(col.type)
+                or pa.types.is_large_string(col.type)):
+            col = pc.cast(col, pa.string())
+        col = pc.fill_null(col, "None")
+        uniq = pc.unique(col)
+        if not len(uniq):
+            return
+        self.add_hashes(np.fromiter(
+            (stable_hash64(v, self.seed) for v in uniq.to_pylist()),
+            dtype=np.uint64, count=len(uniq)))
+
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         assert other.p == self.p
         np.maximum(self.registers, other.registers, out=self.registers)

@@ -2860,7 +2860,7 @@ def q_approx_distinct_users(sf_dir: str):
 
     def sketch(batch: pa.Table) -> pa.Table:
         h = HyperLogLog(p=12)
-        h.add(batch["user_id"].to_pylist())
+        h.add_arrow(batch["user_id"])
         return pa.table({"sketch": pa.array([h.state()], pa.binary())})
 
     merged = HyperLogLog(p=12)
@@ -5286,7 +5286,12 @@ def q_nation_revenue_share(sf_dir: str):
         v = pc.cast(pc.round(pc.multiply(batch["o_totalprice"],
                                          pa.scalar(100.0))),
                     pa.int64()).to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(bck, c)
+        # guarded probe: an o_custkey absent from customer must fail
+        # loudly, not attribute revenue to a neighboring nation (or
+        # index past the end) — FK integrity is asserted, not assumed
+        pos = np.clip(np.searchsorted(bck, c), 0, max(len(bck) - 1, 0))
+        assert len(bck) and bool(np.all(bck[pos] == c)), \
+            "o_custkey not in customer: FK violation in input"
         nat = bnk[pos]
         sums = np.zeros(int(bnk.max()) + 1, dtype=np.int64)
         np.add.at(sums, nat, v)

@@ -612,16 +612,29 @@ def q_source_vocab_overlap(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["source", "text"])
 
     def pairs_partial(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        srcs = batch["source"].to_pylist()
-        s_out: list = []
-        t_out: list = []
-        for s, txt in zip(srcs, texts):
-            for tok in set((txt or "").split()):
-                s_out.append(s)
-                t_out.append(tok)
-        t = pa.table({"source": pa.array(s_out, pa.string()),
-                      "token": pa.array(t_out, pa.string())})
+        # ONE Arrow RE2 split over the batch (the vocab_partial_counts
+        # recipe, byte-identical to str.split on ASCII), row-index
+        # repeat to pair each flat token with its source, and a single
+        # Arrow group_by for the per-batch distinct — no per-doc
+        # Python loop in this corpus-scale stage.
+        stripped = pc.utf8_trim_whitespace(pc.fill_null(batch["text"],
+                                                        ""))
+        lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        raw_lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+        empty = np.asarray(pc.equal(stripped, "")
+                           .to_numpy(zero_copy_only=False))
+        flat = lists.flatten()
+        doc_idx = np.repeat(np.arange(len(raw_lens), dtype=np.int64),
+                            raw_lens)
+        # drop the '' phantom token empty/whitespace-only docs emit
+        keep = pa.array(~np.repeat(empty, raw_lens))
+        src = pc.cast(batch["source"], pa.string()).take(
+            pa.array(doc_idx))
+        t = pa.table({"source": src,
+                      "token": pc.cast(flat, pa.string())}).filter(keep)
         return t.group_by(["source", "token"]).aggregate([])
 
     def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -1922,7 +1935,9 @@ def q_centroid_similarity(sf_dir: str):
                           values="sum_q_e3", aggfunc="sum").sort_index()
     labels = piv.index.to_numpy().astype(np.int64)
     m = piv.to_numpy().astype(np.int64)
-    assert (np.abs(m).max(initial=0)) ** 2 * m.shape[1] < 2 ** 62, \
+    # promote to Python int BEFORE squaring: np.int64**2 itself wraps
+    # silently once max|m| exceeds ~3.04e9, defeating the guard
+    assert int(np.abs(m).max(initial=0)) ** 2 * m.shape[1] < 2 ** 62, \
         "centroid dot overflow: coarsen quantization"
     gram = m @ m.T  # exact: int64 within the asserted bound
     nrm2 = np.diag(gram)
@@ -3276,8 +3291,10 @@ def q_positional_index(sf_dir: str):
         cf = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
         poshash = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(poshash, codes, w)
-        # int64 headroom check (the merged cross-block sum gets ~2^2
-        # more room; at larger doc_id domains coarsen PIDX_DOC_MULT)
+        # int64 headroom check: the merged cross-block sum only has
+        # 8x (2^63/2^60) room over this per-batch bound, so the MERGED
+        # result is re-asserted below — this check alone can pass
+        # while 32+ near-bound partials overflow the global sum
         assert int(poshash.max(initial=0)) < 2 ** 60, \
             "poshash overflow risk: shrink PIDX_DOC_MULT or batch size"
         # df: distinct (token, doc) — docs never split across batches
@@ -3294,6 +3311,13 @@ def q_positional_index(sf_dir: str):
         ["token"], ["df", "cf", "poshash"])
 
     def topk_block(batch: pa.Table) -> pa.Table:
+        # the global bound the per-batch 2^60 check cannot guarantee:
+        # every MERGED poshash must be a non-wrapped int64 (terms are
+        # all positive, so a wrap shows as a negative sum) — checked
+        # over ALL merged tokens, before the top-k cut
+        if batch.num_rows:
+            assert int(pc.min(batch["poshash"]).as_py()) >= 0, \
+                "merged poshash wrapped int64: shrink PIDX_DOC_MULT"
         return batch.sort_by([("cf", "descending"),
                               ("token", "ascending")]).slice(0, PIDX_TOPK)
 

@@ -22,6 +22,24 @@ import ray.data as rd
 
 
 def _to_matrix(col) -> np.ndarray:
+    """(n, dim) float64 matrix from a list<float> column. Zero-copy
+    Arrow flatten + reshape when the lists are rectangular (the
+    embeddings table always is) — the to_pylist fallback only runs for
+    ragged/null inputs."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_fixed_size_list(t):
+        flat = col.values.to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64, copy=False).reshape(-1, t.list_size)
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)) \
+            and col.null_count == 0:
+        lens = np.diff(col.offsets.to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        if len(lens) and (lens == lens[0]).all() and lens[0] > 0:
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return (flat.astype(np.float64, copy=False)
+                    .reshape(-1, int(lens[0])))
     return np.asarray(col.to_pylist(), dtype=np.float64)
 
 
@@ -297,34 +315,72 @@ def knn_graph_brute(ds: rd.Dataset, k: int = 5, *,
     (``IVFIndex``): assign vectors to centroid partitions and build
     the graph within probed partitions only, trading exactness for
     O(n^2 / n_centroids) — same per-batch kernel, corpus side swapped
-    for the partition."""
-    corpus = ds.to_pandas().sort_values(id_column).reset_index(drop=True)
-    ids_c = corpus[id_column].to_numpy().astype(np.int64)
-    q_c = quantize_e3(np.stack(corpus[column].to_numpy()).astype(np.float64))
+    for the partition.
+
+    Broadcast ASSEMBLY streams: blocks arrive via ``iter_batches`` and
+    are quantized to numpy per block, so the driver never holds a
+    full-corpus pandas frame (object columns cost ~10x the numpy
+    payload) — its peak is the (n, dim) float64 broadcast itself,
+    which the brute baseline inherently needs."""
+    ids_parts: list = []
+    q_parts: list = []
+    for b in ds.select_columns([id_column, column]).iter_batches(
+            batch_format="pyarrow", batch_size=8192):
+        ids_parts.append(b[id_column].to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+        q_parts.append(quantize_e3(_to_matrix(b[column])))
+    ids_c = (np.concatenate(ids_parts) if ids_parts
+             else np.empty(0, np.int64))
+    q_c = (np.concatenate(q_parts, axis=0) if q_parts
+           else np.empty((0, 0), np.float64))
+    order = np.argsort(ids_c, kind="stable")
+    ids_c = ids_c[order]
+    q_c = np.ascontiguousarray(q_c[order])
     ref = ray.put((ids_c, q_c))
 
     def partial(batch: pa.Table) -> pa.Table:
         cids, cq = ray.get(ref)
+        n = len(cids)
         ids_b = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "dot_e6": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64())})
+        if n == 0 or not len(ids_b):
+            return empty
         bq = quantize_e3(_to_matrix(batch[column]))
         sims = bq @ cq.T                    # float64, integer-exact
-        pos = np.clip(np.searchsorted(cids, ids_b), 0, max(len(cids) - 1, 0))
+        # composite sort key: dot primary DESC, corpus position (==
+        # neighbor_id asc — cids is sorted) secondary. key = s*M - pos
+        # is exact in float64 while |s|*M + n < 2^53 (asserted: dots
+        # are integers, so any dot difference ≥ 1 dominates pos < M).
+        M = float(max(n, 1))
+        smax = int(np.abs(sims).max(initial=0.0))
+        assert smax * max(n, 1) + n < 2**53, \
+            "dot*M composite key would lose float64 exactness"
+        keys = sims * M - np.arange(n, dtype=np.float64)
+        pos = np.clip(np.searchsorted(cids, ids_b), 0, n - 1)
         is_self = cids[pos] == ids_b
-        out_v, out_n, out_d, out_r = [], [], [], []
-        for i in range(len(ids_b)):
-            s = sims[i]
-            # (dot desc, neighbor_id asc); lexsort's LAST key is primary
-            order = np.lexsort((cids, -s))
-            if is_self[i]:
-                order = order[order != pos[i]]
-            top = order[:k]
-            out_v.extend([ids_b[i]] * len(top))
-            out_n.extend(cids[top].tolist())
-            out_d.extend(s[top].astype(np.int64).tolist())
-            out_r.extend(range(1, len(top) + 1))
-        return pa.table({"vec_id": pa.array(out_v, pa.int64()),
-                         "neighbor_id": pa.array(out_n, pa.int64()),
-                         "dot_e6": pa.array(out_d, pa.int64()),
-                         "rank": pa.array(out_r, pa.int64())})
+        rows = np.arange(len(ids_b))
+        keys[rows[is_self], pos[is_self]] = -np.inf  # exclude self
+        kk = min(k, n)
+        if kk < n:
+            part = np.argpartition(-keys, kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.broadcast_to(np.arange(n), (len(ids_b), n)).copy()
+        subk = np.take_along_axis(keys, part, axis=1)
+        ordr = np.argsort(-subk, axis=1, kind="stable")
+        top = np.take_along_axis(part, ordr, axis=1)
+        topk = np.take_along_axis(subk, ordr, axis=1)
+        valid = np.isfinite(topk)           # self's -inf sorts last
+        counts = valid.sum(axis=1)
+        dots = np.take_along_axis(sims, top, axis=1)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids_b, counts), pa.int64()),
+            "neighbor_id": pa.array(cids[top[valid]], pa.int64()),
+            "dot_e6": pa.array(dots[valid].astype(np.int64), pa.int64()),
+            "rank": pa.array(
+                np.broadcast_to(np.arange(1, kk + 1), top.shape)[valid]
+                .astype(np.int64), pa.int64())})
 
     return ds.map_batches(partial, batch_format="pyarrow")
