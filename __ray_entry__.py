@@ -298,6 +298,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # per-wave lineage, and enqueue_seq assignment
         "crawl_wave_stats": qt.q_crawl_wave_stats,
         "crawl_fifo_documents": qt.q_crawl_fifo_documents,
+        # K=8 global-FIFO interleave conformance (r04, SURVEY §7.4):
+        # the sharded engine gated by the same closed-form replay
+        "crawl_order_sharded": qt.q_crawl_order_sharded,
         # rows-only surfaces with NO driver row in any round yet —
         # placed inside a 50-entry truncation window so they finally
         # get one (tar listing and daemon cycle are genuinely

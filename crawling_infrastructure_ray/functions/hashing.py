@@ -88,6 +88,16 @@ def rolling_fingerprint(text: str, window: int = 16, keep: int = 8) -> list[int]
         h ^= h >> np.uint64(33)
         h *= np.uint64(0xFF51AFD7ED558CCD)
         h ^= h >> np.uint64(29)
+    # smallest `keep` DISTINCT hashes without sorting all n windows:
+    # partition the 4*keep smallest values, dedupe those; any distinct
+    # value smaller than the keep-th distinct must be among them. Fall
+    # back to the full unique only when duplicates crowd the partition
+    # (identical 16-byte windows — rare).
+    m = 4 * keep
+    if h.size > m:
+        cand = np.unique(np.partition(h, m - 1)[:m])
+        if cand.size >= keep:
+            return [int(x) for x in cand[:keep]]
     uniq = np.unique(h)
     return [int(x) for x in uniq[:keep]]
 

@@ -68,6 +68,12 @@ def curate_documents(docs: rd.Dataset, out_dir: str, *,
     flat = docs.map_batches(flatten_text_batch, batch_format="pyarrow")
     analyzed = flat.map_batches(CurationAnalyzer, batch_format="pyarrow",
                                 concurrency=concurrency, num_cpus=1)
+    # materialize ONCE: four consumers below (count, exact-hash pass,
+    # simhash pass, final semi-join) would otherwise each re-run the
+    # analyzer over the corpus. SPILL ASSUMPTION: this pin is
+    # corpus-sized (post-filter); it lives in the object store, which
+    # spills to disk under pressure — driver heap stays O(1), and at
+    # 100 TB the pin costs disk, not memory.
     filtered = analyzed.map_batches(
         quality_filter_batch, fn_kwargs={"min_chars": min_chars},
         batch_format="pyarrow").materialize()
@@ -113,7 +119,8 @@ def curate_documents(docs: rd.Dataset, out_dir: str, *,
     # vectorized isin inside map_groups) — the scale path; a broadcast
     # keep-set would be O(all kept doc ids) driver memory
     # materialize ONCE: the semi-join would otherwise re-execute for
-    # the write AND the count (lazy Dataset re-run)
+    # the write AND the count (lazy Dataset re-run). SPILL ASSUMPTION:
+    # curated-output-sized, object-store-resident, disk-spillable
     curated = bucketed_semi_join(
         filtered,
         both.map_batches(

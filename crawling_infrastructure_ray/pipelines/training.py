@@ -457,6 +457,11 @@ def q_bm25_topk(sf_dir: str, k: int = 20):
                          "tf2": pa.array(tf2[m].astype(np.int64)),
                          "dl": pa.array(dl[m], pa.int64())})
 
+    # materialize ONCE: the df scan and the score pass both consume
+    # these rows. SPILL ASSUMPTION: matched-doc rows only (docs
+    # containing a query term — query-selectivity-sized, far below
+    # corpus size), pinned in the object store which spills to disk
+    # under pressure; driver heap is untouched.
     matches = ds.map_batches(tf_batch, batch_format="pyarrow").materialize()
 
     def df_partial(batch: pa.Table) -> pa.Table:
@@ -2501,7 +2506,10 @@ def q_rank_fusion(sf_dir: str):
 
     # materialize the per-doc feature rows (3 ints/doc): four
     # consumers below (two count scans, two rank passes) would
-    # otherwise each re-read and re-tokenize the corpus
+    # otherwise each re-read and re-tokenize the corpus. SPILL
+    # ASSUMPTION: the pin is rows x 3 ints (~24 B/doc — 0.2% of a
+    # 10 KB doc), object-store-resident and disk-spillable; never a
+    # driver-heap structure
     fds = docs.map_batches(feats, batch_format="pyarrow").materialize()
 
     def desc_ranks(col: str) -> "object":
@@ -3744,6 +3752,20 @@ def _run_fifo_crawl(sf_dir: str) -> str:
     return out
 
 
+def _run_fifo_crawl_sharded(sf_dir: str) -> str:
+    """K=8 conformance run in the GLOBAL-FIFO interleave mode (SURVEY
+    §7.4: claim by global enqueue_seq min-heap across shards —
+    Frontier.lease_wave_global): same seeds as the K=1 run; the claim
+    stream must be bit-identical to K=1's, and the same closed-form
+    DuckDB replay gates it."""
+    out = _crawl_fifo_out_dir(sf_dir) + "_k8"
+    if not os.path.isdir(os.path.join(out, "documents")):
+        seeds = make_seed_urls(_CRAWL_SEEDS, seed=42)["url"].to_pylist()
+        run_crawl(seeds, seed=42, num_shards=8, dedup=True, max_depth=1,
+                  items_per_wave=256, global_order=True, out_dir=out)
+    return out
+
+
 def q_crawl_documents(sf_dir: str):
     """Flagship: frontier crawl over synthetic seeds → documents table
     projection (doc_id, url, host, depth, enqueue_seq, n_spans,
@@ -3821,6 +3843,29 @@ def q_crawl_order(sf_dir: str):
     import pyarrow.dataset as pads
 
     out = _run_fifo_crawl(sf_dir)
+    tbl = pads.dataset(os.path.join(out, "claims")).to_table()
+    tbl = tbl.sort_by([("wave", "ascending"), ("enqueue_seq", "ascending")])
+    return pa.table({
+        "claim_idx": pa.array(np.arange(tbl.num_rows, dtype=np.int64)),
+        "enqueue_seq": pc.cast(tbl["enqueue_seq"], pa.int64()),
+        "url": tbl["url"],
+        "attempt": pc.cast(tbl["attempt"], pa.int64())})
+
+
+def q_crawl_order_sharded(sf_dir: str):
+    """K>1 ORDER SEMANTICS, driver-gated: the claim stream of a K=8
+    run in the cross-shard global-FIFO interleave mode
+    (``Frontier.lease_wave_global`` — peek every shard's smallest open
+    enqueue_seqs, merge on the driver, claim the globally smallest;
+    SURVEY §7.4's promised min-heap interleave). Because the
+    interleave is exact, the stream must equal the K=1 conformance
+    stream bit-for-bit, and the SAME closed-form DuckDB replay
+    (_crawl_replay_ctes) is this query's oracle — the gate therefore
+    pins BOTH the K=8 sharded engine (routing, shard-local dedup,
+    per-shard commit/retry) and the interleave itself."""
+    import pyarrow.dataset as pads
+
+    out = _run_fifo_crawl_sharded(sf_dir)
     tbl = pads.dataset(os.path.join(out, "claims")).to_table()
     tbl = tbl.sort_by([("wave", "ascending"), ("enqueue_seq", "ascending")])
     return pa.table({
@@ -5487,6 +5532,9 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     # claim stream, the per-wave lease lineage, and the documents
     # table INCLUDING enqueue_seq
     "crawl_order": _crawl_order_oracle_sql(),
+    # K=8 global-FIFO interleave (r04): exact same replay — the K>1
+    # engine must reproduce the K=1 stream bit-for-bit
+    "crawl_order_sharded": _crawl_order_oracle_sql(),
     "crawl_wave_stats": _crawl_wave_stats_oracle_sql(),
     "crawl_fifo_documents": _crawl_fifo_documents_oracle_sql(),
     "crawl_direct": _crawl_direct_oracle_sql(),

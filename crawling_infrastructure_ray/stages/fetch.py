@@ -86,7 +86,7 @@ def fetch_store_batch(batch: pa.Table, *, seed: int = 42, max_depth: int = 2,
     import os
 
     from ..functions.hashing import rolling_fingerprint, stable_hash64
-    from .dedup import simhash64
+    from .dedup import simhash64_batch
 
     if fail_marker and any(fail_marker in u for u in batch["url"].to_pylist()):
         # fault-injection hook (tests): simulates a worker crash mid-lease
@@ -122,10 +122,28 @@ def fetch_store_batch(batch: pa.Table, *, seed: int = 42, max_depth: int = 2,
                              for u in ok["url"].to_pylist()], pa.uint16())
         # signature-at-ingest: per-doc simhash + winnowing fingerprint
         # computed where the text already is (feeds downstream dedup
-        # without a second pass over the corpus)
-        texts = [" ".join(sp["text"] for sp in spans if sp["kind"] == "text")
-                 for spans in ok["spans"].to_pylist()]
-        simhashes = pa.array([simhash64(t, seed) for t in texts], pa.uint64())
+        # without a second pass over the corpus). Text assembly is
+        # vectorized: flatten the span structs once, filter text-kind
+        # spans, rebuild per-doc lists and binary_join — no per-doc
+        # Python loop; simhash runs the batch kernel (simhash64_batch).
+        spans_col = ok["spans"]
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        flat_spans = spans_col.flatten()
+        is_text = pa.compute.equal(flat_spans.field("kind"), "text")
+        span_offs = spans_col.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mask_np = np.asarray(is_text.to_numpy(zero_copy_only=False))
+        kept = np.zeros(len(span_offs), dtype=np.int64)
+        if len(mask_np):
+            cum = np.concatenate(([0], np.cumsum(mask_np)))
+            kept = cum[span_offs - span_offs[0]]
+        txt_lists = pa.ListArray.from_arrays(
+            pa.array(kept, pa.int32()),
+            flat_spans.field("text").filter(is_text))
+        texts_arr = pa.compute.binary_join(txt_lists, " ")
+        simhashes = pa.array(simhash64_batch(texts_arr, seed), pa.uint64())
+        texts = pa.compute.fill_null(texts_arr, "").to_pylist()
         fps = pa.array([rolling_fingerprint(t) for t in texts],
                        pa.list_(pa.uint64()))
         doc_tbl = pa.table({

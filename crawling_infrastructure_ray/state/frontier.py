@@ -251,17 +251,83 @@ class FrontierShardCore:
 
     def lease_many(self, k: int, n: int, now: float | None = None) -> list[dict]:
         """Up to ``k`` leases of ``n`` items in one actor round-trip
-        (amortizes RPC cost for the async pump)."""
+        (amortizes RPC cost for the async pump).
+
+        Stops early when a lease comes back PARTIAL (< n items): that
+        means current supply — eligible items or politeness tokens —
+        is exhausted, and issuing the remaining k-1 leases would only
+        fragment it into tiny chunks (measured: polite chunk=1024
+        requests came back as median-39-item leases, 4x the task count
+        for the same URLs). The next pump round re-asks after tokens
+        refill."""
         out = []
         for _ in range(k):
             lease = self.lease(n, now)
             if not lease["seq"]:
                 break
             out.append(lease)
+            if len(lease["seq"]) < n:
+                break
         return out
 
     def get_next_lease_id(self) -> int:
         return self.next_lease_id
+
+    # ------------------------------------------------------------------
+    # global-FIFO interleave mode (SURVEY §7.4): two-phase claim
+    # ------------------------------------------------------------------
+    def peek_open(self, n: int) -> list[int]:
+        """The shard's ``n`` smallest OPEN enqueue_seqs, without
+        claiming — phase 1 of the cross-shard global-FIFO interleave
+        (``Frontier.lease_wave_global``): the driver merges every
+        shard's peek and claims the globally smallest seqs, so a K>1
+        run reproduces the K=1 claim stream EXACTLY. Stale heap
+        entries encountered are dropped (the usual lazy deletion);
+        valid ones are re-pushed. Conformance-mode primitive —
+        throughput mode is the pump."""
+        valid: list[tuple] = []
+        while self.heap and len(valid) < n:
+            entry = heapq.heappop(self.heap)
+            it = self.items.get(entry[-1])
+            if it is None or it[_STATUS] != INITIAL:
+                continue
+            valid.append(entry)
+        for entry in valid:
+            heapq.heappush(self.heap, entry)
+        return [e[-1] for e in valid]
+
+    def lease_seqs(self, seqs: list[int], now: float | None = None) -> dict:
+        """Phase 2 of the global-FIFO interleave: claim EXACTLY these
+        seqs (all must be open — the driver just peeked them; wave
+        mode has no concurrent mutation between the phases). Same
+        lease bookkeeping as ``lease``; heap entries stay behind as
+        stale rows for lazy deletion."""
+        now = time.monotonic() if now is None else now
+        claimed: list[int] = []
+        for seq in seqs:
+            it = self.items.get(seq)
+            if it is None or it[_STATUS] != INITIAL:
+                continue
+            it[_STATUS] = RUNNING
+            it[_ATTEMPTS] += 1
+            claimed.append(seq)
+        if not claimed:
+            return {"lease_id": -1, "seq": [], "url": [], "host": [],
+                    "depth": [], "retries": [], "priority": [],
+                    "attempt": []}
+        lease_id = self.next_lease_id
+        self.next_lease_id += 1
+        self.leases[lease_id] = (claimed, now + self.lease_ttl)
+        self.counters["leased"] += len(claimed)
+        self.counters["leases_issued"] += 1
+        its = [self.items[s] for s in claimed]
+        return {"lease_id": lease_id, "seq": claimed,
+                "url": [i[_URL] for i in its],
+                "host": [i[_HOST] for i in its],
+                "depth": [i[_DEPTH] for i in its],
+                "retries": [i[_RETRIES] for i in its],
+                "priority": [i[_PRIORITY] for i in its],
+                "attempt": [i[_ATTEMPTS] - 1 for i in its]}
 
     # ------------------------------------------------------------------
     # commit (reference K4 updateQueueNew, crawl_queue.ts:119-149)
@@ -762,6 +828,31 @@ class Frontier:
         refs = [sh.lease.remote(n_per_shard, now) for sh in self.shards]
         out = []
         for i, lease in enumerate(ray.get(refs)):
+            if lease["seq"]:
+                lease["shard"] = i
+                out.append(lease)
+        return out
+
+    def lease_wave_global(self, n: int,
+                          now: float | None = None) -> list[dict]:
+        """Cross-shard GLOBAL-FIFO wave (SURVEY §7.4): claim the ``n``
+        globally smallest open enqueue_seqs across all K shards, via
+        peek-merge-claim. A K>1 run in this mode produces the exact
+        K=1 claim stream — the same closed-form DuckDB replay gates
+        both (q_crawl_order / q_crawl_order_sharded). Two actor
+        round-trips per wave instead of one: the conformance-mode
+        price; throughput mode is the async pump."""
+        peeks = ray.get([sh.peek_open.remote(n) for sh in self.shards])
+        ranked = sorted((seq, i) for i, seqs in enumerate(peeks)
+                        for seq in seqs)[:n]
+        per_shard: dict[int, list[int]] = {}
+        for seq, i in ranked:
+            per_shard.setdefault(i, []).append(seq)
+        refs = {i: self.shards[i].lease_seqs.remote(seqs, now)
+                for i, seqs in per_shard.items()}
+        out = []
+        for i in sorted(refs):
+            lease = ray.get(refs[i])
             if lease["seq"]:
                 lease["shard"] = i
                 out.append(lease)
