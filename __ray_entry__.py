@@ -69,6 +69,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
+        # r04 addition, placed FIRST so this round's driver sample
+        # includes it: K=8 global-FIFO interleave gated by the K=1
+        # closed-form replay (SURVEY §7.4, r03 verdict item 6)
+        "crawl_order_sharded": qt.q_crawl_order_sharded,
         # ---- tier 1: oracle-checked, never driver-graded (r03) ----
         # session-11: DSIR importance resampling, vectorized URL
         # canonicalization dedup, integer-exact EWMA smoothing
@@ -298,9 +302,6 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # per-wave lineage, and enqueue_seq assignment
         "crawl_wave_stats": qt.q_crawl_wave_stats,
         "crawl_fifo_documents": qt.q_crawl_fifo_documents,
-        # K=8 global-FIFO interleave conformance (r04, SURVEY §7.4):
-        # the sharded engine gated by the same closed-form replay
-        "crawl_order_sharded": qt.q_crawl_order_sharded,
         # rows-only surfaces with NO driver row in any round yet —
         # placed inside a 50-entry truncation window so they finally
         # get one (tar listing and daemon cycle are genuinely

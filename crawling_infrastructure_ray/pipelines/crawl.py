@@ -239,6 +239,7 @@ def run_crawl(seed_urls: list[str] | None = None, *,
               seed: int = 42,
               num_shards: int = 1,
               dedup: bool = True,
+              exact_dedup: bool = False,
               politeness: bool = False,
               politeness_overrides: dict | None = None,
               robots: bool = False,
@@ -319,6 +320,7 @@ def run_crawl(seed_urls: list[str] | None = None, *,
         os.makedirs(docs_dir, exist_ok=True)
         if frontier is None:
             frontier = Frontier(num_shards, seed=seed, dedup=dedup,
+                                exact_seen=exact_dedup,
                                 politeness=politeness,
                                 politeness_overrides=politeness_overrides,
                                 robots=robots,
@@ -505,6 +507,7 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                    seed: int = 42,
                    num_shards: int = 8,
                    dedup: bool = True,
+                   exact_dedup: bool = False,
                    politeness: bool = False,
                    politeness_overrides: dict | None = None,
                    robots: bool = False,
@@ -579,6 +582,7 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
         os.makedirs(docs_dir, exist_ok=True)
         if frontier is None:
             frontier = Frontier(num_shards, seed=seed, dedup=dedup,
+                                exact_seen=exact_dedup,
                                 politeness=politeness,
                                 politeness_overrides=politeness_overrides,
                                 robots=robots,
@@ -660,6 +664,7 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
         inflight[ref] = (shard, lease["lease_id"])
 
     lease_req: list | None = None  # outstanding lease_many round, or None
+    last_ckpt_commits = 0
 
     def refill(now, block: bool = False):
         """Overlapped refill: lease_many rounds run while fetch tasks
@@ -697,9 +702,18 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
     idle_rounds = 0
     while True:
         if max_commits is not None and commits >= max_commits:
-            # interrupt point (kill simulation / bounded runs): drop
-            # in-flight leases — their TTL would heal them; a resume
-            # restores from the last checkpoint anyway
+            # interrupt point (kill simulation / bounded runs): cancel
+            # in-flight tasks the way a real driver death would (Ray
+            # reclaims tasks owned by a dead driver) — a straggler
+            # finishing AFTER a resume's orphan-fragment cleanup would
+            # otherwise re-insert its fragment and double-count docs.
+            # Their leases TTL-heal; a resume restores from the last
+            # checkpoint anyway.
+            for ref in inflight:
+                try:
+                    ray.cancel(ref, force=True)
+                except Exception:
+                    pass
             break
         now = now_fn() if now_fn else None
         got = refill(now)
@@ -766,9 +780,28 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
             # actors (histogram counts preserved; docs/lineage tables
             # are the durable record)
             frontier.evict_terminal()
-        if checkpoint_every_commits and commits and \
-                commits % checkpoint_every_commits == 0:
-            # soft barrier: drain, snapshot, continue
+        if checkpoint_every_commits and \
+                commits - last_ckpt_commits >= checkpoint_every_commits:
+            # soft barrier: drain, snapshot, continue.
+            # (threshold on commits-since-last-checkpoint, NOT
+            # ``commits % N == 0``: commits advances by several per
+            # pump round, so an exact multiple can be skipped —
+            # observed as an interrupted run with no checkpoint at
+            # all, which a resume then rmtree'd.)
+            # The OUTSTANDING lease round must be drained too: its
+            # leases are already RUNNING on the shards but no task was
+            # ever submitted for them — snapshotting them as phantom
+            # RUNNING leases (with next_lease_id already advanced past
+            # them) means the original run later writes their
+            # fragments BELOW the snapshot's orphan-cleanup watermark,
+            # while the resumed run heals and re-crawls the same items
+            # → duplicated documents. Roll them back before the
+            # snapshot; the next refill re-leases them.
+            if lease_req is not None:
+                for shard_i, leases_ in enumerate(ray.get(lease_req)):
+                    for lease_ in leases_:
+                        frontier.rollback(shard_i, lease_["lease_id"])
+                lease_req = None
             while inflight:
                 done, _ = ray.wait(list(inflight.keys()),
                                    num_returns=len(inflight))
@@ -805,7 +838,7 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
             _append_manifest(manifest, {"commits": commits,
                                         "checkpointed": True,
                                         "docs": docs_written})
-            commits += 1  # avoid immediate re-trigger
+            last_ckpt_commits = commits
 
     _write_lineage(out_dir, lineage_rows)
     elapsed = time.perf_counter() - t0

@@ -100,20 +100,13 @@ def run_multi_task(tasks, *, seed: int = 42, num_shards: int = 1,
             for sh_i, sh in enumerate(fr.shards):
                 for lease in ray.get(sh.lease_many.remote(n_chunks - got,
                                                           chunk_size, None)):
-                    import pyarrow as pa
-                    n = len(lease["seq"])
-                    tbl = pa.table({
-                        "enqueue_seq": pa.array(lease["seq"], pa.uint64()),
-                        "url": pa.array(lease["url"], pa.string()),
-                        "host": pa.array(lease["host"], pa.string()),
-                        "depth": pa.array(lease["depth"], pa.int32()),
-                        "attempt": pa.array(lease["attempt"], pa.int32()),
-                        "shard": pa.array([sh_i] * n, pa.int32()),
-                        "lease_id": pa.array([lease["lease_id"]] * n,
-                                             pa.int64()),
-                    })
+                    # raw lease lists — the task builds the Arrow table
+                    # (same contract as the pump's submit)
                     refs.append(_fetch_commit_task.options(max_retries=0)
-                                .remote(tbl, sh, lease["lease_id"], None,
+                                .remote(lease["seq"], lease["url"],
+                                        lease["host"], lease["depth"],
+                                        lease["attempt"], sh_i, sh,
+                                        lease["lease_id"], None,
                                         seed=seed, max_depth=0,
                                         docs_dir=docs_dir,
                                         part_label=f"{lease['lease_id']:015d}"))

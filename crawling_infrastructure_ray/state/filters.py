@@ -257,3 +257,49 @@ class ScalableSeenFilter:
         f._cap = st["cap"]
         f.filters = [CuckooFilter.from_state(s) for s in st["filters"]]
         return f
+
+
+class ExactSeenSet:
+    """EXACT membership on stable_hash64(canonical url) — the
+    conformance/soak-mode seen set.
+
+    The endurance soak found that approximate membership makes the
+    final document SET order-dependent at scale: a cuckoo (or bloom)
+    false positive silently drops a genuinely-new URL, and WHICH URL
+    collides depends on insertion order — two drains of the same
+    frontier differ by ~1 URL per ~10^6 under the async pump's
+    nondeterministic completion order. Exact runs (kill/resume
+    equality gates, conformance crawls) use this set; the cuckoo chain
+    remains the 10^10 path (1-2 B/key vs ~35 B/key here; a 64-bit
+    hash collision is ~n²/2^65 — immaterial at any feasible n).
+    """
+
+    def __init__(self, seed: int = 42):
+        self.seed = seed
+        self._s: set[int] = set()
+
+    def add_hash(self, key_hash: int) -> bool:
+        if key_hash in self._s:
+            return False
+        self._s.add(key_hash)
+        return True
+
+    def add(self, key: str) -> bool:
+        return self.add_hash(stable_hash64(key, self.seed))
+
+    def contains(self, key: str) -> bool:
+        return stable_hash64(key, self.seed) in self._s
+
+    def __len__(self) -> int:
+        return len(self._s)
+
+    def state(self) -> dict:
+        return {"kind": "exact", "seed": self.seed,
+                "keys": np.fromiter(self._s, dtype=np.uint64,
+                                    count=len(self._s))}
+
+    @classmethod
+    def from_state(cls, st: dict) -> "ExactSeenSet":
+        f = cls(st["seed"])
+        f._s = set(int(x) for x in st["keys"])
+        return f

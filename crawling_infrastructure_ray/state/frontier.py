@@ -50,7 +50,8 @@ import ray
 
 from ..functions.hashing import stable_hash64
 from ..functions.urltools import canonicalize_and_host
-from .filters import BloomFilter, CuckooFilter, ScalableSeenFilter
+from .filters import (BloomFilter, CuckooFilter, ExactSeenSet,
+                      ScalableSeenFilter)
 from .politeness import HostPoliteness, RobotsCache
 
 # per-item states — values match the reference enum (lib/types/queue.ts:13)
@@ -69,7 +70,8 @@ class FrontierShardCore:
     below; used directly (K=1) as the single-threaded conformance oracle."""
 
     def __init__(self, shard_id: int = 0, *, dedup: bool = False,
-                 use_cuckoo: bool = True, filter_capacity: int = 1 << 20,
+                 use_cuckoo: bool = True, exact_seen: bool = False,
+                 filter_capacity: int = 1 << 20,
                  politeness: bool = False, default_rate: float = 1.0,
                  default_burst: float = 4.0,
                  politeness_overrides: dict | None = None,
@@ -95,9 +97,18 @@ class FrontierShardCore:
         self.seen = None
         if dedup:
             # scalable cuckoo chain: no hard capacity ceiling (grows by
-            # tiers as the frontier exceeds the initial estimate)
-            self.seen = (ScalableSeenFilter(filter_capacity, seed) if use_cuckoo
-                         else BloomFilter(filter_capacity, 0.001, seed))
+            # tiers as the frontier exceeds the initial estimate).
+            # exact_seen (conformance/soak runs): a filter false
+            # positive silently drops a genuinely-new URL, and which
+            # URL collides depends on insertion order — runs needing a
+            # deterministic final document SET use the exact set
+            # (~35 B/key; the cuckoo chain is the 10^10 path).
+            if exact_seen:
+                self.seen = ExactSeenSet(seed)
+            else:
+                self.seen = (ScalableSeenFilter(filter_capacity, seed)
+                             if use_cuckoo
+                             else BloomFilter(filter_capacity, 0.001, seed))
         # per-host budget table (FIXTURES F5): host → (rate, burst)
         self.politeness = (HostPoliteness(default_rate, default_burst,
                                           politeness_overrides)
@@ -625,6 +636,8 @@ class FrontierShardCore:
         st = ctrl["seen"]
         if st is None:
             self.seen = None
+        elif st["kind"] == "exact":
+            self.seen = ExactSeenSet.from_state(st)
         elif st["kind"] == "scalable":
             self.seen = ScalableSeenFilter.from_state(st)
         elif st["kind"] == "cuckoo":
