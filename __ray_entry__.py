@@ -377,6 +377,15 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # ---- tier 4: rows-only, graded in r02, golden-pinned ----
         "crawl_documents": qt.q_crawl_documents,
         "ann_ivf_topk": qt.q_ann_ivf_topk,
+        # ---- round-4 additions (registered LAST so the r04 grading
+        # window stays on the older never-graded queries; these join
+        # the r05 rotation) ----
+        "charclass_profile": qt.q_charclass_profile,
+        "dup_cluster_sizes": qt.q_dup_cluster_sizes,
+        "dedup_savings_by_source": qt.q_dedup_savings_by_source,
+        "token_length_histogram": qt.q_token_length_histogram,
+        "ngram_novelty_by_source": qt.q_ngram_novelty_by_source,
+        "containment_pairs": qt.q_containment_pairs,
     }
 
 

@@ -5460,7 +5460,378 @@ def _url_canonical_oracle_sql() -> str:
         "FROM uc_c GROUP BY 1 ORDER BY 1")
 
 
+# ----------------------------------------------------------------------
+# round-4 additions: corpus profiling / novelty / containment family
+# ----------------------------------------------------------------------
+
+_CHARCLASS_PATTERNS = [("n_digits", "[0-9]"), ("n_upper", "[A-Z]"),
+                       ("n_space", r"\s"), ("n_punct", "[[:punct:]]")]
+
+
+def q_charclass_profile(sf_dir: str):
+    """PER-SOURCE CHARACTER-CLASS PROFILE (the corpus quality screen
+    behind digit-/caps-/punct-ratio filters in C4/Gopher-style
+    cleaning): docs, code points, and digit / uppercase / whitespace /
+    punctuation character counts per source — all exact integers.
+    Both engines count with the SAME RE2 single-char classes (pyarrow
+    count_substring_regex here, length-delta of regexp_replace in
+    DuckDB), so the gate never meets float math.
+
+    Scale shape: vectorized per-batch class counts + one Arrow
+    group_by partial per batch → enum-keyed driver merge (sources are
+    config-sized). Zero shuffle."""
+    from .analytics import _merge_partials
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    vals = ["n_docs", "n_chars"] + [n for n, _ in _CHARCLASS_PATTERNS]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(batch["text"], pa.string()), "")
+        cols = {"source": pc.cast(batch["source"], pa.string()),
+                "n_docs": pa.array(np.ones(len(txt), dtype=np.int64)),
+                "n_chars": pc.cast(pc.utf8_length(txt), pa.int64())}
+        for name, pat in _CHARCLASS_PATTERNS:
+            cols[name] = pc.cast(pc.count_substring_regex(txt, pat),
+                                 pa.int64())
+        t = pa.table(cols)
+        g = t.group_by(["source"]).aggregate([(v, "sum") for v in vals])
+        return pa.table({"source": g["source"],
+                         **{v: g[f"{v}_sum"] for v in vals}})
+
+    out = _merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["source"], vals)
+    for v in vals:
+        out[v] = out[v].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_dup_cluster_sizes(sf_dir: str):
+    """EXACT-DUP CLUSTER SIZE DISTRIBUTION: how many content-identical
+    groups exist of each size — the shape that tells you whether dup
+    mass is a few huge boilerplate clusters or a long tail of pairs
+    (decides LSH banding and removal policy before a big dedup run).
+
+    Scale shape: rides exact_dedup_groups (per-batch combiner → Ray
+    groupby on content_hash), then histogramming n_dups is a per-block
+    bincount partial → tiny merge (the size domain is bounded by the
+    largest cluster, not the corpus)."""
+    from .analytics import _merge_partials
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    groups = dd.exact_dedup_groups(ds)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        n = batch["n_dups"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(n)
+        sizes = np.nonzero(cnt)[0]
+        return pa.table({"cluster_size": pa.array(sizes.astype(np.int64)),
+                         "n_clusters": pa.array(cnt[sizes].astype(np.int64))})
+
+    out = _merge_partials(groups.map_batches(hist, batch_format="pyarrow"),
+                          ["cluster_size"], ["n_clusters"])
+    out = out.astype({"cluster_size": "int64", "n_clusters": "int64"})
+    return out.sort_values("cluster_size").reset_index(drop=True)
+
+
+def q_dedup_savings_by_source(sf_dir: str):
+    """WHAT EXACT DEDUP SAVES, BY SOURCE — the reporting surface of
+    dedup_exact_remove: keeper = GLOBAL min doc_id per content hash;
+    per source the docs kept vs removed and the character mass each
+    way (the number a curation run reports per dump).
+
+    Scale shape: (content_hash, doc_id, source, n_chars) rows bucketed
+    BY HASH so each content group co-locates; the keeper is decided
+    in-bucket (vectorized transform-min) and only per-source partial
+    sums leave the bucket → enum-keyed merge. No driver key set."""
+    from ..functions.hashing import md5_id
+    from .analytics import _merge_partials
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "text", "n_chars"])
+    vals = ["n_docs", "n_removed", "chars_removed", "chars_kept"]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "content_hash": pa.array([md5_id(t or "") for t in
+                                      batch["text"].to_pylist()]),
+            "doc_id": batch["doc_id"],
+            "source": pc.cast(batch["source"], pa.string()),
+            "n_chars": pc.cast(batch["n_chars"], pa.int64())})
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.groupby("content_hash")["doc_id"].transform("min")
+        kept = (g["doc_id"] == keep).to_numpy()
+        nch = g["n_chars"].to_numpy().astype(np.int64)
+        out = pd.DataFrame({
+            "source": g["source"].to_numpy(),
+            "n_docs": np.ones(len(g), dtype=np.int64),
+            "n_removed": (~kept).astype(np.int64),
+            "chars_removed": np.where(kept, 0, nch),
+            "chars_kept": np.where(kept, nch, 0)})
+        return out.groupby("source", as_index=False)[vals].sum()
+
+    partials = (ds.map_batches(tag, batch_format="pyarrow")
+                .repartition(32)
+                .map_batches(tag_bucket_fn(["content_hash"], 32),
+                             batch_format="pyarrow")
+                .groupby("_kb").map_groups(bucket_stats,
+                                           batch_format="pandas"))
+    out = _merge_partials(partials, ["source"], vals)
+    for v in vals:
+        out[v] = out[v].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_token_length_histogram(sf_dir: str, cap: int = 20):
+    """TOKEN LENGTH DISTRIBUTION (tokenizer-design statistic: where
+    the mass sits decides BPE vocab size and max-merge length):
+    occurrence and DISTINCT-token counts per token length, clipped at
+    ``cap`` (ASCII-whitespace tokenizer contract, = text_token_count).
+
+    Scale shape: occurrences are a pure per-batch bincount over the
+    flat Arrow split — zero shuffle; distinct counts ride the vocab
+    substrate (per-batch distinct tokens → token-bucketed global
+    dedup → per-bucket length bincount → tiny merge over the ≤cap
+    length domain)."""
+    from .analytics import _merge_partials, _tag_bucket
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def _flat_tokens(batch: pa.Table) -> pa.Array:
+        stripped = pc.utf8_trim_whitespace(
+            pc.fill_null(pc.cast(batch["text"], pa.string()), ""))
+        lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        return pc.cast(lists.flatten(), pa.string())
+
+    def occ_partial(batch: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(_flat_tokens(batch)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = lens[lens > 0]          # drop empty-doc phantom tokens
+        cnt = np.bincount(np.minimum(lens, cap), minlength=cap + 1)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"token_len": pa.array(nz.astype(np.int64)),
+                         "n_tokens": pa.array(cnt[nz].astype(np.int64))})
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        flat = _flat_tokens(batch)
+        t = pa.table({"token": flat}).filter(
+            pc.greater(pc.utf8_length(flat), 0))
+        return t.group_by(["token"]).aggregate([])
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        toks = g["token"].drop_duplicates()
+        lens = np.minimum(toks.str.len().to_numpy().astype(np.int64), cap)
+        cnt = np.bincount(lens, minlength=cap + 1)
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame({"token_len": nz.astype(np.int64),
+                             "n_distinct": cnt[nz].astype(np.int64)})
+
+    occ = _merge_partials(
+        ds.map_batches(occ_partial, batch_format="pyarrow"),
+        ["token_len"], ["n_tokens"])
+    dst = _merge_partials(
+        ds.map_batches(tok_partial, batch_format="pyarrow")
+        .repartition(16)
+        .map_batches(_tag_bucket(["token"]), batch_format="pyarrow")
+        .groupby("_kb").map_groups(bucket_hist, batch_format="pandas"),
+        ["token_len"], ["n_distinct"])
+    out = occ.merge(dst, on="token_len", how="outer").fillna(0)
+    out = out.astype({"token_len": "int64", "n_tokens": "int64",
+                      "n_distinct": "int64"})
+    return out.sort_values("token_len").reset_index(drop=True)
+
+
+def q_ngram_novelty_by_source(sf_dir: str):
+    """N-GRAM NOVELTY vs the BASE slice (the dump-over-dump content-
+    growth audit behind CCNet/RefinedWeb-style incremental ingestion):
+    distinct token-trigram shingles per source, and how many do NOT
+    occur in the base source (= lexicographically smallest source).
+    Shingle contract identical to dedup_jaccard_exact's oracle (docs
+    with < 3 tokens contribute their whole joined text as one
+    shingle).
+
+    Scale shape: fully vectorized trigram emission (one Arrow split,
+    offset arithmetic for the sliding window, binary_join_element_wise
+    — no per-doc Python), per-batch distinct (source, shingle) →
+    shingle-bucketed global dedup; base membership is decided
+    IN-BUCKET (bucketing is by shingle, so a shingle's base row lands
+    in the same bucket) → per-source partial → enum merge."""
+    from .analytics import _merge_partials, _tag_bucket
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def sh_partial(batch: pa.Table) -> pa.Table:
+        stripped = pc.utf8_trim_whitespace(
+            pc.fill_null(pc.cast(batch["text"], pa.string()), ""))
+        lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        empty = np.asarray(pc.equal(stripped, "")
+                           .to_numpy(zero_copy_only=False))
+        eff = np.where(empty, 0, lens)   # '' phantom token of empty docs
+        flat = pc.cast(lists.flatten(), pa.string())
+        src = pc.cast(batch["source"], pa.string())
+        n_tri = np.maximum(eff - 2, 0)
+        total = int(n_tri.sum())
+        if total:
+            base0 = np.repeat(offs[:-1], n_tri)
+            csum = np.concatenate(([0], np.cumsum(n_tri)[:-1]))
+            within = np.arange(total, dtype=np.int64) - np.repeat(csum,
+                                                                  n_tri)
+            starts = base0 + within
+            tri = pc.binary_join_element_wise(
+                flat.take(pa.array(starts)),
+                flat.take(pa.array(starts + 1)),
+                flat.take(pa.array(starts + 2)), " ")
+            doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64),
+                                n_tri)
+            t1 = pa.table({"source": src.take(pa.array(doc_idx)),
+                           "shingle": pc.cast(tri, pa.string())})
+        else:
+            t1 = pa.table({"source": pa.array([], pa.string()),
+                           "shingle": pa.array([], pa.string())})
+        short = np.nonzero(eff < 3)[0]
+        if short.size:
+            whole = pc.cast(pc.binary_join(lists, " "), pa.string())
+            t2 = pa.table({"source": src.take(pa.array(short)),
+                           "shingle": whole.take(pa.array(short))})
+            t1 = pa.concat_tables([t1, t2])
+        return t1.group_by(["source", "shingle"]).aggregate([])
+
+    # base source: tiny distinct-source scan (config-sized domain)
+    base = min(
+        s
+        for b in ds.map_batches(
+            lambda b: pa.table(
+                {"source": pc.unique(pc.cast(b["source"], pa.string()))}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        for s in b["source"].to_pylist())
+
+    def bucket_novel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["source", "shingle"])
+        base_set = set(g.loc[g["source"] == base, "shingle"])
+        out = pd.DataFrame({
+            "source": g["source"].to_numpy(),
+            "n_shingles": np.ones(len(g), dtype=np.int64),
+            "n_new": (~g["shingle"].isin(base_set)).to_numpy()
+            .astype(np.int64)})
+        return out.groupby("source", as_index=False)[
+            ["n_shingles", "n_new"]].sum()
+
+    parts = (ds.map_batches(sh_partial, batch_format="pyarrow")
+             .repartition(16)
+             .map_batches(_tag_bucket(["shingle"]), batch_format="pyarrow")
+             .groupby("_kb").map_groups(bucket_novel,
+                                        batch_format="pandas"))
+    out = _merge_partials(parts, ["source"], ["n_shingles", "n_new"])
+    out = out.astype({"n_shingles": "int64", "n_new": "int64"})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_containment_pairs(sf_dir: str):
+    """ASYMMETRIC NEAR-DUP: exact token-trigram CONTAINMENT ≥ 0.6 —
+    C(A,B) = |A ∩ B| / min(|A|, |B|) (Broder's containment, the other
+    half of the resemblance/containment pair): catches a document
+    EMBEDDED in a larger one (boilerplate-wrapped article, quote
+    farm), which symmetric Jaccard's union denominator dilutes below
+    any useful threshold. Same distributed shingle inverted-index
+    shape as dedup_jaccard_exact; only the reduce's denominator
+    changes."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dd.jaccard_exact_pairs_ds(ds, shingle_k=3, kind="token",
+                                     threshold_e6=600_000,
+                                     metric="containment")
+
+
+def _charclass_oracle_sql() -> str:
+    classes = ", ".join(
+        f"CAST(sum(length(text) - length(regexp_replace(text, "
+        f"'{pat}', '', 'g'))) AS BIGINT) AS {name}"
+        for name, pat in [("n_digits", "[0-9]"), ("n_upper", "[A-Z]"),
+                          ("n_space", "\\s"), ("n_punct", "[[:punct:]]")])
+    return (
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(length(text)) AS BIGINT) AS n_chars, "
+        f"{classes} FROM documents GROUP BY source ORDER BY source")
+
+
+def _token_length_hist_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    return (
+        f"WITH vt AS (SELECT unnest({tokens_sql('text')}) AS tok "
+        "FROM documents), "
+        "t2 AS (SELECT tok, least(length(tok), 20) AS token_len FROM vt) "
+        "SELECT CAST(token_len AS BIGINT) AS token_len, "
+        "CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct "
+        "FROM t2 GROUP BY 1 ORDER BY 1")
+
+
+def _ngram_novelty_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    return (
+        f"WITH toks AS (SELECT source, {tokens_sql('text')} AS t "
+        "FROM documents), "
+        "sh0 AS (SELECT source, unnest(CASE WHEN len(t) < 3 "
+        "THEN [coalesce(array_to_string(t, ' '), '')] "
+        "ELSE list_distinct(list_transform(range(1, len(t) - 1), "
+        "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) END) AS s "
+        "FROM toks), "
+        "sh AS (SELECT DISTINCT source, s FROM sh0), "
+        "b AS (SELECT min(source) AS bs FROM documents), "
+        "bset AS (SELECT s FROM sh, b WHERE source = bs) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_shingles, "
+        "CAST(sum(CASE WHEN s IN (SELECT s FROM bset) THEN 0 ELSE 1 "
+        "END) AS BIGINT) AS n_new "
+        "FROM sh GROUP BY source ORDER BY source")
+
+
+def _containment_pairs_oracle_sql() -> str:
+    # dedup_jaccard_exact's shingle CTEs with Broder's containment
+    # denominator least(|A|, |B|) instead of the union
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), "
+        "__x -> __x <> '') AS t FROM documents), "
+        "sh AS (SELECT doc_id, unnest(CASE WHEN len(t) < 3 "
+        "THEN [coalesce(array_to_string(t, ' '), '')] "
+        "ELSE list_distinct(list_transform(range(1, len(t) - 1), "
+        "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) END) AS s "
+        "FROM toks), "
+        "sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        "p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter "
+        "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT a, b, CAST(inter AS BIGINT) AS inter, "
+        "CAST((inter * 1000000) // least(sa.n_sh, sb.n_sh) AS BIGINT) "
+        "AS containment_e6 FROM p "
+        "JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id "
+        "WHERE (inter * 1000000) // least(sa.n_sh, sb.n_sh) >= 600000")
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
+    # round-4 corpus profiling / novelty / containment family
+    "charclass_profile": _charclass_oracle_sql(),
+    "dup_cluster_sizes":
+        "WITH g AS (SELECT md5(text) AS h, count(*) AS sz "
+        "FROM documents GROUP BY 1) "
+        "SELECT CAST(sz AS BIGINT) AS cluster_size, "
+        "CAST(count(*) AS BIGINT) AS n_clusters "
+        "FROM g GROUP BY 1 ORDER BY 1",
+    "dedup_savings_by_source":
+        "WITH d AS (SELECT doc_id, source, n_chars, md5(text) AS h "
+        "FROM documents), "
+        "k AS (SELECT h, min(doc_id) AS keep FROM d GROUP BY h) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CASE WHEN doc_id <> keep THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_removed, "
+        "CAST(sum(CASE WHEN doc_id <> keep THEN n_chars ELSE 0 END) "
+        "AS BIGINT) AS chars_removed, "
+        "CAST(sum(CASE WHEN doc_id = keep THEN n_chars ELSE 0 END) "
+        "AS BIGINT) AS chars_kept "
+        "FROM d JOIN k USING (h) GROUP BY source ORDER BY source",
+    "token_length_histogram": _token_length_hist_oracle_sql(),
+    "ngram_novelty_by_source": _ngram_novelty_oracle_sql(),
+    "containment_pairs": _containment_pairs_oracle_sql(),
     # session-11 additions: DSIR importance resampling scores and
     # URL-canonicalization dedup (the vectorized seed-ingest primitive)
     "dsir_importance": _dsir_oracle_sql(),

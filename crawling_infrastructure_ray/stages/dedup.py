@@ -436,7 +436,8 @@ def jaccard_exact_pairs_ds(ds: rd.Dataset, *, shingle_k: int = 3,
                            num_parts: int = 64,
                            num_pair_buckets: int = 32,
                            id_column: str = "doc_id",
-                           column: str = "text") -> rd.Dataset:
+                           column: str = "text",
+                           metric: str = "jaccard") -> rd.Dataset:
     """EXACT all-pairs n-gram Jaccard >= threshold, fully distributed
     (shingle inverted-index join; no LSH recall gap, no driver state).
 
@@ -520,13 +521,22 @@ def jaccard_exact_pairs_ds(ds: rd.Dataset, *, shingle_k: int = 3,
     def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(["a", "b", "na", "nb"], as_index=False)["inter"].sum()
         inter = out["inter"].to_numpy().astype(np.int64)
-        union = (out["na"].to_numpy() + out["nb"].to_numpy()
-                 - inter).astype(np.int64)
-        jac = inter * 1_000_000 // union
-        keep = jac >= threshold_e6
+        if metric == "containment":
+            # Broder containment: |A ∩ B| / min(|A|, |B|) — the
+            # asymmetric resemblance that catches a doc EMBEDDED in a
+            # larger one, which the symmetric union denominator dilutes
+            denom = np.minimum(out["na"].to_numpy(),
+                               out["nb"].to_numpy()).astype(np.int64)
+            score_col = "containment_e6"
+        else:
+            denom = (out["na"].to_numpy() + out["nb"].to_numpy()
+                     - inter).astype(np.int64)
+            score_col = "jaccard_e6"
+        score = inter * 1_000_000 // denom
+        keep = score >= threshold_e6
         out = out[keep].drop(columns=["na", "nb"]).reset_index(drop=True)
-        out["jaccard_e6"] = jac[keep]
-        return out[["a", "b", "inter", "jaccard_e6"]]
+        out[score_col] = score[keep]
+        return out[["a", "b", "inter", score_col]]
 
     return (partials.repartition(num_pair_buckets)
             .map_batches(tag_bucket_fn(["a", "b"], num_pair_buckets),
