@@ -107,12 +107,23 @@ def run_bench() -> dict:
     # host bucket forces defer churn during ramp — measured 2.6k vs
     # 4.3k urls/s at 8 cpus on identical input; burst >= tokens-per-
     # poll-interval is the sane operating config for a 200/s budget
-    # chunk 256 (not 1024) when polite: a 1024-item lease outruns a
-    # bucket's burst+refill at a claim instant, shrinking effective
-    # leases and adding rounds — measured 11.1k vs 14.5k urls/s at 32
-    # cpus on identical uniform-host input
+    # num_hosts=512 when polite: CHILD urls must live on the same
+    # 512-host universe as the seeds — the fetch simulator's default
+    # (64 hosts) silently capped the depth-1 tail (2/3 of the URLs) at
+    # 64 x 200/s = 12.8k urls/s, which BINDS at the 32-cpu end
+    # (engine > 30k/s) but not at 8 cpus (~13k/s): the polite 8->32
+    # ratio measured the budget enforcement, not the machinery.
+    # Lineage forensics: steady-state deciles ran full 256-leases at
+    # 30/32 concurrency; the collapse (24-item leases, 5/32) was
+    # entirely the child tail hitting the 64-host budget.
+    # chunk 1024 (same as non-polite) is viable once children spread
+    # over 512 hosts: a 1024-lease touches ~2 urls/host, inside burst
+    # 32 — measured 28.0k vs 18.0k urls/s at 32 cpus back-to-back
+    # (the old 256 setting dated from the 64-host child era, where a
+    # big lease outran burst+refill at a claim instant)
     polite_kwargs = dict(politeness=True, robots=True, default_rate=200.0,
-                         default_burst=32.0, chunk_size=256) \
+                         default_burst=32.0, chunk_size=1024,
+                         num_hosts=512) \
         if POLITE else dict(chunk_size=1024)
     # PASS-MAJOR reps: run the WHOLE pipeline list per pass and take
     # each pipeline's best ACROSS passes, instead of N consecutive

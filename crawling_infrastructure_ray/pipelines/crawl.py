@@ -663,40 +663,45 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
             part_label=f"{lease['lease_id']:015d}", **fetch_kwargs)
         inflight[ref] = (shard, lease["lease_id"])
 
-    lease_req: list | None = None  # outstanding lease_many round, or None
+    lease_pending: dict = {}   # lease_many ObjectRef -> shard index
     last_ckpt_commits = 0
 
     def refill(now, block: bool = False):
         """Overlapped refill: lease_many rounds run while fetch tasks
-        compute; responses are collected when ready (or awaited when
-        ``block`` — the drained-ness path needs a definite answer)."""
-        nonlocal lease_req
+        compute. Responses are collected PER SHARD as each becomes
+        ready (no all-8-shards barrier — one slow shard, e.g. one
+        mid-enqueue, must not delay the other seven's leases; measured
+        on the polite 32-cpu pump this barrier plus the 8-completion
+        main-loop wait capped lease supply at ~105 leases/s and
+        starved a third of the CPUs). ``block`` awaits everything —
+        the drained-ness path needs a definite answer."""
         got = 0
-        if lease_req is not None:
+        if lease_pending:
             if block:
-                ready = True
+                ready = list(lease_pending.keys())
             else:
-                _, rest = ray.wait(lease_req, num_returns=len(lease_req),
-                                   timeout=0)
-                ready = not rest
-            if ready:
-                for shard, leases in enumerate(ray.get(lease_req)):
-                    for lease in leases:
-                        submit(lease, shard)
-                        got += 1
-                lease_req = None
-        if lease_req is None and len(inflight) + got < target_inflight:
+                ready, _ = ray.wait(list(lease_pending.keys()),
+                                    num_returns=len(lease_pending),
+                                    timeout=0)
+            for ref in ready:
+                shard = lease_pending.pop(ref)
+                for lease in ray.get(ref):
+                    submit(lease, shard)
+                    got += 1
+        if not lease_pending and len(inflight) + got < target_inflight:
             flush_discovered()
             want = target_inflight - len(inflight) - got
             per_shard = max(1, -(-want // frontier.num_shards))
-            lease_req = [sh.lease_many.remote(per_shard, chunk_size, now)
-                         for sh in frontier.shards]
+            refs = [sh.lease_many.remote(per_shard, chunk_size, now)
+                    for sh in frontier.shards]
             if block and not got:
-                for shard, leases in enumerate(ray.get(lease_req)):
+                for shard, leases in enumerate(ray.get(refs)):
                     for lease in leases:
                         submit(lease, shard)
                         got += 1
-                lease_req = None
+            else:
+                for i, ref in enumerate(refs):
+                    lease_pending[ref] = i
         return got
 
     idle_rounds = 0
@@ -747,8 +752,17 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
                 continue
             break
         idle_rounds = 0
+        # event wait: wake on the FIRST completion of either kind —
+        # a fetch task (commit + children) or a lease response (more
+        # tasks to submit). Waiting for a fixed batch of task
+        # completions here (the old num_returns=8) delayed lease
+        # collection by ~8/completion-rate and starved the pool
+        # whenever leases are small (politeness chunk 256).
+        pool = list(inflight.keys()) + list(lease_pending.keys())
+        ray.wait(pool, num_returns=1)
+        # then drain every task that is ready right now (batch commit)
         done, _ = ray.wait(list(inflight.keys()),
-                           num_returns=min(8, len(inflight)))
+                           num_returns=len(inflight), timeout=0)
         for ref in done:
             shard, lease_id = inflight.pop(ref)
             try:
@@ -797,11 +811,10 @@ def run_crawl_pump(seed_urls: list[str] | None = None, *,
             # while the resumed run heals and re-crawls the same items
             # → duplicated documents. Roll them back before the
             # snapshot; the next refill re-leases them.
-            if lease_req is not None:
-                for shard_i, leases_ in enumerate(ray.get(lease_req)):
-                    for lease_ in leases_:
-                        frontier.rollback(shard_i, lease_["lease_id"])
-                lease_req = None
+            for ref_, shard_i in list(lease_pending.items()):
+                for lease_ in ray.get(ref_):
+                    frontier.rollback(shard_i, lease_["lease_id"])
+            lease_pending.clear()
             while inflight:
                 done, _ = ray.wait(list(inflight.keys()),
                                    num_returns=len(inflight))
