@@ -386,6 +386,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "token_length_histogram": qt.q_token_length_histogram,
         "ngram_novelty_by_source": qt.q_ngram_novelty_by_source,
         "containment_pairs": qt.q_containment_pairs,
+        "cross_source_dup_matrix": qt.q_cross_source_dup_matrix,
+        "hapax_stats": qt.q_hapax_stats,
+        "freq_of_freqs": qt.q_freq_of_freqs,
+        "embedding_norm_audit": qt.q_embedding_norm_audit,
     }
 
 

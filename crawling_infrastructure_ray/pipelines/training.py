@@ -5742,6 +5742,204 @@ def q_containment_pairs(sf_dir: str):
                                      metric="containment")
 
 
+def q_cross_source_dup_matrix(sf_dir: str, prefix_chars: int = 40):
+    """CROSS-SOURCE SHARED-BOILERPLATE MATRIX: for every source pair,
+    how many DISTINCT content keys appear in both — the provenance
+    audit that tells you which dumps re-crawl each other's sites
+    before you budget a cross-dump dedup. The key is md5 of the first
+    ``prefix_chars`` characters (the shared-boilerplate prefix key;
+    full-text exact dups never cross sources in this corpus shape, so
+    the prefix key is the informative variant — both engines use the
+    same key so the gate is exact either way).
+
+    Scale shape: per-batch DISTINCT (key, source) combiner → rows
+    bucketed BY KEY so every source set of a key co-locates → pair
+    emission is an in-bucket self-merge over key groups (group size
+    bounded by the source domain, not the data) → per-pair partial
+    counts → enum²-keyed driver merge. The corpus never moves; the
+    exchange carries distinct (key, source) rows only."""
+    from ..functions.hashing import md5_id
+    from .analytics import _merge_partials, _tag_bucket
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "h": pa.array([md5_id((t or "")[:prefix_chars]) for t in
+                           batch["text"].to_pylist()]),
+            "source": pc.cast(batch["source"], pa.string())})
+        return t.group_by(["h", "source"]).aggregate([])
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["h", "source"])[["h", "source"]]
+        m = g.merge(g, on="h")
+        m = m[m["source_x"] < m["source_y"]]
+        out = pd.DataFrame({"src_a": m["source_x"].to_numpy(),
+                            "src_b": m["source_y"].to_numpy(),
+                            "n_shared": np.ones(len(m), dtype=np.int64)})
+        return out.groupby(["src_a", "src_b"], as_index=False)[
+            "n_shared"].sum()
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+             .repartition(16)
+             .map_batches(_tag_bucket(["h"]), batch_format="pyarrow")
+             .groupby("_kb").map_groups(bucket_pairs,
+                                        batch_format="pandas"))
+    out = _merge_partials(parts, ["src_a", "src_b"], ["n_shared"])
+    out["n_shared"] = out["n_shared"].astype("int64")
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+def q_hapax_stats(sf_dir: str):
+    """HAPAX LEGOMENA PER SOURCE (the classic lexical-richness audit:
+    a high hapax share predicts OOV pressure and flags OCR noise /
+    spam sources before tokenizer training): per source the total
+    token occurrences, distinct tokens, and tokens occurring EXACTLY
+    ONCE in that source. Tokenizer contract = text_token_count
+    (ASCII-whitespace split, empties dropped).
+
+    Scale shape: a source-keyed variant of the vocab combiner — ONE
+    Arrow split per batch, per-batch (source, token, n) partials →
+    bucketed by (source, token) so each pair's global count completes
+    in one bucket → per-source partial (sum n / count / count n==1)
+    → enum-keyed driver merge. Distinct-token rows only in the
+    exchange; no per-doc Python."""
+    from .analytics import _merge_partials, _tag_bucket
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        stripped = pc.utf8_trim_whitespace(
+            pc.fill_null(pc.cast(batch["text"], pa.string()), ""))
+        lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        raw_lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+        empty = np.asarray(pc.equal(stripped, "")
+                           .to_numpy(zero_copy_only=False))
+        keep = ~np.repeat(empty, raw_lens)   # '' phantom of empty docs
+        flat = pc.cast(lists.flatten(), pa.string()).filter(
+            pa.array(keep))
+        doc_idx = np.repeat(np.arange(len(raw_lens), dtype=np.int64),
+                            raw_lens)[keep]
+        src = pc.cast(batch["source"], pa.string())
+        t = pa.table({"source": src.take(pa.array(doc_idx)),
+                      "token": flat,
+                      "n": pa.array(np.ones(len(doc_idx), np.int64))})
+        g = t.group_by(["source", "token"]).aggregate([("n", "sum")])
+        return pa.table({"source": g["source"], "token": g["token"],
+                         "n": g["n_sum"]})
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["source", "token"], as_index=False)["n"].sum()
+        n = c["n"].to_numpy().astype(np.int64)
+        out = pd.DataFrame({
+            "source": c["source"].to_numpy(),
+            "n_tokens": n,
+            "n_distinct": np.ones(len(c), dtype=np.int64),
+            "n_hapax": (n == 1).astype(np.int64)})
+        return out.groupby("source", as_index=False)[
+            ["n_tokens", "n_distinct", "n_hapax"]].sum()
+
+    parts = (ds.map_batches(part, batch_format="pyarrow")
+             .repartition(16)
+             .map_batches(_tag_bucket(["source", "token"]),
+                          batch_format="pyarrow")
+             .groupby("_kb").map_groups(bucket_stats,
+                                        batch_format="pandas"))
+    out = _merge_partials(parts, ["source"],
+                          ["n_tokens", "n_distinct", "n_hapax"])
+    for c in ["n_tokens", "n_distinct", "n_hapax"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_freq_of_freqs(sf_dir: str):
+    """FREQUENCY-OF-FREQUENCIES TABLE (the Good–Turing / Zipf-tail
+    input: N_r = number of vocabulary types occurring exactly r
+    times; N_1/N estimates unseen mass — the smoothing statistic
+    every n-gram LM and vocab-size decision needs): global token
+    counts via the vocab combiner, then how many distinct tokens sit
+    at each count value.
+
+    Scale shape: per-batch (token, n) partials → token-bucketed
+    global merge IN RAY (one exact row per token, driver never holds
+    the vocabulary) → per-block np.unique histogram over n → driver
+    merge over the count-value domain (≤ distinct count values —
+    O(√occurrences) by Zipf, trivially enum-sized)."""
+    from ..stages import sampling as sp
+    from .analytics import _merge_partials, _merge_partials_ray
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    merged = _merge_partials_ray(
+        ds.map_batches(sp.vocab_partial_counts, batch_format="pyarrow"),
+        ["token"], ["n"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(n, return_counts=True)
+        return pa.table({"freq": pa.array(uniq.astype(np.int64)),
+                         "n_types": pa.array(cnt.astype(np.int64))})
+
+    out = _merge_partials(merged.map_batches(hist, batch_format="pyarrow"),
+                          ["freq"], ["n_types"])
+    out = out.astype({"freq": "int64", "n_types": "int64"})
+    return out.sort_values("freq").reset_index(drop=True)
+
+
+def q_embedding_norm_audit(sf_dir: str):
+    """EMBEDDING NORM AUDIT PER LABEL (the drift / collapse check run
+    before any ANN build: un-normalized or degenerate vectors break
+    cosine assumptions silently): per label the vector count, the
+    summed e3-quantized component mass, the summed squared-norm mass,
+    and the min/max per-vector squared norm — all exact int64 on the
+    shared quantize_e3 contract (label_centroids' convention), so the
+    gate never meets float math.
+
+    Scale shape: pure per-batch combiner (one matmul-free (q*q).sum
+    per batch + factorize/bincount over labels) → enum-sized partials
+    (labels × 6 ints per block); sums merge by +, extrema by min/max
+    in one tiny driver groupby. The vectors never move. Overflow:
+    per-vector nrm2 ≤ dim·max_q² is asserted < 2^62 / corpus-block
+    headroom at the partial."""
+    from ..stages.simsearch import _to_matrix, quantize_e3
+    ds = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        q = quantize_e3(_to_matrix(batch["embedding"])).astype(np.int64)
+        assert int(np.abs(q).max(initial=0)) ** 2 * q.shape[1] \
+            * max(len(lab), 1) < 2 ** 62, "nrm2 partial would overflow"
+        nrm2 = (q * q).sum(axis=1)
+        codes, uniq = pd.factorize(lab)
+        k = len(uniq)
+        n = np.bincount(codes, minlength=k).astype(np.int64)
+        s1 = np.zeros(k, np.int64)
+        np.add.at(s1, codes, q.sum(axis=1))
+        s2 = np.zeros(k, np.int64)
+        np.add.at(s2, codes, nrm2)
+        mn = np.full(k, np.iinfo(np.int64).max)
+        np.minimum.at(mn, codes, nrm2)
+        mx = np.full(k, np.iinfo(np.int64).min)
+        np.maximum.at(mx, codes, nrm2)
+        return pa.table({"label": pa.array(uniq), "n_vecs": pa.array(n),
+                         "sum_q": pa.array(s1), "sum_q2": pa.array(s2),
+                         "min_nrm2": pa.array(mn), "max_nrm2": pa.array(mx)})
+
+    pdf = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        return pdf
+    # enum-sized (labels × blocks) partial set; sums merge by +,
+    # extrema by min/max — sorted first so the reduce is bit-stable
+    pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+    out = pdf.groupby("label", as_index=False).agg(
+        n_vecs=("n_vecs", "sum"), sum_q=("sum_q", "sum"),
+        sum_q2=("sum_q2", "sum"), min_nrm2=("min_nrm2", "min"),
+        max_nrm2=("max_nrm2", "max"))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("label").reset_index(drop=True)
+
+
 def _charclass_oracle_sql() -> str:
     classes = ", ".join(
         f"CAST(sum(length(text) - length(regexp_replace(text, "
@@ -5808,9 +6006,58 @@ def _containment_pairs_oracle_sql() -> str:
         "WHERE (inter * 1000000) // least(sa.n_sh, sb.n_sh) >= 600000")
 
 
+def _hapax_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    return (
+        f"WITH vt AS (SELECT source, unnest({tokens_sql('text')}) AS tok "
+        "FROM documents), "
+        "c AS (SELECT source, tok, count(*) AS n FROM vt GROUP BY 1, 2) "
+        "SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) AS BIGINT) AS n_distinct, "
+        "CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_hapax FROM c GROUP BY source ORDER BY source")
+
+
+def _freq_of_freqs_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    return (
+        f"WITH vt AS (SELECT unnest({tokens_sql('text')}) AS tok "
+        "FROM documents), "
+        "c AS (SELECT tok, count(*) AS n FROM vt GROUP BY tok) "
+        "SELECT CAST(n AS BIGINT) AS freq, "
+        "CAST(count(*) AS BIGINT) AS n_types "
+        "FROM c GROUP BY n ORDER BY n")
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
     # round-4 corpus profiling / novelty / containment family
     "charclass_profile": _charclass_oracle_sql(),
+    "cross_source_dup_matrix":
+        "WITH h AS (SELECT DISTINCT md5(substr(text, 1, 40)) AS h, "
+        "source FROM documents) "
+        "SELECT a.source AS src_a, b.source AS src_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM h a JOIN h b ON a.h = b.h WHERE a.source < b.source "
+        "GROUP BY 1, 2 ORDER BY 1, 2",
+    "hapax_stats": _hapax_oracle_sql(),
+    "freq_of_freqs": _freq_of_freqs_oracle_sql(),
+    # per-vector squared norms on the shared quantize_e3 contract
+    # (floor(x*1000 + 0.5) over DOUBLE — IEEE-identical both engines)
+    "embedding_norm_audit":
+        "WITH e AS (SELECT vec_id, label, embedding, "
+        "unnest(range(1, len(embedding) + 1)) AS i FROM embeddings), "
+        "qv AS (SELECT vec_id, label, "
+        "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) "
+        "AS q FROM e), "
+        "v AS (SELECT vec_id, label, sum(q) AS sq, sum(q * q) AS nrm2 "
+        "FROM qv GROUP BY 1, 2) "
+        "SELECT CAST(label AS BIGINT) AS label, "
+        "CAST(count(*) AS BIGINT) AS n_vecs, "
+        "CAST(sum(sq) AS BIGINT) AS sum_q, "
+        "CAST(sum(nrm2) AS BIGINT) AS sum_q2, "
+        "CAST(min(nrm2) AS BIGINT) AS min_nrm2, "
+        "CAST(max(nrm2) AS BIGINT) AS max_nrm2 "
+        "FROM v GROUP BY label ORDER BY label",
     "dup_cluster_sizes":
         "WITH g AS (SELECT md5(text) AS h, count(*) AS sz "
         "FROM documents GROUP BY 1) "
