@@ -390,6 +390,12 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "hapax_stats": qt.q_hapax_stats,
         "freq_of_freqs": qt.q_freq_of_freqs,
         "embedding_norm_audit": qt.q_embedding_norm_audit,
+        # round-4 continuation: the four remaining TPC-H anchors
+        # (adapted partsupp-free, see docstrings) — suite now 22/22
+        "q2_min_cost_supplier": qa.q_q2_min_cost_supplier,
+        "q11_important_parts": qa.q_q11_important_parts,
+        "q16_supplier_relationship": qa.q_q16_supplier_relationship,
+        "q20_potential_promotion": qa.q_q20_potential_promotion,
     }
 
 

@@ -5309,7 +5309,431 @@ def q_nation_revenue_share(sf_dir: str):
     return out.sort_values("n_nationkey").reset_index(drop=True)
 
 
+def q_q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape — CORRELATED MIN subquery: for each qualifying
+    part, the EUROPE supplier(s) achieving the minimum cost, ties
+    kept. The testdata has no partsupp, so the part↔supplier relation
+    is the observed (l_partkey, l_suppkey) pairs and cost is the
+    minimum observed line price (documented substitution; the operator
+    shape — per-part argmin over a region-filtered supplier set, then
+    decoration from dimension tables — is Q2's). Plan: nation⋈region
+    resolved on the driver (config-sized); the region-filtered
+    supplier key set broadcast once and probed in the lineitem scan
+    (non-EUROPE rows drop at the probe); pair mins combine map-side;
+    the tagged-union bucketed join on partkey brings in the
+    size/type-filtered part keys and the per-part min + tie-keeping
+    winner filter completes IN-BUCKET (a partkey lands wholly in one
+    bucket); winners are output-sized (Q2 returns a top-slice), so the
+    dimension decoration is driver-side."""
+    import pyarrow.parquet as pq
+    root = sf_dir.rstrip("/")
+    nat = pq.read_table(f"{root}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{root}/region.parquet").to_pandas()
+    eur_rk = set(reg.loc[reg["r_name"] == "EUROPE", "r_regionkey"])
+    nat_eur = nat[nat["n_regionkey"].isin(eur_rk)]
+    nk_name = dict(zip(nat_eur["n_nationkey"].astype(int), nat_eur["n_name"]))
+
+    supp = pq.read_table(f"{root}/supplier.parquet").to_pandas()
+    supp = supp[supp["s_nationkey"].astype(int).isin(set(nk_name))]
+    sk_sorted = np.sort(supp["s_suppkey"].to_numpy().astype(np.int64))
+    supp_ref = ray.put(sk_sorted)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        ks = ray.get(supp_ref)
+        probe = batch["l_suppkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(ks, probe), 0, max(len(ks) - 1, 0))
+        hit = (ks[pos] == probe) if len(ks) else np.zeros(len(probe), bool)
+        b = batch.filter(pa.array(hit))
+        t = pa.table({"key": pc.cast(b["l_partkey"], pa.int64()),
+                      "suppkey": pc.cast(b["l_suppkey"], pa.int64()),
+                      "cost_c": pc.cast(pc.round(pc.multiply(
+                          b["l_extendedprice"], 100.0)), pa.int64())})
+        g = t.group_by(["key", "suppkey"]).aggregate([("cost_c", "min")])
+        g = g.rename_columns(["key", "suppkey", "cost_c"])
+        return pa.table({"key": g["key"], "suppkey": g["suppkey"],
+                         "cost_c": g["cost_c"],
+                         "side": pa.array(["l"] * g.num_rows)})
+
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_type", "p_size"])
+
+    def part_side(batch: pa.Table) -> pa.Table:
+        sz = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tp = batch["p_type"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array((sz % 5 == 0) & (tp == "LARGE")))
+        n = b.num_rows
+        return pa.table({"key": pc.cast(b["p_partkey"], pa.int64()),
+                         "suppkey": pa.nulls(n, pa.int64()),
+                         "cost_c": pa.nulls(n, pa.int64()),
+                         "side": pa.array(["p"] * n)})
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "l"][["key", "suppkey", "cost_c"]]
+        pkeys = set(g.loc[g["side"] == "p", "key"])
+        m = left[left["key"].isin(pkeys)]
+        if m.empty:
+            return pd.DataFrame({
+                "p_partkey": pd.Series([], dtype="int64"),
+                "s_suppkey": pd.Series([], dtype="int64"),
+                "cost_c": pd.Series([], dtype="int64")})
+        # map-side combine is per BATCH — re-combine pair mins before
+        # the per-part argmin
+        m = m.groupby(["key", "suppkey"], as_index=False)["cost_c"].min()
+        mc = m.groupby("key")["cost_c"].transform("min")
+        w = m[m["cost_c"] == mc]
+        return pd.DataFrame({"p_partkey": w["key"].astype("int64"),
+                             "s_suppkey": w["suppkey"].astype("int64"),
+                             "cost_c": w["cost_c"].astype("int64")})
+
+    winners = _tagged_union_join(
+        li.map_batches(li_side, batch_format="pyarrow"),
+        part.map_batches(part_side, batch_format="pyarrow"),
+        "key", join_bucket).to_pandas()
+
+    cols = {"s_acctbal_c": "int64", "s_name": "object", "n_name": "object",
+            "p_partkey": "int64", "s_suppkey": "int64", "cost_c": "int64"}
+    if winners.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=d)
+                             for c, d in cols.items()})
+    sd = supp.set_index(supp["s_suppkey"].astype(int))
+    winners["s_name"] = winners["s_suppkey"].map(sd["s_name"])
+    winners["s_acctbal_c"] = winners["s_suppkey"].map(
+        (sd["s_acctbal"] * 100).round()).astype("int64")
+    winners["n_name"] = winners["s_suppkey"].map(
+        sd["s_nationkey"].astype(int)).map(nk_name)
+    out = winners[list(cols)].sort_values(
+        ["s_acctbal_c", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True]).reset_index(drop=True)
+    for c in ("s_acctbal_c", "p_partkey", "s_suppkey", "cost_c"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape — HAVING against a SCALAR SUBQUERY over the
+    same aggregate: parts whose ASIA-supplied value exceeds 0.1% of
+    the corpus total. No partsupp, so value := Σ price_c·qty over
+    lineitems whose supplier sits in ASIA (documented substitution;
+    the shape — grouped sum filtered by a global-total fraction,
+    integer cross-multiplied — is Q11's). Plan: region-filtered
+    supplier keys broadcast and probed at the lineitem scan; per-part
+    partial sums combine map-side then reduce in Ray (partkey is
+    data-sized — never a driver merge); the reduced per-part table is
+    pinned ONCE (object-store/spill-resident, not driver heap) because
+    it is consumed twice: a tiny total-sum pass, then the share
+    filter with the total as a closure constant."""
+    import pyarrow.parquet as pq
+    root = sf_dir.rstrip("/")
+    nat = pq.read_table(f"{root}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{root}/region.parquet").to_pandas()
+    asia_rk = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
+    asia_nk = set(nat.loc[nat["n_regionkey"].isin(asia_rk),
+                          "n_nationkey"].astype(int))
+    supp = pq.read_table(f"{root}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = np.sort(supp.loc[supp["s_nationkey"].astype(int).isin(asia_nk),
+                          "s_suppkey"].to_numpy().astype(np.int64))
+    supp_ref = ray.put(sk)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = ray.get(supp_ref)
+        probe = batch["l_suppkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(ks, probe), 0, max(len(ks) - 1, 0))
+        hit = (ks[pos] == probe) if len(ks) else np.zeros(len(probe), bool)
+        b = batch.filter(pa.array(hit))
+        price_c = pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], 100.0)), pa.int64())
+        qty = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        t = pa.table({"p_partkey": pc.cast(b["l_partkey"], pa.int64()),
+                      "value_c": pc.multiply(price_c, qty)})
+        g = t.group_by("p_partkey").aggregate([("value_c", "sum")])
+        return g.rename_columns(["p_partkey", "value_c"])
+
+    per_part = _merge_partials_ray(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["p_partkey"], ["value_c"])
+    # part-cardinality-sized intermediate consumed TWICE (global
+    # total, then the share filter) — pinned in the object store
+    # (spills to disk at scale), never the driver heap
+    per_part = per_part.materialize()
+    tot = per_part.map_batches(
+        lambda b: pa.table({"t": pa.array(
+            [pc.sum(b["value_c"]).as_py() or 0], pa.int64())}),
+        batch_format="pyarrow").to_pandas()["t"].sum()
+    total = int(tot)
+    assert total < 2 ** 62, "q11 total_c approaching int64 range"
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch["value_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v):
+            assert int(v.max()) < 2 ** 62 // 1000, \
+                "q11 share cross-multiply would overflow int64"
+        return batch.filter(pa.array(v * 1000 > total)).select(
+            ["p_partkey", "value_c"])
+
+    out = per_part.map_batches(keep, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                             "value_c": pd.Series([], dtype="int64")})
+    out = out.astype({"p_partkey": "int64", "value_c": "int64"})
+    return out.sort_values(["value_c", "p_partkey"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+def q_q16_supplier_relationship(sf_dir: str):
+    """TPC-H Q16 shape — COUNT DISTINCT over an excluded-subquery
+    relation: suppliers per (brand, type, size) for non-excluded parts,
+    dropping 'complaint' suppliers. No partsupp, so the relation is
+    distinct (l_partkey, l_suppkey) pairs, and the complaint predicate
+    is s_acctbal < 0 (documented substitutions; the shape — NOT-IN
+    subquery exclusion + grouped distinct count — is Q16's). Plan: the
+    complaint key set (dimension-sized) broadcasts and excludes at the
+    lineitem scan; per-batch distinct pairs combine map-side; the
+    bucketed join on partkey attaches the filtered part attributes and
+    dedups pairs IN-BUCKET; the cross-bucket (brand,type,size,suppkey)
+    distinct runs in Ray (suppliers × groups is data-sized); the final
+    group count merges driver-side (brand×type×size is enum-bounded)."""
+    import pyarrow.parquet as pq
+    root = sf_dir.rstrip("/")
+    supp = pq.read_table(f"{root}/supplier.parquet",
+                         columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = np.sort(supp.loc[supp["s_acctbal"] < 0,
+                           "s_suppkey"].to_numpy().astype(np.int64))
+    bad_ref = ray.put(bad)
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        bk = ray.get(bad_ref)
+        if len(bk):
+            probe = batch["l_suppkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(bk, probe), 0, len(bk) - 1)
+            batch = batch.filter(pa.array(bk[pos] != probe))
+        t = pa.table({"key": pc.cast(batch["l_partkey"], pa.int64()),
+                      "suppkey": pc.cast(batch["l_suppkey"], pa.int64())})
+        g = t.group_by(["key", "suppkey"]).aggregate([])
+        n = g.num_rows
+        return pa.table({"key": g["key"], "suppkey": g["suppkey"],
+                         "p_brand": pa.nulls(n, pa.string()),
+                         "p_type": pa.nulls(n, pa.string()),
+                         "p_size": pa.nulls(n, pa.int64()),
+                         "side": pa.array(["l"] * n)})
+
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    q16_sizes = np.array([1, 4, 9, 16, 25, 36, 49], np.int64)
+
+    def part_side(batch: pa.Table) -> pa.Table:
+        sz = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        br = batch["p_brand"].to_numpy(zero_copy_only=False)
+        tp = batch["p_type"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(
+            np.isin(sz, q16_sizes) & (br != "Brand#5") & (tp != "PROMO")))
+        n = b.num_rows
+        return pa.table({"key": pc.cast(b["p_partkey"], pa.int64()),
+                         "suppkey": pa.nulls(n, pa.int64()),
+                         "p_brand": pc.cast(b["p_brand"], pa.string()),
+                         "p_type": pc.cast(b["p_type"], pa.string()),
+                         "p_size": pc.cast(b["p_size"], pa.int64()),
+                         "side": pa.array(["p"] * n)})
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "l"][["key", "suppkey"]]
+        right = g[g["side"] == "p"][["key", "p_brand", "p_type", "p_size"]]
+        m = left.merge(right, on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame({
+                "p_brand": pd.Series([], dtype="object"),
+                "p_type": pd.Series([], dtype="object"),
+                "p_size": pd.Series([], dtype="int64"),
+                "suppkey": pd.Series([], dtype="int64"),
+                "one": pd.Series([], dtype="int64")})
+        d = m[["p_brand", "p_type", "p_size", "suppkey"]].drop_duplicates()
+        return d.assign(one=1).astype({"p_size": "int64",
+                                       "suppkey": "int64", "one": "int64"})
+
+    dist = _merge_partials_ray(
+        _tagged_union_join(li.map_batches(li_side, batch_format="pyarrow"),
+                           part.map_batches(part_side,
+                                            batch_format="pyarrow"),
+                           "key", join_bucket),
+        ["p_brand", "p_type", "p_size", "suppkey"], ["one"])
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        # post-merge each (brand,type,size,suppkey) is globally unique
+        # — a plain count per group IS the distinct-supplier count
+        g = batch.select(["p_brand", "p_type", "p_size", "one"]).group_by(
+            ["p_brand", "p_type", "p_size"]).aggregate([("one", "count")])
+        return g.rename_columns(["p_brand", "p_type", "p_size",
+                                 "supplier_cnt"])
+
+    df = _merge_partials(dist.map_batches(cnt_partial,
+                                          batch_format="pyarrow"),
+                         ["p_brand", "p_type", "p_size"], ["supplier_cnt"])
+    if df.empty:
+        return pd.DataFrame({"p_brand": pd.Series([], dtype="object"),
+                             "p_type": pd.Series([], dtype="object"),
+                             "p_size": pd.Series([], dtype="int64"),
+                             "supplier_cnt": pd.Series([], dtype="int64")})
+    df["p_size"] = df["p_size"].astype("int64")
+    df["supplier_cnt"] = df["supplier_cnt"].astype("int64")
+    return df.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True)
+
+
+def q_q20_potential_promotion(sf_dir: str):
+    """TPC-H Q20 shape — NESTED IN-subqueries with a correlated
+    threshold: AMERICA suppliers who shipped >25% of some red-prefix
+    part's 1996 volume. No partsupp/availqty, so the threshold is the
+    pair's share of the part's total windowed quantity (documented
+    substitution; the shape — name-prefix part subquery, correlated
+    per-part quantity sum, supplier-nation outer filter — is Q20's).
+    Plan: per-(part,supplier) quantity sums combine map-side from the
+    date-windowed lineitem scan; the bucketed join on partkey brings
+    in the prefix-filtered part keys; the correlated share test
+    completes IN-BUCKET; qualifying suppkeys are dimension-bounded so
+    the region decoration reads supplier with key pushdown."""
+    import pyarrow.parquet as pq
+    root = sf_dir.rstrip("/")
+    lo = pa.scalar(np.datetime64("1996-01-01T00:00:00", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01T00:00:00", "us"))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey",
+                             "l_quantity", "l_shipdate"])
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                                 pc.less(batch["l_shipdate"], hi)))
+        t = pa.table({"key": pc.cast(b["l_partkey"], pa.int64()),
+                      "suppkey": pc.cast(b["l_suppkey"], pa.int64()),
+                      "q": pc.cast(pc.round(b["l_quantity"]), pa.int64())})
+        g = t.group_by(["key", "suppkey"]).aggregate([("q", "sum")])
+        g = g.rename_columns(["key", "suppkey", "q"])
+        return pa.table({"key": g["key"], "suppkey": g["suppkey"],
+                         "q": g["q"],
+                         "side": pa.array(["l"] * g.num_rows)})
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def part_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.starts_with(batch["p_name"], "red "))
+        n = b.num_rows
+        return pa.table({"key": pc.cast(b["p_partkey"], pa.int64()),
+                         "suppkey": pa.nulls(n, pa.int64()),
+                         "q": pa.nulls(n, pa.int64()),
+                         "side": pa.array(["p"] * n)})
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "l"][["key", "suppkey", "q"]]
+        pkeys = set(g.loc[g["side"] == "p", "key"])
+        m = left[left["key"].isin(pkeys)]
+        if m.empty:
+            return pd.DataFrame({"suppkey": pd.Series([], dtype="int64")})
+        # re-combine cross-batch pair partials before the share test
+        m = m.groupby(["key", "suppkey"], as_index=False)["q"].sum()
+        tq = m.groupby("key")["q"].transform("sum")
+        w = m.loc[4 * m["q"] > tq, "suppkey"].drop_duplicates()
+        return pd.DataFrame({"suppkey": w.astype("int64")})
+
+    w = _tagged_union_join(
+        li.map_batches(li_side, batch_format="pyarrow"),
+        part.map_batches(part_side, batch_format="pyarrow"),
+        "key", join_bucket).to_pandas()
+
+    cols = {"s_suppkey": "int64", "s_name": "object"}
+    if w.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=d)
+                             for c, d in cols.items()})
+    wk = sorted({int(x) for x in w["suppkey"]})
+    nat = pq.read_table(f"{root}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{root}/region.parquet").to_pandas()
+    am_rk = set(reg.loc[reg["r_name"] == "AMERICA", "r_regionkey"])
+    am_nk = set(nat.loc[nat["n_regionkey"].isin(am_rk),
+                        "n_nationkey"].astype(int))
+    sp = pq.read_table(f"{root}/supplier.parquet",
+                       columns=["s_suppkey", "s_name", "s_nationkey"],
+                       filters=[("s_suppkey", "in", wk)]).to_pandas()
+    sp = sp[sp["s_nationkey"].astype(int).isin(am_nk)]
+    if sp.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=d)
+                             for c, d in cols.items()})
+    out = pd.DataFrame({"s_suppkey": sp["s_suppkey"].astype("int64"),
+                        "s_name": sp["s_name"]})
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "q2_min_cost_supplier":
+        "WITH rs AS (SELECT s_suppkey, s_name, "
+        "CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c, n_name "
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'EUROPE'), "
+        "fp AS (SELECT p_partkey FROM part "
+        "WHERE p_type = 'LARGE' AND p_size % 5 = 0), "
+        "pcost AS (SELECT l_partkey AS p_partkey, l_suppkey, "
+        "min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c "
+        "FROM lineitem JOIN rs ON l_suppkey = rs.s_suppkey "
+        "JOIN fp ON l_partkey = fp.p_partkey GROUP BY 1, 2), "
+        "mn AS (SELECT p_partkey, min(cost_c) AS mc FROM pcost "
+        "GROUP BY 1) "
+        "SELECT rs.s_acctbal_c, rs.s_name, rs.n_name, "
+        "CAST(pcost.p_partkey AS BIGINT) AS p_partkey, "
+        "CAST(pcost.l_suppkey AS BIGINT) AS s_suppkey, pcost.cost_c "
+        "FROM pcost JOIN mn USING (p_partkey) "
+        "JOIN rs ON pcost.l_suppkey = rs.s_suppkey "
+        "WHERE pcost.cost_c = mn.mc ORDER BY 1 DESC, 3, 2, 4",
+    "q11_important_parts":
+        "WITH rs AS (SELECT s_suppkey FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'), "
+        "v AS (SELECT CAST(l_partkey AS BIGINT) AS p_partkey, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS value_c "
+        "FROM lineitem JOIN rs ON l_suppkey = rs.s_suppkey GROUP BY 1) "
+        "SELECT p_partkey, value_c FROM v "
+        "WHERE value_c * 1000 > (SELECT sum(value_c) FROM v) "
+        "ORDER BY 2 DESC, 1",
+    "q16_supplier_relationship":
+        "WITH px AS (SELECT p_partkey, p_brand, p_type, "
+        "CAST(p_size AS BIGINT) AS p_size FROM part "
+        "WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' "
+        "AND p_size IN (1, 4, 9, 16, 25, 36, 49)), "
+        "pr AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem "
+        "WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier "
+        "WHERE s_acctbal < 0)) "
+        "SELECT p_brand, p_type, p_size, "
+        "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+        "FROM pr JOIN px ON l_partkey = p_partkey "
+        "GROUP BY 1, 2, 3 ORDER BY 4 DESC, 1, 2, 3",
+    "q20_potential_promotion":
+        "WITH fp AS (SELECT p_partkey FROM part "
+        "WHERE p_name LIKE 'red %'), "
+        "lq AS (SELECT l_partkey, l_suppkey, "
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q "
+        "FROM lineitem JOIN fp ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= DATE '1996-01-01' "
+        "AND l_shipdate < DATE '1997-01-01' GROUP BY 1, 2), "
+        "w AS (SELECT DISTINCT l_suppkey FROM "
+        "(SELECT l_suppkey, q, sum(q) OVER (PARTITION BY l_partkey) "
+        "AS tq FROM lq) WHERE 4 * q > tq) "
+        "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name "
+        "FROM supplier JOIN w ON s_suppkey = l_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'AMERICA' ORDER BY 1",
     "part_price_rank":
         "SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand, "
         "CAST(round(p_retailprice * 100) AS BIGINT) AS price_c, "
