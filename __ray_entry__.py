@@ -396,6 +396,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "q11_important_parts": qa.q_q11_important_parts,
         "q16_supplier_relationship": qa.q_q16_supplier_relationship,
         "q20_potential_promotion": qa.q_q20_potential_promotion,
+        # distributed Lloyd's k-means — iterative ML on streaming
+        # passes; the SQL twin replays the whole trajectory
+        "kmeans_lloyd": qt.q_kmeans_lloyd,
     }
 
 

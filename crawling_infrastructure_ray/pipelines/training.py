@@ -1976,6 +1976,154 @@ def _centroid_similarity_oracle_sql() -> str:
         "GROUP BY 1, 2 ORDER BY 1, 2")
 
 
+KM_K = 8        # kmeans_lloyd cluster count
+KM_ITERS = 2    # fixed Lloyd iterations (deterministic, SQL-replayed)
+
+
+def q_kmeans_lloyd(sf_dir: str):
+    """DISTRIBUTED LLOYD'S K-MEANS (k=8, 2 fixed iterations) over the
+    e3-quantized embeddings — the iterative-ML operator class: a train
+    loop where each iteration is ONE streaming map_batches pass (no
+    corpus pin; the input re-streams each pass). Init is the k
+    smallest vec_ids' vectors (deterministic, found by a distributed
+    partial top-k-min); each pass assigns against a BROADCAST k×dim
+    centroid matrix and emits enum-sized (cluster, dim) integer
+    partial sums (the label_centroids combiner), merged driver-side
+    (k×dims is config-bounded) into floor-div integer centroids;
+    empty clusters drop. Exact-integer throughout — quantize_e3
+    vectors, Σ(q−c)² distances, numpy floor-division mirrored by
+    explicit floor semantics in SQL — so the DuckDB twin replays the
+    ENTIRE training trajectory bit-identically, not just the final
+    stats. Output: (vec_id, cluster, d2) after a final assignment
+    pass.
+
+    Scale shape: vectors never shuffle — ITERS+1 streaming passes
+    against a broadcast centroid matrix; the exchange per pass is
+    k×dim integer partials per batch."""
+    import ray as _ray
+    import pyarrow.parquet as pq
+    from ..stages.simsearch import _to_matrix, quantize_e3
+    from .analytics import _merge_partials
+
+    root = sf_dir.rstrip("/")
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def min_ids(batch: pa.Table) -> pa.Table:
+        v = np.sort(batch["vec_id"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))[:KM_K]
+        return pa.table({"vec_id": pa.array(v, pa.int64())})
+
+    seed_ids = np.sort(ds.map_batches(min_ids, batch_format="pyarrow")
+                       .to_pandas()["vec_id"].to_numpy()
+                       .astype(np.int64))[:KM_K]
+    seed = pq.read_table(
+        f"{root}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", [int(x) for x in seed_ids])]).to_pandas()
+    seed = seed.sort_values("vec_id").reset_index(drop=True)
+    cents = quantize_e3(np.stack([np.asarray(e, np.float64)
+                                  for e in seed["embedding"]])
+                        ).astype(np.int64)
+    # cluster i := i-th smallest seed vec_id (SQL: dense_rank − 1)
+    cids = np.arange(len(seed), dtype=np.int64)
+
+    def assign(q: np.ndarray, c: np.ndarray):
+        # d2 = ||q||² − 2 q·c + ||c||² — exact int64 within the
+        # asserted bound; argmin first-min = smallest cluster id,
+        # matching the SQL (d2, c) tie-break
+        assert int(np.abs(q).max(initial=0)) < 2 ** 20 and \
+            int(np.abs(c).max(initial=0)) < 2 ** 20, \
+            "kmeans quantized magnitude exceeds exact-int64 envelope"
+        qq = np.einsum("ij,ij->i", q, q)
+        cc = np.einsum("ij,ij->i", c, c)
+        d2 = qq[:, None] - 2 * (q @ c.T) + cc[None, :]
+        j = np.argmin(d2, axis=1)
+        return j, d2[np.arange(len(q)), j]
+
+    for _ in range(KM_ITERS):
+        cref = _ray.put((cids.copy(), cents.copy()))
+
+        def part(batch: pa.Table, _cref=cref) -> pa.Table:
+            ids, c = _ray.get(_cref)
+            q = quantize_e3(_to_matrix(batch["embedding"])).astype(np.int64)
+            j, _ = assign(q, c)
+            dim = q.shape[1]
+            sums = np.zeros((len(ids), dim), dtype=np.int64)
+            np.add.at(sums, j, q)
+            n = np.bincount(j, minlength=len(ids)).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.repeat(ids, dim)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                        len(ids))),
+                "s": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(n, dim))})
+
+        st = _merge_partials(ds.map_batches(part, batch_format="pyarrow"),
+                             ["cluster", "dim"], ["s", "n"])
+        st = st[st["n"] > 0]  # empty clusters drop (as in the SQL twin)
+        piv = st.pivot_table(index="cluster", columns="dim", values="s",
+                             aggfunc="sum").sort_index()
+        nn = st.groupby("cluster")["n"].max().sort_index()
+        cids = piv.index.to_numpy().astype(np.int64)
+        cents = np.floor_divide(piv.to_numpy().astype(np.int64),
+                                nn.to_numpy().astype(np.int64)[:, None])
+
+    cref = _ray.put((cids, cents))
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        ids, c = _ray.get(cref)
+        q = quantize_e3(_to_matrix(batch["embedding"])).astype(np.int64)
+        j, d2 = assign(q, c)
+        return pa.table({
+            "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+            "cluster": pa.array(ids[j]),
+            "d2": pa.array(d2.astype(np.int64))})
+
+    out = ds.map_batches(final_assign, batch_format="pyarrow").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _kmeans_oracle_sql(k: int = KM_K, iters: int = KM_ITERS) -> str:
+    # exact floor division: (s - ((s % n) + n) % n) // n — DuckDB %
+    # truncates toward zero, this forces floor semantics to match
+    # numpy's //; the adjusted numerator divides exactly
+    parts = [
+        "WITH km_e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        "embedding, unnest(range(1, len(embedding) + 1)) AS i "
+        "FROM embeddings), "
+        "km_q AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, "
+        "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) "
+        "AS q FROM km_e), "
+        "km_c0 AS (SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 "
+        "AS BIGINT) AS c, dim, q AS cv FROM km_q WHERE vec_id IN "
+        f"(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))"]
+    prev = "km_c0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f", km_d{it} AS (SELECT km_q.vec_id, {prev}.c, "
+            "sum((q - cv) * (q - cv)) AS d2 "
+            f"FROM km_q JOIN {prev} USING (dim) GROUP BY 1, 2)"
+            f", km_a{it} AS (SELECT vec_id, c FROM (SELECT vec_id, c, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn "
+            f"FROM km_d{it}) WHERE rn = 1)"
+            f", km_s{it} AS (SELECT a.c, q.dim, CAST(sum(q.q) AS BIGINT) "
+            "AS s, CAST(count(*) AS BIGINT) AS n FROM km_q q "
+            f"JOIN km_a{it} a USING (vec_id) GROUP BY 1, 2)"
+            f", km_c{it} AS (SELECT c, dim, "
+            "CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS cv "
+            f"FROM km_s{it})")
+        prev = f"km_c{it}"
+    parts.append(
+        f", km_df AS (SELECT km_q.vec_id, {prev}.c, "
+        "CAST(sum((q - cv) * (q - cv)) AS BIGINT) AS d2 "
+        f"FROM km_q JOIN {prev} USING (dim) GROUP BY 1, 2) "
+        "SELECT vec_id, c AS cluster, d2 FROM (SELECT vec_id, c, d2, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn "
+        "FROM km_df) WHERE rn = 1 ORDER BY vec_id")
+    return "".join(parts)
+
+
 def q_host_triangles(sf_dir: str):
     """TRIANGLE COUNTING over the source link graph (third graph op
     next to PageRank and components): per node, the number of
@@ -6094,6 +6242,9 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "positional_index": _positional_index_oracle_sql(),
     # session-11: centroid cosine sufficient statistics
     "centroid_similarity": _centroid_similarity_oracle_sql(),
+    # full Lloyd trajectory replay (init → 2 assignment/update
+    # rounds → final assignment), exact-integer in both engines
+    "kmeans_lloyd": _kmeans_oracle_sql(),
     # session-11: greedy max-coverage selection (K unrolled CTE rounds)
     "greedy_vocab_cover": _greedy_cover_oracle_sql(),
     # session-11: count-min sketch registers mirrored bit-for-bit
