@@ -399,6 +399,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # distributed Lloyd's k-means — iterative ML on streaming
         # passes; the SQL twin replays the whole trajectory
         "kmeans_lloyd": qt.q_kmeans_lloyd,
+        "kcenter_coreset": qt.q_kcenter_coreset,
     }
 
 

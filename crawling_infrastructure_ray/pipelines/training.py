@@ -2124,6 +2124,145 @@ def _kmeans_oracle_sql(k: int = KM_K, iters: int = KM_ITERS) -> str:
     return "".join(parts)
 
 
+KC_K = 8  # kcenter_coreset selection count
+
+
+def q_kcenter_coreset(sf_dir: str):
+    """GREEDY K-CENTER CORESET SELECTION (Gonzalez farthest-point,
+    k=8) over the e3-quantized embeddings — the diverse-subset
+    selection step of a data-curation pipeline, and the second member
+    of the iterative-operator family next to kmeans_lloyd. Seed = the
+    smallest vec_id; each of the k−1 rounds streams the corpus ONCE
+    against the broadcast selected-set matrix, computes each point's
+    min-d2 to the selected set (exact int64), and emits a per-batch
+    partial argmax (max d2, tie-break smallest vec_id) — the driver
+    merges one row per block per round. Stateless recompute per round
+    (O(k²·n·dim) total) keeps every pass a pure streaming map with no
+    per-point state dataset; the k is config-sized so the recompute
+    factor is a constant. The SQL twin replays every selection round
+    exactly. Output: (rank, vec_id, d2) — d2 is the point's distance²
+    to the previously-selected set at selection time (−1 for the
+    seed)."""
+    import ray as _ray
+    import pyarrow.parquet as pq
+    from ..stages.simsearch import _to_matrix, quantize_e3
+
+    root = sf_dir.rstrip("/")
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def min_id(batch: pa.Table) -> pa.Table:
+        v = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"vec_id": pa.array([int(v.min())], pa.int64())})
+
+    seed_id = int(ds.map_batches(min_id, batch_format="pyarrow")
+                  .to_pandas()["vec_id"].min())
+
+    def read_vec(vid: int) -> np.ndarray:
+        t = pq.read_table(f"{root}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "=", vid)]).to_pandas()
+        return quantize_e3(np.asarray(t["embedding"].iloc[0], np.float64)
+                           [None, :]).astype(np.int64)[0]
+
+    sel_ids = [seed_id]
+    sel_mat = read_vec(seed_id)[None, :]
+    picks = [(0, seed_id, -1)]
+
+    for r in range(1, KC_K):
+        sref = _ray.put((np.asarray(sel_ids, np.int64), sel_mat.copy()))
+
+        def far_partial(batch: pa.Table, _sref=sref) -> pa.Table:
+            ids, s = _ray.get(_sref)
+            q = quantize_e3(_to_matrix(batch["embedding"])).astype(np.int64)
+            vid = batch["vec_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            assert int(np.abs(q).max(initial=0)) < 2 ** 20 and \
+                int(np.abs(s).max(initial=0)) < 2 ** 20, \
+                "kcenter quantized magnitude exceeds exact-int64 envelope"
+            qq = np.einsum("ij,ij->i", q, q)
+            ss = np.einsum("ij,ij->i", s, s)
+            d2 = qq[:, None] - 2 * (q @ s.T) + ss[None, :]
+            md = d2.min(axis=1)
+            keep = ~np.isin(vid, ids)
+            if not keep.any():
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "d2": pa.array([], pa.int64())})
+            md, vid = md[keep], vid[keep]
+            # per-batch argmax with (d2 desc, vec_id asc) tie-break
+            best = np.lexsort((vid, -md))[0]
+            return pa.table({"vec_id": pa.array([int(vid[best])], pa.int64()),
+                             "d2": pa.array([int(md[best])], pa.int64())})
+
+        cand = (ds.map_batches(far_partial, batch_format="pyarrow")
+                .to_pandas())
+        cand = cand.sort_values(["d2", "vec_id"],
+                                ascending=[False, True]).head(1)
+        vid, d2 = int(cand["vec_id"].iloc[0]), int(cand["d2"].iloc[0])
+        picks.append((r, vid, d2))
+        sel_ids.append(vid)
+        sel_mat = np.vstack([sel_mat, read_vec(vid)[None, :]])
+
+    out = pd.DataFrame(picks, columns=["rank", "vec_id", "d2"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _kcenter_oracle_sql(k: int = KC_K) -> str:
+    # INCREMENTAL replay, O(k·n·dim): each round joins the corpus
+    # against ONLY the newest pick's 64 dim rows and folds a running
+    # least() min-distance column — min over the selected set equals
+    # the incremental least-chain exactly in int64, so the output is
+    # identical to the Ray side's full-set recompute. (A naive
+    # set-join replay was measured minutes-slow at 2000 vectors.)
+    # Every CTE is MATERIALIZED so the pick chain is evaluated once.
+    parts = [
+        "WITH kc_e AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        "embedding, unnest(range(1, len(embedding) + 1)) AS i "
+        "FROM embeddings), "
+        "kc_q AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, "
+        "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) "
+        "AS q FROM kc_e), "
+        "kc_sel0 AS MATERIALIZED (SELECT min(vec_id) AS v FROM kc_q)"]
+    for r in range(1, k):
+        newest = ("(SELECT v FROM kc_sel0)" if r == 1
+                  else f"(SELECT vec_id FROM kc_p{r - 1})")
+        excl = " OR ".join(
+            ["m.vec_id = (SELECT v FROM kc_sel0)"]
+            + [f"m.vec_id = (SELECT vec_id FROM kc_p{j})"
+               for j in range(1, r)])
+        # the newest pick's dim rows first (64 rows — keeps the
+        # distance join's build side pick-sized; a scalar subquery in
+        # the join condition defeats pushdown and goes quadratic)
+        parts.append(
+            f", kc_s{r} AS MATERIALIZED (SELECT dim, q FROM kc_q "
+            f"WHERE vec_id = {newest})")
+        parts.append(
+            f", kc_nd{r} AS MATERIALIZED (SELECT p.vec_id, "
+            "CAST(sum((p.q - s.q) * (p.q - s.q)) AS BIGINT) AS dd "
+            f"FROM kc_q p JOIN kc_s{r} s USING (dim) GROUP BY 1)")
+        # running min distance to the selected set
+        if r == 1:
+            parts.append(", kc_m1 AS MATERIALIZED "
+                         "(SELECT vec_id, dd AS m FROM kc_nd1)")
+        else:
+            parts.append(
+                f", kc_m{r} AS MATERIALIZED (SELECT m.vec_id, "
+                f"least(m.m, nd.dd) AS m FROM kc_m{r - 1} m "
+                f"JOIN kc_nd{r} nd USING (vec_id))")
+        parts.append(
+            f", kc_p{r} AS MATERIALIZED (SELECT vec_id, "
+            f"CAST(m AS BIGINT) AS d2 FROM kc_m{r} m "
+            f"WHERE NOT ({excl}) "
+            "ORDER BY m DESC, vec_id LIMIT 1)")
+    union = [f"SELECT CAST(0 AS BIGINT) AS rank, v AS vec_id, "
+             "CAST(-1 AS BIGINT) AS d2 FROM kc_sel0"]
+    union += [f"SELECT CAST({r} AS BIGINT), vec_id, d2 FROM kc_p{r}"
+              for r in range(1, k)]
+    parts.append(" " + " UNION ALL ".join(union) + " ORDER BY 1")
+    return "".join(parts)
+
+
 def q_host_triangles(sf_dir: str):
     """TRIANGLE COUNTING over the source link graph (third graph op
     next to PageRank and components): per node, the number of
@@ -6245,6 +6384,8 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     # full Lloyd trajectory replay (init → 2 assignment/update
     # rounds → final assignment), exact-integer in both engines
     "kmeans_lloyd": _kmeans_oracle_sql(),
+    # greedy farthest-point selection, every round replayed
+    "kcenter_coreset": _kcenter_oracle_sql(),
     # session-11: greedy max-coverage selection (K unrolled CTE rounds)
     "greedy_vocab_cover": _greedy_cover_oracle_sql(),
     # session-11: count-min sketch registers mirrored bit-for-bit
