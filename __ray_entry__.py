@@ -400,6 +400,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # passes; the SQL twin replays the whole trajectory
         "kmeans_lloyd": qt.q_kmeans_lloyd,
         "kcenter_coreset": qt.q_kcenter_coreset,
+        # graph family round-out: community detection + degeneracy
+        "host_label_propagation": qt.q_host_label_propagation,
+        "host_kcore": qt.q_host_kcore,
     }
 
 

@@ -2263,6 +2263,257 @@ def _kcenter_oracle_sql(k: int = KC_K) -> str:
     return "".join(parts)
 
 
+LP_SALT = 0x5B21_9D3E_44AA_0007  # label-propagation edge draw (< 2^63)
+LP_ROUNDS = 4
+
+
+def q_host_label_propagation(sf_dir: str, rounds: int = LP_ROUNDS):
+    """WEIGHTED MAJORITY LABEL PROPAGATION (community detection) over
+    the source link graph — the fourth iterative graph op next to
+    host_pagerank / host_components / host_bfs_depth, hash-gated:
+    edges are the pagerank draw shape under LP_SALT (each doc links
+    its source to sorted_sources[splitmix64(doc_id ^ LP_SALT) % S])
+    with multiplicity as weight, symmetrized, self-loops dropped.
+    Labels start as each node's sorted rank; each of the 4 SYNCHRONOUS
+    rounds relabels every node to the label with the largest total
+    incident weight among its neighbors (tie-break smallest label);
+    isolated nodes keep their label. Output: (source, label_source,
+    cluster_size).
+
+    Scale shape: the DATA-sized pass is the distributed edge
+    aggregation combiner (per-batch factorize + composite-key unique
+    partials → one small driver groupby); the node domain is
+    config-sized BY ASSUMPTION (the documented host_pagerank
+    assumption), so the ≤S² vote iteration runs on the driver. For
+    web-scale host graphs the identical vote shape is a per-round
+    bucketed (dst, label) weight aggregation + per-dst argmax. The
+    SQL twin unrolls every round with a window-function argmax over
+    the identical edge set."""
+    from ..stages.sampling import row_hash
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    parts = ds.map_batches(
+        lambda t: pa.table({"source": pc.unique(t["source"])}),
+        batch_format="pyarrow").to_pandas()
+    nodes = sorted(set(parts["source"]))
+    S = len(nodes)
+    idx = {s: i for i, s in enumerate(nodes)}
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        h = row_hash(batch["doc_id"], LP_SALT)
+        dst = (h % np.uint64(S)).astype(np.int64)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        u_idx = np.fromiter((idx[u] for u in uniq), np.int64, len(uniq))
+        key = u_idx[codes] * S + dst
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({"si": pa.array((u // S).astype(np.int64)),
+                         "di": pa.array((u % S).astype(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    edges = (ds.map_batches(edge_partials, batch_format="pyarrow")
+             .to_pandas().groupby(["si", "di"], as_index=False)["cnt"]
+             .sum())
+    a0 = edges["si"].to_numpy(dtype=np.int64)
+    b0 = edges["di"].to_numpy(dtype=np.int64)
+    w0 = edges["cnt"].to_numpy(dtype=np.int64)
+    keep = a0 != b0
+    aa = np.concatenate([a0[keep], b0[keep]])
+    bb = np.concatenate([b0[keep], a0[keep]])
+    ww = np.concatenate([w0[keep], w0[keep]])
+    e = (pd.DataFrame({"a": aa, "b": bb, "w": ww})
+         .groupby(["a", "b"], as_index=False)["w"].sum())
+    ea = e["a"].to_numpy(dtype=np.int64)
+    eb = e["b"].to_numpy(dtype=np.int64)
+    ew = e["w"].to_numpy(dtype=np.int64)
+
+    lab = np.arange(S, dtype=np.int64)
+    has_nbr = np.zeros(S, dtype=bool)
+    has_nbr[ea] = True
+    for _ in range(rounds):
+        votes = np.zeros((S, S), dtype=np.int64)
+        np.add.at(votes, (ea, lab[eb]), ew)
+        # argmax returns the FIRST max → smallest-label tie-break
+        lab = np.where(has_nbr, votes.argmax(axis=1), lab)
+    counts = np.bincount(lab, minlength=S)
+    node_arr = np.array(nodes, dtype=object)
+    return pd.DataFrame({"source": nodes,
+                         "label_source": node_arr[lab],
+                         "cluster_size": counts[lab].astype(np.int64)})
+
+
+def _label_prop_oracle_sql(rounds: int = LP_ROUNDS) -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    w, c = splitmix64_cte(
+        "SELECT doc_id, source FROM documents",
+        f"xor(CAST(doc_id AS UBIGINT), CAST({LP_SALT} AS UBIGINT))",
+        "h", carry_cols=("doc_id", "source"), prefix="lp_")
+    sql = w + (
+        ", lp_s AS (SELECT source AS name, CAST(row_number() OVER "
+        "(ORDER BY source) - 1 AS BIGINT) AS idx FROM "
+        "(SELECT DISTINCT source FROM documents)), "
+        "lp_n AS (SELECT count(*) AS n FROM lp_s), "
+        f"lp_e0 AS (SELECT s1.idx AS a, CAST(d.h % CAST("
+        "(SELECT n FROM lp_n) AS UBIGINT) AS BIGINT) AS b, "
+        f"CAST(count(*) AS BIGINT) AS w FROM {c} d "
+        "JOIN lp_s s1 ON s1.name = d.source GROUP BY 1, 2), "
+        "lp_e AS MATERIALIZED (SELECT a, b, CAST(sum(w) AS BIGINT) AS w "
+        "FROM (SELECT a, b, w FROM lp_e0 WHERE a <> b "
+        "UNION ALL SELECT b, a, w FROM lp_e0 WHERE a <> b) "
+        "GROUP BY 1, 2), "
+        "lp_r0 AS (SELECT idx AS node, idx AS lab FROM lp_s)")
+    for t in range(1, rounds + 1):
+        sql += (
+            f", lp_r{t} AS MATERIALIZED ("
+            "SELECT node, lab FROM ("
+            "SELECT e.a AS node, r.lab AS lab, "
+            "row_number() OVER (PARTITION BY e.a "
+            "ORDER BY sum(e.w) DESC, r.lab ASC) AS rn "
+            f"FROM lp_e e JOIN lp_r{t - 1} r ON r.node = e.b "
+            "GROUP BY e.a, r.lab) WHERE rn = 1 "
+            f"UNION ALL SELECT r.node, r.lab FROM lp_r{t - 1} r "
+            "WHERE r.node NOT IN (SELECT DISTINCT a FROM lp_e))")
+    return sql + (
+        f" SELECT s.name AS source, s2.name AS label_source, "
+        "sz.cluster_size "
+        f"FROM lp_r{rounds} r JOIN lp_s s ON s.idx = r.node "
+        "JOIN lp_s s2 ON s2.idx = r.lab "
+        "JOIN (SELECT lab, CAST(count(*) AS BIGINT) AS cluster_size "
+        f"FROM lp_r{rounds} GROUP BY 1) sz ON sz.lab = r.lab "
+        "ORDER BY 1")
+
+
+KCORE_SALT = 0x19F7_33B1_8E55_0008  # k-core edge draw (< 2^63)
+KCORE_K = 3
+KCORE_ROUNDS = 5
+
+
+def q_host_kcore(sf_dir: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS):
+    """K-CORE PEELING (R synchronous rounds, k=3) over a SPARSE
+    deterministic source link graph — the degeneracy / influential-hub
+    audit next to triangles and pagerank, hash-gated: only docs with
+    splitmix64(doc_id ^ KCORE_SALT) % 16 == 0 draw an edge (the
+    sparsity that makes peeling non-trivial), source rank i →
+    (i + 1 + (h >> 8) % (S-1)) % S, undirected, distinct, self-loops
+    impossible by construction. Each round SIMULTANEOUSLY removes
+    every surviving node whose distinct-surviving-neighbor degree is
+    < k; exactly R rounds (the spec is R-round peeling, not fixpoint,
+    so both engines replay the same bounded cascade). Output per
+    source: removed_round (1-based; 0 = survives all R rounds),
+    deg0 (initial distinct degree), deg_final (degree among final
+    survivors; 0 if removed).
+
+    Scale shape: distributed distinct-edge aggregation (composite-key
+    unique partials) → driver peel over the ≤S² edge list under the
+    documented config-sized node-domain assumption; at web scale each
+    round is one bucketed degree count + broadcast removal filter.
+    The SQL twin unrolls the R rounds over the identical edge set."""
+    from ..stages.sampling import row_hash
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    parts = ds.map_batches(
+        lambda t: pa.table({"source": pc.unique(t["source"])}),
+        batch_format="pyarrow").to_pandas()
+    nodes = sorted(set(parts["source"]))
+    S = len(nodes)
+    idx = {s: i for i, s in enumerate(nodes)}
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        h = row_hash(batch["doc_id"], KCORE_SALT)
+        pick = (h % np.uint64(16)) == 0
+        h = h[pick]
+        src = batch["source"].to_numpy(zero_copy_only=False)[pick]
+        if len(src) == 0:
+            return pa.table({"si": pa.array([], pa.int64()),
+                             "di": pa.array([], pa.int64())})
+        step = 1 + ((h >> np.uint64(8)) % np.uint64(S - 1)).astype(np.int64)
+        codes, uniq = pd.factorize(src)
+        u_idx = np.fromiter((idx[u] for u in uniq), np.int64, len(uniq))
+        si = u_idx[codes]
+        di = (si + step) % S
+        u = np.unique(si * S + di)
+        return pa.table({"si": pa.array((u // S).astype(np.int64)),
+                         "di": pa.array((u % S).astype(np.int64))})
+
+    edges = (ds.map_batches(edge_partials, batch_format="pyarrow")
+             .to_pandas().drop_duplicates())
+    a0 = edges["si"].to_numpy(dtype=np.int64)
+    b0 = edges["di"].to_numpy(dtype=np.int64)
+    # undirected distinct neighbor pairs
+    u = np.unique(np.concatenate([a0 * S + b0, b0 * S + a0]))
+    ea, eb = (u // S).astype(np.int64), (u % S).astype(np.int64)
+
+    deg0 = np.bincount(ea, minlength=S).astype(np.int64)
+    alive = np.ones(S, dtype=bool)
+    removed_round = np.zeros(S, dtype=np.int64)
+    for t in range(1, rounds + 1):
+        live = alive[ea] & alive[eb]
+        deg = np.bincount(ea[live], minlength=S).astype(np.int64)
+        drop = alive & (deg < k)
+        if not drop.any():
+            break
+        removed_round[drop] = t
+        alive = alive & ~drop
+    live = alive[ea] & alive[eb]
+    deg_final = np.bincount(ea[live], minlength=S).astype(np.int64)
+    deg_final[~alive] = 0
+    return pd.DataFrame({"source": nodes,
+                         "removed_round": removed_round,
+                         "deg0": deg0,
+                         "deg_final": deg_final})
+
+
+def _kcore_oracle_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    w, c = splitmix64_cte(
+        "SELECT doc_id, source FROM documents",
+        f"xor(CAST(doc_id AS UBIGINT), CAST({KCORE_SALT} AS UBIGINT))",
+        "h", carry_cols=("doc_id", "source"), prefix="kk_")
+    sql = w + (
+        ", kk_s AS (SELECT source AS name, CAST(row_number() OVER "
+        "(ORDER BY source) - 1 AS BIGINT) AS idx FROM "
+        "(SELECT DISTINCT source FROM documents)), "
+        "kk_n AS (SELECT count(*) AS n FROM kk_s), "
+        f"kk_d0 AS (SELECT s1.idx AS a, "
+        "(s1.idx + 1 + CAST((d.h >> 8) % CAST((SELECT n FROM kk_n) - 1 "
+        "AS UBIGINT) AS BIGINT)) % (SELECT n FROM kk_n) AS b "
+        f"FROM {c} d JOIN kk_s s1 ON s1.name = d.source "
+        "WHERE d.h % 16 = 0), "
+        "kk_e AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT a, b FROM kk_d0 UNION ALL SELECT b, a FROM kk_d0)), "
+        "kk_a0 AS (SELECT idx AS node FROM kk_s)")
+    for t in range(1, rounds + 1):
+        sql += (
+            f", kk_g{t} AS MATERIALIZED (SELECT x.node, "
+            "CAST(coalesce(cnt, 0) AS BIGINT) AS deg FROM "
+            f"kk_a{t - 1} x LEFT JOIN (SELECT e.a AS node, count(*) AS cnt "
+            f"FROM kk_e e JOIN kk_a{t - 1} p ON p.node = e.a "
+            f"JOIN kk_a{t - 1} q ON q.node = e.b GROUP BY 1) g "
+            "USING (node))"
+            f", kk_rm{t} AS MATERIALIZED (SELECT node FROM kk_g{t} "
+            f"WHERE deg < {k})"
+            f", kk_a{t} AS MATERIALIZED (SELECT node FROM kk_g{t} "
+            f"WHERE deg >= {k})")
+    rm_union = " UNION ALL ".join(
+        f"SELECT node, CAST({t} AS BIGINT) AS removed_round FROM kk_rm{t}"
+        for t in range(1, rounds + 1))
+    return sql + (
+        f", kk_rm AS ({rm_union}), "
+        "kk_deg0 AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg0 "
+        "FROM kk_e GROUP BY 1), "
+        f"kk_df AS (SELECT e.a AS node, CAST(count(*) AS BIGINT) AS deg "
+        f"FROM kk_e e JOIN kk_a{rounds} p ON p.node = e.a "
+        f"JOIN kk_a{rounds} q ON q.node = e.b GROUP BY 1) "
+        "SELECT s.name AS source, "
+        "coalesce(rm.removed_round, 0) AS removed_round, "
+        "coalesce(d0.deg0, 0) AS deg0, "
+        "CASE WHEN rm.node IS NOT NULL THEN 0 "
+        "ELSE coalesce(df.deg, 0) END AS deg_final "
+        "FROM kk_s s LEFT JOIN kk_rm rm ON rm.node = s.idx "
+        "LEFT JOIN kk_deg0 d0 ON d0.node = s.idx "
+        "LEFT JOIN kk_df df ON df.node = s.idx ORDER BY 1")
+
+
 def q_host_triangles(sf_dir: str):
     """TRIANGLE COUNTING over the source link graph (third graph op
     next to PageRank and components): per node, the number of
@@ -6386,6 +6637,10 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "kmeans_lloyd": _kmeans_oracle_sql(),
     # greedy farthest-point selection, every round replayed
     "kcenter_coreset": _kcenter_oracle_sql(),
+    # weighted majority label propagation, 4 unrolled vote rounds
+    "host_label_propagation": _label_prop_oracle_sql(),
+    # R-round k-core peel over the sparse deterministic link graph
+    "host_kcore": _kcore_oracle_sql(),
     # session-11: greedy max-coverage selection (K unrolled CTE rounds)
     "greedy_vocab_cover": _greedy_cover_oracle_sql(),
     # session-11: count-min sketch registers mirrored bit-for-bit
