@@ -403,6 +403,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # graph family round-out: community detection + degeneracy
         "host_label_propagation": qt.q_host_label_propagation,
         "host_kcore": qt.q_host_kcore,
+        # domain-mixture audit: source-pair token-distribution cosine
+        "source_cosine_matrix": qt.q_source_cosine_matrix,
     }
 
 

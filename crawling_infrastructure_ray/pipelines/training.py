@@ -6556,6 +6556,115 @@ def _hapax_oracle_sql() -> str:
         "AS n_hapax FROM c GROUP BY source ORDER BY source")
 
 
+def q_source_cosine_matrix(sf_dir: str):
+    """SOURCE-PAIR TOKEN-DISTRIBUTION COSINE MATRIX (the domain-
+    mixture audit: near-1 cosine between two sources means redundant
+    domains, near-0 means a distribution shift worth a mixture
+    weight): cosine similarity between every pair of per-source token
+    count vectors on the shared tokenizer contract. Dots and norms
+    are exact int64; the final cosine is the one float —
+    dot / (sqrt(norm_a) * sqrt(norm_b)) — every operation IEEE
+    correctly-rounded and evaluated in the same order in both
+    engines, so the gate stays hash-exact.
+
+    Scale shape: per-batch (source, token, n) partials (one Arrow
+    split per batch) → bucketed by TOKEN so each token's full
+    cross-source count vector completes in one bucket → per-bucket
+    count matrix (tokens × sources) and ONE int64 matmul M.T @ M
+    emits enum²-sized (src_a, src_b, partial_dot) rows (diagonal =
+    norm partials) → tiny driver merge. The vocabulary never reaches
+    the driver; the exchange is distinct (source, token) rows only."""
+    from .analytics import _merge_partials, _tag_bucket
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        stripped = pc.utf8_trim_whitespace(
+            pc.fill_null(pc.cast(batch["text"], pa.string()), ""))
+        lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        raw_lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+        empty = np.asarray(pc.equal(stripped, "")
+                           .to_numpy(zero_copy_only=False))
+        keep = ~np.repeat(empty, raw_lens)
+        flat = pc.cast(lists.flatten(), pa.string()).filter(pa.array(keep))
+        doc_idx = np.repeat(np.arange(len(raw_lens), dtype=np.int64),
+                            raw_lens)[keep]
+        src = pc.cast(batch["source"], pa.string())
+        t = pa.table({"source": src.take(pa.array(doc_idx)),
+                      "token": flat,
+                      "n": pa.array(np.ones(len(doc_idx), np.int64))})
+        g = t.group_by(["source", "token"]).aggregate([("n", "sum")])
+        return pa.table({"source": g["source"], "token": g["token"],
+                         "n": g["n_sum"]})
+
+    def bucket_dots(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["token", "source"], as_index=False)["n"].sum()
+        ti, _ = pd.factorize(c["token"])
+        si, src = pd.factorize(c["source"])
+        m = np.zeros((ti.max() + 1, si.max() + 1), dtype=np.int64)
+        m[ti, si] = c["n"].to_numpy(dtype=np.int64)
+        assert int(m.max(initial=0)) ** 2 * m.shape[0] < 2 ** 62, \
+            "cosine matmul would overflow int64"
+        dots = m.T @ m
+        assert int(dots.max(initial=0)) < 2 ** 53, \
+            "cosine dot exceeds the exact-double envelope"
+        a, b = np.triu_indices(dots.shape[0])
+        order = np.argsort(np.asarray(src, dtype=object), kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        # canonical pair orientation: lexicographically smaller first
+        sa, sb = rank[a], rank[b]
+        lo, hi = np.minimum(sa, sb), np.maximum(sa, sb)
+        names = np.asarray(src, dtype=object)[order]
+        d = dots[a, b]
+        keep = d > 0
+        return pd.DataFrame({"src_a": names[lo[keep]],
+                             "src_b": names[hi[keep]],
+                             "dot": d[keep].astype(np.int64)})
+
+    parts = (ds.map_batches(part, batch_format="pyarrow")
+             .repartition(16)
+             .map_batches(_tag_bucket(["token"]),
+                          batch_format="pyarrow")
+             .groupby("_kb").map_groups(bucket_dots,
+                                        batch_format="pandas"))
+    merged = _merge_partials(parts, ["src_a", "src_b"], ["dot"])
+    merged["dot"] = merged["dot"].astype("int64")
+    nrm = (merged[merged["src_a"] == merged["src_b"]]
+           .set_index("src_a")["dot"])
+    out = merged[merged["src_a"] != merged["src_b"]].copy()
+    out["norm_a"] = out["src_a"].map(nrm).astype("int64")
+    out["norm_b"] = out["src_b"].map(nrm).astype("int64")
+    out["cos_sim"] = (out["dot"].to_numpy(dtype=np.float64)
+                      / (np.sqrt(out["norm_a"].to_numpy(np.float64))
+                         * np.sqrt(out["norm_b"].to_numpy(np.float64))))
+    return (out[["src_a", "src_b", "dot", "norm_a", "norm_b", "cos_sim"]]
+            .sort_values(["src_a", "src_b"]).reset_index(drop=True))
+
+
+def _source_cosine_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    return (
+        f"WITH vt AS (SELECT source, unnest({tokens_sql('text')}) AS tok "
+        "FROM documents), "
+        "c AS MATERIALIZED (SELECT source, tok, "
+        "CAST(count(*) AS BIGINT) AS n FROM vt GROUP BY 1, 2), "
+        "d AS (SELECT a.source AS src_a, b.source AS src_b, "
+        "CAST(sum(a.n * b.n) AS BIGINT) AS dot "
+        "FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source "
+        "GROUP BY 1, 2), "
+        "nrm AS (SELECT source, CAST(sum(n * n) AS BIGINT) AS nrm "
+        "FROM c GROUP BY 1) "
+        "SELECT d.src_a, d.src_b, d.dot, "
+        "na.nrm AS norm_a, nb.nrm AS norm_b, "
+        "CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) "
+        "* sqrt(CAST(nb.nrm AS DOUBLE))) AS cos_sim "
+        "FROM d JOIN nrm na ON na.source = d.src_a "
+        "JOIN nrm nb ON nb.source = d.src_b ORDER BY 1, 2")
+
+
 def _freq_of_freqs_oracle_sql() -> str:
     from ..functions.sqlmirror import tokens_sql
     return (
@@ -6641,6 +6750,8 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "host_label_propagation": _label_prop_oracle_sql(),
     # R-round k-core peel over the sparse deterministic link graph
     "host_kcore": _kcore_oracle_sql(),
+    # source-pair token cosine: int64 dots, one IEEE-exact final float
+    "source_cosine_matrix": _source_cosine_oracle_sql(),
     # session-11: greedy max-coverage selection (K unrolled CTE rounds)
     "greedy_vocab_cover": _greedy_cover_oracle_sql(),
     # session-11: count-min sketch registers mirrored bit-for-bit
