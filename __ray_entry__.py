@@ -405,6 +405,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "host_kcore": qt.q_host_kcore,
         # domain-mixture audit: source-pair token-distribution cosine
         "source_cosine_matrix": qt.q_source_cosine_matrix,
+        # Gopher-style composite quality gate + Simpson diversity
+        "gopher_rules": qt.q_gopher_rules,
+        "simpson_diversity": qt.q_simpson_diversity,
     }
 
 

@@ -6665,6 +6665,189 @@ def _source_cosine_oracle_sql() -> str:
         "JOIN nrm nb ON nb.source = d.src_b ORDER BY 1, 2")
 
 
+def q_gopher_rules(sf_dir: str):
+    """GOPHER-STYLE COMPOSITE QUALITY RULES (Rae et al. 2021's
+    document-filter shape, thresholds tuned to this corpus so every
+    rule actually fires): per source, how many docs fail each rule
+    and how many pass all of them. Rules, all integer-exact
+    (cross-multiplied — the gate never meets a float ratio):
+    short (n_words < 30), long (n_words > 80), word-length (mean
+    token length outside [4.0, 4.6] via 10·chars vs 40·n / 46·n),
+    stopword (< 2 occurrences of 'a'/'the'), repetition (type-token
+    ratio < 0.5 via 2·distinct < n_words).
+
+    Scale shape: pure per-batch combiner — one Arrow split, bincount
+    per-doc stats (words, token chars, stopword hits, distinct via
+    composite-key unique), flags vectorized, factorize-by-source sums
+    → enum-sized partials, tiny driver merge. Zero shuffle; the
+    tokens never leave the batch."""
+    from .analytics import _merge_partials
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    cols = ["n_docs", "n_short", "n_long", "n_wordlen", "n_stop",
+            "n_ttr", "n_pass"]
+
+    def part(batch: pa.Table) -> pa.Table:
+        stripped = pc.utf8_trim_whitespace(
+            pc.fill_null(pc.cast(batch["text"], pa.string()), ""))
+        lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        n_docs = len(stripped)
+        raw_lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+        empty = np.asarray(pc.equal(stripped, "")
+                           .to_numpy(zero_copy_only=False))
+        keep = ~np.repeat(empty, raw_lens)
+        flat = pc.cast(lists.flatten(), pa.string()).filter(pa.array(keep))
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64),
+                            raw_lens)[keep]
+        nw = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+        tlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        chars = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(chars, doc_idx, tlen)
+        stop_mask = pc.is_in(flat, value_set=pa.array(["a", "the"])) \
+            .to_numpy(zero_copy_only=False)
+        stop = np.bincount(doc_idx[stop_mask],
+                           minlength=n_docs).astype(np.int64)
+        codes, uniq = pd.factorize(flat.to_numpy(zero_copy_only=False))
+        kdoc = np.unique(doc_idx * max(len(uniq), 1) + codes) \
+            // max(len(uniq), 1)
+        nd = np.bincount(kdoc, minlength=n_docs).astype(np.int64)
+        f_short = nw < 30
+        f_long = nw > 80
+        f_wl = (10 * chars < 40 * nw) | (10 * chars > 46 * nw)
+        f_stop = stop < 2
+        f_ttr = 2 * nd < nw
+        f_pass = ~(f_short | f_long | f_wl | f_stop | f_ttr)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        si, names = pd.factorize(src)
+        k = len(names)
+        sums = [np.bincount(si, minlength=k).astype(np.int64)]
+        for f in (f_short, f_long, f_wl, f_stop, f_ttr, f_pass):
+            sums.append(np.bincount(si, weights=f.astype(np.int64),
+                                    minlength=k).astype(np.int64))
+        return pa.table({"source": pa.array(names.astype(object)),
+                         **{c: pa.array(v) for c, v in zip(cols, sums)}})
+
+    out = _merge_partials(ds.map_batches(part, batch_format="pyarrow"),
+                          ["source"], cols)
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _gopher_rules_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    return (
+        f"WITH t AS (SELECT source, {tokens_sql('text')} AS toks, "
+        "CAST(length(regexp_replace(coalesce(text, ''), "
+        r"'[ \t\n\r\f\v]+', '', 'g')) AS BIGINT) AS chars "
+        "FROM documents), "
+        "p AS (SELECT source, CAST(len(toks) AS BIGINT) AS nw, chars, "
+        "CAST(len(list_filter(toks, __x -> __x = 'a' OR __x = 'the')) "
+        "AS BIGINT) AS stop_hits, "
+        "CAST(len(list_distinct(toks)) AS BIGINT) AS nd FROM t), "
+        "f AS (SELECT source, "
+        "CASE WHEN nw < 30 THEN 1 ELSE 0 END AS f_short, "
+        "CASE WHEN nw > 80 THEN 1 ELSE 0 END AS f_long, "
+        "CASE WHEN 10 * chars < 40 * nw OR 10 * chars > 46 * nw "
+        "THEN 1 ELSE 0 END AS f_wl, "
+        "CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END AS f_stop, "
+        "CASE WHEN 2 * nd < nw THEN 1 ELSE 0 END AS f_ttr FROM p) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(f_short) AS BIGINT) AS n_short, "
+        "CAST(sum(f_long) AS BIGINT) AS n_long, "
+        "CAST(sum(f_wl) AS BIGINT) AS n_wordlen, "
+        "CAST(sum(f_stop) AS BIGINT) AS n_stop, "
+        "CAST(sum(f_ttr) AS BIGINT) AS n_ttr, "
+        "CAST(sum(CASE WHEN f_short + f_long + f_wl + f_stop + f_ttr "
+        "= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass "
+        "FROM f GROUP BY source ORDER BY source")
+
+
+def q_simpson_diversity(sf_dir: str):
+    """SIMPSON LEXICAL DIVERSITY PER SOURCE (the collision-probability
+    diversity index: the chance two random token draws from a source
+    are the same type — the no-log alternative to entropy, so the
+    whole statistic stays integer-exact until one final IEEE-exact
+    float): per source the total tokens N, the collision mass
+    Σ n·(n−1) over token types, and simpson_d = 1 − coll/(N·(N−1)).
+
+    Scale shape: the hapax combiner with a quadratic column —
+    per-batch (source, token, n) partials → (source, token)-bucketed
+    global counts → per-bucket Σn / Σn(n−1) partials → enum-keyed
+    driver merge; the final float is computed once per source with
+    the identical expression in SQL."""
+    from .analytics import _merge_partials, _tag_bucket
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        stripped = pc.utf8_trim_whitespace(
+            pc.fill_null(pc.cast(batch["text"], pa.string()), ""))
+        lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        raw_lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+        empty = np.asarray(pc.equal(stripped, "")
+                           .to_numpy(zero_copy_only=False))
+        keep = ~np.repeat(empty, raw_lens)
+        flat = pc.cast(lists.flatten(), pa.string()).filter(pa.array(keep))
+        doc_idx = np.repeat(np.arange(len(raw_lens), dtype=np.int64),
+                            raw_lens)[keep]
+        src = pc.cast(batch["source"], pa.string())
+        t = pa.table({"source": src.take(pa.array(doc_idx)),
+                      "token": flat,
+                      "n": pa.array(np.ones(len(doc_idx), np.int64))})
+        g = t.group_by(["source", "token"]).aggregate([("n", "sum")])
+        return pa.table({"source": g["source"], "token": g["token"],
+                         "n": g["n_sum"]})
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["source", "token"], as_index=False)["n"].sum()
+        n = c["n"].to_numpy(dtype=np.int64)
+        assert int(n.max(initial=0)) ** 2 * max(len(n), 1) < 2 ** 62, \
+            "collision mass would overflow int64"
+        out = pd.DataFrame({"source": c["source"].to_numpy(),
+                            "n_tokens": n,
+                            "coll": n * (n - 1)})
+        return out.groupby("source", as_index=False)[
+            ["n_tokens", "coll"]].sum()
+
+    parts = (ds.map_batches(part, batch_format="pyarrow")
+             .repartition(16)
+             .map_batches(_tag_bucket(["source", "token"]),
+                          batch_format="pyarrow")
+             .groupby("_kb").map_groups(bucket_stats,
+                                        batch_format="pandas"))
+    out = _merge_partials(parts, ["source"], ["n_tokens", "coll"])
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["coll"] = out["coll"].astype("int64")
+    nt = out["n_tokens"].to_numpy(dtype=np.int64)
+    assert int(nt.max(initial=0)) < 94_000_000, \
+        "N*(N-1) exceeds the exact-double envelope"
+    out["simpson_d"] = 1.0 - (out["coll"].to_numpy(dtype=np.float64)
+                              / (nt.astype(np.float64)
+                                 * (nt - 1).astype(np.float64)))
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _simpson_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    return (
+        f"WITH vt AS (SELECT source, unnest({tokens_sql('text')}) AS tok "
+        "FROM documents), "
+        "c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n "
+        "FROM vt GROUP BY 1, 2), "
+        "s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens, "
+        "CAST(sum(n * (n - 1)) AS BIGINT) AS coll FROM c GROUP BY 1) "
+        "SELECT source, n_tokens, coll, "
+        "1.0 - (CAST(coll AS DOUBLE) / (CAST(n_tokens AS DOUBLE) "
+        "* CAST(n_tokens - 1 AS DOUBLE))) AS simpson_d "
+        "FROM s ORDER BY source")
+
+
 def _freq_of_freqs_oracle_sql() -> str:
     from ..functions.sqlmirror import tokens_sql
     return (
@@ -6752,6 +6935,10 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "host_kcore": _kcore_oracle_sql(),
     # source-pair token cosine: int64 dots, one IEEE-exact final float
     "source_cosine_matrix": _source_cosine_oracle_sql(),
+    # Gopher-style composite quality rules, integer cross-multiplied
+    "gopher_rules": _gopher_rules_oracle_sql(),
+    # Simpson collision-probability diversity, one final exact float
+    "simpson_diversity": _simpson_oracle_sql(),
     # session-11: greedy max-coverage selection (K unrolled CTE rounds)
     "greedy_vocab_cover": _greedy_cover_oracle_sql(),
     # session-11: count-min sketch registers mirrored bit-for-bit
