@@ -6827,9 +6827,11 @@ def q_simpson_diversity(sf_dir: str):
     nt = out["n_tokens"].to_numpy(dtype=np.int64)
     assert int(nt.max(initial=0)) < 94_000_000, \
         "N*(N-1) exceeds the exact-double envelope"
-    out["simpson_d"] = 1.0 - (out["coll"].to_numpy(dtype=np.float64)
-                              / (nt.astype(np.float64)
-                                 * (nt - 1).astype(np.float64)))
+    coll = out["coll"].to_numpy(dtype=np.float64)
+    denom = nt.astype(np.float64) * (nt - 1).astype(np.float64)
+    # a <=1-token source has no token pair: define its diversity as 1
+    out["simpson_d"] = np.where(nt >= 2, 1.0 - coll / np.where(
+        denom > 0, denom, 1.0), 1.0)
     return out.sort_values("source").reset_index(drop=True)
 
 
@@ -6843,8 +6845,9 @@ def _simpson_oracle_sql() -> str:
         "s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens, "
         "CAST(sum(n * (n - 1)) AS BIGINT) AS coll FROM c GROUP BY 1) "
         "SELECT source, n_tokens, coll, "
+        "CASE WHEN n_tokens >= 2 THEN "
         "1.0 - (CAST(coll AS DOUBLE) / (CAST(n_tokens AS DOUBLE) "
-        "* CAST(n_tokens - 1 AS DOUBLE))) AS simpson_d "
+        "* CAST(n_tokens - 1 AS DOUBLE))) ELSE 1.0 END AS simpson_d "
         "FROM s ORDER BY source")
 
 

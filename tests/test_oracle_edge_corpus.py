@@ -19,7 +19,10 @@ import __ray_entry__ as entrymod
 NAMES = ["dedup_simhash", "dedup_simhash_pairs", "dedup_minhash_pairs",
          "dedup_minhash_remove", "dedup_jaccard_exact", "dedup_ngram_pairs",
          "text_langid", "text_token_count", "text_fingerprint",
-         "m8_randomizers", "dedup_exact", "dedup_exact_remove"]
+         "m8_randomizers", "dedup_exact", "dedup_exact_remove",
+         # round-4 continuation: corpus-audit family over the same
+         # empty/whitespace/dup-cluster edges
+         "gopher_rules", "simpson_diversity", "source_cosine_matrix"]
 
 BASE = "the quick brown fox jumps over the lazy dog again and again today"
 
