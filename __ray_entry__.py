@@ -403,6 +403,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # graph family round-out: community detection + degeneracy
         "host_label_propagation": qt.q_host_label_propagation,
         "host_kcore": qt.q_host_kcore,
+        "host_hits": qt.q_host_hits,
         # domain-mixture audit: source-pair token-distribution cosine
         "source_cosine_matrix": qt.q_source_cosine_matrix,
         # Gopher-style composite quality gate + Simpson diversity

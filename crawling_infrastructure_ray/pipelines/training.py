@@ -2383,6 +2383,134 @@ def _label_prop_oracle_sql(rounds: int = LP_ROUNDS) -> str:
         "ORDER BY 1")
 
 
+HT_SALT = 0x2D88_61C4_0F39_000A  # HITS edge draw (< 2^63)
+HT_ROUNDS = 4
+
+
+def q_host_hits(sf_dir: str, rounds: int = HT_ROUNDS):
+    """HITS HUBS & AUTHORITIES (Kleinberg) over the directed source
+    link graph — the mutual-reinforcement ranking next to pagerank,
+    hash-gated in exact integer e9 units: 4 rounds of
+    a ← Aᵀh, h ← A·a with weighted edges (the pagerank draw shape
+    under HT_SALT), each vector re-normalized to a 10⁹ total by exact
+    integer floor division. The normalization products exceed int64
+    (raw · 10⁹), so the per-round scaling runs in arbitrary-precision
+    Python ints on the driver (the node domain is config-sized BY
+    ASSUMPTION — the documented host_pagerank assumption) and in
+    HUGEINT in the SQL twin: both exact, both identical. Output:
+    (source, hub_e9, auth_e9, n_out, n_in).
+
+    Scale shape: the DATA-sized pass is the distributed edge
+    aggregation combiner; the iteration is ≤S² on the driver, a
+    per-round bucketed (dst ← src·w) exchange at web scale."""
+    from ..stages.sampling import row_hash
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    parts = ds.map_batches(
+        lambda t: pa.table({"source": pc.unique(t["source"])}),
+        batch_format="pyarrow").to_pandas()
+    nodes = sorted(set(parts["source"]))
+    S = len(nodes)
+    idx = {s: i for i, s in enumerate(nodes)}
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        h = row_hash(batch["doc_id"], HT_SALT)
+        dst = (h % np.uint64(S)).astype(np.int64)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        u_idx = np.fromiter((idx[u] for u in uniq), np.int64, len(uniq))
+        key = u_idx[codes] * S + dst
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({"si": pa.array((u // S).astype(np.int64)),
+                         "di": pa.array((u % S).astype(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    edges = (ds.map_batches(edge_partials, batch_format="pyarrow")
+             .to_pandas().groupby(["si", "di"], as_index=False)["cnt"]
+             .sum())
+    ea = [int(x) for x in edges["si"]]
+    eb = [int(x) for x in edges["di"]]
+    ew = [int(x) for x in edges["cnt"]]
+
+    def norm(v: list[int]) -> list[int]:
+        tot = sum(v)
+        if tot == 0:
+            return v
+        return [x * 10**9 // tot for x in v]
+
+    hub = [10**9 // S] * S
+    auth = [0] * S
+    for _ in range(rounds):
+        raw_a = [0] * S
+        for a, b, w in zip(ea, eb, ew):
+            raw_a[b] += w * hub[a]
+        auth = norm(raw_a)
+        raw_h = [0] * S
+        for a, b, w in zip(ea, eb, ew):
+            raw_h[a] += w * auth[b]
+        hub = norm(raw_h)
+    n_out = np.zeros(S, dtype=np.int64)
+    n_in = np.zeros(S, dtype=np.int64)
+    for a, b, w in zip(ea, eb, ew):
+        n_out[a] += w
+        n_in[b] += w
+    return pd.DataFrame({"source": nodes,
+                         "hub_e9": np.array(hub, dtype=np.int64),
+                         "auth_e9": np.array(auth, dtype=np.int64),
+                         "n_out": n_out,
+                         "n_in": n_in})
+
+
+def _hits_oracle_sql(rounds: int = HT_ROUNDS) -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    w, c = splitmix64_cte(
+        "SELECT doc_id, source FROM documents",
+        f"xor(CAST(doc_id AS UBIGINT), CAST({HT_SALT} AS UBIGINT))",
+        "h", carry_cols=("doc_id", "source"), prefix="ht_")
+    sql = w + (
+        ", ht_s AS (SELECT source AS name, CAST(row_number() OVER "
+        "(ORDER BY source) - 1 AS BIGINT) AS idx FROM "
+        "(SELECT DISTINCT source FROM documents)), "
+        "ht_n AS (SELECT count(*) AS n FROM ht_s), "
+        f"ht_e AS MATERIALIZED (SELECT s1.idx AS a, CAST(d.h % CAST("
+        "(SELECT n FROM ht_n) AS UBIGINT) AS BIGINT) AS b, "
+        f"CAST(count(*) AS BIGINT) AS w FROM {c} d "
+        "JOIN ht_s s1 ON s1.name = d.source GROUP BY 1, 2), "
+        "ht_h0 AS (SELECT idx AS node, CAST(1000000000 // "
+        "(SELECT n FROM ht_n) AS HUGEINT) AS v FROM ht_s)")
+    for t in range(1, rounds + 1):
+        # a_t raw = A^T h_{t-1}, normalized to a 1e9 total (HUGEINT
+        # keeps raw*1e9 exact — it exceeds int64)
+        sql += (
+            f", ht_ar{t} AS MATERIALIZED (SELECT s.idx AS node, "
+            "CAST(coalesce(sum(e.w * h.v), 0) AS HUGEINT) AS raw "
+            f"FROM ht_s s LEFT JOIN (ht_e e JOIN ht_h{t - 1} h "
+            "ON h.node = e.a) ON e.b = s.idx GROUP BY 1)"
+            f", ht_a{t} AS MATERIALIZED (SELECT node, CASE WHEN "
+            f"(SELECT sum(raw) FROM ht_ar{t}) = 0 THEN raw ELSE "
+            f"raw * 1000000000 // (SELECT sum(raw) FROM ht_ar{t}) "
+            f"END AS v FROM ht_ar{t})"
+            f", ht_hr{t} AS MATERIALIZED (SELECT s.idx AS node, "
+            "CAST(coalesce(sum(e.w * a.v), 0) AS HUGEINT) AS raw "
+            f"FROM ht_s s LEFT JOIN (ht_e e JOIN ht_a{t} a "
+            "ON a.node = e.b) ON e.a = s.idx GROUP BY 1)"
+            f", ht_h{t} AS MATERIALIZED (SELECT node, CASE WHEN "
+            f"(SELECT sum(raw) FROM ht_hr{t}) = 0 THEN raw ELSE "
+            f"raw * 1000000000 // (SELECT sum(raw) FROM ht_hr{t}) "
+            f"END AS v FROM ht_hr{t})")
+    return sql + (
+        f" SELECT s.name AS source, "
+        f"CAST(h.v AS BIGINT) AS hub_e9, CAST(a.v AS BIGINT) AS auth_e9, "
+        "CAST(coalesce(oo.w, 0) AS BIGINT) AS n_out, "
+        "CAST(coalesce(ii.w, 0) AS BIGINT) AS n_in "
+        f"FROM ht_s s JOIN ht_h{rounds} h ON h.node = s.idx "
+        f"JOIN ht_a{rounds} a ON a.node = s.idx "
+        "LEFT JOIN (SELECT a, sum(w) AS w FROM ht_e GROUP BY 1) oo "
+        "ON oo.a = s.idx "
+        "LEFT JOIN (SELECT b, sum(w) AS w FROM ht_e GROUP BY 1) ii "
+        "ON ii.b = s.idx ORDER BY 1")
+
+
 KCORE_SALT = 0x19F7_33B1_8E55_0008  # k-core edge draw (< 2^63)
 KCORE_K = 3
 KCORE_ROUNDS = 5
@@ -6934,6 +7062,8 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "kcenter_coreset": _kcenter_oracle_sql(),
     # weighted majority label propagation, 4 unrolled vote rounds
     "host_label_propagation": _label_prop_oracle_sql(),
+    # HITS hubs/authorities: exact-integer e9, HUGEINT normalization
+    "host_hits": _hits_oracle_sql(),
     # R-round k-core peel over the sparse deterministic link graph
     "host_kcore": _kcore_oracle_sql(),
     # source-pair token cosine: int64 dots, one IEEE-exact final float
