@@ -6793,6 +6793,131 @@ def _source_cosine_oracle_sql() -> str:
         "JOIN nrm nb ON nb.source = d.src_b ORDER BY 1, 2")
 
 
+JR_SALT = 0x41C9_2E07_BB16_000B  # jsonl round-trip id draw (< 2^63)
+
+
+def q_jsonl_roundtrip_stats(sf_dir: str):
+    """JSONL SOURCE-FORMAT GATE (ingest surface next to the
+    items-file/gzip readers, reference S2/S3 family): export the
+    documents table to newline-delimited JSON shards (one shard per
+    block, written IN the map task — the driver never holds the
+    corpus), read them back with ``ray.data.read_json``, and emit
+    per-source integrity stats computed FROM THE PARSED ROWS: doc
+    count, characters of parsed text, the carried n_chars sum, parsed
+    token total, and the XOR of splitmix64(doc_id ^ salt). The DuckDB
+    twin computes the same stats from the original parquet, so any
+    JSON escaping / parsing / dtype corruption breaks the hash gate.
+
+    Scale shape: write and read are both block-parallel streaming
+    stages; stats are enum-keyed combiner partials (XOR and sums merge
+    associatively). The /tmp shard dir is single-node scratch — a
+    cluster export writes per-shard files + _SUCCESS markers to shared
+    storage (sources/storage.export_partitioned_resumable is the
+    production path; this op gates the READER)."""
+    import glob as _glob
+    import json as _json
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages.sampling import row_hash
+
+    root = os.path.join("/tmp", "graft_jsonl_rt",
+                        os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    ds = read_table(sf_dir, "documents")
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        path = os.path.join(root, f"shard_{int(ids.min()):012d}.jsonl")
+        cols = batch.column_names
+        with open(path, "w", encoding="utf-8") as f:
+            for row in zip(*(batch[c].to_pylist() for c in cols)):
+                f.write(_json.dumps(dict(zip(cols, row)),
+                                    ensure_ascii=False) + "\n")
+        return pa.table({"path": pa.array([path]),
+                         "n": pa.array([len(batch)], pa.int64())})
+
+    manifest = ds.map_batches(write_shard,
+                              batch_format="pyarrow").to_pandas()
+    assert int(manifest["n"].sum()) > 0, "jsonl export wrote nothing"
+
+    back = rd.read_json(sorted(_glob.glob(os.path.join(root, "*.jsonl"))))
+
+    def part(batch: pa.Table) -> pa.Table:
+        src = pc.cast(batch["source"], pa.string()) \
+            .to_numpy(zero_copy_only=False)
+        text = pc.fill_null(pc.cast(batch["text"], pa.string()), "")
+        chars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        stripped = pc.utf8_trim_whitespace(text)
+        lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        raw_lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+        empty = np.asarray(pc.equal(stripped, "")
+                           .to_numpy(zero_copy_only=False))
+        toks = np.where(empty, 0, raw_lens)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = row_hash(batch["doc_id"], JR_SALT)
+        si, names = pd.factorize(src)
+        k = len(names)
+        xor = np.zeros(k, dtype=np.uint64)
+        np.bitwise_xor.at(xor, si, h)
+        return pa.table({
+            "source": pa.array(names.astype(object)),
+            "n_docs": pa.array(np.bincount(si, minlength=k)
+                               .astype(np.int64)),
+            "chars_sum": pa.array(np.bincount(
+                si, weights=chars, minlength=k).astype(np.int64)),
+            "n_chars_sum": pa.array(np.bincount(
+                si, weights=nch, minlength=k).astype(np.int64)),
+            "tok_total": pa.array(np.bincount(
+                si, weights=toks, minlength=k).astype(np.int64)),
+            "id_xor": pa.array(xor.view(np.int64)),
+        })
+
+    pdf = back.map_batches(part, batch_format="pyarrow").to_pandas()
+    pdf = pdf.sort_values(["source", "id_xor"]).reset_index(drop=True)
+    sums = pdf.groupby("source", as_index=False)[
+        ["n_docs", "chars_sum", "n_chars_sum", "tok_total"]].sum()
+    xors = pdf.groupby("source")["id_xor"].apply(
+        lambda s: np.bitwise_xor.reduce(
+            s.to_numpy(dtype=np.int64).view(np.uint64)).view(np.int64)
+        .item()).reset_index()
+    out = sums.merge(xors, on="source")
+    for c in ["n_docs", "chars_sum", "n_chars_sum", "tok_total",
+              "id_xor"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _jsonl_roundtrip_oracle_sql() -> str:
+    from ..functions.sqlmirror import splitmix64_cte, tokens_sql
+    w, c = splitmix64_cte(
+        "SELECT doc_id, source, n_chars, text FROM documents",
+        f"xor(CAST(doc_id AS UBIGINT), CAST({JR_SALT} AS UBIGINT))",
+        "h", carry_cols=("doc_id", "source", "n_chars", "text"),
+        prefix="jr_")
+    return w + (
+        f" SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS chars_sum, "
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars_sum, "
+        "CAST(sum(len(" + tokens_sql("coalesce(text, '')")
+        + ")) AS BIGINT) AS tok_total, "
+        "CAST(CAST(bit_xor(h) AS HUGEINT) - CASE WHEN bit_xor(h) >= "
+        "9223372036854775808 THEN 18446744073709551616 ELSE 0 END "
+        "AS BIGINT) AS id_xor "
+        f"FROM {c} GROUP BY source ORDER BY source")
+
+
 def q_gopher_rules(sf_dir: str):
     """GOPHER-STYLE COMPOSITE QUALITY RULES (Rae et al. 2021's
     document-filter shape, thresholds tuned to this corpus so every
@@ -7070,6 +7195,8 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "source_cosine_matrix": _source_cosine_oracle_sql(),
     # Gopher-style composite quality rules, integer cross-multiplied
     "gopher_rules": _gopher_rules_oracle_sql(),
+    # JSONL export→read_json round-trip gated on parsed-content stats
+    "jsonl_roundtrip_stats": _jsonl_roundtrip_oracle_sql(),
     # Simpson collision-probability diversity, one final exact float
     "simpson_diversity": _simpson_oracle_sql(),
     # session-11: greedy max-coverage selection (K unrolled CTE rounds)
