@@ -409,8 +409,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # Gopher-style composite quality gate + Simpson diversity
         "gopher_rules": qt.q_gopher_rules,
         "simpson_diversity": qt.q_simpson_diversity,
-        # JSONL source-format gate: export → read_json → parsed stats
+        # JSONL/CSV source-format gates: export → read back → stats
         "jsonl_roundtrip_stats": qt.q_jsonl_roundtrip_stats,
+        "csv_roundtrip_stats": qt.q_csv_roundtrip_stats,
     }
 
 

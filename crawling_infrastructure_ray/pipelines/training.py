@@ -6794,26 +6794,27 @@ def _source_cosine_oracle_sql() -> str:
 
 
 JR_SALT = 0x41C9_2E07_BB16_000B  # jsonl round-trip id draw (< 2^63)
+CR_SALT = 0x66A0_1F5D_290C_000C  # csv round-trip id draw (< 2^63)
 
 
-def q_jsonl_roundtrip_stats(sf_dir: str):
-    """JSONL SOURCE-FORMAT GATE (ingest surface next to the
-    items-file/gzip readers, reference S2/S3 family): export the
-    documents table to newline-delimited JSON shards (one shard per
-    block, written IN the map task — the driver never holds the
-    corpus), read them back with ``ray.data.read_json``, and emit
+def _roundtrip_stats(sf_dir: str, fmt: str, salt: int):
+    """Shared body of the JSONL/CSV source-format gates: export the
+    documents table to ``fmt`` shards (one per block, written IN the
+    map task — the driver never holds the corpus), read them back
+    with the corresponding ``ray.data.read_*`` reader, and emit
     per-source integrity stats computed FROM THE PARSED ROWS: doc
     count, characters of parsed text, the carried n_chars sum, parsed
     token total, and the XOR of splitmix64(doc_id ^ salt). The DuckDB
     twin computes the same stats from the original parquet, so any
-    JSON escaping / parsing / dtype corruption breaks the hash gate.
+    escaping / quoting / parsing / dtype corruption breaks the hash.
 
     Scale shape: write and read are both block-parallel streaming
     stages; stats are enum-keyed combiner partials (XOR and sums merge
     associatively). The /tmp shard dir is single-node scratch — a
     cluster export writes per-shard files + _SUCCESS markers to shared
     storage (sources/storage.export_partitioned_resumable is the
-    production path; this op gates the READER)."""
+    production path; these ops gate the READERS)."""
+    import csv as _csv
     import glob as _glob
     import json as _json
     import shutil
@@ -6822,7 +6823,7 @@ def q_jsonl_roundtrip_stats(sf_dir: str):
 
     from ..stages.sampling import row_hash
 
-    root = os.path.join("/tmp", "graft_jsonl_rt",
+    root = os.path.join("/tmp", f"graft_{fmt}_rt",
                         os.path.basename(sf_dir.rstrip("/")))
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
@@ -6834,20 +6835,33 @@ def q_jsonl_roundtrip_stats(sf_dir: str):
             return pa.table({"path": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        path = os.path.join(root, f"shard_{int(ids.min()):012d}.jsonl")
+        path = os.path.join(root, f"shard_{int(ids.min()):012d}.{fmt}")
         cols = batch.column_names
-        with open(path, "w", encoding="utf-8") as f:
-            for row in zip(*(batch[c].to_pylist() for c in cols)):
-                f.write(_json.dumps(dict(zip(cols, row)),
-                                    ensure_ascii=False) + "\n")
+        rows = zip(*(batch[c].to_pylist() for c in cols))
+        with open(path, "w", encoding="utf-8", newline="") as f:
+            if fmt == "jsonl":
+                for row in rows:
+                    f.write(_json.dumps(dict(zip(cols, row)),
+                                        ensure_ascii=False) + "\n")
+            else:
+                wr = _csv.writer(f)   # QUOTE_MINIMAL: quotes iff needed
+                wr.writerow(cols)
+                wr.writerows(rows)
         return pa.table({"path": pa.array([path]),
                          "n": pa.array([len(batch)], pa.int64())})
 
     manifest = ds.map_batches(write_shard,
                               batch_format="pyarrow").to_pandas()
-    assert int(manifest["n"].sum()) > 0, "jsonl export wrote nothing"
+    assert int(manifest["n"].sum()) > 0, f"{fmt} export wrote nothing"
 
-    back = rd.read_json(sorted(_glob.glob(os.path.join(root, "*.jsonl"))))
+    files = sorted(_glob.glob(os.path.join(root, f"*.{fmt}")))
+    if fmt == "jsonl":
+        back = rd.read_json(files)
+    else:
+        from pyarrow import csv as pacsv
+        back = rd.read_csv(
+            files,
+            parse_options=pacsv.ParseOptions(newlines_in_values=True))
 
     def part(batch: pa.Table) -> pa.Table:
         src = pc.cast(batch["source"], pa.string()) \
@@ -6866,7 +6880,7 @@ def q_jsonl_roundtrip_stats(sf_dir: str):
         toks = np.where(empty, 0, raw_lens)
         nch = batch["n_chars"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        h = row_hash(batch["doc_id"], JR_SALT)
+        h = row_hash(batch["doc_id"], salt)
         si, names = pd.factorize(src)
         k = len(names)
         xor = np.zeros(k, dtype=np.uint64)
@@ -6899,11 +6913,28 @@ def q_jsonl_roundtrip_stats(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
-def _jsonl_roundtrip_oracle_sql() -> str:
+def q_jsonl_roundtrip_stats(sf_dir: str):
+    """JSONL SOURCE-FORMAT GATE — see ``_roundtrip_stats`` (ingest
+    surface next to the items-file/gzip readers, reference S2/S3
+    family): block-parallel JSONL export → ``ray.data.read_json`` →
+    parsed-content stats hash-gated against the original parquet."""
+    return _roundtrip_stats(sf_dir, "jsonl", JR_SALT)
+
+
+def q_csv_roundtrip_stats(sf_dir: str):
+    """CSV SOURCE-FORMAT GATE — see ``_roundtrip_stats``:
+    block-parallel QUOTE_MINIMAL csv export → ``ray.data.read_csv``
+    (newlines-in-values enabled, exercising quoted embedded
+    newlines/tabs) → parsed-content stats hash-gated against the
+    original parquet under an independent salt."""
+    return _roundtrip_stats(sf_dir, "csv", CR_SALT)
+
+
+def _roundtrip_oracle_sql(salt: int) -> str:
     from ..functions.sqlmirror import splitmix64_cte, tokens_sql
     w, c = splitmix64_cte(
         "SELECT doc_id, source, n_chars, text FROM documents",
-        f"xor(CAST(doc_id AS UBIGINT), CAST({JR_SALT} AS UBIGINT))",
+        f"xor(CAST(doc_id AS UBIGINT), CAST({salt} AS UBIGINT))",
         "h", carry_cols=("doc_id", "source", "n_chars", "text"),
         prefix="jr_")
     return w + (
@@ -7195,8 +7226,9 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "source_cosine_matrix": _source_cosine_oracle_sql(),
     # Gopher-style composite quality rules, integer cross-multiplied
     "gopher_rules": _gopher_rules_oracle_sql(),
-    # JSONL export→read_json round-trip gated on parsed-content stats
-    "jsonl_roundtrip_stats": _jsonl_roundtrip_oracle_sql(),
+    # JSONL/CSV export→read-back round-trips, parsed-content gated
+    "jsonl_roundtrip_stats": _roundtrip_oracle_sql(JR_SALT),
+    "csv_roundtrip_stats": _roundtrip_oracle_sql(CR_SALT),
     # Simpson collision-probability diversity, one final exact float
     "simpson_diversity": _simpson_oracle_sql(),
     # session-11: greedy max-coverage selection (K unrolled CTE rounds)

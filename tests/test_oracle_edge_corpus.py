@@ -22,7 +22,10 @@ NAMES = ["dedup_simhash", "dedup_simhash_pairs", "dedup_minhash_pairs",
          "m8_randomizers", "dedup_exact", "dedup_exact_remove",
          # round-4 continuation: corpus-audit family over the same
          # empty/whitespace/dup-cluster edges
-         "gopher_rules", "simpson_diversity", "source_cosine_matrix"]
+         "gopher_rules", "simpson_diversity", "source_cosine_matrix",
+         # source-format gates: the embedded \t/\n/\x0b docs exercise
+         # JSON escaping and CSV quoted-newline parsing end to end
+         "jsonl_roundtrip_stats", "csv_roundtrip_stats"]
 
 BASE = "the quick brown fox jumps over the lazy dog again and again today"
 
