@@ -412,6 +412,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # JSONL/CSV source-format gates: export → read back → stats
         "jsonl_roundtrip_stats": qt.q_jsonl_roundtrip_stats,
         "csv_roundtrip_stats": qt.q_csv_roundtrip_stats,
+        # CUSUM change-point alerts over hourly counts (closed form)
+        "cusum_alerts": qa.q_cusum_alerts,
     }
 
 

@@ -5674,7 +5674,80 @@ def q_q20_potential_promotion(sf_dir: str):
     return out.sort_values("s_suppkey").reset_index(drop=True)
 
 
+def q_cusum_alerts(sf_dir: str, h_mult: int = 8):
+    """CUSUM CHANGE-POINT ALERTS over hourly event counts per type —
+    the streaming anomaly detector next to EWMA/trending, hash-gated
+    by a closed form: the one-sided CUSUM recurrence
+    S_t = max(0, S_{t-1} + x_t − k) equals A_t − min_{0≤j≤t} A_j for
+    A_t = Σ(x_i − k), so the SQL twin needs only two window functions
+    (running sum + running min), no recursion. The allowance k is the
+    per-type mean hourly count, kept scale-free and integer by
+    multiplying through by den = the type's observed-hour count:
+    A_t = Σ(x·den − num) with num = the type's total events. Alert
+    when the scaled statistic exceeds h_mult·num (i.e. the unscaled
+    CUSUM exceeds h_mult hourly means). Hours with zero events carry
+    no row (the statistic runs over the observed-hour sequence —
+    documented contract, identical in both engines).
+
+    Scale shape: per-batch (type, hour) count partials → enum×time-
+    bounded driver merge (the same bounded-domain contract as the
+    hourly/OHLC windows) → vectorized per-type cumsum / running-min.
+    At web scale the per-type series scan is a tiny map_groups over
+    a type-bucketed exchange; the data-sized pass stays the combiner."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch["event_type"],
+                      "window_start": pc.floor_temporal(batch["ts"],
+                                                        unit="hour")})
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("window_start", "count")])
+        return g.rename_columns(["event_type", "window_start", "n"])
+
+    hc = _merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["event_type", "window_start"], ["n"])
+    hc = hc.sort_values(["event_type", "window_start"]) \
+        .reset_index(drop=True)
+    out = []
+    for et, g in hc.groupby("event_type", sort=True):
+        x = g["n"].to_numpy(dtype=np.int64)
+        num = int(x.sum())
+        den = len(x)
+        assert num * den < 2 ** 61, "cusum scaling would overflow"
+        a = np.cumsum(x * den - num)
+        mn = np.minimum(np.minimum.accumulate(a), 0)
+        s = a - mn
+        out.append(pd.DataFrame({
+            "event_type": et,
+            "window_start": g["window_start"].to_numpy(),
+            "n_events": x,
+            "cusum_sc": s.astype(np.int64),
+            "alert": (s > h_mult * num).astype(np.int64)}))
+    res = pd.concat(out, ignore_index=True)
+    res["n_events"] = res["n_events"].astype("int64")
+    return res
+
+
+def _cusum_oracle_sql(h_mult: int = 8) -> str:
+    return (
+        "WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS ws, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS num, "
+        "CAST(count(*) AS BIGINT) AS den FROM hc GROUP BY 1), "
+        "a AS (SELECT h.event_type, h.ws, h.n, t.num, "
+        "sum(h.n * t.den - t.num) OVER (PARTITION BY h.event_type "
+        "ORDER BY h.ws) AS at FROM hc h JOIN tot t USING (event_type)), "
+        "m AS (SELECT *, least(min(at) OVER (PARTITION BY event_type "
+        "ORDER BY ws), 0) AS mn FROM a) "
+        "SELECT event_type, ws AS window_start, n AS n_events, "
+        "CAST(at - mn AS BIGINT) AS cusum_sc, "
+        f"CASE WHEN at - mn > {h_mult} * num THEN 1 ELSE 0 END AS alert "
+        "FROM m ORDER BY 1, 2")
+
+
 ORACLE_SQL: dict[str, str] = {
+    # CUSUM closed form: running sum + clamped running min windows
+    "cusum_alerts": _cusum_oracle_sql(),
     "q2_min_cost_supplier":
         "WITH rs AS (SELECT s_suppkey, s_name, "
         "CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c, n_name "
