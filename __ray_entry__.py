@@ -414,6 +414,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip_stats": qt.q_csv_roundtrip_stats,
         # CUSUM change-point alerts over hourly counts (closed form)
         "cusum_alerts": qa.q_cusum_alerts,
+        # LM-flavored doc scoring: unigram surprisal in whole bits
+        "surprisal_bits": qt.q_surprisal_bits,
     }
 
 

@@ -6949,6 +6949,164 @@ def _roundtrip_oracle_sql(salt: int) -> str:
         f"FROM {c} GROUP BY source ORDER BY source")
 
 
+def q_surprisal_bits(sf_dir: str):
+    """UNIGRAM SURPRISAL SCORING IN WHOLE BITS (the LM-quality ranking
+    without a float log: per token occurrence the surprisal is
+    msb(N) − msb(c) — floor-log2 is EXACT integer in both engines, so
+    an iterative-LM-flavored score stays hash-gateable): per source,
+    the summed surprisal of all its docs, the max per-doc surprisal,
+    and the most surprising doc (tie-break smallest doc_id). Docs with
+    zero tokens carry no score row in either engine.
+
+    Scale shape: two streaming passes. Pass A: the vocab combiner →
+    token-bucketed global counts IN RAY (driver holds only per-bucket
+    sums for N). Pass B: per-batch (doc, source, token, k) partials →
+    tagged-union bucketed hash join against the count table (the j2
+    shape — both sides data-sized, no broadcast of the vocabulary) →
+    per-doc bit partials → doc-bucketed exact totals → enum-sized
+    per-source partials with argmax carried, tiny driver merge. msb
+    via float64 frexp, exact for counts < 2^53 (asserted)."""
+    from ..stages import sampling as sp
+    from .analytics import (_merge_partials_ray, _tag_bucket,
+                            _tagged_union_join)
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "text"])
+
+    # pass A: global token counts, merged in Ray; N from bucket sums
+    vc = _merge_partials_ray(
+        ds.map_batches(sp.vocab_partial_counts, batch_format="pyarrow"),
+        ["token"], ["n"])
+
+    def _bucket_n(batch: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array(
+            [int(batch["n"].to_numpy(zero_copy_only=False).sum())],
+            pa.int64())})
+
+    n_total = int(vc.map_batches(_bucket_n, batch_format="pyarrow")
+                  .to_pandas()["n"].sum())
+    assert 0 < n_total < 2 ** 50, "msb exactness envelope"
+    msb_n = int(np.frexp(np.float64(n_total))[1]) - 1
+
+    def _msb(v: np.ndarray) -> np.ndarray:
+        assert int(v.max(initial=1)) < 2 ** 50, "msb exactness envelope"
+        return np.frexp(v.astype(np.float64))[1].astype(np.int64) - 1
+
+    # pass B left side: (doc_id, source, token, k) per batch
+    def doc_tok(batch: pa.Table) -> pa.Table:
+        stripped = pc.utf8_trim_whitespace(
+            pc.fill_null(pc.cast(batch["text"], pa.string()), ""))
+        lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        raw_lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+        empty = np.asarray(pc.equal(stripped, "")
+                           .to_numpy(zero_copy_only=False))
+        keep = ~np.repeat(empty, raw_lens)
+        flat = pc.cast(lists.flatten(), pa.string()).filter(pa.array(keep))
+        doc_idx = np.repeat(np.arange(len(raw_lens), dtype=np.int64),
+                            raw_lens)[keep]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[doc_idx]
+        src = pc.cast(batch["source"], pa.string()) \
+            .to_numpy(zero_copy_only=False)[doc_idx]
+        t = pa.table({"doc_id": pa.array(ids), "source": pa.array(src),
+                      "token": flat,
+                      "k": pa.array(np.ones(len(ids), np.int64))})
+        g = t.group_by(["doc_id", "source", "token"]).aggregate(
+            [("k", "sum")])
+        return pa.table({"doc_id": g["doc_id"], "source": g["source"],
+                         "token": g["token"], "k": g["k_sum"],
+                         "side": pa.array(["d"] * len(g))})
+
+    def count_side(batch: pa.Table) -> pa.Table:
+        z = np.zeros(len(batch), dtype=np.int64)
+        return pa.table({"doc_id": pa.array(z),
+                         "source": pa.array([""] * len(batch)),
+                         "token": batch["token"],
+                         "k": pc.cast(batch["n"], pa.int64()),
+                         "side": pa.array(["c"] * len(batch))})
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["side"] == "c"][["token", "k"]] \
+            .rename(columns={"k": "n"})
+        d = g[g["side"] == "d"]
+        if d.empty or c.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "source": pd.Series([], dtype="object"),
+                                 "bits": pd.Series([], dtype="int64")})
+        # cross-block doc-token fragments re-combine before scoring
+        d = d.groupby(["doc_id", "source", "token"],
+                      as_index=False)["k"].sum()
+        m = d.merge(c, on="token", how="inner")
+        assert len(m) == len(d), "token missing from the count table"
+        bits = m["k"].to_numpy(dtype=np.int64) * (
+            msb_n - _msb(m["n"].to_numpy(dtype=np.int64)))
+        out = pd.DataFrame({"doc_id": m["doc_id"].to_numpy(np.int64),
+                            "source": m["source"].to_numpy(),
+                            "bits": bits})
+        return out.groupby(["doc_id", "source"],
+                           as_index=False)["bits"].sum()
+
+    per_doc_parts = _tagged_union_join(
+        ds.map_batches(doc_tok, batch_format="pyarrow"),
+        vc.map_batches(count_side, batch_format="pyarrow"),
+        "token", join_bucket)
+
+    # doc-bucketed exact per-doc totals → per-source argmax partials
+    def source_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["doc_id", "source"], as_index=False)["bits"].sum()
+        d = d.sort_values(["bits", "doc_id"],
+                          ascending=[False, True])
+        top = d.groupby("source", as_index=False).first()
+        agg = d.groupby("source", as_index=False)["bits"].sum() \
+            .rename(columns={"bits": "sum_bits"})
+        out = agg.merge(top.rename(columns={"bits": "max_bits",
+                                            "doc_id": "top_doc_id"}),
+                        on="source")
+        return out[["source", "sum_bits", "max_bits", "top_doc_id"]]
+
+    parts = (per_doc_parts
+             .map_batches(_tag_bucket(["doc_id"]), batch_format="pyarrow")
+             .groupby("_kb").map_groups(source_partial,
+                                        batch_format="pandas"))
+    pdf = parts.to_pandas()
+    pdf = pdf.sort_values(["source", "max_bits", "top_doc_id"]) \
+        .reset_index(drop=True)
+    sums = pdf.groupby("source", as_index=False)["sum_bits"].sum()
+    best = pdf.sort_values(["max_bits", "top_doc_id"],
+                           ascending=[False, True]) \
+        .groupby("source", as_index=False).first()
+    out = sums.merge(best[["source", "max_bits", "top_doc_id"]],
+                     on="source")
+    for c in ["sum_bits", "max_bits", "top_doc_id"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _surprisal_oracle_sql() -> str:
+    from ..functions.sqlmirror import tokens_sql
+    return (
+        f"WITH vt AS (SELECT doc_id, source, "
+        f"unnest({tokens_sql('text')}) AS tok FROM documents), "
+        "c AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS n "
+        "FROM vt GROUP BY 1), "
+        "nn AS (SELECT CAST(sum(n) AS BIGINT) AS nt, "
+        "CAST(length(format('{:b}', CAST(sum(n) AS BIGINT))) - 1 "
+        "AS BIGINT) AS msbn FROM c), "
+        "d AS (SELECT v.doc_id, v.source, CAST(sum((SELECT msbn FROM nn) "
+        "- (length(format('{:b}', CAST(c.n AS BIGINT))) - 1)) "
+        "AS BIGINT) AS bits "
+        "FROM vt v JOIN c ON c.tok = v.tok GROUP BY 1, 2), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY source "
+        "ORDER BY bits DESC, doc_id ASC) AS rn FROM d) "
+        "SELECT d.source, CAST(sum(d.bits) AS BIGINT) AS sum_bits, "
+        "max(r.bits) AS max_bits, max(r.doc_id) AS top_doc_id "
+        "FROM d JOIN r ON r.source = d.source AND r.rn = 1 "
+        "GROUP BY d.source ORDER BY d.source")
+
+
 def q_gopher_rules(sf_dir: str):
     """GOPHER-STYLE COMPOSITE QUALITY RULES (Rae et al. 2021's
     document-filter shape, thresholds tuned to this corpus so every
@@ -7229,6 +7387,8 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     # JSONL/CSV export→read-back round-trips, parsed-content gated
     "jsonl_roundtrip_stats": _roundtrip_oracle_sql(JR_SALT),
     "csv_roundtrip_stats": _roundtrip_oracle_sql(CR_SALT),
+    # unigram surprisal in whole bits: exact integer floor-log2
+    "surprisal_bits": _surprisal_oracle_sql(),
     # Simpson collision-probability diversity, one final exact float
     "simpson_diversity": _simpson_oracle_sql(),
     # session-11: greedy max-coverage selection (K unrolled CTE rounds)
