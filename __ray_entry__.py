@@ -416,6 +416,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "cusum_alerts": qa.q_cusum_alerts,
         # LM-flavored doc scoring: unigram surprisal in whole bits
         "surprisal_bits": qt.q_surprisal_bits,
+        # the shuffle tagger's own oracle (skew + placement audit)
+        "bucket_skew_audit": qa.q_bucket_skew_audit,
     }
 
 

@@ -5728,6 +5728,81 @@ def q_cusum_alerts(sf_dir: str, h_mult: int = 8):
     return res
 
 
+def q_bucket_skew_audit(sf_dir: str, num_buckets: int = 32):
+    """SHUFFLE-TAGGER SKEW AUDIT — hash-gates the engine's ONE bucket
+    tagger (functions/bucketing.tag_bucket_fn) itself in SQL: every
+    bucketed reduce/join/window in the repo trusts this function's
+    placement, so the audit recomputes both of its code paths in
+    DuckDB — the numeric splitmix-style multiply+xorshift over orders
+    custkeys and the dictionary-encoded FNV+splitmix string hash over
+    document sources — and compares per-bucket row counts and value
+    mass. A skewed bucket here is a hot shuffle partition at 100 TB;
+    a placement mismatch would silently break every bucketed exact
+    aggregate, which is why the tagger deserves its own oracle.
+
+    Scale shape: pure per-batch combiner (the production tagger runs
+    unchanged, then an Arrow group-by per batch) → ≤2·B-row driver
+    merge."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+    docs = read_table(sf_dir, "documents", columns=["source"])
+    tag_o = _tag_bucket(["o_custkey"], num_buckets)
+    tag_d = _tag_bucket(["source"], num_buckets)
+
+    def part_o(batch: pa.Table) -> pa.Table:
+        b = tag_o(batch)
+        p = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)),
+                    pa.int64())
+        t = pa.table({"bucket": b["_kb"], "p": p})
+        g = t.group_by("bucket").aggregate([("p", "count"), ("p", "sum")])
+        return g.rename_columns(["bucket", "n_rows", "sum_price_c"])
+
+    def part_d(batch: pa.Table) -> pa.Table:
+        b = tag_d(batch)
+        t = pa.table({"bucket": b["_kb"],
+                      "z": pa.array(np.zeros(len(batch), np.int64))})
+        g = t.group_by("bucket").aggregate([("z", "count"), ("z", "sum")])
+        return g.rename_columns(["bucket", "n_rows", "sum_price_c"])
+
+    oa = _merge_partials(orders.map_batches(part_o,
+                                            batch_format="pyarrow"),
+                         ["bucket"], ["n_rows", "sum_price_c"])
+    da = _merge_partials(docs.map_batches(part_d,
+                                          batch_format="pyarrow"),
+                         ["bucket"], ["n_rows", "sum_price_c"])
+    oa.insert(0, "key_kind", "orders_custkey")
+    da.insert(0, "key_kind", "documents_source")
+    out = pd.concat([oa, da], ignore_index=True)
+    for c in ["bucket", "n_rows", "sum_price_c"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["key_kind", "bucket"]).reset_index(drop=True)
+
+
+def _bucket_skew_oracle_sql(num_buckets: int = 32) -> str:
+    from ..functions.sqlmirror import mul_mod64, stable_hash64_cte
+    w, last = stable_hash64_cte(
+        "SELECT DISTINCT source FROM documents", "source", {"h": 0},
+        prefix="bk_")
+    m = mul_mod64("CAST(o_custkey AS UBIGINT)", 0xFF51AFD7ED558CCD)
+    return w + (
+        f", bk_ok AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) "
+        f"AS p, {m} AS m FROM orders), "
+        f"bk_ob AS (SELECT p, CAST(xor(m, m >> 33) % {num_buckets} "
+        "AS BIGINT) AS bucket FROM bk_ok), "
+        "bk_oa AS (SELECT 'orders_custkey' AS key_kind, bucket, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(p) AS BIGINT) AS sum_price_c FROM bk_ob GROUP BY 2), "
+        f"bk_sb AS (SELECT source, CAST(h % {num_buckets} AS BIGINT) "
+        f"AS bucket FROM {last}), "
+        "bk_da AS (SELECT 'documents_source' AS key_kind, s.bucket, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(0 AS BIGINT) AS sum_price_c "
+        "FROM documents d JOIN bk_sb s ON s.source = d.source "
+        "GROUP BY 2) "
+        "SELECT * FROM bk_oa UNION ALL SELECT * FROM bk_da "
+        "ORDER BY 1, 2")
+
+
 def _cusum_oracle_sql(h_mult: int = 8) -> str:
     return (
         "WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS ws, "
@@ -5748,6 +5823,8 @@ def _cusum_oracle_sql(h_mult: int = 8) -> str:
 ORACLE_SQL: dict[str, str] = {
     # CUSUM closed form: running sum + clamped running min windows
     "cusum_alerts": _cusum_oracle_sql(),
+    # the shuffle tagger's own oracle: both hash paths recomputed
+    "bucket_skew_audit": _bucket_skew_oracle_sql(),
     "q2_min_cost_supplier":
         "WITH rs AS (SELECT s_suppkey, s_name, "
         "CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c, n_name "
