@@ -418,6 +418,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "surprisal_bits": qt.q_surprisal_bits,
         # the shuffle tagger's own oracle (skew + placement audit)
         "bucket_skew_audit": qa.q_bucket_skew_audit,
+        # Pearson correlation carried to the final float
+        "pearson_corr": qa.q_pearson_corr,
     }
 
 

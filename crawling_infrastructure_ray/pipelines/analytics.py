@@ -5107,6 +5107,64 @@ def q_covar_qty_discount(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_pearson_corr(sf_dir: str):
+    """PEARSON CORRELATION per return flag, carried all the way to the
+    final float (the covar_qty_discount sufficient statistics were the
+    stop-short version): r = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) ·
+    √(n·Σyy − Σy²)). The inner terms are EXACT integers at any scale —
+    arbitrary-precision Python ints on the (enum-sized) driver merge,
+    HUGEINT in the SQL twin — and the only floats are the final
+    int→double conversions (round-to-nearest-even in both engines)
+    followed by the identical sqrt/multiply/divide expression, so the
+    hash gate holds on the double column. Degenerate flags (zero
+    variance) report r = 0.0 in both engines.
+
+    Scale shape: the covar combiner (pure per-batch, zero shuffle) →
+    3-row driver merge → per-flag bigint arithmetic."""
+    import math
+
+    stats = q_covar_qty_discount(sf_dir)
+    rows = []
+    for _, s in stats.iterrows():
+        n, sx, sy = int(s["n"]), int(s["sum_q"]), int(s["sum_d_e2"])
+        sxx, syy = int(s["sumsq_q"]), int(s["sumsq_d_e4"])
+        sxy = int(s["sum_qd_e2"])
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            r = 0.0
+        else:
+            r = float(num) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+        rows.append((s["l_returnflag"], n, r))
+    out = pd.DataFrame(rows, columns=["l_returnflag", "n", "corr"])
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def _pearson_oracle_sql() -> str:
+    return (
+        "WITH s AS (SELECT l_returnflag, "
+        "CAST(count(*) AS HUGEINT) AS n, "
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS sx, "
+        "CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT) "
+        "AS sy, "
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT) * "
+        "CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS sxx, "
+        "CAST(sum(CAST(round(l_discount * 100) AS BIGINT) * "
+        "CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT) AS syy, "
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT) * "
+        "CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT) AS sxy "
+        "FROM lineitem GROUP BY 1), "
+        "t AS (SELECT l_returnflag, n, n * sxy - sx * sy AS num, "
+        "n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy FROM s) "
+        "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+        "CASE WHEN vx <= 0 OR vy <= 0 THEN 0.0 ELSE "
+        "CAST(num AS DOUBLE) / (sqrt(CAST(vx AS DOUBLE)) "
+        "* sqrt(CAST(vy AS DOUBLE))) END AS corr "
+        "FROM t ORDER BY 1")
+
+
 def q_conversion_lag(sf_dir: str):
     """Per-user CONVERSION LAG: µs from the user's first 'view' to
     their first 'purchase' (users with both; negative = purchased
@@ -5825,6 +5883,8 @@ ORACLE_SQL: dict[str, str] = {
     "cusum_alerts": _cusum_oracle_sql(),
     # the shuffle tagger's own oracle: both hash paths recomputed
     "bucket_skew_audit": _bucket_skew_oracle_sql(),
+    # Pearson r to the final float: HUGEINT/bigint inner terms
+    "pearson_corr": _pearson_oracle_sql(),
     "q2_min_cost_supplier":
         "WITH rs AS (SELECT s_suppkey, s_name, "
         "CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c, n_name "
