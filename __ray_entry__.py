@@ -420,6 +420,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "bucket_skew_audit": qa.q_bucket_skew_audit,
         # Pearson correlation carried to the final float
         "pearson_corr": qa.q_pearson_corr,
+        # planner statistic: exact join cardinality without the join
+        "join_size_estimate": qa.q_join_size_estimate,
     }
 
 

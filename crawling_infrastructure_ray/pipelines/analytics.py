@@ -5165,6 +5165,79 @@ def _pearson_oracle_sql() -> str:
         "FROM t ORDER BY 1")
 
 
+def q_join_size_estimate(sf_dir: str):
+    """EXACT JOIN CARDINALITY WITHOUT THE JOIN (the planner statistic
+    every bucketed join in this repo sizes its exchange by):
+    |orders ⋈ lineitem on orderkey| = Σ_k cO(k)·cL(k), computed from
+    per-key count vectors that never materialize the join. Also
+    reports both sides' row counts, the shared-key count, and each
+    side's max key multiplicity (the skew bound — a hot key at 100 TB
+    is max_mult² join rows in one bucket).
+
+    Scale shape: per-batch (key, n) combiner partials on each side →
+    key-bucketed tagged union so a key's full (cO, cL) pair completes
+    in one bucket → per-bucket Σ products / maxima → one-row driver
+    merge. The exchange carries distinct keys only."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def side(col: str, tag: str):
+        def part(batch: pa.Table) -> pa.Table:
+            g = pa.table({"key": batch[col]}).group_by("key") \
+                .aggregate([("key", "count")])
+            t = g.rename_columns(["key", "n"])
+            return t.append_column("side",
+                                   pa.array([tag] * len(t)))
+        return part
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["key", "side"], as_index=False)["n"].sum()
+        o = c[c["side"] == "o"].set_index("key")["n"]
+        l = c[c["side"] == "l"].set_index("key")["n"]
+        shared = o.index.intersection(l.index)
+        join_rows = int((o.loc[shared].to_numpy(dtype=np.int64)
+                         * l.loc[shared].to_numpy(dtype=np.int64)).sum()) \
+            if len(shared) else 0
+        return pd.DataFrame({
+            "n_left": [int(o.sum())], "n_right": [int(l.sum())],
+            "n_shared_keys": [int(len(shared))],
+            "join_rows": [join_rows],
+            "max_mult_left": [int(o.max()) if len(o) else 0],
+            "max_mult_right": [int(l.max()) if len(l) else 0]})
+
+    both = _tagged_union_join(
+        orders.map_batches(side("o_orderkey", "o"),
+                           batch_format="pyarrow"),
+        li.map_batches(side("l_orderkey", "l"), batch_format="pyarrow"),
+        "key", bucket_stats)
+    pdf = both.to_pandas()
+    out = pd.DataFrame({
+        "n_left": [int(pdf["n_left"].sum())],
+        "n_right": [int(pdf["n_right"].sum())],
+        "n_shared_keys": [int(pdf["n_shared_keys"].sum())],
+        "join_rows": [int(pdf["join_rows"].sum())],
+        "max_mult_left": [int(pdf["max_mult_left"].max())],
+        "max_mult_right": [int(pdf["max_mult_right"].max())]})
+    return out.astype("int64")
+
+
+def _join_size_oracle_sql() -> str:
+    return (
+        "WITH co AS (SELECT o_orderkey AS key, "
+        "CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1), "
+        "cl AS (SELECT l_orderkey AS key, "
+        "CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1), "
+        "j AS (SELECT co.n AS no, cl.n AS nl FROM co "
+        "JOIN cl USING (key)) "
+        "SELECT (SELECT CAST(sum(n) AS BIGINT) FROM co) AS n_left, "
+        "(SELECT CAST(sum(n) AS BIGINT) FROM cl) AS n_right, "
+        "CAST(count(*) AS BIGINT) AS n_shared_keys, "
+        "CAST(coalesce(sum(no * nl), 0) AS BIGINT) AS join_rows, "
+        "(SELECT CAST(max(n) AS BIGINT) FROM co) AS max_mult_left, "
+        "(SELECT CAST(max(n) AS BIGINT) FROM cl) AS max_mult_right "
+        "FROM j")
+
+
 def q_conversion_lag(sf_dir: str):
     """Per-user CONVERSION LAG: µs from the user's first 'view' to
     their first 'purchase' (users with both; negative = purchased
@@ -5885,6 +5958,8 @@ ORACLE_SQL: dict[str, str] = {
     "bucket_skew_audit": _bucket_skew_oracle_sql(),
     # Pearson r to the final float: HUGEINT/bigint inner terms
     "pearson_corr": _pearson_oracle_sql(),
+    # exact join cardinality + skew bound, no join materialized
+    "join_size_estimate": _join_size_oracle_sql(),
     "q2_min_cost_supplier":
         "WITH rs AS (SELECT s_suppkey, s_name, "
         "CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c, n_name "
