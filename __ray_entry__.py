@@ -422,6 +422,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "pearson_corr": qa.q_pearson_corr,
         # planner statistic: exact join cardinality without the join
         "join_size_estimate": qa.q_join_size_estimate,
+        # gaps-and-islands: consecutive active-day runs per user
+        "activity_islands": qa.q_activity_islands,
     }
 
 

@@ -5238,6 +5238,82 @@ def _join_size_oracle_sql() -> str:
         "FROM j")
 
 
+def q_activity_islands(sf_dir: str):
+    """GAPS-AND-ISLANDS per user: maximal runs of CONSECUTIVE active
+    days (a day is active if the user has ≥1 event). The classic SQL
+    pattern the registry lacked: islands via day − row_number() in the
+    twin, via a vectorized run-break cumsum in Ray. Days are int64
+    epoch days (date_diff from 1970-01-01 — dtype-exact across both
+    engines). Output per user: active days, island count, longest
+    run, first active day, last active day.
+
+    Scale shape: per-batch distinct (user, day) partials →
+    user-bucketed exchange (a user's full day set completes in one
+    bucket) → per-bucket vectorized island scan (sort + run-break
+    cumsum + bincount, no per-user Python) → concat; users are
+    data-sized so the result stays in Ray until the final collect."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000
+        t = pa.table({"user_id": batch["user_id"],
+                      "day": pa.array(day.astype(np.int64))})
+        g = t.group_by(["user_id", "day"]).aggregate([])
+        return g
+
+    def island_stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["user_id", "day"]].drop_duplicates() \
+            .sort_values(["user_id", "day"])
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        d = g["day"].to_numpy(dtype=np.int64)
+        if len(u) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ["user_id", "n_active_days",
+                                           "n_islands", "longest_run",
+                                           "first_day", "last_day"]})
+        brk = np.ones(len(u), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] > 1)
+        isl = np.cumsum(brk) - 1
+        sizes = np.bincount(isl).astype(np.int64)
+        i = pd.DataFrame({"user_id": u[brk], "len": sizes,
+                          "start": d[brk]})
+        i["end"] = i["start"] + i["len"] - 1
+        out = i.groupby("user_id", as_index=False).agg(
+            n_active_days=("len", "sum"), n_islands=("len", "count"),
+            longest_run=("len", "max"), first_day=("start", "min"),
+            last_day=("end", "max"))
+        return out.astype("int64")
+
+    res = (ds.map_batches(part, batch_format="pyarrow")
+           .repartition(16)
+           .map_batches(_tag_bucket(["user_id"]),
+                        batch_format="pyarrow")
+           .groupby("_kb").map_groups(island_stats,
+                                      batch_format="pandas"))
+    out = res.to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _activity_islands_oracle_sql() -> str:
+    return (
+        "WITH d AS (SELECT DISTINCT user_id, CAST(date_diff('day', "
+        "DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day "
+        "FROM events), "
+        "r AS (SELECT user_id, day, day - row_number() OVER "
+        "(PARTITION BY user_id ORDER BY day) AS grp FROM d), "
+        "i AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len, "
+        "min(day) AS start FROM r GROUP BY 1, 2) "
+        "SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days, "
+        "CAST(count(*) AS BIGINT) AS n_islands, "
+        "CAST(max(len) AS BIGINT) AS longest_run, "
+        "CAST(min(start) AS BIGINT) AS first_day, "
+        "CAST(max(start + len - 1) AS BIGINT) AS last_day "
+        "FROM i GROUP BY user_id ORDER BY user_id")
+
+
 def q_conversion_lag(sf_dir: str):
     """Per-user CONVERSION LAG: µs from the user's first 'view' to
     their first 'purchase' (users with both; negative = purchased
@@ -5960,6 +6036,8 @@ ORACLE_SQL: dict[str, str] = {
     "pearson_corr": _pearson_oracle_sql(),
     # exact join cardinality + skew bound, no join materialized
     "join_size_estimate": _join_size_oracle_sql(),
+    # gaps-and-islands: consecutive active-day runs per user
+    "activity_islands": _activity_islands_oracle_sql(),
     "q2_min_cost_supplier":
         "WITH rs AS (SELECT s_suppkey, s_name, "
         "CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c, n_name "
