@@ -424,6 +424,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "join_size_estimate": qa.q_join_size_estimate,
         # gaps-and-islands: consecutive active-day runs per user
         "activity_islands": qa.q_activity_islands,
+        # CDC MERGE/upsert apply (write-side twin of snapshot_diff)
+        "cdc_merge_stats": qt.q_cdc_merge_stats,
     }
 
 

@@ -7107,6 +7107,91 @@ def _surprisal_oracle_sql() -> str:
         "GROUP BY d.source ORDER BY d.source")
 
 
+CDC_SALT = 0x7E15_49AC_D203_000D  # merge-apply change draw (< 2^63)
+
+
+def q_cdc_merge_stats(sf_dir: str):
+    """CDC MERGE / UPSERT APPLY (the write-side counterpart to the
+    read-side ``snapshot_diff``): a deterministic change batch —
+    per doc h = splitmix64(doc_id ^ salt) % 10; h=0 → UPDATE
+    (n_chars += 1000), h=1 → DELETE, h=2 → additionally INSERT a new
+    row (doc_id + 10⁹, n_chars + 7) — is applied to the documents
+    table with MERGE semantics in one streaming pass, and the merged
+    table's per-source stats (rows, n_chars mass, doc_id mass) are
+    hash-gated against a DuckDB twin that applies the identical
+    change batch in SQL.
+
+    Scale shape: pure per-batch transform (the change draw, the
+    update, the delete filter and the insert emission are all
+    vectorized on the block) → enum-keyed stats combiner → tiny
+    driver merge. No shuffle: MERGE against a STREAMED change source
+    keyed by the same id needs no exchange at all when changes are
+    derived in place; a keyed external change feed would route through
+    the bucketed semi-join instead (stages/joins)."""
+    from ..stages.sampling import row_hash
+    from .analytics import _merge_partials
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "n_chars"])
+
+    def apply_and_stats(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = pc.cast(batch["source"], pa.string()) \
+            .to_numpy(zero_copy_only=False)
+        h = (row_hash(batch["doc_id"], CDC_SALT)
+             % np.uint64(10)).astype(np.int64)
+        upd = np.where(h == 0, nch + 1000, nch)
+        keep = h != 1
+        ins = h == 2
+        out_ids = np.concatenate([ids[keep], ids[ins] + 10 ** 9])
+        out_nch = np.concatenate([upd[keep], nch[ins] + 7])
+        out_src = np.concatenate([src[keep], src[ins]])
+        si, names = pd.factorize(out_src)
+        k = len(names)
+        # exact int64 accumulation (float bincount weights would lose
+        # exactness once a partial id mass crosses 2^53)
+        id_sum = np.zeros(k, dtype=np.int64)
+        np.add.at(id_sum, si, out_ids)
+        nch_sum = np.zeros(k, dtype=np.int64)
+        np.add.at(nch_sum, si, out_nch)
+        return pa.table({
+            "source": pa.array(names.astype(object)),
+            "n_docs": pa.array(np.bincount(si, minlength=k)
+                               .astype(np.int64)),
+            "n_chars_sum": pa.array(nch_sum),
+            "id_sum": pa.array(id_sum)})
+
+    out = _merge_partials(
+        ds.map_batches(apply_and_stats, batch_format="pyarrow"),
+        ["source"], ["n_docs", "n_chars_sum", "id_sum"])
+    for c in ["n_docs", "n_chars_sum", "id_sum"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _cdc_merge_oracle_sql() -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    w, c = splitmix64_cte(
+        "SELECT doc_id, source, n_chars FROM documents",
+        f"xor(CAST(doc_id AS UBIGINT), CAST({CDC_SALT} AS UBIGINT))",
+        "h", carry_cols=("doc_id", "source", "n_chars"), prefix="cd_")
+    return w + (
+        f", cd_h AS (SELECT doc_id, source, n_chars, "
+        f"CAST(h % 10 AS BIGINT) AS hh FROM {c}), "
+        "cd_m AS (SELECT doc_id, source, "
+        "CASE WHEN hh = 0 THEN n_chars + 1000 ELSE n_chars END "
+        "AS n_chars FROM cd_h WHERE hh <> 1 "
+        "UNION ALL SELECT doc_id + 1000000000, source, n_chars + 7 "
+        "FROM cd_h WHERE hh = 2) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars_sum, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum "
+        "FROM cd_m GROUP BY source ORDER BY source")
+
+
 def q_gopher_rules(sf_dir: str):
     """GOPHER-STYLE COMPOSITE QUALITY RULES (Rae et al. 2021's
     document-filter shape, thresholds tuned to this corpus so every
@@ -7387,6 +7472,8 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     # JSONL/CSV export→read-back round-trips, parsed-content gated
     "jsonl_roundtrip_stats": _roundtrip_oracle_sql(JR_SALT),
     "csv_roundtrip_stats": _roundtrip_oracle_sql(CR_SALT),
+    # MERGE/upsert apply: identical change batch replayed in SQL
+    "cdc_merge_stats": _cdc_merge_oracle_sql(),
     # unigram surprisal in whole bits: exact integer floor-log2
     "surprisal_bits": _surprisal_oracle_sql(),
     # Simpson collision-probability diversity, one final exact float
