@@ -426,6 +426,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "activity_islands": qa.q_activity_islands,
         # CDC MERGE/upsert apply (write-side twin of snapshot_diff)
         "cdc_merge_stats": qt.q_cdc_merge_stats,
+        # KMV set sketch: pairwise source Jaccard / union estimates
+        "kmv_source_jaccard": qt.q_kmv_source_jaccard,
     }
 
 

@@ -7389,6 +7389,158 @@ def _freq_of_freqs_oracle_sql() -> str:
         "FROM c GROUP BY n ORDER BY n")
 
 
+KMV_K = 128     # k-minimum-values sketch size
+KMV_SEED = 0    # token-hash seed (stable_hash64)
+
+
+def q_kmv_source_jaccard(sf_dir: str):
+    """K-MINIMUM-VALUES set sketches per source + pairwise Jaccard and
+    union-cardinality ESTIMATES — the mergeable distinct-sketch family
+    member beyond HLL (functions/sketches.py counts only; KMV supports
+    set OPERATIONS): per source keep the k=128 smallest DISTINCT
+    stable_hash64 token values; for a source pair the Jaccard
+    estimator is |U_k ∩ S_a ∩ S_b| / |U_k| with U_k the k smallest of
+    the sketch union (Beyer et al., SIGMOD'07), and the union-size
+    estimate is (k−1)·2^64 / h_(k) (exact count when the union sketch
+    is unsaturated — then both sides' sketches are their whole sets).
+    Sketch contents are exact uint64 (the SQL twin recomputes every
+    hash via the FNV/splitmix recursion); the two estimates are single
+    final IEEE divisions over exact ints, identical both engines.
+
+    Scale shape: per-batch combiner emits ≤ sources×k rows (ONE Arrow
+    RE2 split, per-batch distinct via Arrow group_by, hash once per
+    DISTINCT token via dictionary encode); the merge is a Ray groupby
+    over sketch-sized partials (sources × k × blocks rows — never the
+    corpus); the pairing is driver-side over sources²×k ints, a
+    config-bounded domain. The corpus never shuffles. ORACLE-CHECKED
+    bit-for-bit."""
+    from itertools import combinations
+    from ..functions.hashing import stable_hash64
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def sketch_partial(batch: pa.Table) -> pa.Table:
+        # (source, token) distinct per batch — the pairs_partial
+        # recipe (one RE2 split + row-repeat + Arrow group_by)
+        stripped = pc.utf8_trim_whitespace(pc.fill_null(batch["text"],
+                                                        ""))
+        lists = pc.split_pattern_regex(stripped, r"[ \t\n\r\f\v]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        raw_lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+        empty = np.asarray(pc.equal(stripped, "")
+                           .to_numpy(zero_copy_only=False))
+        doc_idx = np.repeat(np.arange(len(raw_lens), dtype=np.int64),
+                            raw_lens)
+        keep = pa.array(~np.repeat(empty, raw_lens))
+        src = pc.cast(batch["source"], pa.string()).take(
+            pa.array(doc_idx))
+        t = pa.table({"source": src, "token": pc.cast(
+            lists.flatten(), pa.string())}).filter(keep)
+        t = t.group_by(["source", "token"]).aggregate([])
+        if not t.num_rows:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "h": pa.array([], pa.uint64())})
+        # hash once per DISTINCT token (the HLL add_arrow recipe)
+        tok = t["token"]
+        enc = pc.dictionary_encode(
+            tok.combine_chunks() if isinstance(tok, pa.ChunkedArray)
+            else tok)
+        uniq = enc.dictionary.to_pylist()
+        hs = np.fromiter((stable_hash64(v, KMV_SEED) for v in uniq),
+                         dtype=np.uint64, count=len(uniq))
+        h = hs[enc.indices.to_numpy(zero_copy_only=False)]
+        df = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "h": h}).drop_duplicates()
+        df = df.sort_values(["source", "h"]) \
+            .groupby("source", sort=False).head(KMV_K)
+        return pa.table({"source": pa.array(df["source"].astype(str)),
+                         "h": pa.array(df["h"].to_numpy(np.uint64),
+                                       pa.uint64())})
+
+    def merge_sketch(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop_duplicates(["source", "h"])
+               .sort_values(["source", "h"])
+               .groupby("source", sort=False).head(KMV_K))
+        return out.reset_index(drop=True)
+
+    partials = ds.map_batches(sketch_partial, batch_format="pyarrow")
+    pdf = partials.groupby("source").map_groups(
+        merge_sketch, batch_format="pandas").to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"src_a": pd.Series([], dtype=object),
+                             "src_b": pd.Series([], dtype=object),
+                             "k_used": pd.Series([], dtype="int64"),
+                             "n_inter": pd.Series([], dtype="int64"),
+                             "jaccard_kmv": pd.Series([], dtype="float64"),
+                             "union_est": pd.Series([], dtype="float64")})
+    sk = {s: np.sort(g["h"].to_numpy().astype(np.uint64))
+          for s, g in pdf.groupby("source")}
+    rows = []
+    for a, b in combinations(sorted(sk), 2):
+        u = np.union1d(sk[a], sk[b])
+        ku = int(min(KMV_K, len(u)))
+        uk = u[:ku]
+        inter = np.intersect1d(np.intersect1d(uk, sk[a]), sk[b])
+        # saturated union sketch: estimate from the k-th minimum;
+        # unsaturated: both sketches are complete sets → exact count
+        if len(u) < KMV_K:
+            est = float(ku)
+        else:
+            est = float(KMV_K - 1) * 18446744073709551616.0 \
+                / float(uk[-1])
+        rows.append((a, b, ku, int(len(inter)),
+                     float(len(inter)) / float(ku), est))
+    out = pd.DataFrame(rows, columns=["src_a", "src_b", "k_used",
+                                      "n_inter", "jaccard_kmv",
+                                      "union_est"])
+    out["k_used"] = out["k_used"].astype("int64")
+    out["n_inter"] = out["n_inter"].astype("int64")
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+def _kmv_oracle_sql() -> str:
+    from ..functions.sqlmirror import stable_hash64_cte, tokens_sql
+    k = KMV_K
+    src = (f"SELECT DISTINCT unnest({tokens_sql('text')}) AS tok "
+           "FROM documents")
+    hcte, hfin = stable_hash64_cte(src, "tok", {"h": KMV_SEED},
+                                   prefix="__kmv")
+    return (
+        f"{hcte}, "
+        "kst AS (SELECT DISTINCT d.source, hh.h FROM "
+        f"(SELECT DISTINCT source, unnest({tokens_sql('text')}) AS tok "
+        f"FROM documents) d JOIN {hfin} hh ON d.tok = hh.tok), "
+        "ksk AS (SELECT source, h FROM (SELECT source, h, "
+        "row_number() OVER (PARTITION BY source ORDER BY h) AS rn "
+        f"FROM kst) WHERE rn <= {k}), "
+        "ksrc AS (SELECT DISTINCT source FROM ksk), "
+        "kpair AS (SELECT a.source AS sa, b.source AS sb "
+        "FROM ksrc a JOIN ksrc b ON a.source < b.source), "
+        "kun AS (SELECT DISTINCT p.sa, p.sb, s.h FROM kpair p "
+        "JOIN ksk s ON s.source = p.sa OR s.source = p.sb), "
+        "kuk AS (SELECT sa, sb, h, rn FROM (SELECT sa, sb, h, "
+        "row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn "
+        f"FROM kun) WHERE rn <= {k}), "
+        "kagg AS (SELECT u.sa, u.sb, "
+        "CAST(count(*) AS BIGINT) AS k_used, "
+        "CAST(count(CASE WHEN xa.h IS NOT NULL AND xb.h IS NOT NULL "
+        "THEN 1 END) AS BIGINT) AS n_inter, "
+        f"max(CASE WHEN u.rn = {k} THEN u.h END) AS kth "
+        "FROM kuk u "
+        "LEFT JOIN ksk xa ON xa.source = u.sa AND xa.h = u.h "
+        "LEFT JOIN ksk xb ON xb.source = u.sb AND xb.h = u.h "
+        "GROUP BY 1, 2) "
+        "SELECT sa AS src_a, sb AS src_b, k_used, n_inter, "
+        "CAST(n_inter AS DOUBLE) / CAST(k_used AS DOUBLE) "
+        "AS jaccard_kmv, "
+        f"CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE) "
+        f"ELSE {k - 1}.0 * 18446744073709551616.0 / "
+        "CAST(kth AS DOUBLE) END AS union_est "
+        "FROM kagg ORDER BY 1, 2")
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
     # round-4 corpus profiling / novelty / containment family
     "charclass_profile": _charclass_oracle_sql(),
@@ -7474,6 +7626,8 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "csv_roundtrip_stats": _roundtrip_oracle_sql(CR_SALT),
     # MERGE/upsert apply: identical change batch replayed in SQL
     "cdc_merge_stats": _cdc_merge_oracle_sql(),
+    # KMV set sketch: every sketch value recomputed via the hash CTE
+    "kmv_source_jaccard": _kmv_oracle_sql(),
     # unigram surprisal in whole bits: exact integer floor-log2
     "surprisal_bits": _surprisal_oracle_sql(),
     # Simpson collision-probability diversity, one final exact float
