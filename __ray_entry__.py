@@ -428,6 +428,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "cdc_merge_stats": qt.q_cdc_merge_stats,
         # KMV set sketch: pairwise source Jaccard / union estimates
         "kmv_source_jaccard": qt.q_kmv_source_jaccard,
+        # SymSpell-blocked fuzzy URL dedup (exact ed-1 pairs)
+        "url_edit_pairs": qt.q_url_edit_pairs,
     }
 
 

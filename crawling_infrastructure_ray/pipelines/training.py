@@ -7541,6 +7541,184 @@ def _kmv_oracle_sql() -> str:
         "FROM kagg ORDER BY 1, 2")
 
 
+def _ed1_urls_np(ids: np.ndarray) -> pd.Series:
+    """Deterministic URL set for the fuzzy-dup operator (the corpus
+    has no URL column — the _messy_urls_np convention): one clean URL
+    per doc_id, plus INJECTED edit-distance-1 variants so real fuzzy
+    pairs exist — doc_id % 11 == 3 appends 'x' (insertion), % 11 == 7
+    substitutes the final char with 'x' (substitution). Bases never
+    end in 'x' (they end in a digit), so variants never collide with
+    bases. The SQL twin builds the identical strings."""
+    i = ids.astype(np.int64)
+    u = ("https://site" + pd.Series((i % 7).astype(str), dtype=object)
+         + ".example.com/p/" + pd.Series((i % 50).astype(str),
+                                         dtype=object)
+         + "/doc/" + pd.Series(i.astype(str), dtype=object))
+    app = u[i % 11 == 3] + "x"
+    sub = u[i % 11 == 7].str[:-1] + "x"
+    return pd.concat([u, app, sub], ignore_index=True)
+
+
+def _ed1_verify(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Exact edit-distance-1 check over candidate pairs, vectorized
+    per (len_a, len_b) subgroup (the length domain is tiny): equal
+    length → hamming == 1; length diff 1 → the longer equals the
+    shorter with one char inserted (first-mismatch split + shifted
+    gather). Candidate-scale stage — pairs only, never the corpus."""
+    if pairs.empty:
+        return pd.DataFrame({"url_a": pd.Series([], dtype=object),
+                             "url_b": pd.Series([], dtype=object),
+                             "ed": pd.Series([], dtype="int64")})
+    la = pairs["url_a"].str.len().to_numpy(np.int64)
+    lb = pairs["url_b"].str.len().to_numpy(np.int64)
+
+    def mat(series: pd.Series, width: int) -> np.ndarray:
+        padded = series.str.pad(width, side="right", fillchar="\0")
+        buf = "".join(padded.tolist()).encode("ascii")
+        return np.frombuffer(buf, np.uint8).reshape(len(series), width)
+
+    keep_parts = []
+    for (ga, gb), sub in pairs.groupby([la, lb], sort=False):
+        if abs(ga - gb) > 1:
+            continue
+        if ga == gb:
+            ma = mat(sub["url_a"], ga)
+            mb = mat(sub["url_b"], ga)
+            ok = (ma != mb).sum(axis=1) == 1
+        else:
+            # orient: S = shorter, L = longer (length diff exactly 1)
+            if ga < gb:
+                ms, ml = mat(sub["url_a"], ga), mat(sub["url_b"], gb)
+            else:
+                ms, ml = mat(sub["url_b"], gb), mat(sub["url_a"], ga)
+            n, w = ms.shape
+            neq = ms != ml[:, :w]
+            p = np.where(neq.any(axis=1), neq.argmax(axis=1), w)
+            idx = np.arange(w, dtype=np.int64)[None, :]
+            shift = (idx >= p[:, None]).astype(np.int64)
+            ldel = ml[np.arange(n)[:, None], idx + shift]
+            ok = (ldel == ms).all(axis=1)
+        keep_parts.append(sub[ok])
+    if not keep_parts:
+        return pd.DataFrame({"url_a": pd.Series([], dtype=object),
+                             "url_b": pd.Series([], dtype=object),
+                             "ed": pd.Series([], dtype="int64")})
+    out = pd.concat(keep_parts, ignore_index=True)[["url_a", "url_b"]]
+    out["ed"] = np.int64(1)
+    return out
+
+
+def q_url_edit_pairs(sf_dir: str):
+    """FUZZY URL DEDUP: all distinct URL pairs at edit distance
+    EXACTLY 1 via SymSpell delete-1 blocking (Garbe's symmetric-delete
+    index, the typo_token_pairs primitive promoted to record scale):
+    each URL emits itself plus every delete-one-char variant as a
+    blocking signature; two URLs are candidates iff they share a
+    signature (COMPLETE for ed ≤ 1 — a substitution shares the
+    delete-at-edit-position variant, an indel shares the shorter
+    string itself), then exact ed == 1 is verified vectorized. The
+    URL set derives deterministically from doc_id with injected ed-1
+    variants (_ed1_urls_np) so both engines see identical input.
+
+    Scale shape: signature emission is per-batch vectorized (np.delete
+    per position over per-length char matrices — loops over the
+    LENGTH domain, never rows); candidates co-locate via ONE
+    signature-bucket shuffle whose per-group pair loop touches only
+    collision groups (candidate-sized); global pair dedup + verify is
+    a second bucket groupby over pair rows (output-sized). At 10^10
+    URLs the signature exchange is O(urls × avg_len) rows — the
+    documented cost of complete ed-1 blocking; hash the signatures to
+    uint64 to shrink the exchange width if needed (verify makes
+    collisions harmless). ORACLE-CHECKED: the SQL twin replays the
+    same delete-1 blocking with unnest(range) + string splice and
+    verifies with DuckDB's exact levenshtein()."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = _ed1_urls_np(ids)
+        lens = urls.str.len().to_numpy(np.int64)
+        sig_rows: list[pd.DataFrame] = []
+        # self-signature (catches indels where one side IS the sig)
+        sig_rows.append(pd.DataFrame({"sig": urls, "url": urls}))
+        for L in np.unique(lens):
+            grp = urls[lens == L].reset_index(drop=True)
+            buf = "".join(grp.tolist()).encode("ascii")
+            m = np.frombuffer(buf, np.uint8).reshape(len(grp), L)
+            for p in range(L):
+                var = np.delete(m, p, axis=1)
+                sigs = np.frombuffer(var.tobytes(),
+                                     dtype=f"S{L - 1}").astype(str)
+                sig_rows.append(pd.DataFrame({"sig": sigs,
+                                              "url": grp}))
+        out = pd.concat(sig_rows, ignore_index=True) \
+            .drop_duplicates()
+        return pa.table({"sig": pa.array(out["sig"].astype(str)),
+                         "url": pa.array(out["url"].astype(str))})
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["sig", "url"])
+        cnt = g.groupby("sig")["url"].transform("size")
+        g = g[cnt >= 2]
+        empty = pd.DataFrame({"url_a": pd.Series([], dtype=object),
+                              "url_b": pd.Series([], dtype=object)})
+        if g.empty:
+            return empty
+        rows_a: list = []
+        rows_b: list = []
+        # loop bounded by COLLISION groups only (candidate-sized)
+        for _, grp in g.groupby("sig", sort=False):
+            us = sorted(set(grp["url"]))
+            for ii, x in enumerate(us):
+                rows_a.extend([x] * (len(us) - 1 - ii))
+                rows_b.extend(us[ii + 1:])
+        if not rows_a:
+            return empty
+        return pd.DataFrame({"url_a": rows_a,
+                             "url_b": rows_b}).drop_duplicates()
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        return _ed1_verify(g.drop_duplicates(["url_a", "url_b"]))
+
+    sigs = ds.map_batches(sig_batch, batch_format="pyarrow")
+    cand = sigs.map_batches(tag_bucket_fn(["sig"], 64, "_sg"),
+                            batch_format="pyarrow") \
+        .groupby("_sg").map_groups(emit_pairs, batch_format="pandas")
+    verified = cand.map_batches(
+        tag_bucket_fn(["url_a", "url_b"], 32, "_pg"),
+        batch_format="pyarrow") \
+        .groupby("_pg").map_groups(verify_group, batch_format="pandas")
+    pdf = verified.to_pandas()
+    if "_pg" in pdf.columns:
+        pdf = pdf.drop(columns=["_pg"])
+    pdf["ed"] = pdf["ed"].astype("int64") if len(pdf) else \
+        pd.Series([], dtype="int64")
+    return pdf.sort_values(["url_a", "url_b"]).reset_index(drop=True)
+
+
+def _url_edit_oracle_sql() -> str:
+    base = ("'https://site' || CAST(doc_id % 7 AS VARCHAR) || "
+            "'.example.com/p/' || CAST(doc_id % 50 AS VARCHAR) || "
+            "'/doc/' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"WITH eb AS (SELECT doc_id, {base} AS url FROM documents), "
+        "eu AS (SELECT DISTINCT url FROM ("
+        "SELECT url FROM eb "
+        "UNION ALL SELECT url || 'x' FROM eb WHERE doc_id % 11 = 3 "
+        "UNION ALL SELECT substr(url, 1, length(url) - 1) || 'x' "
+        "FROM eb WHERE doc_id % 11 = 7)), "
+        # SymSpell delete-1 blocking replayed: i = 0 keeps the URL
+        # itself, i >= 1 deletes char i
+        "ev AS (SELECT DISTINCT url, CASE WHEN i = 0 THEN url "
+        "ELSE substr(url, 1, i - 1) || substr(url, i + 1) END AS sig "
+        "FROM (SELECT url, unnest(range(0, length(url) + 1)) AS i "
+        "FROM eu)), "
+        "ec AS (SELECT DISTINCT a.url AS url_a, b.url AS url_b "
+        "FROM ev a JOIN ev b ON a.sig = b.sig AND a.url < b.url) "
+        "SELECT url_a, url_b, CAST(1 AS BIGINT) AS ed FROM ec "
+        "WHERE levenshtein(url_a, url_b) = 1 ORDER BY 1, 2")
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
     # round-4 corpus profiling / novelty / containment family
     "charclass_profile": _charclass_oracle_sql(),
@@ -7628,6 +7806,8 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "cdc_merge_stats": _cdc_merge_oracle_sql(),
     # KMV set sketch: every sketch value recomputed via the hash CTE
     "kmv_source_jaccard": _kmv_oracle_sql(),
+    # SymSpell ed-1 blocking replayed + exact levenshtein verify
+    "url_edit_pairs": _url_edit_oracle_sql(),
     # unigram surprisal in whole bits: exact integer floor-log2
     "surprisal_bits": _surprisal_oracle_sql(),
     # Simpson collision-probability diversity, one final exact float
