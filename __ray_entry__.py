@@ -430,6 +430,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "kmv_source_jaccard": qt.q_kmv_source_jaccard,
         # SymSpell-blocked fuzzy URL dedup (exact ed-1 pairs)
         "url_edit_pairs": qt.q_url_edit_pairs,
+        # JL ±1 random projection distortion audit (integer-exact)
+        "jl_projection_audit": qt.q_jl_projection_audit,
     }
 
 

@@ -7719,6 +7719,146 @@ def _url_edit_oracle_sql() -> str:
         "WHERE levenshtein(url_a, url_b) = 1 ORDER BY 1, 2")
 
 
+JL_DOUT = 16    # JL target dimensionality
+_JL_SIGNS: dict[int, np.ndarray] = {}
+
+
+def _jl_signs(dim: int) -> np.ndarray:
+    """±1 JL sign matrix (dim × JL_DOUT), entry (d, j) = +1 iff
+    splitmix64(d·JL_DOUT + j + 1) is odd — deterministic, tiny, and
+    recomputable in SQL via the splitmix64 chained-CTE mirror."""
+    m = _JL_SIGNS.get(dim)
+    if m is None:
+        from ..functions.hashing import splitmix64_np
+        x = np.arange(dim * JL_DOUT, dtype=np.uint64) + np.uint64(1)
+        bits = splitmix64_np(x) & np.uint64(1)
+        m = np.where(bits.reshape(dim, JL_DOUT).astype(np.int64) == 1,
+                     np.int64(1), np.int64(-1))
+        _JL_SIGNS[dim] = m
+    return m
+
+
+def q_jl_projection_audit(sf_dir: str):
+    """JOHNSON-LINDENSTRAUSS ±1 RANDOM PROJECTION audit (Achlioptas'
+    database-friendly JL, the dimensionality-reduction primitive ANN /
+    clustering pipelines run before distance computations): project
+    the e3-quantized embeddings D→16 with a deterministic ±1 sign
+    matrix (splitmix64 parity — SQL-replayable) and report, per label,
+    how well projected squared norms track originals: n_vecs,
+    Σ‖proj‖² and Σ‖q‖² (exact int64), the aggregate distortion
+    Σ‖proj‖² / (16·Σ‖q‖²) (expected 1 under JL), and the per-vector
+    ratio extremes. Integer matmul end-to-end; the three floats are
+    single final IEEE divisions over exact ints, the identical
+    expression both engines.
+
+    Scale shape: zero-shuffle — one streaming map_batches pass; each
+    batch emits labels×7 partial rows (sums merge by +, extrema by
+    min/max) and the sign matrix is a module-level constant (dim×16
+    ints), not shipped per batch. Overflow asserted at the partial.
+    ORACLE-CHECKED bit-for-bit."""
+    from ..stages.simsearch import _to_matrix, quantize_e3
+    ds = read_table(sf_dir, "embeddings", columns=["embedding",
+                                                   "label"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        q = quantize_e3(_to_matrix(batch["embedding"])) \
+            .astype(np.int64)
+        s = _jl_signs(q.shape[1])
+        # |proj_j| <= dim·max|q| → proj² bound asserted per batch
+        mx = int(np.abs(q).max(initial=0)) * q.shape[1]
+        assert mx * mx * JL_DOUT * max(len(lab), 1) < 2 ** 62, \
+            "JL proj2 partial would overflow int64"
+        proj = q @ s
+        proj2 = (proj * proj).sum(axis=1)
+        orig2 = (q * q).sum(axis=1)
+        r = proj2.astype(np.float64) / (
+            16.0 * np.where(orig2 > 0, orig2, 1).astype(np.float64))
+        r = np.where(orig2 > 0, r, 1.0)
+        codes, uniq = pd.factorize(lab)
+        k = len(uniq)
+        n = np.bincount(codes, minlength=k).astype(np.int64)
+        sp = np.zeros(k, np.int64)
+        np.add.at(sp, codes, proj2)
+        so = np.zeros(k, np.int64)
+        np.add.at(so, codes, orig2)
+        rmin = np.full(k, np.inf)
+        np.minimum.at(rmin, codes, r)
+        rmax = np.full(k, -np.inf)
+        np.maximum.at(rmax, codes, r)
+        return pa.table({"label": pa.array(uniq),
+                         "n_vecs": pa.array(n),
+                         "sum_proj2": pa.array(sp),
+                         "sum_orig2": pa.array(so),
+                         "min_ratio": pa.array(rmin),
+                         "max_ratio": pa.array(rmax)})
+
+    pdf = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({
+            "label": pd.Series([], dtype="int64"),
+            "n_vecs": pd.Series([], dtype="int64"),
+            "sum_proj2": pd.Series([], dtype="int64"),
+            "sum_orig2": pd.Series([], dtype="int64"),
+            "distortion": pd.Series([], dtype="float64"),
+            "min_ratio": pd.Series([], dtype="float64"),
+            "max_ratio": pd.Series([], dtype="float64")})
+    # enum-sized (labels × blocks) partials; bit-stable tiny reduce
+    pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+    out = pdf.groupby("label", as_index=False).agg(
+        n_vecs=("n_vecs", "sum"), sum_proj2=("sum_proj2", "sum"),
+        sum_orig2=("sum_orig2", "sum"), min_ratio=("min_ratio", "min"),
+        max_ratio=("max_ratio", "max"))
+    assert int(out["sum_proj2"].max()) < 2 ** 62, "global sum overflow"
+    out["distortion"] = out["sum_proj2"].to_numpy(np.float64) / (
+        16.0 * out["sum_orig2"].to_numpy(np.float64))
+    for c in ("label", "n_vecs", "sum_proj2", "sum_orig2"):
+        out[c] = out[c].astype("int64")
+    out = out[["label", "n_vecs", "sum_proj2", "sum_orig2",
+               "distortion", "min_ratio", "max_ratio"]]
+    return out.sort_values("label").reset_index(drop=True)
+
+
+def _jl_oracle_sql() -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    sign_src = (
+        "SELECT d, j, CAST(d * 16 + j + 1 AS UBIGINT) AS x "
+        "FROM (SELECT CAST(unnest(range(0, len(embedding))) AS BIGINT) "
+        "AS d FROM (SELECT embedding FROM embeddings LIMIT 1)) "
+        f"CROSS JOIN (SELECT unnest(range(0, {JL_DOUT})) AS j)")
+    smcte, smfin = splitmix64_cte(sign_src, "x", "sm",
+                                  carry_cols=("d", "j"),
+                                  prefix="__jl")
+    return (
+        f"{smcte}, "
+        "jsg AS (SELECT d, j, CASE WHEN sm % 2 = 1 THEN 1 ELSE -1 END "
+        f"AS sgn FROM {smfin}), "
+        "jqv AS (SELECT vec_id, CAST(label AS BIGINT) AS label, "
+        "CAST(i - 1 AS BIGINT) AS dim, "
+        "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) "
+        "AS BIGINT) AS q FROM (SELECT vec_id, label, embedding, "
+        "unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)), "
+        "jpr AS (SELECT v.vec_id, v.label, g.j, "
+        "CAST(sum(v.q * g.sgn) AS BIGINT) AS p "
+        "FROM jqv v JOIN jsg g ON g.d = v.dim GROUP BY 1, 2, 3), "
+        "jv AS (SELECT vec_id, label, CAST(sum(p * p) AS BIGINT) "
+        "AS proj2 FROM jpr GROUP BY 1, 2), "
+        "jo AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS orig2 "
+        "FROM jqv GROUP BY 1), "
+        "jr AS (SELECT v.label, v.proj2, o.orig2, "
+        "CASE WHEN o.orig2 > 0 THEN CAST(v.proj2 AS DOUBLE) / "
+        "(16.0 * CAST(o.orig2 AS DOUBLE)) ELSE 1.0 END AS r "
+        "FROM jv v JOIN jo o ON o.vec_id = v.vec_id) "
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, "
+        "CAST(sum(proj2) AS BIGINT) AS sum_proj2, "
+        "CAST(sum(orig2) AS BIGINT) AS sum_orig2, "
+        "CAST(sum(proj2) AS DOUBLE) / "
+        "(16.0 * CAST(sum(orig2) AS DOUBLE)) AS distortion, "
+        "min(r) AS min_ratio, max(r) AS max_ratio "
+        "FROM jr GROUP BY label ORDER BY label")
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
     # round-4 corpus profiling / novelty / containment family
     "charclass_profile": _charclass_oracle_sql(),
@@ -7808,6 +7948,8 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "kmv_source_jaccard": _kmv_oracle_sql(),
     # SymSpell ed-1 blocking replayed + exact levenshtein verify
     "url_edit_pairs": _url_edit_oracle_sql(),
+    # JL ±1 projection: sign matrix replayed via the splitmix mirror
+    "jl_projection_audit": _jl_oracle_sql(),
     # unigram surprisal in whole bits: exact integer floor-log2
     "surprisal_bits": _surprisal_oracle_sql(),
     # Simpson collision-probability diversity, one final exact float
