@@ -432,6 +432,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "url_edit_pairs": qt.q_url_edit_pairs,
         # JL ±1 random projection distortion audit (integer-exact)
         "jl_projection_audit": qt.q_jl_projection_audit,
+        # WARC format gate: Content-Length-framed records round-trip
+        "warc_roundtrip_stats": qt.q_warc_roundtrip_stats,
     }
 
 

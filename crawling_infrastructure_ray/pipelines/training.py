@@ -6795,6 +6795,40 @@ def _source_cosine_oracle_sql() -> str:
 
 JR_SALT = 0x41C9_2E07_BB16_000B  # jsonl round-trip id draw (< 2^63)
 CR_SALT = 0x66A0_1F5D_290C_000C  # csv round-trip id draw (< 2^63)
+WR_SALT = 0x2D83_7A4E_51F0_000D  # warc round-trip id draw (< 2^63)
+
+
+def _parse_warc_batch(batch: pa.Table) -> pa.Table:
+    """Parse whole WARC files (one ``bytes`` row per file from
+    ``read_binary_files``) into document rows. Sequential within a
+    file by WARC's framing; header parse is a dict comprehension over
+    CRLF lines, the body is a Content-Length slice (never scanned)."""
+    import json as _json
+    out = {"doc_id": [], "text": [], "lang": [], "source": [],
+           "n_chars": []}
+    for buf in batch["bytes"].to_pylist():
+        pos = 0
+        n = len(buf)
+        while pos < n:
+            hend = buf.index(b"\r\n\r\n", pos)
+            hdr = {}
+            for line in buf[pos:hend].decode("utf-8").split("\r\n")[1:]:
+                k, _, v = line.partition(": ")
+                hdr[k] = v
+            clen = int(hdr["Content-Length"])
+            body = buf[hend + 4:hend + 4 + clen]
+            out["doc_id"].append(int(
+                hdr["WARC-Record-ID"].rsplit(":", 1)[1].rstrip(">")))
+            out["text"].append(body.decode("utf-8"))
+            out["source"].append(_json.loads(hdr["X-Graft-Source"]))
+            out["lang"].append(_json.loads(hdr["X-Graft-Lang"]))
+            out["n_chars"].append(int(hdr["X-Graft-NChars"]))
+            pos = hend + 4 + clen + 4   # skip body + record CRLFCRLF
+    return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                     "text": pa.array(out["text"], pa.string()),
+                     "lang": pa.array(out["lang"], pa.string()),
+                     "source": pa.array(out["source"], pa.string()),
+                     "n_chars": pa.array(out["n_chars"], pa.int64())})
 
 
 def _roundtrip_stats(sf_dir: str, fmt: str, salt: int):
@@ -6838,15 +6872,38 @@ def _roundtrip_stats(sf_dir: str, fmt: str, salt: int):
         path = os.path.join(root, f"shard_{int(ids.min()):012d}.{fmt}")
         cols = batch.column_names
         rows = zip(*(batch[c].to_pylist() for c in cols))
-        with open(path, "w", encoding="utf-8", newline="") as f:
-            if fmt == "jsonl":
+        if fmt == "warc":
+            # WARC/1.0-style records: CRLF headers, blank line, a
+            # Content-Length-framed utf-8 payload (so ANY text body —
+            # embedded CR/LF/quotes — round-trips byte-exact), two
+            # CRLFs between records. String header values are
+            # JSON-quoted (headers may not contain CR/LF).
+            with open(path, "wb") as f:
                 for row in rows:
-                    f.write(_json.dumps(dict(zip(cols, row)),
-                                        ensure_ascii=False) + "\n")
-            else:
-                wr = _csv.writer(f)   # QUOTE_MINIMAL: quotes iff needed
-                wr.writerow(cols)
-                wr.writerows(rows)
+                    d = dict(zip(cols, row))
+                    body = (d.get("text") or "").encode("utf-8")
+                    hdr = (
+                        "WARC/1.0\r\n"
+                        "WARC-Type: resource\r\n"
+                        f"WARC-Record-ID: <urn:graft:doc:{d['doc_id']}>\r\n"
+                        f"X-Graft-Source: {_json.dumps(d.get('source') or '', ensure_ascii=False)}\r\n"
+                        f"X-Graft-Lang: {_json.dumps(d.get('lang') or '', ensure_ascii=False)}\r\n"
+                        f"X-Graft-NChars: {d['n_chars']}\r\n"
+                        "Content-Type: text/plain\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n")
+                    f.write(hdr.encode("utf-8"))
+                    f.write(body)
+                    f.write(b"\r\n\r\n")
+        else:
+            with open(path, "w", encoding="utf-8", newline="") as f:
+                if fmt == "jsonl":
+                    for row in rows:
+                        f.write(_json.dumps(dict(zip(cols, row)),
+                                            ensure_ascii=False) + "\n")
+                else:
+                    wr = _csv.writer(f)  # QUOTE_MINIMAL
+                    wr.writerow(cols)
+                    wr.writerows(rows)
         return pa.table({"path": pa.array([path]),
                          "n": pa.array([len(batch)], pa.int64())})
 
@@ -6857,6 +6914,14 @@ def _roundtrip_stats(sf_dir: str, fmt: str, salt: int):
     files = sorted(_glob.glob(os.path.join(root, f"*.{fmt}")))
     if fmt == "jsonl":
         back = rd.read_json(files)
+    elif fmt == "warc":
+        # file-parallel WARC parse (the Common Crawl processing
+        # shape: record boundaries are only discoverable sequentially
+        # WITHIN a file via Content-Length jumps — the loop is per
+        # RECORD with O(header)+slice work, the payload is never
+        # scanned; the distribution axis is one task per WARC file)
+        back = rd.read_binary_files(files).map_batches(
+            _parse_warc_batch, batch_format="pyarrow")
     else:
         from pyarrow import csv as pacsv
         back = rd.read_csv(
@@ -6928,6 +6993,19 @@ def q_csv_roundtrip_stats(sf_dir: str):
     newlines/tabs) → parsed-content stats hash-gated against the
     original parquet under an independent salt."""
     return _roundtrip_stats(sf_dir, "csv", CR_SALT)
+
+
+def q_warc_roundtrip_stats(sf_dir: str):
+    """WARC SOURCE-FORMAT GATE — see ``_roundtrip_stats``: the
+    crawl-archive standard (ISO 28500, what Common Crawl ships and
+    the reference's S3 result files stand in for): block-parallel
+    export of Content-Length-framed WARC/1.0-style records → a
+    file-parallel sequential-within-file record parser
+    (``_parse_warc_batch``) → parsed-content stats hash-gated against
+    the original parquet under an independent salt. Exercises binary
+    framing rather than escaping: embedded CR/LF/quotes in the body
+    round-trip byte-exact because the payload is length-framed."""
+    return _roundtrip_stats(sf_dir, "warc", WR_SALT)
 
 
 def _roundtrip_oracle_sql(salt: int) -> str:
@@ -7942,6 +8020,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     # JSONL/CSV export→read-back round-trips, parsed-content gated
     "jsonl_roundtrip_stats": _roundtrip_oracle_sql(JR_SALT),
     "csv_roundtrip_stats": _roundtrip_oracle_sql(CR_SALT),
+    "warc_roundtrip_stats": _roundtrip_oracle_sql(WR_SALT),
     # MERGE/upsert apply: identical change batch replayed in SQL
     "cdc_merge_stats": _cdc_merge_oracle_sql(),
     # KMV set sketch: every sketch value recomputed via the hash CTE
