@@ -434,6 +434,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "jl_projection_audit": qt.q_jl_projection_audit,
         # WARC format gate: Content-Length-framed records round-trip
         "warc_roundtrip_stats": qt.q_warc_roundtrip_stats,
+        # adaptive revisit policy (AIMD fold, recursive-CTE replay)
+        "recrawl_backoff": qa.q_recrawl_backoff,
     }
 
 

@@ -6027,7 +6027,102 @@ def _cusum_oracle_sql(h_mult: int = 8) -> str:
         "FROM m ORDER BY 1, 2")
 
 
+RB_INIT = 60     # initial revisit interval (minutes)
+RB_MIN = 15      # floor after a change (halving clamp)
+RB_MAX = 1440    # ceiling while unchanged (doubling clamp)
+
+
+def q_recrawl_backoff(sf_dir: str):
+    """ADAPTIVE RECRAWL SCHEDULING (the Cho & Garcia-Molina revisit-
+    policy primitive every incremental crawler runs): each user_id
+    stands for a URL and its events for successive re-fetches in ts
+    order (tie-break event_id); a fetch observes content CHANGED iff
+    event_id % 3 == 0 (a deterministic stand-in for a digest diff —
+    both engines derive it identically). The revisit interval is an
+    AIMD-style integer state machine folded over the history:
+    changed → max(15, iv // 2), unchanged → min(1440, iv * 2), from
+    iv = 60. Output per URL: n_obs, n_changed, final_interval and the
+    summed schedule (total minutes of planned waiting) — all exact
+    int64, so the DuckDB twin replays the ENTIRE fold via a recursive
+    CTE and the gate hashes the whole trajectory's end state.
+
+    Scale shape: ONE user-bucket shuffle; the per-bucket fold is
+    vectorized across URLs by observation INDEX (the loop is over the
+    max history LENGTH, each step a full-width numpy select over the
+    k-th observation of every live URL — never a per-row loop)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        codes, uniq = pd.factorize(g["user_id"])
+        changed = (g["event_id"].to_numpy(np.int64) % 3 == 0)
+        k = len(uniq)
+        ln = np.bincount(codes, minlength=k).astype(np.int64)
+        starts = np.cumsum(ln) - ln
+        iv = np.full(k, RB_INIT, np.int64)
+        tot = np.zeros(k, np.int64)
+        for step in range(int(ln.max(initial=0))):
+            act = ln > step
+            idx = starts[act] + step
+            ch = changed[idx]
+            cur = iv[act]
+            niv = np.where(ch, np.maximum(RB_MIN, cur // 2),
+                           np.minimum(RB_MAX, cur * 2))
+            iv[act] = niv
+            tot[act] += niv
+        nch = np.zeros(k, np.int64)
+        np.add.at(nch, codes, changed.astype(np.int64))
+        out = pd.DataFrame({
+            "url_id": pd.Series(uniq, dtype="int64"),
+            "n_obs": ln, "n_changed": nch,
+            "final_interval": iv, "interval_sum": tot})
+        return out
+
+    res = ds.map_batches(_tag_bucket(["user_id"], 32, "_rb"),
+                         batch_format="pyarrow") \
+        .groupby("_rb").map_groups(fold, batch_format="pandas") \
+        .to_pandas()
+    if "_rb" in res.columns:
+        res = res.drop(columns=["_rb"])
+    for c in res.columns:
+        res[c] = res[c].astype("int64")
+    return res.sort_values("url_id").reset_index(drop=True)
+
+
+def _recrawl_oracle_sql() -> str:
+    step = ("CASE WHEN o.changed = 1 "
+            f"THEN greatest({RB_MIN}, s.iv // 2) "
+            f"ELSE least({RB_MAX}, s.iv * 2) END")
+    first = ("CASE WHEN changed = 1 "
+             f"THEN greatest({RB_MIN}, {RB_INIT} // 2) "
+             f"ELSE least({RB_MAX}, {RB_INIT} * 2) END")
+    return (
+        "WITH RECURSIVE rbo AS (SELECT user_id AS url_id, "
+        "CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS changed, "
+        "row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS rn FROM events), "
+        "rbs(url_id, rn, iv, tot) AS ("
+        f"SELECT url_id, 1, {first}, {first} FROM rbo WHERE rn = 1 "
+        f"UNION ALL SELECT o.url_id, o.rn, {step}, s.tot + {step} "
+        "FROM rbs s JOIN rbo o ON o.url_id = s.url_id "
+        "AND o.rn = s.rn + 1), "
+        "rbl AS (SELECT url_id, iv, tot FROM (SELECT *, row_number() "
+        "OVER (PARTITION BY url_id ORDER BY rn DESC) AS rr FROM rbs) "
+        "WHERE rr = 1), "
+        "rba AS (SELECT url_id, CAST(count(*) AS BIGINT) AS n_obs, "
+        "CAST(sum(changed) AS BIGINT) AS n_changed FROM rbo "
+        "GROUP BY 1) "
+        "SELECT a.url_id, a.n_obs, a.n_changed, "
+        "CAST(l.iv AS BIGINT) AS final_interval, "
+        "CAST(l.tot AS BIGINT) AS interval_sum "
+        "FROM rba a JOIN rbl l USING (url_id) ORDER BY a.url_id")
+
+
 ORACLE_SQL: dict[str, str] = {
+    # adaptive revisit policy: the whole AIMD fold replayed via a
+    # recursive CTE
+    "recrawl_backoff": _recrawl_oracle_sql(),
     # CUSUM closed form: running sum + clamped running min windows
     "cusum_alerts": _cusum_oracle_sql(),
     # the shuffle tagger's own oracle: both hash paths recomputed
