@@ -436,6 +436,17 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip_stats": qt.q_warc_roundtrip_stats,
         # adaptive revisit policy (AIMD fold, recursive-CTE replay)
         "recrawl_backoff": qa.q_recrawl_backoff,
+        # ---- r04 session additions: rank-statistics family ----
+        # Mann-Whitney U / ROC-AUC with exact doubled-unit tie ranks
+        "auc_mannwhitney": qa.q_auc_mannwhitney,
+        # two-sample KS distance as an exact rational D*n1*n2
+        "ks_test_value": qa.q_ks_test_value,
+        # Spearman rho over doubled tie-averaged ranks (550-cell table)
+        "spearman_rank_corr": qa.q_spearman_rank_corr,
+        # chi-square independence per cell, exact e6 floors
+        "chi2_type_hour": qa.q_chi2_type_hour,
+        # Gini coefficient of per-customer revenue, exact inner terms
+        "gini_revenue": qa.q_gini_revenue,
     }
 
 

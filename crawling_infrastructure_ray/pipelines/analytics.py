@@ -6119,7 +6119,376 @@ def _recrawl_oracle_sql() -> str:
         "FROM rba a JOIN rbl l USING (url_id) ORDER BY a.url_id")
 
 
+# ----------------------------------------------------------------------
+# rank statistics (Mann-Whitney AUC, Spearman, Kolmogorov-Smirnov,
+# chi-square independence, Gini) — the classifier-evaluation /
+# distribution-shift toolkit a training-data pipeline audits with.
+# All four rank tests exploit that ``value`` is a BOUNDED-PRECISION
+# metric (integer cents): the distinct-value domain is bounded by the
+# value RANGE, not the row count, so the final rank scan is over a
+# range-bounded histogram no matter how many rows streamed in.
+# ----------------------------------------------------------------------
+
+AUC_POS, AUC_NEG = "purchase", "click"
+KS_A, KS_B = "purchase", "error"
+
+
+def _value_type_counts(sf_dir: str, type_a: str, type_b: str) -> pd.DataFrame:
+    """Shared combiner for the two-sample rank tests: per distinct
+    value-cents, how many events of each of the two types carried it.
+    Per-batch (cents, n_a, n_b) partials (zero shuffle) → Ray-side
+    bucketed merge → driver holds only the range-bounded histogram."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["event_type"],
+                        value_set=pa.array([type_a, type_b]))
+        t = batch.filter(mask)
+        if len(t) == 0:
+            return pa.table({"c": pa.array([], pa.int64()),
+                             "n_a": pa.array([], pa.int64()),
+                             "n_b": pa.array([], pa.int64())})
+        c = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(100.0))),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        a = np.asarray(pc.equal(t["event_type"], type_a)
+                       .to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"c": c, "n_a": a.astype(np.int64),
+                           "n_b": (~a).astype(np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby("c", as_index=False).sum(), preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    m = _merge_partials_ray(parts, ["c"], ["n_a", "n_b"]).to_pandas()
+    return m.sort_values("c").reset_index(drop=True)
+
+
+def q_auc_mannwhitney(sf_dir: str):
+    """MANN-WHITNEY U / ROC-AUC of ``value`` separating purchase
+    (positive) from click (negative) events, with EXACT average-tie
+    rank handling: all rank arithmetic in DOUBLED integer units
+    (2x the tie-averaged rank sum is always an integer), so
+    U·2 is an exact int in both engines and the only float is the
+    final int→double divide (round-to-nearest-even both sides).
+    R1·2 = Σ_v n_a(v)·(2·C_before(v) + t(v) + 1) over distinct values.
+
+    Scale shape: per-batch combiner → Ray bucketed merge → driver
+    scan over the range-bounded cents histogram (Python-int
+    accumulation — arbitrary precision, no overflow cliff)."""
+    m = _value_type_counts(sf_dir, AUC_POS, AUC_NEG)
+    na = m["n_a"].to_numpy(np.int64)
+    nb = m["n_b"].to_numpy(np.int64)
+    t = na + nb
+    cb = np.concatenate([[0], np.cumsum(t)[:-1]])
+    r1_x2 = sum(int(p) * (2 * int(c) + int(tt) + 1)
+                for p, c, tt in zip(na, cb, t) if p)
+    n1, n2 = int(na.sum()), int(nb.sum())
+    u_x2 = r1_x2 - n1 * (n1 + 1)
+    assert abs(u_x2) < 2 ** 62, "AUC doubled-U overflow: widen dtype"
+    auc = float(u_x2) / float(2 * n1 * n2)
+    return pd.DataFrame({"n_pos": pd.Series([n1], dtype="int64"),
+                         "n_neg": pd.Series([n2], dtype="int64"),
+                         "u_x2": pd.Series([u_x2], dtype="int64"),
+                         "auc": [auc]})
+
+
+def _auc_oracle_sql() -> str:
+    return (
+        "WITH au_f AS (SELECT CAST(round(value * 100) AS BIGINT) AS c, "
+        f"CASE WHEN event_type = '{AUC_POS}' THEN 1 ELSE 0 END AS p "
+        f"FROM events WHERE event_type IN ('{AUC_POS}', '{AUC_NEG}')), "
+        "au_g AS (SELECT c, CAST(sum(p) AS BIGINT) AS np, "
+        "CAST(count(*) - sum(p) AS BIGINT) AS nn FROM au_f GROUP BY c), "
+        "au_w AS (SELECT np, nn, np + nn AS t, "
+        "CAST(coalesce(sum(np + nn) OVER (ORDER BY c ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS cb "
+        "FROM au_g), "
+        "au_s AS (SELECT CAST(sum(CAST(np AS HUGEINT) * "
+        "(2 * cb + t + 1)) AS HUGEINT) AS r1x2, "
+        "CAST(sum(np) AS HUGEINT) AS n1, "
+        "CAST(sum(nn) AS HUGEINT) AS n2 FROM au_w) "
+        "SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n2 AS BIGINT) AS n_neg, "
+        "CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u_x2, "
+        "CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / "
+        "CAST(2 * n1 * n2 AS DOUBLE) AS auc FROM au_s")
+
+
+def q_ks_test_value(sf_dir: str):
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV distance between the value
+    distributions of purchase vs error events, as an EXACT RATIONAL:
+    D·n1·n2 = max_v |C1(v)·n2 − C2(v)·n1| is an integer (the ECDFs
+    only step at distinct cents values, so the max over the histogram
+    scan IS the sup over the real line). The only float is the final
+    d_num/(n1·n2) divide, identical int→double both engines.
+
+    Scale shape: same combiner + range-bounded histogram scan as the
+    AUC; driver work is O(distinct cents)."""
+    m = _value_type_counts(sf_dir, KS_A, KS_B)
+    ca = np.cumsum(m["n_a"].to_numpy(np.int64))
+    cbn = np.cumsum(m["n_b"].to_numpy(np.int64))
+    n1, n2 = int(ca[-1]) if len(ca) else 0, int(cbn[-1]) if len(cbn) else 0
+    d_num = max((abs(int(a) * n2 - int(b) * n1)
+                 for a, b in zip(ca, cbn)), default=0)
+    assert d_num < 2 ** 62, "KS numerator overflow: widen dtype"
+    ks = float(d_num) / float(n1 * n2)
+    return pd.DataFrame({"n_a": pd.Series([n1], dtype="int64"),
+                         "n_b": pd.Series([n2], dtype="int64"),
+                         "d_num": pd.Series([d_num], dtype="int64"),
+                         "ks_stat": [ks]})
+
+
+def _ks_oracle_sql() -> str:
+    return (
+        "WITH ks_f AS (SELECT CAST(round(value * 100) AS BIGINT) AS c, "
+        f"CASE WHEN event_type = '{KS_A}' THEN 1 ELSE 0 END AS a "
+        f"FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')), "
+        "ks_g AS (SELECT c, CAST(sum(a) AS BIGINT) AS na, "
+        "CAST(count(*) - sum(a) AS BIGINT) AS nb FROM ks_f GROUP BY c), "
+        "ks_w AS (SELECT "
+        "CAST(sum(na) OVER (ORDER BY c) AS HUGEINT) AS ca, "
+        "CAST(sum(nb) OVER (ORDER BY c) AS HUGEINT) AS cb FROM ks_g), "
+        "ks_n AS (SELECT CAST(sum(na) AS HUGEINT) AS n1, "
+        "CAST(sum(nb) AS HUGEINT) AS n2 FROM ks_g), "
+        "ks_d AS (SELECT max(abs(ca * (SELECT n2 FROM ks_n) - "
+        "cb * (SELECT n1 FROM ks_n))) AS d FROM ks_w) "
+        "SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b, "
+        "CAST(d AS BIGINT) AS d_num, "
+        "CAST(d AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks_stat "
+        "FROM ks_n CROSS JOIN ks_d")
+
+
+def q_spearman_rank_corr(sf_dir: str):
+    """SPEARMAN RANK CORRELATION between l_quantity and l_discount
+    with exact average-tie ranks: both domains are schema-bounded
+    (50 quantities × 11 discount steps), so tie-averaged ranks come
+    from the marginal counts of a 550-cell contingency table. Ranks
+    in DOUBLED units (integers even at ties), Pearson over the
+    doubled ranks in arbitrary-precision ints (HUGEINT twin), only
+    the final sqrt/divide in float — the pearson_corr recipe applied
+    to ranks.
+
+    Scale shape: per-batch (q, d) count combiner, zero shuffle,
+    enum-sized driver merge."""
+    import math
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_quantity", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(batch["l_quantity"]), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        d = pc.cast(pc.round(pc.multiply(batch["l_discount"],
+                                         pa.scalar(100.0))),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"q": q, "d": d, "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["q", "d"], as_index=False).sum(),
+            preserve_index=False)
+
+    cells = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["q", "d"], ["n"])
+
+    def doubled_ranks(marg: pd.Series) -> dict[int, int]:
+        # tie-averaged rank of value v, doubled: 2·C_before + cnt + 1
+        marg = marg.sort_index()
+        cb = marg.cumsum().shift(fill_value=0)
+        return {int(v): 2 * int(cb[v]) + int(marg[v]) + 1
+                for v in marg.index}
+
+    rq = doubled_ranks(cells.groupby("q")["n"].sum())
+    rd_ = doubled_ranks(cells.groupby("d")["n"].sum())
+    n = sx = sy = sxy = sxx = syy = 0
+    for _, row in cells.iterrows():
+        cnt, x, y = int(row["n"]), rq[int(row["q"])], rd_[int(row["d"])]
+        n += cnt
+        sx += cnt * x
+        sy += cnt * y
+        sxy += cnt * x * y
+        sxx += cnt * x * x
+        syy += cnt * y * y
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    rho = 0.0 if vx <= 0 or vy <= 0 else \
+        float(num) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+    return pd.DataFrame({"n": pd.Series([n], dtype="int64"),
+                         "rho": [rho]})
+
+
+def _spearman_oracle_sql() -> str:
+    return (
+        "WITH sp_v AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q, "
+        "CAST(round(l_discount * 100) AS BIGINT) AS d FROM lineitem), "
+        # doubled tie-averaged ranks from the marginals
+        "sp_rq AS (SELECT q, CAST(2 * (coalesce(sum(cnt) OVER (ORDER "
+        "BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) "
+        "+ cnt + 1 AS HUGEINT) AS x FROM (SELECT q, count(*) AS cnt "
+        "FROM sp_v GROUP BY q)), "
+        "sp_rd AS (SELECT d, CAST(2 * (coalesce(sum(cnt) OVER (ORDER "
+        "BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) "
+        "+ cnt + 1 AS HUGEINT) AS y FROM (SELECT d, count(*) AS cnt "
+        "FROM sp_v GROUP BY d)), "
+        "sp_j AS (SELECT x, y FROM sp_v v JOIN sp_rq USING (q) "
+        "JOIN sp_rd USING (d)), "
+        "sp_s AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+        "sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, "
+        "sum(x * x) AS sxx, sum(y * y) AS syy FROM sp_j), "
+        "sp_t AS (SELECT n, n * sxy - sx * sy AS num, "
+        "n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy FROM sp_s) "
+        "SELECT CAST(n AS BIGINT) AS n, "
+        "CASE WHEN vx <= 0 OR vy <= 0 THEN 0.0 ELSE "
+        "CAST(num AS DOUBLE) / (sqrt(CAST(vx AS DOUBLE)) * "
+        "sqrt(CAST(vy AS DOUBLE))) END AS rho FROM sp_t")
+
+
+def q_chi2_type_hour(sf_dir: str):
+    """CHI-SQUARE TEST OF INDEPENDENCE between event_type and
+    hour-of-day, per cell, ENTIRELY IN INTEGERS: the per-cell
+    statistic (O−E)²/E = (O·N − R·C)² / (N·R·C) is emitted as an
+    exact e6 floor — (O·N − R·C)²·10⁶ // (N·R·C) — computed in
+    arbitrary-precision ints (HUGEINT twin), so no float ever enters
+    the gate. Zero cells of the full type × hour grid are included
+    (they carry E > 0 and contribute R·C²·10⁶-scale mass).
+
+    Scale shape: enum × 24 contingency combiner, zero shuffle, tiny
+    driver merge; the statistic is O(cells) driver arithmetic."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hr = (us // 3_600_000_000) % 24
+        df = pd.DataFrame({"event_type": batch["event_type"]
+                           .to_numpy(zero_copy_only=False),
+                           "hour": hr.astype(np.int64), "o": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "hour"], as_index=False).sum(),
+            preserve_index=False)
+
+    cells = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hour"], ["o"])
+    r = {k: int(v) for k, v in
+         cells.groupby("event_type")["o"].sum().items()}
+    c = {int(k): int(v) for k, v in
+         cells.groupby("hour")["o"].sum().items()}
+    n = sum(r.values())
+    obs = {(t, int(h)): int(o) for t, h, o in
+           zip(cells["event_type"], cells["hour"], cells["o"])}
+    rows = []
+    for t in sorted(r):
+        for h in sorted(c):
+            o = obs.get((t, h), 0)
+            num = (o * n - r[t] * c[h]) ** 2 * 10 ** 6
+            den = n * r[t] * c[h]
+            chi2_e6 = num // den
+            assert chi2_e6 < 2 ** 62, "chi2 e6 overflow: drop to e3"
+            rows.append((t, h, o, chi2_e6))
+    out = pd.DataFrame(rows, columns=["event_type", "hour", "o",
+                                      "chi2_e6"])
+    for col in ["hour", "o", "chi2_e6"]:
+        out[col] = out[col].astype("int64")
+    return out
+
+
+def _chi2_oracle_sql() -> str:
+    return (
+        "WITH c2_e AS (SELECT event_type, "
+        "CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hr "
+        "FROM events), "
+        "c2_c AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS o "
+        "FROM c2_e GROUP BY 1, 2), "
+        "c2_r AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS rt "
+        "FROM c2_e GROUP BY 1), "
+        "c2_h AS (SELECT hr, CAST(count(*) AS HUGEINT) AS ch "
+        "FROM c2_e GROUP BY 1), "
+        "c2_n AS (SELECT CAST(count(*) AS HUGEINT) AS nn FROM c2_e), "
+        "c2_x AS (SELECT r.event_type, h.hr, "
+        "CAST(coalesce(c.o, 0) AS HUGEINT) AS o, r.rt, h.ch "
+        "FROM c2_r r CROSS JOIN c2_h h LEFT JOIN c2_c c "
+        "ON c.event_type = r.event_type AND c.hr = h.hr) "
+        "SELECT event_type, hr AS hour, CAST(o AS BIGINT) AS o, "
+        "CAST(((o * nn - rt * ch) * (o * nn - rt * ch) * 1000000) "
+        "// (nn * rt * ch) AS BIGINT) AS chi2_e6 "
+        "FROM c2_x CROSS JOIN c2_n ORDER BY 1, 2")
+
+
+def q_gini_revenue(sf_dir: str):
+    """GINI COEFFICIENT of per-customer order revenue (the inequality
+    summary a crawl-budget allocator reads before rebalancing):
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over rank-sorted totals.
+    Tie blocks make Σ i·x order-invariant, so row_number semantics
+    are deterministic; all inner terms exact ints (Python bigint /
+    HUGEINT), final float is one int→double divide.
+
+    Scale shape: per-customer totals via Ray bucketed merge
+    (distributed), then a DISTINCT-TOTALS histogram (second bucketed
+    merge) — the driver scan is over distinct cent-totals, which
+    integer cents compress far below row count; at 10⁸+ customers
+    with near-unique totals, swap the final scan for a distributed
+    sort + per-block offset pass (same formula)."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"],
+                                             pa.scalar(100.0))),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"o_custkey": batch["o_custkey"]
+                           .to_numpy(zero_copy_only=False), "x": cents})
+        return pa.Table.from_pandas(
+            df.groupby("o_custkey", as_index=False).sum(),
+            preserve_index=False)
+
+    totals = _merge_partials_ray(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], ["x"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"x": batch["x"]
+                           .to_numpy(zero_copy_only=False), "cnt": 1})
+        return pa.Table.from_pandas(
+            df.groupby("x", as_index=False).sum(), preserve_index=False)
+
+    hist = _merge_partials_ray(
+        totals.map_batches(hist_partial, batch_format="pyarrow"),
+        ["x"], ["cnt"]).to_pandas().sort_values("x") \
+        .reset_index(drop=True)
+    n = s1 = sx = 0
+    for v, cnt in zip(hist["x"], hist["cnt"]):
+        v, cnt = int(v), int(cnt)
+        s1 += v * (cnt * n + cnt * (cnt + 1) // 2)
+        n += cnt
+        sx += v * cnt
+    gini = float(2 * s1 - (n + 1) * sx) / float(n * sx)
+    return pd.DataFrame({"n_customers": pd.Series([n], dtype="int64"),
+                         "total_cents": pd.Series([sx], dtype="int64"),
+                         "gini": [gini]})
+
+
+def _gini_oracle_sql() -> str:
+    return (
+        "WITH gi_t AS (SELECT o_custkey, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS x FROM orders GROUP BY 1), "
+        "gi_r AS (SELECT x, CAST(row_number() OVER (ORDER BY x) "
+        "AS HUGEINT) AS i FROM gi_t), "
+        "gi_s AS (SELECT CAST(sum(CAST(x AS HUGEINT) * i) AS HUGEINT) "
+        "AS s1, CAST(count(*) AS HUGEINT) AS n, "
+        "CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx FROM gi_r) "
+        "SELECT CAST(n AS BIGINT) AS n_customers, "
+        "CAST(sx AS BIGINT) AS total_cents, "
+        "CAST(2 * s1 - (n + 1) * sx AS DOUBLE) / "
+        "CAST(n * sx AS DOUBLE) AS gini FROM gi_s")
+
+
 ORACLE_SQL: dict[str, str] = {
+    # rank-statistics family: exact integer rank arithmetic, one
+    # final int->double divide
+    "auc_mannwhitney": _auc_oracle_sql(),
+    "ks_test_value": _ks_oracle_sql(),
+    "spearman_rank_corr": _spearman_oracle_sql(),
+    "chi2_type_hour": _chi2_oracle_sql(),
+    "gini_revenue": _gini_oracle_sql(),
     # adaptive revisit policy: the whole AIMD fold replayed via a
     # recursive CTE
     "recrawl_backoff": _recrawl_oracle_sql(),
