@@ -447,6 +447,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "chi2_type_hour": qa.q_chi2_type_hour,
         # Gini coefficient of per-customer revenue, exact inner terms
         "gini_revenue": qa.q_gini_revenue,
+        # local clustering coefficient (exact e6) over the host graph
+        "host_clustering": qt.q_host_clustering,
+        # common-neighbor Jaccard link prediction (non-adjacent pairs)
+        "link_prediction": qt.q_link_prediction,
     }
 
 

@@ -1665,6 +1665,7 @@ def _pagerank_oracle_sql(iters: int = 5, damping_e2: int = 85) -> str:
 
 
 HC_SALT = 0x3C0A_11E5_77E0_0006  # components edge draw (< 2^63)
+LP_SALT = 0x3C0A_11E5_77E0_0016  # link-prediction short-step draw
 
 
 def q_host_components(sf_dir: str):
@@ -2689,38 +2690,153 @@ def q_host_triangles(sf_dir: str):
                          "n_triangles": tri.astype(np.int64)})
 
 
-def _host_triangles_oracle_sql() -> str:
+def _host_edges_ctes(prefix: str, salt: int = HC_SALT,
+                     step_sql: str =
+                     "4 * (1 + CAST(d.h % 8 AS BIGINT))") -> str:
+    """Shared WITH-fragment for a deterministic undirected host graph
+    (splitmix edge draw, as components / triangles / clustering /
+    link prediction use): defines ``{p}s`` (node, idx), ``{p}e``
+    (both-direction distinct edge set, self-loops excluded) and
+    ``{p}d`` (degree per node). ``step_sql`` is the ring-step
+    expression over the draw ``d.h``."""
     from ..functions.sqlmirror import splitmix64_cte
+    p = prefix
     w, c = splitmix64_cte(
         "SELECT doc_id, source FROM documents",
-        f"xor(CAST(doc_id AS UBIGINT), CAST({HC_SALT} AS UBIGINT))",
-        "h", carry_cols=("doc_id", "source"), prefix="ht_")
+        f"xor(CAST(doc_id AS UBIGINT), CAST({salt} AS UBIGINT))",
+        "h", carry_cols=("doc_id", "source"), prefix=p)
     return w + (
-        ", ht_s AS (SELECT source AS node, CAST(row_number() OVER "
+        f", {p}s AS (SELECT source AS node, CAST(row_number() OVER "
         "(ORDER BY source) - 1 AS BIGINT) AS idx FROM "
         "(SELECT DISTINCT source FROM documents)), "
-        "ht_n AS (SELECT count(*) AS n FROM ht_s), "
-        f"ht_e0 AS (SELECT DISTINCT s1.node AS src, s2.node AS dst "
-        f"FROM {c} d JOIN ht_s s1 ON s1.node = d.source "
-        "JOIN ht_s s2 ON s2.idx = (s1.idx + 4 * (1 + "
-        "CAST(d.h % 8 AS BIGINT))) % (SELECT n FROM ht_n) "
+        f"{p}n AS (SELECT count(*) AS n FROM {p}s), "
+        f"{p}e0 AS (SELECT DISTINCT s1.node AS src, s2.node AS dst "
+        f"FROM {c} d JOIN {p}s s1 ON s1.node = d.source "
+        f"JOIN {p}s s2 ON s2.idx = (s1.idx + {step_sql}"
+        f") % (SELECT n FROM {p}n) "
         "WHERE s1.node <> s2.node), "
-        "ht_e AS (SELECT src, dst FROM ht_e0 "
-        "UNION SELECT dst, src FROM ht_e0), "
-        "ht_t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c_ "
+        f"{p}e AS (SELECT src, dst FROM {p}e0 "
+        f"UNION SELECT dst, src FROM {p}e0), "
+        f"{p}d AS (SELECT src AS node, CAST(count(*) AS BIGINT) "
+        f"AS degree FROM {p}e GROUP BY 1)")
+
+
+def _host_triangles_oracle_sql() -> str:
+    return _host_edges_ctes("ht_") + (
+        ", ht_t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c_ "
         "FROM ht_e e1 JOIN ht_e e2 ON e2.src = e1.dst "
         "JOIN ht_e e3 ON e3.src = e2.dst AND e3.dst = e1.src "
         "WHERE e1.src < e1.dst AND e1.dst < e2.dst), "
         "ht_m AS (SELECT a AS node FROM ht_t UNION ALL "
         "SELECT b FROM ht_t UNION ALL SELECT c_ FROM ht_t), "
         "ht_c AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles "
-        "FROM ht_m GROUP BY 1), "
-        "ht_d AS (SELECT src AS node, CAST(count(*) AS BIGINT) "
-        "AS degree FROM ht_e GROUP BY 1) "
+        "FROM ht_m GROUP BY 1) "
         "SELECT s.node AS source, coalesce(d.degree, 0) AS degree, "
         "coalesce(t.n_triangles, 0) AS n_triangles FROM ht_s s "
         "LEFT JOIN ht_d d ON d.node = s.node "
         "LEFT JOIN ht_c t ON t.node = s.node ORDER BY 1")
+
+
+def q_host_clustering(sf_dir: str):
+    """LOCAL CLUSTERING COEFFICIENT per node — cc = 2·tri/(deg·(deg−1))
+    as an EXACT e6 floor (integer both engines; deg < 2 defined 0) —
+    the density summary on top of the triangle counts. Same scale
+    split as the graph siblings: distributed distinct-edge combiner,
+    config-sized node domain on the driver BY ASSUMPTION (web-scale
+    swaps in the per-edge wedge join)."""
+    t = q_host_triangles(sf_dir)
+    deg = t["degree"].to_numpy(np.int64)
+    tri = t["n_triangles"].to_numpy(np.int64)
+    den = deg * (deg - 1)
+    cc = np.where(den > 0, 2 * tri * 1_000_000 // np.maximum(den, 1), 0)
+    out = t.copy()
+    out["cc_e6"] = cc.astype(np.int64)
+    return out
+
+
+def _host_clustering_oracle_sql() -> str:
+    base = _host_triangles_oracle_sql().replace("ht_", "hcc_")
+    return (
+        f"WITH hcc_base AS ({base}) "
+        "SELECT source, degree, n_triangles, "
+        "CASE WHEN degree < 2 THEN CAST(0 AS BIGINT) ELSE "
+        "CAST((2 * n_triangles * 1000000) // (degree * (degree - 1)) "
+        "AS BIGINT) END AS cc_e6 FROM hcc_base ORDER BY source")
+
+
+def q_link_prediction(sf_dir: str):
+    """LINK PREDICTION by common-neighbor Jaccard: for every
+    NON-adjacent unordered pair (a < b) with ≥1 common neighbor,
+    emit |N(a)∩N(b)| and the Jaccard score over neighbor sets as an
+    exact e6 floor — cn·10⁶ // (deg_a + deg_b − cn) (non-adjacent, so
+    the union has no shared-edge correction). The recommender-style
+    "which hosts should link next" statistic; scores are candidate
+    crawl edges. Uses its OWN short-step edge draw (ring step
+    1 + h%4 under LP_SALT): the component siblings' step-4 draw makes
+    every mod-4 residue class complete, which would leave no
+    non-adjacent pair with a common neighbor (a vacuous gate).
+    Driver computes from the dense S×S adjacency (config-sized node
+    domain BY ASSUMPTION, as the graph siblings); web-scale is the
+    standard neighbor-list self-join, which the SQL twin spells
+    out."""
+    from ..stages.sampling import row_hash
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    parts = ds.map_batches(
+        lambda t: pa.table({"source": pc.unique(t["source"])}),
+        batch_format="pyarrow").to_pandas()
+    nodes = sorted(set(parts["source"]))
+    S = len(nodes)
+    idx = {s: i for i, s in enumerate(nodes)}
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        h = row_hash(batch["doc_id"], LP_SALT)
+        step = 1 + (h % np.uint64(4)).astype(np.int64)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        u_idx = np.fromiter((idx[u] for u in uniq), np.int64, len(uniq))
+        si = u_idx[codes]
+        di = (si + step) % S
+        u = np.unique(si * S + di)
+        return pa.table({"si": pa.array((u // S).astype(np.int64)),
+                         "di": pa.array((u % S).astype(np.int64))})
+
+    edges = (ds.map_batches(edge_partials, batch_format="pyarrow")
+             .to_pandas().drop_duplicates())
+    a = edges["si"].to_numpy(np.int64)
+    b = edges["di"].to_numpy(np.int64)
+    keep = a != b
+    A = np.zeros((S, S), dtype=np.int64)
+    A[a[keep], b[keep]] = 1
+    A |= A.T
+    deg = A.sum(axis=1)
+    C = A @ A  # common-neighbor counts
+    ia, ib = np.nonzero(np.triu(C, 1) * (1 - A))
+    cn = C[ia, ib]
+    union = deg[ia] + deg[ib] - cn
+    out = pd.DataFrame({
+        "src_a": [nodes[i] for i in ia],
+        "src_b": [nodes[i] for i in ib],
+        "n_common": cn.astype(np.int64),
+        "jaccard_e6": (cn * 1_000_000 // union).astype(np.int64)})
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+def _link_prediction_oracle_sql() -> str:
+    return _host_edges_ctes(
+        "lp_", salt=LP_SALT,
+        step_sql="1 + CAST(d.h % 4 AS BIGINT)") + (
+        ", lp_cn AS (SELECT ea.src AS a, eb.src AS b, "
+        "CAST(count(*) AS BIGINT) AS cn "
+        "FROM lp_e ea JOIN lp_e eb ON eb.dst = ea.dst "
+        "AND ea.src < eb.src GROUP BY 1, 2), "
+        "lp_f AS (SELECT c.a, c.b, c.cn FROM lp_cn c "
+        "LEFT JOIN lp_e j ON j.src = c.a AND j.dst = c.b "
+        "WHERE j.src IS NULL) "
+        "SELECT f.a AS src_a, f.b AS src_b, f.cn AS n_common, "
+        "CAST((f.cn * 1000000) // (da.degree + db.degree - f.cn) "
+        "AS BIGINT) AS jaccard_e6 FROM lp_f f "
+        "JOIN lp_d da ON da.node = f.a "
+        "JOIN lp_d db ON db.node = f.b ORDER BY 1, 2")
 
 
 def q_text_normalize(sf_dir: str):
@@ -8129,6 +8245,9 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
         "CAST(count(*) AS BIGINT) AS n_vecs "
         "FROM lc_e GROUP BY 1, 2 ORDER BY 1, 2",
     "host_triangles": _host_triangles_oracle_sql(),
+    # clustering coefficient / link prediction over the same edge draw
+    "host_clustering": _host_clustering_oracle_sql(),
+    "link_prediction": _link_prediction_oracle_sql(),
     "boilerplate_stats": _boilerplate_oracle_sql(),
     "source_terms": _source_terms_oracle_sql(),
     "dedup_minhash_pairs": _minhash_pairs_oracle_sql(),

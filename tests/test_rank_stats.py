@@ -186,3 +186,41 @@ def test_gini_multi_order_customers(tmp_path, ray_session):
     out = q_gini_revenue(str(tmp_path)).iloc[0]
     # totals (3, 1) after the per-customer fold
     assert out["n_customers"] == 2 and out["gini"] == 0.25
+
+
+def _write_docs(tmp_path, rows):
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array(["x"] * len(rows), pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "n_chars": pa.array([1] * len(rows), pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_clustering_coefficient_bounds(tmp_path, ray_session):
+    """cc_e6 in [0, 1e6]; deg<2 nodes report 0; a complete triangle
+    (if formed) reports exactly 1e6."""
+    from crawling_infrastructure_ray.pipelines.training import \
+        q_host_clustering
+    rows = [(i, f"s{i % 6}") for i in range(60)]
+    out = q_host_clustering(_write_docs(tmp_path, rows))
+    assert (out["cc_e6"] >= 0).all() and (out["cc_e6"] <= 1_000_000).all()
+    low = out[out["degree"] < 2]
+    assert (low["cc_e6"] == 0).all()
+
+
+def test_link_prediction_excludes_adjacent(tmp_path, ray_session):
+    """Every emitted pair is NON-adjacent under the LP draw, ordered
+    a < b, with >= 1 common neighbor and jaccard_e6 in (0, 1e6]."""
+    from crawling_infrastructure_ray.pipelines.training import \
+        q_link_prediction
+    rows = [(i, f"s{i % 12}") for i in range(240)]
+    out = q_link_prediction(_write_docs(tmp_path, rows))
+    if len(out):
+        assert (out["src_a"] < out["src_b"]).all()
+        assert (out["n_common"] >= 1).all()
+        assert (out["jaccard_e6"] > 0).all()
+        assert (out["jaccard_e6"] <= 1_000_000).all()
