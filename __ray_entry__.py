@@ -451,6 +451,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "host_clustering": qt.q_host_clustering,
         # common-neighbor Jaccard link prediction (non-adjacent pairs)
         "link_prediction": qt.q_link_prediction,
+        # Arrow IPC format gate: binary columnar shard round-trip
+        "ipc_roundtrip_stats": qt.q_ipc_roundtrip_stats,
     }
 
 

@@ -6912,6 +6912,7 @@ def _source_cosine_oracle_sql() -> str:
 JR_SALT = 0x41C9_2E07_BB16_000B  # jsonl round-trip id draw (< 2^63)
 CR_SALT = 0x66A0_1F5D_290C_000C  # csv round-trip id draw (< 2^63)
 WR_SALT = 0x2D83_7A4E_51F0_000D  # warc round-trip id draw (< 2^63)
+IR_SALT = 0x59B1_C6D2_8E34_000E  # arrow-ipc round-trip id draw (< 2^63)
 
 
 def _parse_warc_batch(batch: pa.Table) -> pa.Table:
@@ -6986,6 +6987,14 @@ def _roundtrip_stats(sf_dir: str, fmt: str, salt: int):
                              "n": pa.array([], pa.int64())})
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         path = os.path.join(root, f"shard_{int(ids.min()):012d}.{fmt}")
+        if fmt == "arrow":
+            # Arrow IPC file format: zero-escaping binary columnar
+            # shards (the on-disk twin of the object-store block
+            # format Ray ships between stages)
+            with pa.ipc.new_file(path, batch.schema) as w:
+                w.write_table(batch)
+            return pa.table({"path": pa.array([path]),
+                             "n": pa.array([len(batch)], pa.int64())})
         cols = batch.column_names
         rows = zip(*(batch[c].to_pylist() for c in cols))
         if fmt == "warc":
@@ -7038,6 +7047,15 @@ def _roundtrip_stats(sf_dir: str, fmt: str, salt: int):
         # scanned; the distribution axis is one task per WARC file)
         back = rd.read_binary_files(files).map_batches(
             _parse_warc_batch, batch_format="pyarrow")
+    elif fmt == "arrow":
+        # file-parallel IPC reader: one task per shard, zero-copy
+        # column access once mapped
+        def _parse_ipc(batch: pa.Table) -> pa.Table:
+            outs = [pa.ipc.open_file(pa.BufferReader(buf)).read_all()
+                    for buf in batch["bytes"].to_pylist()]
+            return pa.concat_tables(outs)
+        back = rd.read_binary_files(files).map_batches(
+            _parse_ipc, batch_format="pyarrow")
     else:
         from pyarrow import csv as pacsv
         back = rd.read_csv(
@@ -7122,6 +7140,18 @@ def q_warc_roundtrip_stats(sf_dir: str):
     framing rather than escaping: embedded CR/LF/quotes in the body
     round-trip byte-exact because the payload is length-framed."""
     return _roundtrip_stats(sf_dir, "warc", WR_SALT)
+
+
+def q_ipc_roundtrip_stats(sf_dir: str):
+    """ARROW IPC SOURCE-FORMAT GATE — see ``_roundtrip_stats``: the
+    binary columnar interchange format (what Ray's object store
+    blocks serialize as, and the cheapest shard format for
+    engine-to-engine handoff): block-parallel ``pa.ipc.new_file``
+    export → file-parallel IPC parse → parsed-content stats
+    hash-gated against the original parquet under an independent
+    salt. No escaping surface at all — the gate guards framing,
+    schema fidelity and dtype preservation instead."""
+    return _roundtrip_stats(sf_dir, "arrow", IR_SALT)
 
 
 def _roundtrip_oracle_sql(salt: int) -> str:
@@ -8137,6 +8167,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "jsonl_roundtrip_stats": _roundtrip_oracle_sql(JR_SALT),
     "csv_roundtrip_stats": _roundtrip_oracle_sql(CR_SALT),
     "warc_roundtrip_stats": _roundtrip_oracle_sql(WR_SALT),
+    "ipc_roundtrip_stats": _roundtrip_oracle_sql(IR_SALT),
     # MERGE/upsert apply: identical change batch replayed in SQL
     "cdc_merge_stats": _cdc_merge_oracle_sql(),
     # KMV set sketch: every sketch value recomputed via the hash CTE

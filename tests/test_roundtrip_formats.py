@@ -59,7 +59,8 @@ def hostile_con(hostile_sf):
 
 @pytest.mark.parametrize("name", ["jsonl_roundtrip_stats",
                                   "csv_roundtrip_stats",
-                                  "warc_roundtrip_stats"])
+                                  "warc_roundtrip_stats",
+                                  "ipc_roundtrip_stats"])
 def test_roundtrip_survives_hostile_strings(ray_session, hostile_sf,
                                             hostile_con, name):
     got = entrymod.queries()[name](hostile_sf)
