@@ -453,6 +453,12 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "link_prediction": qt.q_link_prediction,
         # Arrow IPC format gate: binary columnar shard round-trip
         "ipc_roundtrip_stats": qt.q_ipc_roundtrip_stats,
+        # Efraimidis–Spirakis fixed-size weighted sample (top-k keys)
+        "weighted_sample_aes": qt.q_weighted_sample_aes,
+        # Theil–Sen robust trend per user: exact rational median slope
+        "theil_sen_trend": qa.q_theil_sen_trend,
+        # exact integer covariance numerators over embeddings
+        "embedding_covariance": qt.q_embedding_covariance,
     }
 
 

@@ -6412,6 +6412,92 @@ def _chi2_oracle_sql() -> str:
         "FROM c2_x CROSS JOIN c2_n ORDER BY 1, 2")
 
 
+def q_theil_sen_trend(sf_dir: str):
+    """THEIL–SEN ROBUST TREND per user over purchase events: the
+    median of all pairwise slopes (Δcents/Δhours), emitted as the
+    EXACT RATIONAL (med_num, med_den) of the selected pair — no float
+    in the gate. Median selection is fully deterministic both
+    engines: order by (slope as IEEE double, then dy, then dx) and
+    take the lower median; two distinct pairs that collide on all
+    three keys emit identical values. Pairs at equal x (vertical) are
+    excluded, per the standard estimator.
+
+    Scale shape: user-bucketed map_groups; the per-user pair
+    enumeration is quadratic in that user's PURCHASE count, which the
+    event stream bounds at ~tens per user (documented per-group
+    bound — a pathological power user is capped by the groupby
+    bucket, not the driver)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "value", "event_type"])
+
+    def to_xy(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "x": pa.array((us - REGR_EPOCH_US) // 3_600_000_000),
+            "y": pc.cast(pc.round(pc.multiply(t["value"],
+                                              pa.scalar(100.0))),
+                         pa.int64())})
+
+    def med_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for uid, grp in g.groupby("user_id"):
+            order = np.lexsort((grp["y"].to_numpy(np.int64),
+                                grp["x"].to_numpy(np.int64)))
+            x = grp["x"].to_numpy(np.int64)[order]
+            y = grp["y"].to_numpy(np.int64)[order]
+            i, j = np.triu_indices(len(x), 1)
+            keep = x[j] > x[i]
+            if not keep.any():
+                continue
+            dy = y[j][keep] - y[i][keep]
+            dx = x[j][keep] - x[i][keep]
+            slope = dy / dx
+            sel = np.lexsort((dx, dy, slope))[(len(dy) - 1) // 2]
+            outs.append((int(uid), len(dy), int(dy[sel]),
+                         int(dx[sel])))
+        return pd.DataFrame(outs, columns=["user_id", "n_pairs",
+                                           "med_num", "med_den"]) \
+            if outs else pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_pairs": pd.Series([], dtype="int64"),
+                "med_num": pd.Series([], dtype="int64"),
+                "med_den": pd.Series([], dtype="int64")})
+
+    out = (ds.map_batches(to_xy, batch_format="pyarrow")
+           .map_batches(_tag_bucket(["user_id"], 32, "_tsb"),
+                        batch_format="pyarrow")
+           .groupby("_tsb").map_groups(med_bucket, batch_format="pandas")
+           .to_pandas())
+    cols = ["user_id", "n_pairs", "med_num", "med_den"]
+    if out.empty or "user_id" not in out.columns:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    out = out[cols]
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _theil_sen_oracle_sql() -> str:
+    return (
+        "WITH th_e AS (SELECT user_id, "
+        f"(epoch_us(ts) - {REGR_EPOCH_US}) // 3600000000 AS x, "
+        "CAST(round(value * 100) AS BIGINT) AS y FROM events "
+        "WHERE event_type = 'purchase'), "
+        "th_p AS (SELECT a.user_id, b.y - a.y AS dy, b.x - a.x AS dx "
+        "FROM th_e a JOIN th_e b ON b.user_id = a.user_id "
+        "AND b.x > a.x), "
+        "th_r AS (SELECT user_id, dy, dx, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY CAST(dy AS DOUBLE) / dx, "
+        "dy, dx) AS rn, count(*) OVER (PARTITION BY user_id) AS m "
+        "FROM th_p) "
+        "SELECT user_id, CAST(m AS BIGINT) AS n_pairs, "
+        "CAST(dy AS BIGINT) AS med_num, CAST(dx AS BIGINT) AS med_den "
+        "FROM th_r WHERE rn = (m + 1) // 2 ORDER BY user_id")
+
+
 def q_gini_revenue(sf_dir: str):
     """GINI COEFFICIENT of per-customer order revenue (the inequality
     summary a crawl-budget allocator reads before rebalancing):
@@ -6489,6 +6575,8 @@ ORACLE_SQL: dict[str, str] = {
     "spearman_rank_corr": _spearman_oracle_sql(),
     "chi2_type_hour": _chi2_oracle_sql(),
     "gini_revenue": _gini_oracle_sql(),
+    # Theil–Sen robust trend: exact rational median pairwise slope
+    "theil_sen_trend": _theil_sen_oracle_sql(),
     # adaptive revisit policy: the whole AIMD fold replayed via a
     # recursive CTE
     "recrawl_backoff": _recrawl_oracle_sql(),

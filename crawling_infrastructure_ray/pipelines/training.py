@@ -346,6 +346,76 @@ def _pps_oracle_sql() -> str:
         "WHERE CAST(h % 600 AS BIGINT) < n_chars ORDER BY 1")
 
 
+WS_SALT = 0x7A3E_09B4_D512_000F  # A-ES weighted-sample draw (< 2^63)
+AES_K = 64  # fixed sample size
+
+
+def q_weighted_sample_aes(sf_dir: str):
+    """FIXED-SIZE WEIGHTED SAMPLING WITHOUT REPLACEMENT
+    (Efraimidis–Spirakis A-ES): the top-k documents by key
+    ln(u)/w with u = (splitmix64(doc_id ^ salt)→double + 1)/2⁶⁴ and
+    w = n_chars — the distributed one-pass primitive for drawing a
+    length-weighted corpus sample of EXACTLY k docs (pps_sample is
+    its Bernoulli cousin: fixed rate, random size). Deterministic:
+    the draw is the shared splitmix mirror; the uint64→double→ln
+    chain is identical IEEE arithmetic in numpy and DuckDB, and a
+    boundary-separation assert (relative key gap at rank k) makes
+    the selected SET robust to last-ulp libm divergence. Only ids
+    and weights are emitted — no floats in the gate.
+
+    Scale shape: per-batch vectorized key + per-block top-k partial
+    (argpartition), driver merges k·num_blocks candidate rows —
+    O(k) per block, never the corpus."""
+    from ..stages.sampling import row_hash
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        assert (w > 0).all(), "A-ES needs positive weights"
+        h = row_hash(batch["doc_id"], WS_SALT)
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        key = np.log(u) / w
+        if len(ids) > AES_K:
+            top = np.argpartition(-key, AES_K - 1)[:AES_K]
+        else:
+            top = np.arange(len(ids))
+        return pa.table({"doc_id": pa.array(ids[top].astype(np.int64)),
+                         "n_chars": pa.array(w[top]),
+                         "key": pa.array(key[top])})
+
+    cand = ds.map_batches(topk_partial,
+                          batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["key", "doc_id"],
+                            ascending=[False, True]) \
+        .reset_index(drop=True)
+    if len(cand) > AES_K:
+        gap = cand["key"].iloc[AES_K - 1] - cand["key"].iloc[AES_K]
+        scale = max(abs(cand["key"].iloc[AES_K - 1]), 1e-30)
+        assert gap / scale > 1e-9, \
+            "A-ES boundary tie: keys at rank k indistinguishable"
+    out = cand.head(AES_K)[["doc_id", "n_chars"]].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _weighted_sample_oracle_sql() -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    w, c = splitmix64_cte(
+        "SELECT doc_id, n_chars FROM documents",
+        f"xor(CAST(doc_id AS UBIGINT), CAST({WS_SALT} AS UBIGINT))",
+        "h", carry_cols=("doc_id", "n_chars"), prefix="ws_")
+    return w + (
+        f", ws_k AS (SELECT doc_id, n_chars, "
+        "ln((CAST(h AS DOUBLE) + 1.0) / 18446744073709551616.0) "
+        f"/ n_chars AS key FROM {c}), "
+        f"ws_t AS (SELECT doc_id, n_chars FROM ws_k "
+        f"ORDER BY key DESC, doc_id LIMIT {AES_K}) "
+        "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars "
+        "FROM ws_t ORDER BY doc_id")
+
+
 def q_decontaminate(sf_dir: str):
     """Eval-set DECONTAMINATION: remove train-split docs sharing any
     token 8-gram with any test-split doc (the train/benchmark overlap
@@ -6667,6 +6737,77 @@ def q_freq_of_freqs(sf_dir: str):
     return out.sort_values("freq").reset_index(drop=True)
 
 
+def q_embedding_covariance(sf_dir: str):
+    """EXACT EMBEDDING COVARIANCE NUMERATORS (the PCA / whitening
+    prep pass): for every dimension pair i ≤ j, emit
+    cov_num = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ over the e3-quantized vectors
+    (floor(x·1000+0.5), the knn_graph IEEE-stable expression) —
+    exact integers end to end (Python bigint driver merge, HUGEINT
+    twin), so the d(d+1)/2-cell covariance surface is hash-gated
+    with no float epsilon.
+
+    Scale shape: one zero-shuffle combiner — per batch a single
+    int64 Gram matmul qᵀq plus a column sum, emitted as d(d+1)/2+d+1
+    partial rows per block (dimension-bounded, NOT corpus-bounded);
+    driver merges O(d² × blocks) ints. The vectors never move."""
+    from ..stages.simsearch import _to_matrix, quantize_e3
+    from .analytics import _merge_partials
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        q = quantize_e3(_to_matrix(batch["embedding"])).astype(np.int64)
+        n, d = q.shape
+        assert int(np.abs(q).max(initial=0)) ** 2 * max(n, 1) < 2 ** 62, \
+            "gram partial would overflow int64"
+        gram = q.T @ q
+        s = q.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        i = np.concatenate([iu, np.arange(d), [-1]])
+        j = np.concatenate([ju, np.full(d, -1), [-1]])
+        v = np.concatenate([gram[iu, ju], s, [n]])
+        return pa.table({"i": pa.array(i.astype(np.int64)),
+                         "j": pa.array(j.astype(np.int64)),
+                         "v": pa.array(v.astype(np.int64))})
+
+    m = _merge_partials(ds.map_batches(part, batch_format="pyarrow"),
+                        ["i", "j"], ["v"])
+    lut = {(int(a), int(b)): int(c)
+           for a, b, c in zip(m["i"], m["j"], m["v"])}
+    n = lut[(-1, -1)]
+    d = 1 + max(a for a, b in lut if b == -1 and a >= 0)
+    rows = []
+    for i in range(d):
+        for j in range(i, d):
+            cov = n * lut[(i, j)] - lut[(i, -1)] * lut[(j, -1)]
+            assert abs(cov) < 2 ** 62, "cov numerator overflow"
+            rows.append((i, j, n, cov))
+    out = pd.DataFrame(rows, columns=["i", "j", "n_vecs", "cov_num"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _embedding_cov_oracle_sql() -> str:
+    return (
+        "WITH ec_x AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS i, "
+        "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) "
+        "AS BIGINT) AS x FROM (SELECT vec_id, embedding, "
+        "unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)), "
+        "ec_n AS (SELECT CAST(count(*) AS HUGEINT) AS n "
+        "FROM embeddings), "
+        "ec_s AS (SELECT i, CAST(sum(x) AS HUGEINT) AS s "
+        "FROM ec_x GROUP BY 1), "
+        "ec_p AS (SELECT a.i AS i, b.i AS j, "
+        "CAST(sum(a.x * b.x) AS HUGEINT) AS sp FROM ec_x a "
+        "JOIN ec_x b ON b.vec_id = a.vec_id AND b.i >= a.i "
+        "GROUP BY 1, 2) "
+        "SELECT p.i, p.j, CAST(n AS BIGINT) AS n_vecs, "
+        "CAST(n * sp - sa.s * sb.s AS BIGINT) AS cov_num "
+        "FROM ec_p p CROSS JOIN ec_n "
+        "JOIN ec_s sa ON sa.i = p.i JOIN ec_s sb ON sb.i = p.j "
+        "ORDER BY 1, 2")
+
+
 def q_embedding_norm_audit(sf_dir: str):
     """EMBEDDING NORM AUDIT PER LABEL (the drift / collapse check run
     before any ANN build: un-normalized or degenerate vectors break
@@ -8168,6 +8309,10 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "csv_roundtrip_stats": _roundtrip_oracle_sql(CR_SALT),
     "warc_roundtrip_stats": _roundtrip_oracle_sql(WR_SALT),
     "ipc_roundtrip_stats": _roundtrip_oracle_sql(IR_SALT),
+    # A-ES fixed-size weighted sample (ids only; boundary-gap assert)
+    "weighted_sample_aes": _weighted_sample_oracle_sql(),
+    # exact covariance numerators over e3-quantized embeddings
+    "embedding_covariance": _embedding_cov_oracle_sql(),
     # MERGE/upsert apply: identical change batch replayed in SQL
     "cdc_merge_stats": _cdc_merge_oracle_sql(),
     # KMV set sketch: every sketch value recomputed via the hash CTE

@@ -224,3 +224,79 @@ def test_link_prediction_excludes_adjacent(tmp_path, ray_session):
         assert (out["n_common"] >= 1).all()
         assert (out["jaccard_e6"] > 0).all()
         assert (out["jaccard_e6"] <= 1_000_000).all()
+
+
+def test_theil_sen_known_median(tmp_path, ray_session):
+    """User with purchases at (hour,cents) (0,0),(1,2),(2,2):
+    pairwise slopes {2, 1, 0} -> lower median 1 selected as the
+    exact rational (2, 2)."""
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_theil_sen_trend, REGR_EPOCH_US
+    rows = [(0, 0.00), (1, 0.02), (2, 0.02)]
+    t = pa.table({
+        "event_id": pa.array(range(3), pa.int64()),
+        "ts": pa.array([REGR_EPOCH_US + h * 3_600_000_000
+                        for h, _ in rows], pa.timestamp("us")),
+        "user_id": pa.array([7] * 3, pa.int64()),
+        "event_type": pa.array(["purchase"] * 3, pa.string()),
+        "value": pa.array([v for _, v in rows], pa.float64()),
+        "props": pa.array(["{}"] * 3, pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_theil_sen_trend(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["user_id"] == 7 and r["n_pairs"] == 3
+    assert (r["med_num"], r["med_den"]) == (2, 2)
+
+
+def test_theil_sen_vertical_pairs_excluded(tmp_path, ray_session):
+    """Two purchases in the SAME hour contribute no pair; a user with
+    only same-hour events is absent."""
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_theil_sen_trend, REGR_EPOCH_US
+    t = pa.table({
+        "event_id": pa.array([0, 1], pa.int64()),
+        "ts": pa.array([REGR_EPOCH_US + 100, REGR_EPOCH_US + 200],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "event_type": pa.array(["purchase"] * 2, pa.string()),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+        "props": pa.array(["{}"] * 2, pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_theil_sen_trend(str(tmp_path))
+    assert len(out) == 0
+
+
+def test_weighted_sample_small_corpus_returns_all(tmp_path,
+                                                  ray_session):
+    """Corpus smaller than k: every doc is selected, sorted by id."""
+    from crawling_infrastructure_ray.pipelines.training import \
+        q_weighted_sample_aes
+    t = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "n_chars": pa.array([50 + i for i in range(10)], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_weighted_sample_aes(str(tmp_path))
+    assert list(out["doc_id"]) == list(range(10))
+
+
+def test_embedding_covariance_orthonormal(tmp_path, ray_session):
+    """Two axis-aligned unit vectors: cov numerators are (1e6, -1e6,
+    1e6) for cells (0,0), (0,1), (1,1)."""
+    from crawling_infrastructure_ray.pipelines.training import \
+        q_embedding_covariance
+    t = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0], pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = q_embedding_covariance(str(tmp_path)) \
+        .set_index(["i", "j"])["cov_num"]
+    assert out.loc[(0, 0)] == 1_000_000
+    assert out.loc[(0, 1)] == -1_000_000
+    assert out.loc[(1, 1)] == 1_000_000
