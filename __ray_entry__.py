@@ -459,6 +459,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "theil_sen_trend": qa.q_theil_sen_trend,
         # exact integer covariance numerators over embeddings
         "embedding_covariance": qt.q_embedding_covariance,
+        # per-host FIFO politeness schedule, max-plus closed form
+        "politeness_wait_replay": qa.q_politeness_wait_replay,
+        # exact LRU robots/DNS-cache replay via stack distance
+        "lru_cache_stats": qa.q_lru_cache_stats,
     }
 
 

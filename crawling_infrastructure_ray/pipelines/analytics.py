@@ -6567,7 +6567,239 @@ def _gini_oracle_sql() -> str:
         "CAST(n * sx AS DOUBLE) AS gini FROM gi_s")
 
 
+POLITE_REPLAY_T_US = 30_000_000  # 30 s per-host min fetch interval
+POLITE_REPLAY_HOSTS = 64
+
+
+def q_politeness_wait_replay(sf_dir: str):
+    """POLITENESS WAIT-TIME REPLAY: the per-host FIFO min-interval
+    schedule (the semantics the frontier's token buckets enforce with
+    rate = 1/T — reference feedback controller
+    master/src/models/crawltask.model.ts:449-478, our
+    state/politeness.py) replayed EXACTLY over a deterministic claim
+    stream. Claims = events rows, host = user_id % 64, claim time =
+    event ts in µs. Each host serves claims FIFO (by ts, event_id)
+    no closer than T=30 s apart:
+
+        sched_i = max(t_i, sched_{i-1} + T)
+
+    which is max-plus and has the closed form
+    sched_i = i*T + max_{j<=i}(t_j - j*T) — a per-host RUNNING MAX, so
+    both engines compute it with one window/cummax instead of a
+    sequential fold. Output per host: claim count, total/max wait and
+    the schedule end, all exact int64 µs.
+
+    Scale shape: claims are host-bucketed (tag_bucket_fn) so each
+    map_groups bucket holds whole hosts; inside a bucket the fold is
+    a vectorized pandas groupby cummax, never a Python loop."""
+    T = POLITE_REPLAY_T_US
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id"])
+
+    def to_claims(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "host": pa.array(uid % POLITE_REPLAY_HOSTS,
+                             type=pa.int64()),
+            "t": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"]})
+
+    def sched_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["host", "t", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        host = g["host"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        i = g.groupby("host").cumcount().to_numpy(np.int64)
+        mx = pd.Series(t - i * T).groupby(host).cummax() \
+            .to_numpy(np.int64)
+        sched = mx + i * T
+        wait = sched - t
+        out = pd.DataFrame({"host": host, "wait": wait,
+                            "sched": sched})
+        r = out.groupby("host", as_index=False).agg(
+            n_claims=("wait", "size"),
+            total_wait_us=("wait", "sum"),
+            max_wait_us=("wait", "max"),
+            last_sched_us=("sched", "max"))
+        for c in r.columns:
+            r[c] = r[c].astype("int64")
+        return r
+
+    out = (ds.map_batches(to_claims, batch_format="pyarrow")
+           .map_batches(_tag_bucket(["host"], 16, "_pwb"),
+                        batch_format="pyarrow")
+           .groupby("_pwb").map_groups(sched_bucket,
+                                       batch_format="pandas")
+           .to_pandas())
+    cols = ["host", "n_claims", "total_wait_us", "max_wait_us",
+            "last_sched_us"]
+    if out.empty or "host" not in out.columns:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    out = out[cols]
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _politeness_wait_oracle_sql() -> str:
+    T = POLITE_REPLAY_T_US
+    H = POLITE_REPLAY_HOSTS
+    return (
+        f"WITH pw AS (SELECT user_id % {H} AS host, epoch_us(ts) AS t, "
+        "event_id FROM events), "
+        "pr AS (SELECT host, t, row_number() OVER (PARTITION BY host "
+        "ORDER BY t, event_id) - 1 AS i FROM pw), "
+        f"pm AS (SELECT host, t, i, max(t - i * {T}) OVER "
+        "(PARTITION BY host ORDER BY i) AS mx FROM pr), "
+        f"ps AS (SELECT host, t, mx + i * {T} AS sched FROM pm) "
+        "SELECT CAST(host AS BIGINT) AS host, "
+        "CAST(count(*) AS BIGINT) AS n_claims, "
+        "CAST(sum(sched - t) AS BIGINT) AS total_wait_us, "
+        "CAST(max(sched - t) AS BIGINT) AS max_wait_us, "
+        "CAST(max(sched) AS BIGINT) AS last_sched_us "
+        "FROM ps GROUP BY host ORDER BY host")
+
+
+LRU_KEYS = 512
+LRU_CAPS = (16, 64, 256)
+
+
+def q_lru_cache_stats(sf_dir: str):
+    """EXACT LRU CACHE REPLAY (robots/DNS cache sizing — the caches
+    the crawl engine keeps per host, state/politeness.py; reference
+    keeps robots state per task in proxy handlers) via the classic
+    STACK-DISTANCE property (Mattson et al. 1970): access i to key k
+    hits an LRU cache of capacity C iff the number of DISTINCT keys
+    accessed strictly between k's previous access and i is < C —
+    so ONE replay grades every capacity at once, no sequential cache
+    simulation in either engine. Access stream = events ordered by
+    ts (µs timestamps are unique in this corpus — asserted at the
+    index build, so both engines see the same total order); key =
+    user_id % 512 (the host universe). Output: per capacity in
+    {16,64,256}: total accesses, compulsory misses (first touch),
+    capacity misses and hits, all exact int64.
+
+    Dominance form used by both engines: with prev_i = previous
+    access time of key_i (−1 if none), the stack distance is
+    d_i = #{j : prev_i < t_j < t_i and prev_j <= prev_i} — each such
+    j is the FIRST occurrence of its key inside the interval. The
+    oracle computes d_i with one inequality join; the Ray side probes
+    a per-key CSR occurrence index with two vectorized searchsorteds
+    per key (a loop over the 512-key UNIVERSE, not over rows).
+
+    Scale shape: prev is a key-bucketed grouped shift; the occurrence
+    index is O(stream) int64s assembled from streamed blocks and
+    ray.put once — exact replay is the documented ≤10^8-access audit
+    tier, with sampled-stream replay (SHARDS) as the 100-TB path."""
+    K, CAPS = LRU_KEYS, LRU_CAPS
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def to_claims(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(uid % K, type=pa.int64()),
+            "t": batch["ts"].cast(pa.int64())})
+
+    claims = ds.map_batches(to_claims,
+                            batch_format="pyarrow").materialize()
+
+    # occurrence index: per-key sorted access times, CSR layout.
+    # Assembled from streamed blocks (never a full-corpus pandas
+    # frame); one ray.put, zero-copy reads in every probe task.
+    karr, tarr = [], []
+    for b in claims.iter_batches(batch_format="pyarrow",
+                                 batch_size=65536):
+        karr.append(b["k"].to_numpy(zero_copy_only=False))
+        tarr.append(b["t"].to_numpy(zero_copy_only=False))
+    kv = np.concatenate(karr) if karr else np.empty(0, np.int64)
+    tv = np.concatenate(tarr) if tarr else np.empty(0, np.int64)
+    order = np.lexsort((tv, kv))
+    kv, tv = kv[order], tv[order]
+    n_total = len(tv)
+    assert len(np.unique(tv)) == n_total, \
+        "duplicate access timestamps: LRU order undefined"
+    off = np.searchsorted(kv, np.arange(K + 1))
+    idx_ref = ray.put((off, tv))
+
+    def prev_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["k", "t"], kind="mergesort") \
+             .reset_index(drop=True)
+        prev = g.groupby("k")["t"].shift(1).fillna(-1).astype("int64")
+        return pd.DataFrame({"t": g["t"].astype("int64"),
+                             "prev": prev})
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        off_, pos_ = ray.get(idx_ref)
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        p = batch["prev"].to_numpy(zero_copy_only=False)
+        q = p >= 0
+        tq, pq = t[q], p[q]
+        d = np.zeros(len(tq), dtype=np.int64)
+        for key in range(K):
+            occ = pos_[off_[key]:off_[key + 1]]
+            if len(occ) == 0:
+                continue
+            lb = np.searchsorted(occ, pq, side="right")
+            ub = np.searchsorted(occ, tq, side="left")
+            d += (ub > lb).astype(np.int64)
+        row = {"compulsory": [int(len(t) - q.sum())],
+               "n_seen": [int(len(t))]}
+        for c in CAPS:
+            row[f"hits_{c}"] = [int((d < c).sum())]
+        return pa.table({k2: pa.array(v, pa.int64())
+                         for k2, v in row.items()})
+
+    partials = (claims
+                .map_batches(_tag_bucket(["k"], 16, "_lrb"),
+                             batch_format="pyarrow")
+                .groupby("_lrb").map_groups(prev_bucket,
+                                            batch_format="pandas")
+                .map_batches(count_batch, batch_format="pyarrow")
+                .to_pandas())
+    comp = int(partials["compulsory"].sum())
+    n_seen = int(partials["n_seen"].sum())
+    assert n_seen == n_total
+    rows = []
+    for c in CAPS:
+        hits = int(partials[f"hits_{c}"].sum())
+        rows.append((c, n_total, comp, n_total - comp - hits, hits))
+    out = pd.DataFrame(rows, columns=[
+        "capacity", "n_accesses", "compulsory_misses",
+        "capacity_misses", "hits"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _lru_oracle_sql() -> str:
+    caps = ",".join(f"({c})" for c in LRU_CAPS)
+    return (
+        f"WITH la AS (SELECT epoch_us(ts) AS t, user_id % {LRU_KEYS} "
+        "AS k FROM events), "
+        "lv AS (SELECT t, lag(t, 1, -1) OVER (PARTITION BY k "
+        "ORDER BY t) AS prev FROM la), "
+        "lq AS (SELECT t, prev FROM lv WHERE prev >= 0), "
+        "ld AS (SELECT x.t, count(y.t) AS sd FROM lq x "
+        "LEFT JOIN lv y ON y.t > x.prev AND y.t < x.t "
+        "AND y.prev <= x.prev GROUP BY x.t), "
+        "lt AS (SELECT count(*) AS na, "
+        "count(*) FILTER (prev < 0) AS cm FROM lv) "
+        "SELECT CAST(c.capacity AS BIGINT) AS capacity, "
+        "CAST(lt.na AS BIGINT) AS n_accesses, "
+        "CAST(lt.cm AS BIGINT) AS compulsory_misses, "
+        "CAST(count(*) FILTER (ld.sd >= c.capacity) AS BIGINT) "
+        "AS capacity_misses, "
+        "CAST(count(*) FILTER (ld.sd < c.capacity) AS BIGINT) AS hits "
+        f"FROM ld CROSS JOIN (VALUES {caps}) c(capacity) CROSS JOIN lt "
+        "GROUP BY c.capacity, lt.na, lt.cm ORDER BY c.capacity")
+
+
 ORACLE_SQL: dict[str, str] = {
+    # politeness wait replay: max-plus closed form, one window max
+    "politeness_wait_replay": _politeness_wait_oracle_sql(),
+    # LRU replay via stack distance: one pass grades every capacity
+    "lru_cache_stats": _lru_oracle_sql(),
     # rank-statistics family: exact integer rank arithmetic, one
     # final int->double divide
     "auc_mannwhitney": _auc_oracle_sql(),

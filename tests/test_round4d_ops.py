@@ -1,0 +1,136 @@
+"""Crafted-case tests for the round-4 session-6 operators: the
+politeness wait replay (max-plus closed form vs a literal sequential
+FIFO simulation) and the LRU stack-distance replay (vs a literal
+OrderedDict LRU run at every capacity). The oracle mirror hash-checks
+these against DuckDB at sf0.001/0.01/0.1; here the SEMANTICS are
+pinned against brute-force simulations on adversarial streams (ties,
+bursts, idle gaps, single-access keys)."""
+
+import collections
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(tmp_path, ts_us, user_ids):
+    n = len(ts_us)
+    t = pa.table({
+        "event_id": pa.array(range(1, n + 1), pa.int64()),
+        "ts": pa.array(np.asarray(ts_us, np.int64),
+                       pa.timestamp("us")),
+        "user_id": pa.array(np.asarray(user_ids, np.int64),
+                            pa.int64()),
+        "event_type": pa.array(["view"] * n, pa.string()),
+        "value": pa.array([1.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_politeness_wait_matches_sequential_sim(tmp_path, ray_session):
+    """The closed-form running-max schedule equals the literal
+    sequential fold sched_i = max(t_i, sched_{i-1} + T) per host,
+    on a bursty stream with same-µs ties broken by event_id."""
+    from crawling_infrastructure_ray.pipelines.analytics import (
+        POLITE_REPLAY_HOSTS, POLITE_REPLAY_T_US,
+        q_politeness_wait_replay)
+
+    rng = np.random.default_rng(7)
+    n = 400
+    base = 1_700_000_000_000_000
+    # bursts: many claims in tight windows, then idle gaps; a few
+    # exact-duplicate timestamps on the same host (event_id breaks
+    # the tie deterministically in both engines)
+    ts = base + np.sort(rng.choice(200_000_000, size=n,
+                                   replace=True)).astype(np.int64)
+    uid = rng.integers(0, 7, size=n)  # 7 users -> 7 hosts, heavy reuse
+    sf = _write_events(tmp_path, ts, uid)
+
+    got = q_politeness_wait_replay(sf)
+
+    T = POLITE_REPLAY_T_US
+    sim = {}
+    order = np.lexsort((np.arange(1, n + 1), ts,
+                        uid % POLITE_REPLAY_HOSTS))
+    for i in order:
+        h = int(uid[i]) % POLITE_REPLAY_HOSTS
+        st = sim.setdefault(h, {"sched": None, "n": 0, "tw": 0,
+                                "mw": 0, "last": 0})
+        s = int(ts[i]) if st["sched"] is None \
+            else max(int(ts[i]), st["sched"] + T)
+        w = s - int(ts[i])
+        st["sched"] = s
+        st["n"] += 1
+        st["tw"] += w
+        st["mw"] = max(st["mw"], w)
+        st["last"] = max(st["last"], s)
+    exp = pd.DataFrame(
+        [(h, v["n"], v["tw"], v["mw"], v["last"])
+         for h, v in sorted(sim.items())],
+        columns=["host", "n_claims", "total_wait_us", "max_wait_us",
+                 "last_sched_us"]).astype("int64")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_lru_stats_match_ordereddict_sim(tmp_path, ray_session):
+    """Stack-distance counting equals a literal OrderedDict LRU at
+    every graded capacity, on a stream with re-references at every
+    distance class plus never-reused keys."""
+    from crawling_infrastructure_ray.pipelines.analytics import (
+        LRU_CAPS, LRU_KEYS, q_lru_cache_stats)
+
+    rng = np.random.default_rng(11)
+    n = 1500
+    # zipf-ish key reuse over a universe larger than the biggest
+    # capacity, plus a cold tail of single-touch keys
+    keys = np.concatenate([
+        rng.zipf(1.3, size=n - 100).astype(np.int64) % 400,
+        np.arange(400, 500, dtype=np.int64)])[:n]
+    rng.shuffle(keys)
+    ts = 1_700_000_000_000_000 + \
+        np.arange(n, dtype=np.int64) * 1_000_000
+    sf = _write_events(tmp_path, ts, keys)
+
+    got = q_lru_cache_stats(sf)
+
+    for cap in LRU_CAPS:
+        cache = collections.OrderedDict()
+        hits = comp = capmiss = 0
+        seen = set()
+        for k in keys:
+            k = int(k) % LRU_KEYS
+            if k in cache:
+                hits += 1
+                cache.move_to_end(k)
+            else:
+                if k in seen:
+                    capmiss += 1
+                else:
+                    comp += 1
+                    seen.add(k)
+                cache[k] = True
+                if len(cache) > cap:
+                    cache.popitem(last=False)
+        row = got[got["capacity"] == cap].iloc[0]
+        assert int(row["n_accesses"]) == n
+        assert int(row["compulsory_misses"]) == comp
+        assert int(row["capacity_misses"]) == capmiss
+        assert int(row["hits"]) == hits
+
+
+def test_lru_duplicate_ts_asserts(tmp_path, ray_session):
+    """Duplicate access timestamps make the LRU order undefined —
+    the index build must fail loudly, not diverge silently."""
+    import pytest
+
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_lru_cache_stats
+
+    ts = np.array([1_700_000_000_000_000] * 2 +
+                  [1_700_000_000_000_001], np.int64)
+    sf = _write_events(tmp_path, ts, np.array([1, 2, 3], np.int64))
+    with pytest.raises(AssertionError, match="duplicate access"):
+        q_lru_cache_stats(sf)
