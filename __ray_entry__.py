@@ -463,6 +463,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "politeness_wait_replay": qa.q_politeness_wait_replay,
         # exact LRU robots/DNS-cache replay via stack distance
         "lru_cache_stats": qa.q_lru_cache_stats,
+        # hourly-lag autocorrelation, exact integer components
+        "acf_hourly": qa.q_acf_hourly,
+        # FK orphan audit across every corpus edge
+        "orphan_audit": qa.q_orphan_audit,
     }
 
 

@@ -6795,9 +6795,202 @@ def _lru_oracle_sql() -> str:
         "GROUP BY c.capacity, lt.na, lt.cm ORDER BY c.capacity")
 
 
+ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+def q_acf_hourly(sf_dir: str):
+    """AUTOCORRELATION COMPONENTS of the hourly event-count series
+    per type, at lags {1,2,3,6,12,24} — the seasonality probe behind
+    crawl-rate scheduling (is traffic hourly-periodic? daily?). The
+    series is DENSE over the global [min,max] hour range (missing
+    hours count 0 — unlike CUSUM's observed-hours contract, zeros
+    carry signal here). Per (type, lag) the output is the exact
+    integer Pearson building blocks over the aligned pairs
+    (x_t, x_{t+L}): n_pairs, Σxy, Σx, Σy, Σx², Σy² — no float ever,
+    so the gate is exact; r is one downstream divide.
+
+    Scale shape: one data-sized combiner pass (per-batch Arrow
+    group_by on (type, hour)) → enum×time-bounded driver merge (the
+    CUSUM/OHLC contract) → vectorized densify + shifted dot products
+    per type. The lag products never touch row data."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                      pa.scalar(3_600_000_000, pa.int64()))
+        t = pa.table({"event_type": batch["event_type"], "h": h})
+        g = t.group_by(["event_type", "h"]).aggregate([("h", "count")])
+        return g.rename_columns(["event_type", "h", "n"])
+
+    hc = _merge_partials(ds.map_batches(partial,
+                                        batch_format="pyarrow"),
+                         ["event_type", "h"], ["n"])
+    h0, h1 = int(hc["h"].min()), int(hc["h"].max())
+    grid = np.arange(h0, h1 + 1, dtype=np.int64)
+    rows = []
+    for et, g in hc.groupby("event_type", sort=True):
+        x = np.zeros(len(grid), dtype=np.int64)
+        x[g["h"].to_numpy(np.int64) - h0] = g["n"].to_numpy(np.int64)
+        assert int(x.max(initial=0)) ** 2 * len(x) < 2 ** 62, \
+            "acf sums would overflow int64"
+        for lag in ACF_LAGS:
+            if lag >= len(x):
+                continue
+            a, b = x[:-lag], x[lag:]
+            rows.append((et, lag, len(a), int(a @ b), int(a.sum()),
+                         int(b.sum()), int(a @ a), int(b @ b)))
+    out = pd.DataFrame(rows, columns=[
+        "event_type", "lag", "n_pairs", "sum_xy", "sum_x", "sum_y",
+        "sum_x2", "sum_y2"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "lag"]) \
+        .reset_index(drop=True)
+
+
+def _acf_oracle_sql() -> str:
+    lags = ",".join(f"({v})" for v in ACF_LAGS)
+    return (
+        "WITH af_e AS (SELECT event_type, "
+        "epoch_us(ts) // 3600000000 AS h FROM events), "
+        "af_c AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n "
+        "FROM af_e GROUP BY 1, 2), "
+        "af_b AS (SELECT min(h) AS h0, max(h) AS h1 FROM af_e), "
+        "af_t AS (SELECT DISTINCT event_type FROM af_e), "
+        "af_g AS (SELECT t.event_type, "
+        "unnest(generate_series(b.h0, b.h1)) AS h "
+        "FROM af_t t CROSS JOIN af_b b), "
+        "af_d AS (SELECT g.event_type, g.h, "
+        "CAST(coalesce(c.n, 0) AS BIGINT) AS x FROM af_g g "
+        "LEFT JOIN af_c c ON c.event_type = g.event_type "
+        "AND c.h = g.h), "
+        f"af_l AS (SELECT CAST(l.lag AS BIGINT) AS lag, a.event_type, "
+        "a.x AS x, b.x AS y "
+        f"FROM (VALUES {lags}) l(lag) "
+        "JOIN af_d a ON true "
+        "JOIN af_d b ON b.event_type = a.event_type "
+        "AND b.h = a.h + l.lag) "
+        "SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs, "
+        "CAST(sum(x * y) AS BIGINT) AS sum_xy, "
+        "CAST(sum(x) AS BIGINT) AS sum_x, "
+        "CAST(sum(y) AS BIGINT) AS sum_y, "
+        "CAST(sum(x * x) AS BIGINT) AS sum_x2, "
+        "CAST(sum(y * y) AS BIGINT) AS sum_y2 "
+        "FROM af_l GROUP BY 1, 2 ORDER BY 1, 2")
+
+
+def q_orphan_audit(sf_dir: str):
+    """REFERENTIAL-INTEGRITY ORPHAN AUDIT across every FK edge of the
+    corpus (the data-quality gate a 100-TB ingest runs before joins
+    are trusted — the engine's broadcast probes assert FK membership,
+    ADVICE r03 item 3; this op measures it corpus-wide instead of
+    asserting): per edge, child row count, orphan row count and
+    distinct orphan keys. Includes one cross-domain probe
+    (events.user_id vs customer.c_custkey) that is EXPECTED to have
+    orphans, so the gate exercises non-zero paths too.
+
+    Scale shape: dimension-parent edges broadcast the parent key set
+    (ray.put once, vectorized pc.is_in per batch — dimension tables
+    are the documented small side); the one fact→fact edge
+    (lineitem→orders) runs the distributed bucketed anti-join, no
+    driver key set. Orphan-key sets are violation-sized by contract
+    (healthy corpora: zero)."""
+    from ..stages.joins import bucketed_anti_join
+
+    def bcast_edge(name, child, ckey, parent, pkey):
+        keys_ref = ray.put(pa.array(sorted(
+            read_table(sf_dir, parent, columns=[pkey]).unique(pkey))))
+        ds = read_table(sf_dir, child, columns=[ckey])
+
+        def part(batch: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            miss = batch.filter(
+                pc.invert(pc.is_in(batch[ckey], value_set=ks)))
+            u = pc.unique(miss[ckey].combine_chunks())
+            return pa.table({
+                "n_child": pa.array([batch.num_rows], pa.int64()),
+                "n_orphan_rows": pa.array([miss.num_rows], pa.int64()),
+                "orphan_keys": pa.array(
+                    [u.to_pylist()], pa.list_(pa.int64()))})
+
+        p = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        keys = set()
+        for lst in p["orphan_keys"]:
+            keys.update(lst)
+        return (name, int(p["n_child"].sum()),
+                int(p["n_orphan_rows"].sum()), len(keys))
+
+    rows = [
+        bcast_edge("customer->nation", "customer", "c_nationkey",
+                   "nation", "n_nationkey"),
+        bcast_edge("events->customer", "events", "user_id",
+                   "customer", "c_custkey"),
+        bcast_edge("lineitem->part", "lineitem", "l_partkey",
+                   "part", "p_partkey"),
+        bcast_edge("lineitem->supplier", "lineitem", "l_suppkey",
+                   "supplier", "s_suppkey"),
+        bcast_edge("nation->region", "nation", "n_regionkey",
+                   "region", "r_regionkey"),
+        bcast_edge("orders->customer", "orders", "o_custkey",
+                   "customer", "c_custkey"),
+        bcast_edge("supplier->nation", "supplier", "s_nationkey",
+                   "nation", "n_nationkey"),
+    ]
+    # the fact->fact edge: distributed bucketed anti-join, then
+    # violation-sized counts
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+    ok = read_table(sf_dir, "orders", columns=["o_orderkey"]) \
+        .map_batches(lambda t: pa.table(
+            {"l_orderkey": pc.unique(t["o_orderkey"].combine_chunks())}),
+            batch_format="pyarrow")
+    orph = bucketed_anti_join(li, ok, on="l_orderkey").materialize()
+    rows.append(("lineitem->orders", li.count(), orph.count(),
+                 len(orph.unique("l_orderkey")) if orph.count() else 0))
+    out = pd.DataFrame(rows, columns=["fk_edge", "n_child",
+                                      "n_orphan_rows",
+                                      "n_orphan_keys"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("fk_edge").reset_index(drop=True)
+
+
+def _orphan_oracle_sql() -> str:
+    def edge(name, child, ckey, parent, pkey):
+        return (
+            f"SELECT '{name}' AS fk_edge, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child, "
+            f"CAST(count({ckey}) AS BIGINT) AS n_orphan_rows, "
+            f"CAST(count(DISTINCT {ckey}) AS BIGINT) AS n_orphan_keys "
+            f"FROM {child} LEFT JOIN {parent} ON {ckey} = {pkey} "
+            f"WHERE {pkey} IS NULL")
+    parts = [
+        edge("customer->nation", "customer", "c_nationkey",
+             "nation", "n_nationkey"),
+        edge("events->customer", "events", "user_id",
+             "customer", "c_custkey"),
+        edge("lineitem->orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey"),
+        edge("lineitem->part", "lineitem", "l_partkey",
+             "part", "p_partkey"),
+        edge("lineitem->supplier", "lineitem", "l_suppkey",
+             "supplier", "s_suppkey"),
+        edge("nation->region", "nation", "n_regionkey",
+             "region", "r_regionkey"),
+        edge("orders->customer", "orders", "o_custkey",
+             "customer", "c_custkey"),
+        edge("supplier->nation", "supplier", "s_nationkey",
+             "nation", "n_nationkey"),
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY fk_edge"
+
+
 ORACLE_SQL: dict[str, str] = {
     # politeness wait replay: max-plus closed form, one window max
     "politeness_wait_replay": _politeness_wait_oracle_sql(),
+    # FK orphan audit: broadcast probes + one bucketed anti-join
+    "orphan_audit": _orphan_oracle_sql(),
+    # hourly-lag autocorrelation: exact integer Pearson components
+    "acf_hourly": _acf_oracle_sql(),
     # LRU replay via stack distance: one pass grades every capacity
     "lru_cache_stats": _lru_oracle_sql(),
     # rank-statistics family: exact integer rank arithmetic, one
