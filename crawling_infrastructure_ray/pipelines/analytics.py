@@ -6886,8 +6886,9 @@ def q_orphan_audit(sf_dir: str):
     ADVICE r03 item 3; this op measures it corpus-wide instead of
     asserting): per edge, child row count, orphan row count and
     distinct orphan keys. Includes one cross-domain probe
-    (events.user_id vs customer.c_custkey) that is EXPECTED to have
-    orphans, so the gate exercises non-zero paths too.
+    (events.user_id vs customer.c_custkey) with no schema-level FK
+    guarantee (it happens to hold in this corpus; the non-zero path
+    is pinned by the crafted test instead).
 
     Scale shape: dimension-parent edges broadcast the parent key set
     (ray.put once, vectorized pc.is_in per batch — dimension tables

@@ -134,3 +134,47 @@ def test_lru_duplicate_ts_asserts(tmp_path, ray_session):
     sf = _write_events(tmp_path, ts, np.array([1, 2, 3], np.int64))
     with pytest.raises(AssertionError, match="duplicate access"):
         q_lru_cache_stats(sf)
+
+
+def _tiny(tmp_path, name, cols):
+    pq.write_table(pa.table(cols), str(tmp_path / f"{name}.parquet"))
+
+
+def test_orphan_audit_detects_violations(tmp_path, ray_session):
+    """Broken FKs on both probe paths are counted exactly: broadcast
+    dimension probes (orders->customer, customer->nation) and the
+    bucketed fact->fact anti-join (lineitem->orders), with repeated
+    orphan keys collapsing in n_orphan_keys."""
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_orphan_audit
+
+    i64 = pa.int64()
+    _tiny(tmp_path, "region", {"r_regionkey": pa.array([0, 1], i64)})
+    _tiny(tmp_path, "nation", {"n_nationkey": pa.array([0, 1], i64),
+                               "n_regionkey": pa.array([0, 9], i64)})
+    _tiny(tmp_path, "customer",
+          {"c_custkey": pa.array([1, 2], i64),
+           "c_nationkey": pa.array([0, 7], i64)})
+    _tiny(tmp_path, "supplier",
+          {"s_suppkey": pa.array([1], i64),
+           "s_nationkey": pa.array([1], i64)})
+    _tiny(tmp_path, "part", {"p_partkey": pa.array([1, 2], i64)})
+    _tiny(tmp_path, "orders",
+          {"o_orderkey": pa.array([10, 11, 12], i64),
+           "o_custkey": pa.array([1, 99, 99], i64)})
+    _tiny(tmp_path, "lineitem",
+          {"l_orderkey": pa.array([10, 50, 50, 51], i64),
+           "l_partkey": pa.array([1, 2, 1, 3], i64),
+           "l_suppkey": pa.array([1, 1, 1, 1], i64)})
+    _tiny(tmp_path, "events",
+          {"user_id": pa.array([1, 2, 77], i64)})
+
+    out = q_orphan_audit(str(tmp_path)).set_index("fk_edge")
+    assert out.loc["orders->customer"].tolist() == [3, 2, 1]
+    assert out.loc["lineitem->orders"].tolist() == [4, 3, 2]
+    assert out.loc["customer->nation"].tolist() == [2, 1, 1]
+    assert out.loc["nation->region"].tolist() == [2, 1, 1]
+    assert out.loc["lineitem->part"].tolist() == [4, 1, 1]
+    assert out.loc["events->customer"].tolist() == [3, 1, 1]
+    assert out.loc["supplier->nation"].tolist() == [1, 0, 0]
+    assert out.loc["lineitem->supplier"].tolist() == [4, 0, 0]
