@@ -467,6 +467,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "acf_hourly": qa.q_acf_hourly,
         # FK orphan audit across every corpus edge
         "orphan_audit": qa.q_orphan_audit,
+        # MMR relevance-diversity greedy selection trajectory
+        "mmr_selection": qt.q_mmr_selection,
+        # balanced class downsampling to the min label count
+        "balanced_label_sample": qt.q_balanced_label_sample,
     }
 
 

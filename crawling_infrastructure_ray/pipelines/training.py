@@ -8224,7 +8224,237 @@ def _jl_oracle_sql() -> str:
         "FROM jr GROUP BY label ORDER BY label")
 
 
+MMR_K = 8
+
+
+def q_mmr_selection(sf_dir: str):
+    """MAXIMAL MARGINAL RELEVANCE selection (Carbonell & Goldstein
+    1998) over the e3-quantized embeddings — the relevance-diversity
+    greedy picker that complements kcenter's pure-diversity Gonzalez:
+    query = the smallest vec_id's vector; each of the k=8 rounds
+    picks argmax over unselected candidates of
+    score = rel(x) − max_{s∈selected} sim(x, s), i.e. λ=1/2 with the
+    float halves cleared by doubling — every rel/sim is an exact
+    int64 dot of e3 ints, so the whole trajectory hash-gates. First
+    pick: max_sim defined 0 (pinned contract, replayed identically
+    in SQL). Tie-break (score desc, vec_id asc). The query vector
+    itself is not a candidate.
+
+    Scale shape: identical to kcenter — each round streams the corpus
+    once against the broadcast (query, selected-matrix) and emits a
+    per-batch argmax partial; the driver merges one row per block per
+    round, k config-sized. The SQL twin replays incrementally (the
+    newest pick's 64 dim rows joined per round, running greatest()
+    max-sim chain)."""
+    import pyarrow.parquet as _pq
+
+    import ray as _ray
+
+    from ..stages.simsearch import _to_matrix, quantize_e3
+
+    root = sf_dir.rstrip("/")
+    ds = read_table(sf_dir, "embeddings",
+                    columns=["vec_id", "embedding"])
+
+    def min_id(batch: pa.Table) -> pa.Table:
+        v = batch["vec_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"vec_id": pa.array([int(v.min())],
+                                            pa.int64())})
+
+    qid = int(ds.map_batches(min_id, batch_format="pyarrow")
+              .to_pandas()["vec_id"].min())
+
+    def read_vec(vid: int) -> np.ndarray:
+        t = _pq.read_table(f"{root}/embeddings.parquet",
+                           columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "=", vid)]).to_pandas()
+        return quantize_e3(np.asarray(t["embedding"].iloc[0],
+                                      np.float64)[None, :]) \
+            .astype(np.int64)[0]
+
+    qvec = read_vec(qid)
+    sel_mat = None
+    excl = [qid]
+    picks = []
+
+    for r in range(MMR_K):
+        sref = _ray.put((np.asarray(excl, np.int64),
+                         None if sel_mat is None else sel_mat.copy(),
+                         qvec))
+
+        def mmr_partial(batch: pa.Table, _sref=sref) -> pa.Table:
+            ids, s, qv = _ray.get(_sref)
+            x = quantize_e3(_to_matrix(batch["embedding"])) \
+                .astype(np.int64)
+            vid = batch["vec_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            assert int(np.abs(x).max(initial=0)) < 2 ** 20 and \
+                int(np.abs(qv).max(initial=0)) < 2 ** 20, \
+                "mmr quantized magnitude exceeds exact-int64 envelope"
+            rel = x @ qv
+            ms = np.zeros(len(rel), np.int64) if s is None \
+                else (x @ s.T).max(axis=1)
+            keep = ~np.isin(vid, ids)
+            if not keep.any():
+                return pa.table({c: pa.array([], pa.int64())
+                                 for c in ("vec_id", "rel",
+                                           "max_sim")})
+            vid, rel, ms = vid[keep], rel[keep], ms[keep]
+            best = np.lexsort((vid, -(rel - ms)))[0]
+            return pa.table({
+                "vec_id": pa.array([int(vid[best])], pa.int64()),
+                "rel": pa.array([int(rel[best])], pa.int64()),
+                "max_sim": pa.array([int(ms[best])], pa.int64())})
+
+        cand = (ds.map_batches(mmr_partial, batch_format="pyarrow")
+                .to_pandas())
+        cand["score"] = cand["rel"] - cand["max_sim"]
+        cand = cand.sort_values(["score", "vec_id"],
+                                ascending=[False, True]).head(1)
+        vid = int(cand["vec_id"].iloc[0])
+        picks.append((r, vid, int(cand["rel"].iloc[0]),
+                      int(cand["max_sim"].iloc[0]),
+                      int(cand["score"].iloc[0])))
+        excl.append(vid)
+        nv = read_vec(vid)[None, :]
+        sel_mat = nv if sel_mat is None else np.vstack([sel_mat, nv])
+
+    out = pd.DataFrame(picks, columns=["rank", "vec_id", "rel",
+                                       "max_sim", "score"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _mmr_oracle_sql(k: int = MMR_K) -> str:
+    # incremental replay (the kcenter recipe): rel once, then per
+    # round join ONLY the newest pick's dim rows and fold a running
+    # greatest() max-sim chain
+    parts = [
+        "WITH mm_e AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) "
+        "AS vec_id, embedding, "
+        "unnest(range(1, len(embedding) + 1)) AS i FROM embeddings), "
+        "mm_q AS MATERIALIZED (SELECT vec_id, "
+        "CAST(i - 1 AS BIGINT) AS dim, "
+        "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) "
+        "AS BIGINT) AS q FROM mm_e), "
+        "mm_q0 AS MATERIALIZED (SELECT min(vec_id) AS v FROM mm_q), "
+        "mm_qd AS MATERIALIZED (SELECT dim, q FROM mm_q "
+        "WHERE vec_id = (SELECT v FROM mm_q0)), "
+        "mm_rel AS MATERIALIZED (SELECT p.vec_id, "
+        "CAST(sum(p.q * s.q) AS BIGINT) AS rel "
+        "FROM mm_q p JOIN mm_qd s USING (dim) GROUP BY 1), "
+        "mm_p0 AS MATERIALIZED (SELECT vec_id, rel, "
+        "CAST(0 AS BIGINT) AS ms FROM mm_rel "
+        "WHERE vec_id != (SELECT v FROM mm_q0) "
+        "ORDER BY rel DESC, vec_id LIMIT 1)"]
+    for r in range(1, k):
+        excl = " OR ".join(
+            ["m.vec_id = (SELECT v FROM mm_q0)"]
+            + [f"m.vec_id = (SELECT vec_id FROM mm_p{j})"
+               for j in range(r)])
+        parts.append(
+            f", mm_s{r} AS MATERIALIZED (SELECT dim, q FROM mm_q "
+            f"WHERE vec_id = (SELECT vec_id FROM mm_p{r - 1}))")
+        parts.append(
+            f", mm_nd{r} AS MATERIALIZED (SELECT p.vec_id, "
+            "CAST(sum(p.q * s.q) AS BIGINT) AS sim "
+            f"FROM mm_q p JOIN mm_s{r} s USING (dim) GROUP BY 1)")
+        if r == 1:
+            parts.append(", mm_m1 AS MATERIALIZED (SELECT n.vec_id, "
+                         "n.sim AS ms FROM mm_nd1 n)")
+        else:
+            parts.append(
+                f", mm_m{r} AS MATERIALIZED (SELECT m.vec_id, "
+                f"greatest(m.ms, nd.sim) AS ms FROM mm_m{r - 1} m "
+                f"JOIN mm_nd{r} nd USING (vec_id))")
+        parts.append(
+            f", mm_p{r} AS MATERIALIZED (SELECT m.vec_id, rl.rel, "
+            f"CAST(m.ms AS BIGINT) AS ms FROM mm_m{r} m "
+            "JOIN mm_rel rl ON rl.vec_id = m.vec_id "
+            f"WHERE NOT ({excl}) "
+            "ORDER BY rl.rel - m.ms DESC, m.vec_id LIMIT 1)")
+    union = [
+        f"SELECT CAST({r} AS BIGINT) AS rank, vec_id, rel, "
+        f"ms AS max_sim, rel - ms AS score FROM mm_p{r}"
+        for r in range(k)]
+    parts.append(" " + " UNION ALL ".join(union) + " ORDER BY 1")
+    return "".join(parts)
+
+
+BLS_SALT = 0x19F4_7C2B_A803_0011  # balanced-sample draw (< 2^63)
+
+
+def q_balanced_label_sample(sf_dir: str):
+    """BALANCED CLASS DOWNSAMPLING: every embedding label downsampled
+    to the globally smallest label count m, membership decided by the
+    m smallest splitmix64(vec_id ^ salt) draws per label — the
+    class-rebalancing step before training a probe/classifier, fully
+    deterministic (splitmix64 is a bijection, so draws never tie and
+    the per-label cut is unambiguous). Output: the selected
+    (label, vec_id) rows — exactly m per label.
+
+    Scale shape: label counts via a per-batch Arrow group_by combiner
+    (labels are enum-sized) → the driver takes one min; the selection
+    pass is a label-bucketed map_groups doing one vectorized sort +
+    grouped cumcount cut — the per-label top-m, never a global sort.
+    The oracle replays the same draw (shared splitmix mirror) with a
+    row_number window."""
+    from ..stages.sampling import row_hash
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "label"])
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["label"]).aggregate([("vec_id", "count")])
+        return g.rename_columns(["label", "n"])
+
+    from .analytics import _merge_partials
+    counts = _merge_partials(
+        ds.map_batches(cnt, batch_format="pyarrow"), ["label"], ["n"])
+    m = int(counts["n"].min())
+
+    def pick_bucket(g: pd.DataFrame, _m=m) -> pd.DataFrame:
+        h = row_hash(pa.array(g["vec_id"].astype("int64")), BLS_SALT)
+        g = g.assign(_h=h).sort_values(["label", "_h"],
+                                       kind="mergesort")
+        keep = g.groupby("label").cumcount() < _m
+        out = g.loc[keep, ["label", "vec_id"]].copy()
+        out["label"] = out["label"].astype("int64")
+        out["vec_id"] = out["vec_id"].astype("int64")
+        return out
+
+    out = (ds.map_batches(tag_bucket_fn(["label"], 8, "_blb"),
+                          batch_format="pyarrow")
+           .groupby("_blb").map_groups(pick_bucket,
+                                       batch_format="pandas")
+           .to_pandas())
+    out = out[["label", "vec_id"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["label", "vec_id"]).reset_index(drop=True)
+
+
+def _balanced_sample_oracle_sql() -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    w, c = splitmix64_cte(
+        "SELECT CAST(label AS BIGINT) AS label, vec_id FROM embeddings",
+        f"xor(CAST(vec_id AS UBIGINT), CAST({BLS_SALT} AS UBIGINT))",
+        "h", carry_cols=("label", "vec_id"), prefix="bl_")
+    return w + (
+        ", bl_m AS (SELECT min(n) AS m FROM (SELECT count(*) AS n "
+        "FROM embeddings GROUP BY label)), "
+        f"bl_r AS (SELECT label, vec_id, row_number() OVER "
+        f"(PARTITION BY label ORDER BY h) AS rn FROM {c}) "
+        "SELECT label, CAST(vec_id AS BIGINT) AS vec_id FROM bl_r "
+        "WHERE rn <= (SELECT m FROM bl_m) ORDER BY 1, 2")
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
+    # MMR greedy selection trajectory, incremental replay
+    "mmr_selection": _mmr_oracle_sql(),
+    # balanced class downsampling: per-label top-m splitmix draws
+    "balanced_label_sample": _balanced_sample_oracle_sql(),
     # round-4 corpus profiling / novelty / containment family
     "charclass_profile": _charclass_oracle_sql(),
     "cross_source_dup_matrix":
