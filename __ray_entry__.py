@@ -471,6 +471,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "mmr_selection": qt.q_mmr_selection,
         # balanced class downsampling to the min label count
         "balanced_label_sample": qt.q_balanced_label_sample,
+        # deterministic random walks over the host graph
+        "host_random_walks": qt.q_host_random_walks,
+        # gzip-compressed JSONL ingest gate (S2/S3 gzip reader)
+        "gzip_roundtrip_stats": qt.q_gzip_roundtrip_stats,
     }
 
 

@@ -7054,6 +7054,7 @@ JR_SALT = 0x41C9_2E07_BB16_000B  # jsonl round-trip id draw (< 2^63)
 CR_SALT = 0x66A0_1F5D_290C_000C  # csv round-trip id draw (< 2^63)
 WR_SALT = 0x2D83_7A4E_51F0_000D  # warc round-trip id draw (< 2^63)
 IR_SALT = 0x59B1_C6D2_8E34_000E  # arrow-ipc round-trip id draw (< 2^63)
+GZ_SALT = 0x1E47_9A20_D6B8_0019  # gzip-jsonl round-trip id draw (< 2^63)
 
 
 def _parse_warc_batch(batch: pa.Table) -> pa.Table:
@@ -7108,6 +7109,7 @@ def _roundtrip_stats(sf_dir: str, fmt: str, salt: int):
     production path; these ops gate the READERS)."""
     import csv as _csv
     import glob as _glob
+    import gzip as _gzip
     import json as _json
     import shutil
 
@@ -7161,8 +7163,13 @@ def _roundtrip_stats(sf_dir: str, fmt: str, salt: int):
                     f.write(body)
                     f.write(b"\r\n\r\n")
         else:
-            with open(path, "w", encoding="utf-8", newline="") as f:
-                if fmt == "jsonl":
+            opener = ((lambda: _gzip.open(path, "wt", encoding="utf-8",
+                                          newline=""))
+                      if fmt.endswith(".gz") else
+                      (lambda: open(path, "w", encoding="utf-8",
+                                    newline="")))
+            with opener() as f:
+                if fmt.startswith("jsonl"):
                     for row in rows:
                         f.write(_json.dumps(dict(zip(cols, row)),
                                             ensure_ascii=False) + "\n")
@@ -7180,6 +7187,12 @@ def _roundtrip_stats(sf_dir: str, fmt: str, salt: int):
     files = sorted(_glob.glob(os.path.join(root, f"*.{fmt}")))
     if fmt == "jsonl":
         back = rd.read_json(files)
+    elif fmt == "jsonl.gz":
+        # the reference's gzip items-file path (S3 reader family,
+        # lib/misc/helpers.ts gunzip): pyarrow decompresses inside
+        # each read task — file-parallel, never a driver gunzip
+        back = rd.read_json(
+            files, arrow_open_stream_args={"compression": "gzip"})
     elif fmt == "warc":
         # file-parallel WARC parse (the Common Crawl processing
         # shape: record boundaries are only discoverable sequentially
@@ -7259,6 +7272,18 @@ def q_jsonl_roundtrip_stats(sf_dir: str):
     family): block-parallel JSONL export → ``ray.data.read_json`` →
     parsed-content stats hash-gated against the original parquet."""
     return _roundtrip_stats(sf_dir, "jsonl", JR_SALT)
+
+
+def q_gzip_roundtrip_stats(sf_dir: str):
+    """GZIP-JSONL SOURCE-FORMAT GATE — see ``_roundtrip_stats``: the
+    compressed ingest path (the reference reads gzipped items files
+    from S3 — crawler task item sources, S2/S3 family): block-parallel
+    gzip-compressed JSONL export → ``ray.data.read_json`` with
+    per-task pyarrow gzip decompression → parsed-content stats
+    hash-gated against the original parquet under an independent
+    salt. Exercises the compression codec seam on top of the JSONL
+    escaping surface."""
+    return _roundtrip_stats(sf_dir, "jsonl.gz", GZ_SALT)
 
 
 def q_csv_roundtrip_stats(sf_dir: str):
@@ -8450,9 +8475,137 @@ def _balanced_sample_oracle_sql() -> str:
         "WHERE rn <= (SELECT m FROM bl_m) ORDER BY 1, 2")
 
 
+RW_SALT = 0x3D91_55AC_2E07_0013       # walk edge draw (< 2^63)
+RW_STEP_SALT = 0x66B0_1F8D_9C24_0017  # per-(walk,step) choice draw
+RW_STEPS = 6
+
+
+def q_host_random_walks(sf_dir: str, steps: int = RW_STEPS):
+    """DETERMINISTIC RANDOM WALKS over the source link graph (the
+    node2vec/DeepWalk sampling primitive, and the crawl-frontier
+    exploration model): edges are the pagerank-shaped draw under
+    RW_SALT (doc links its source to
+    sorted_sources[splitmix64(doc_id ^ salt) % S], de-duplicated,
+    unweighted, self-loops kept); one walk starts at every node and
+    takes up to 6 steps, choosing
+    neighbors_sorted[splitmix64(u64(walk_id·64 + step) ^ step_salt)
+    % outdeg] at each step — a walk dies at a node with no
+    out-edges. The whole trajectory set hash-gates: the SQL twin
+    precomputes the (walk, step) draw grid with the shared splitmix
+    mirror and replays the steps as a recursive CTE joining a
+    row-numbered adjacency list.
+
+    Scale shape: the data-sized pass is the distributed distinct-edge
+    combiner (per-batch factorize + unique); the walk replay runs on
+    the aggregated ≤S² edge list under the documented config-sized
+    host-universe assumption (host_pagerank's) — at web scale the
+    same step is a bucketed iterated join keyed on the walk's
+    current node."""
+    from ..functions.hashing import splitmix64_np
+    from ..stages.sampling import row_hash
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    parts = ds.map_batches(
+        lambda t: pa.table({"source": pc.unique(t["source"])}),
+        batch_format="pyarrow").to_pandas()
+    nodes = sorted(set(parts["source"]))
+    S = len(nodes)
+    node_arr = np.array(nodes, dtype=object)
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        h = row_hash(batch["doc_id"], RW_SALT)
+        dst_idx = (h % np.uint64(S)).astype(np.int64)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        key = np.unique(codes.astype(np.int64) * S + dst_idx)
+        return pa.table({"src": pa.array(uniq[key // S]),
+                         "dst": pa.array(node_arr[key % S])})
+
+    edges = (ds.map_batches(edge_partials, batch_format="pyarrow")
+             .to_pandas().drop_duplicates())
+    idx = {s: i for i, s in enumerate(nodes)}
+    e_src = edges["src"].map(idx).to_numpy(dtype=np.int64)
+    e_dst = edges["dst"].map(idx).to_numpy(dtype=np.int64)
+    order = np.lexsort((e_dst, e_src))
+    e_src, e_dst = e_src[order], e_dst[order]
+    off = np.searchsorted(e_src, np.arange(S + 1))
+
+    wid = np.arange(S, dtype=np.int64)
+    cur = wid.copy()
+    rows = [(wid, np.zeros(S, np.int64), wid.copy())]
+    for step in range(1, steps + 1):
+        deg = off[cur + 1] - off[cur]
+        alive = deg > 0
+        if not alive.any():
+            break
+        wid, cur, deg = wid[alive], cur[alive], deg[alive]
+        draw = splitmix64_np(
+            (wid * 64 + step).view(np.uint64)
+            ^ np.uint64(RW_STEP_SALT))
+        nxt = e_dst[off[cur] + (draw % deg.view(np.uint64))
+                    .astype(np.int64)]
+        rows.append((wid.copy(), np.full(len(wid), step, np.int64),
+                     nxt.copy()))
+        cur = nxt
+    w_all = np.concatenate([r[0] for r in rows])
+    s_all = np.concatenate([r[1] for r in rows])
+    n_all = np.concatenate([r[2] for r in rows])
+    out = pd.DataFrame({"start_source": node_arr[w_all],
+                        "step": s_all,
+                        "at_source": node_arr[n_all]})
+    out["step"] = out["step"].astype("int64")
+    return out.sort_values(["start_source", "step"]) \
+        .reset_index(drop=True)
+
+
+def _random_walks_oracle_sql(steps: int = RW_STEPS) -> str:
+    from ..functions.sqlmirror import splitmix64_cte
+    w, c = splitmix64_cte(
+        "SELECT doc_id, source FROM documents",
+        f"xor(CAST(doc_id AS UBIGINT), CAST({RW_SALT} AS UBIGINT))",
+        "h", carry_cols=("source",), prefix="rw_")
+    w2, g = splitmix64_cte(
+        "SELECT s.idx AS walk_id, gs.generate_series AS step "
+        "FROM rw_s s CROSS JOIN generate_series(1, "
+        f"{steps}) gs",
+        f"xor(CAST(walk_id * 64 + step AS UBIGINT), "
+        f"CAST({RW_STEP_SALT} AS UBIGINT))",
+        "d", carry_cols=("walk_id", "step"), prefix="rg_",
+        include_with=False)
+    sql = w + (
+        ", rw_s AS (SELECT source AS node, CAST(row_number() OVER "
+        "(ORDER BY source) - 1 AS BIGINT) AS idx FROM "
+        "(SELECT DISTINCT source FROM documents)), "
+        "rw_n AS (SELECT count(*) AS n_nodes FROM rw_s), "
+        f"rw_e AS (SELECT DISTINCT d.source AS src, s.node AS dst "
+        f"FROM {c} d JOIN rw_s s ON s.idx = CAST(d.h % CAST("
+        "(SELECT n_nodes FROM rw_n) AS UBIGINT) AS BIGINT)), "
+        "rw_adj AS (SELECT src, dst, CAST(row_number() OVER "
+        "(PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS j, "
+        "CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg "
+        "FROM rw_e)"
+        + w2 +
+        ", rw_walk AS (SELECT s.idx AS walk_id, CAST(0 AS BIGINT) "
+        "AS step, s.node AS node FROM rw_s s "
+        "UNION ALL "
+        "SELECT wk.walk_id, wk.step + 1, a.dst FROM rw_walk wk "
+        f"JOIN {g} g ON g.walk_id = wk.walk_id "
+        "AND g.step = wk.step + 1 "
+        "JOIN rw_adj a ON a.src = wk.node AND a.j = "
+        "CAST(g.d % CAST(a.deg AS UBIGINT) AS BIGINT) "
+        f"WHERE wk.step < {steps}) "
+        "SELECT s.node AS start_source, wk.step, wk.node AS at_source "
+        "FROM rw_walk wk JOIN rw_s s ON s.idx = wk.walk_id "
+        "ORDER BY 1, 2")
+    return sql.replace("WITH ", "WITH RECURSIVE ", 1)
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
     # MMR greedy selection trajectory, incremental replay
     "mmr_selection": _mmr_oracle_sql(),
+    # deterministic random walks, recursive-CTE trajectory replay
+    "host_random_walks": _random_walks_oracle_sql(),
     # balanced class downsampling: per-label top-m splitmix draws
     "balanced_label_sample": _balanced_sample_oracle_sql(),
     # round-4 corpus profiling / novelty / containment family
@@ -8536,6 +8689,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "gopher_rules": _gopher_rules_oracle_sql(),
     # JSONL/CSV export→read-back round-trips, parsed-content gated
     "jsonl_roundtrip_stats": _roundtrip_oracle_sql(JR_SALT),
+    "gzip_roundtrip_stats": _roundtrip_oracle_sql(GZ_SALT),
     "csv_roundtrip_stats": _roundtrip_oracle_sql(CR_SALT),
     "warc_roundtrip_stats": _roundtrip_oracle_sql(WR_SALT),
     "ipc_roundtrip_stats": _roundtrip_oracle_sql(IR_SALT),

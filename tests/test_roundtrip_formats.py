@@ -58,6 +58,7 @@ def hostile_con(hostile_sf):
 
 
 @pytest.mark.parametrize("name", ["jsonl_roundtrip_stats",
+                                  "gzip_roundtrip_stats",
                                   "csv_roundtrip_stats",
                                   "warc_roundtrip_stats",
                                   "ipc_roundtrip_stats"])
