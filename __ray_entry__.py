@@ -475,6 +475,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "host_random_walks": qt.q_host_random_walks,
         # gzip-compressed JSONL ingest gate (S2/S3 gzip reader)
         "gzip_roundtrip_stats": qt.q_gzip_roundtrip_stats,
+        # the live RobotsCache hash algebra replayed in SQL
+        "robots_verdict_stats": qa.q_robots_verdict_stats,
     }
 
 

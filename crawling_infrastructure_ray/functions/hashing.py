@@ -115,3 +115,45 @@ def splitmix64_np(x: np.ndarray) -> np.ndarray:
         z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         return z ^ (z >> np.uint64(31))
+
+
+def stable_hash64_col_np(col, seed: int = 0) -> np.ndarray:
+    """VECTORIZED stable_hash64 over an Arrow string/binary array:
+    the FNV-1a fold runs as a bounded loop over BYTE POSITIONS
+    (vectorized across rows via the array's zero-copy offsets/data
+    buffers), then the shared splitmix64_np finalizer — bit-identical
+    to stable_hash64 for any utf-8 input. Use for corpus-scale
+    columns of SHORT, mostly-distinct keys (url segments, tokens)
+    where the dictionary-encode trick doesn't help and the per-row
+    generator would be the hot loop; cost is O(rows × max_len) numpy
+    ops. Nulls hash as empty strings."""
+    import pyarrow as pa
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type):
+        col = col.cast(pa.binary())
+    elif pa.types.is_large_string(col.type):
+        col = col.cast(pa.large_binary())
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) \
+        else np.int32
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], off_dtype,
+                        count=n + 1 + col.offset)[col.offset:]
+    off = off.astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None \
+        else np.empty(0, np.uint8)
+    lens = off[1:] - off[:-1]
+    L = int(lens.max(initial=0))
+    h = np.full(n, (_FNV_OFFSET ^ (seed & _MASK)) & _MASK,
+                dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(L):
+            m = lens > j
+            if not m.any():
+                break
+            b = data[off[:-1][m] + j].astype(np.uint64)
+            h[m] = (h[m] ^ b) * np.uint64(_FNV_PRIME)
+    return splitmix64_np(h)

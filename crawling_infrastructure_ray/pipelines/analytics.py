@@ -6985,9 +6985,120 @@ def _orphan_oracle_sql() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY fk_edge"
 
 
+ROBOTS_SEED = 42
+
+
+def q_robots_verdict_stats(sf_dir: str):
+    """ROBOTS VERDICT AUDIT — hash-gates the engine's ACTUAL
+    RobotsCache (state/politeness.py:117-160; the north star's robots
+    layer, absent from the reference) against a full SQL replay of
+    its hash algebra: per host the disallow mask is built from the
+    first two DISTINCT nibbles of stable_hash64(host, seed^0x0B07)
+    under 4-bit rotation, and a URL is denied when
+    stable_hash64(first_path_segment, seed^0x70B0) & 0xF lands in the
+    mask. URL universe: one URL per document,
+    http://{source}.example/d{doc_id} — so hosts are the sources and
+    every segment is distinct. Output per source: host, mask, URL /
+    allowed / denied counts. The Ray side takes each host's mask from
+    the LIVE RobotsCache object (so any drift in the engine function
+    breaks the gate) and vectorizes the per-URL verdict with the
+    byte-position FNV (hashing.stable_hash64_col_np — bit-identical,
+    no per-row Python on the corpus-scale segment column).
+
+    Scale shape: masks are host-universe-sized (broadcast once);
+    verdicts are one vectorized hash + bit probe per batch; counts
+    are enum-keyed combiner partials."""
+    from ..functions.hashing import stable_hash64_col_np
+    from ..state.politeness import RobotsCache
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    parts = ds.map_batches(
+        lambda t: pa.table({"source": pc.unique(t["source"])}),
+        batch_format="pyarrow").to_pandas()
+    srcs = sorted(set(parts["source"]))
+    rc = RobotsCache(seed=ROBOTS_SEED)
+    src_arr = np.array(srcs, dtype=object)
+    masks = np.array([rc._rules(f"{s}.example") for s in srcs],
+                     np.int64)
+    mref = ray.put((src_arr, masks))
+
+    def part(batch: pa.Table) -> pa.Table:
+        sa, mk = ray.get(mref)
+        seg = pa.array(np.char.add(
+            "d", batch["doc_id"].to_numpy(zero_copy_only=False)
+            .astype("U")))
+        shard = (stable_hash64_col_np(seg, ROBOTS_SEED ^ 0x70B0)
+                 & np.uint64(0xF)).astype(np.int64)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        mrow = mk[np.searchsorted(sa, uniq)][codes]
+        denied = ((mrow >> shard) & 1).astype(np.int64)
+        k = len(uniq)
+        return pa.table({
+            "source": pa.array(uniq.astype(object)),
+            "n_urls": pa.array(np.bincount(codes, minlength=k)
+                               .astype(np.int64)),
+            "n_denied": pa.array(np.bincount(codes, weights=denied,
+                                             minlength=k)
+                                 .astype(np.int64))})
+
+    agg = _merge_partials(ds.map_batches(part, batch_format="pyarrow"),
+                          ["source"], ["n_urls", "n_denied"])
+    agg["host"] = agg["source"].astype(str) + ".example"
+    agg["mask"] = masks[np.searchsorted(src_arr,
+                                        agg["source"].to_numpy())]
+    agg["n_allowed"] = agg["n_urls"] - agg["n_denied"]
+    out = agg[["source", "host", "mask", "n_urls", "n_allowed",
+               "n_denied"]].copy()
+    for c in ["mask", "n_urls", "n_allowed", "n_denied"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _robots_oracle_sql() -> str:
+    from ..functions.sqlmirror import stable_hash64_cte
+    w1, c1 = stable_hash64_cte(
+        "SELECT source, source || '.example' AS host FROM "
+        "(SELECT DISTINCT source FROM documents)",
+        "host", {"hh": ROBOTS_SEED ^ 0x0B07},
+        carry_cols=("source",), prefix="rh_")
+    w2, c2 = stable_hash64_cte(
+        "SELECT source, 'd' || CAST(doc_id AS VARCHAR) AS seg "
+        "FROM documents",
+        "seg", {"sh": ROBOTS_SEED ^ 0x70B0},
+        carry_cols=("source",), prefix="rg_", include_with=False)
+    return w1 + w2 + (
+        ", rb_h AS (SELECT source, host, hh, "
+        f"CAST(hh % 16 AS BIGINT) AS n0 FROM {c1}), "
+        "rb_j AS (SELECT h.source, h.n0, gs.generate_series AS j, "
+        "CAST((h.hh >> CAST(4 * gs.generate_series AS INTEGER)) "
+        "& 15 AS BIGINT) AS nj "
+        "FROM rb_h h CROSS JOIN generate_series(1, 15) gs), "
+        "rb_d AS (SELECT source, nj AS n1, row_number() OVER "
+        "(PARTITION BY source ORDER BY j) AS rn FROM rb_j "
+        "WHERE nj != n0), "
+        "rb_m AS (SELECT h.source, h.host, CASE WHEN h.hh = 0 THEN 1 "
+        "ELSE ((CAST(1 AS BIGINT) << h.n0) | "
+        "(CAST(1 AS BIGINT) << coalesce(d.n1, h.n0))) END AS mask "
+        "FROM rb_h h LEFT JOIN (SELECT source, n1 FROM rb_d "
+        "WHERE rn = 1) d USING (source)), "
+        f"rb_v AS (SELECT source, CAST(sh % 16 AS BIGINT) AS shard "
+        f"FROM {c2}), "
+        "rb_c AS (SELECT v.source, CAST(count(*) AS BIGINT) AS n_urls, "
+        "CAST(sum(CASE WHEN ((m.mask >> CAST(v.shard AS INTEGER)) & 1) "
+        "= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_denied "
+        "FROM rb_v v JOIN rb_m m USING (source) GROUP BY 1) "
+        "SELECT c.source, m.host, CAST(m.mask AS BIGINT) AS mask, "
+        "c.n_urls, CAST(c.n_urls - c.n_denied AS BIGINT) AS n_allowed, "
+        "c.n_denied FROM rb_c c JOIN rb_m m USING (source) "
+        "ORDER BY c.source")
+
+
 ORACLE_SQL: dict[str, str] = {
     # politeness wait replay: max-plus closed form, one window max
     "politeness_wait_replay": _politeness_wait_oracle_sql(),
+    # the live RobotsCache hash algebra replayed end-to-end
+    "robots_verdict_stats": _robots_oracle_sql(),
     # FK orphan audit: broadcast probes + one bucketed anti-join
     "orphan_audit": _orphan_oracle_sql(),
     # hourly-lag autocorrelation: exact integer Pearson components

@@ -178,3 +178,67 @@ def test_orphan_audit_detects_violations(tmp_path, ray_session):
     assert out.loc["events->customer"].tolist() == [3, 1, 1]
     assert out.loc["supplier->nation"].tolist() == [1, 0, 0]
     assert out.loc["lineitem->supplier"].tolist() == [4, 0, 0]
+
+
+def test_vectorized_fnv_bit_identity():
+    """stable_hash64_col_np == stable_hash64 for empty/ascii/utf-8/
+    null values, on sliced and chunked arrays."""
+    from crawling_infrastructure_ray.functions.hashing import (
+        stable_hash64, stable_hash64_col_np)
+
+    strs = ["", "a", "d17", "café", "abcdefghij" * 5, "中文☃", "x\t\n"]
+    col = pa.array(strs + [None])
+    got = stable_hash64_col_np(col, seed=42)
+    want = np.array([stable_hash64(s, 42) for s in strs]
+                    + [stable_hash64("", 42)], np.uint64)
+    assert (got == want).all()
+    sl = col.slice(2, 4)
+    got2 = stable_hash64_col_np(sl, seed=7)
+    want2 = np.array([stable_hash64(s, 7) for s in strs[2:6]],
+                     np.uint64)
+    assert (got2 == want2).all()
+    ch = pa.chunked_array([pa.array(["aa", "bb"]), pa.array(["cc"])])
+    assert (stable_hash64_col_np(ch)
+            == np.array([stable_hash64(s) for s in ["aa", "bb", "cc"]],
+                        np.uint64)).all()
+
+
+def test_robots_query_matches_live_robotscache(tmp_path, ray_session):
+    """The robots_verdict_stats counts equal a literal per-URL drive
+    of the LIVE RobotsCache.allowed() over the same URL universe —
+    pinning the query to the engine function end to end (mask build,
+    path-segment parse, shard probe)."""
+    from crawling_infrastructure_ray.pipelines.analytics import (
+        ROBOTS_SEED, q_robots_verdict_stats)
+    from crawling_infrastructure_ray.state.politeness import \
+        RobotsCache
+
+    rng = np.random.default_rng(3)
+    n = 300
+    srcs = [f"h{i}" for i in range(9)]
+    src = [srcs[i] for i in rng.integers(0, len(srcs), n)]
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["w"] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(src, pa.string()),
+        "n_chars": pa.array([1] * n, pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    got = q_robots_verdict_stats(str(tmp_path)).set_index("source")
+
+    rc = RobotsCache(seed=ROBOTS_SEED)
+    exp = {}
+    for i, s in enumerate(src):
+        url = f"http://{s}.example/d{i}"
+        a = rc.allowed(url)
+        d = exp.setdefault(s, [0, 0])
+        d[0] += 1
+        d[1] += 0 if a else 1
+    for s, (nu, nd) in exp.items():
+        row = got.loc[s]
+        assert int(row["n_urls"]) == nu
+        assert int(row["n_denied"]) == nd
+        assert int(row["n_allowed"]) == nu - nd
+        assert int(row["mask"]) == rc._rules(f"{s}.example")
