@@ -36,8 +36,22 @@ def stable_hash64(s: str | bytes, seed: int = 0) -> int:
 
 
 def stable_hash64_np(arr, seed: int = 0) -> np.ndarray:
-    """Vectorized stable 64-bit hash over an iterable of strings."""
-    return np.fromiter((stable_hash64(s, seed) for s in arr), dtype=np.uint64, count=len(arr))
+    """Vectorized stable 64-bit hash over an iterable of strings.
+
+    Large inputs route through the byte-position FNV
+    (stable_hash64_col_np — bit-identical, no per-row Python); small
+    ones and anything Arrow can't ingest fall back to the per-row
+    fold."""
+    n = len(arr)
+    if n >= 64:
+        try:
+            import pyarrow as _pa
+            col = arr if isinstance(arr, (_pa.Array, _pa.ChunkedArray)) \
+                else _pa.array(arr)
+            return stable_hash64_col_np(col, seed)
+        except (ImportError, _pa.lib.ArrowInvalid, TypeError):
+            pass
+    return np.fromiter((stable_hash64(s, seed) for s in arr), dtype=np.uint64, count=n)
 
 
 def md5_id(s: str | bytes) -> str:
@@ -125,8 +139,11 @@ def stable_hash64_col_np(col, seed: int = 0) -> np.ndarray:
     to stable_hash64 for any utf-8 input. Use for corpus-scale
     columns of SHORT, mostly-distinct keys (url segments, tokens)
     where the dictionary-encode trick doesn't help and the per-row
-    generator would be the hot loop; cost is O(rows × max_len) numpy
-    ops. Nulls hash as empty strings."""
+    generator would be the hot loop. Rows are processed in
+    length-sorted order so each byte step touches a SUFFIX slice —
+    total cost O(total_bytes + n log n) regardless of length skew
+    (one long outlier doesn't tax the short rows). Nulls hash as
+    empty strings."""
     import pyarrow as pa
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -146,14 +163,19 @@ def stable_hash64_col_np(col, seed: int = 0) -> np.ndarray:
     data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None \
         else np.empty(0, np.uint8)
     lens = off[1:] - off[:-1]
-    L = int(lens.max(initial=0))
-    h = np.full(n, (_FNV_OFFSET ^ (seed & _MASK)) & _MASK,
-                dtype=np.uint64)
+    order = np.argsort(lens, kind="stable")
+    lens_s = lens[order]
+    start_s = off[:-1][order]
+    L = int(lens_s[-1])
+    hs = np.full(n, (_FNV_OFFSET ^ (seed & _MASK)) & _MASK,
+                 dtype=np.uint64)
     with np.errstate(over="ignore"):
         for j in range(L):
-            m = lens > j
-            if not m.any():
+            s = int(np.searchsorted(lens_s, j, side="right"))
+            if s == n:
                 break
-            b = data[off[:-1][m] + j].astype(np.uint64)
-            h[m] = (h[m] ^ b) * np.uint64(_FNV_PRIME)
-    return splitmix64_np(h)
+            b = data[start_s[s:] + j].astype(np.uint64)
+            hs[s:] = (hs[s:] ^ b) * np.uint64(_FNV_PRIME)
+    out = np.empty(n, np.uint64)
+    out[order] = splitmix64_np(hs)
+    return out
