@@ -477,6 +477,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "gzip_roundtrip_stats": qt.q_gzip_roundtrip_stats,
         # the live RobotsCache hash algebra replayed in SQL
         "robots_verdict_stats": qa.q_robots_verdict_stats,
+        # Holt double-exponential smoothing, exact e6 trajectory
+        "holt_linear": qa.q_holt_linear,
     }
 
 

@@ -7094,9 +7094,120 @@ def _robots_oracle_sql() -> str:
         "ORDER BY c.source")
 
 
+HOLT_CKPT = 64  # checkpoint stride on the smoothing trajectory
+
+
+def q_holt_linear(sf_dir: str):
+    """HOLT'S LINEAR (double exponential) SMOOTHING of the hourly
+    event-count series per type, α=β=1/4, carried in EXACT e6 integer
+    units with TRUNCATING division (DuckDB's `//` truncates toward
+    zero; the numpy fold mirrors it exactly) — the trend-aware
+    forecasting companion to events_ewma, hash-gated over the whole
+    trajectory via checkpoints every 64 hours plus the final state:
+
+        l_t = trunc((x_t·10⁶ + 3·(l_{t-1} + b_{t-1})) / 4)
+        b_t = trunc(((l_t − l_{t-1}) + 3·b_{t-1}) / 4)
+
+    init l_0 = x_0·10⁶, b_0 = (x_1 − x_0)·10⁶. Series are DENSE over
+    the global hour range (zeros are signal, the acf_hourly
+    contract). Output rows (event_type, t, x, level_e6, trend_e6) at
+    the checkpoints.
+
+    Scale shape: the data-sized pass is the same (type, hour) count
+    combiner; the fold is a config-sized driver iteration vectorized
+    ACROSS types per step (the pagerank/HITS convention — the series
+    length is clock-bounded, not data-bounded). The SQL twin replays
+    the recursion with a recursive CTE advancing all types per
+    step."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                      pa.scalar(3_600_000_000, pa.int64()))
+        t = pa.table({"event_type": batch["event_type"], "h": h})
+        g = t.group_by(["event_type", "h"]).aggregate([("h", "count")])
+        return g.rename_columns(["event_type", "h", "n"])
+
+    hc = _merge_partials(ds.map_batches(partial,
+                                        batch_format="pyarrow"),
+                         ["event_type", "h"], ["n"])
+    h0, h1 = int(hc["h"].min()), int(hc["h"].max())
+    T = h1 - h0  # last t index
+    types = sorted(hc["event_type"].unique())
+    k = len(types)
+    x = np.zeros((k, T + 1), dtype=np.int64)
+    ti = {t2: i for i, t2 in enumerate(types)}
+    x[hc["event_type"].map(ti).to_numpy(np.int64),
+      hc["h"].to_numpy(np.int64) - h0] = hc["n"].to_numpy(np.int64)
+    assert T >= 1, "holt needs at least two hours of data"
+    assert int(x.max()) < 2 ** 40, "holt e6 scaling would overflow"
+
+    def tdiv4(a: np.ndarray) -> np.ndarray:
+        return np.where(a >= 0, a // 4, -((-a) // 4))
+
+    E6 = 1_000_000
+    level = x[:, 0] * E6
+    trend = (x[:, 1] - x[:, 0]) * E6
+    rows = [(0, x[:, 0].copy(), level.copy(), trend.copy())]
+    for t in range(1, T + 1):
+        l_new = tdiv4(x[:, t] * E6 + 3 * (level + trend))
+        trend = tdiv4((l_new - level) + 3 * trend)
+        level = l_new
+        if t % HOLT_CKPT == 0 or t == T:
+            rows.append((t, x[:, t].copy(), level.copy(),
+                         trend.copy()))
+    recs = []
+    for t, xv, lv, bv in rows:
+        for i, et in enumerate(types):
+            recs.append((et, t, int(xv[i]), int(lv[i]), int(bv[i])))
+    out = pd.DataFrame(recs, columns=["event_type", "t", "x",
+                                      "level_e6", "trend_e6"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "t"]).reset_index(drop=True)
+
+
+def _holt_oracle_sql() -> str:
+    return (
+        "WITH RECURSIVE hl_e AS (SELECT event_type, "
+        "epoch_us(ts) // 3600000000 AS h FROM events), "
+        "hl_c AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n "
+        "FROM hl_e GROUP BY 1, 2), "
+        "hl_b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hl_e), "
+        "hl_t AS (SELECT DISTINCT event_type FROM hl_e), "
+        "hl_g AS (SELECT t.event_type, "
+        "unnest(generate_series(b.h0, b.h1)) AS h "
+        "FROM hl_t t CROSS JOIN hl_b b), "
+        "hl_d AS (SELECT g.event_type, "
+        "CAST(g.h - (SELECT h0 FROM hl_b) AS BIGINT) AS t, "
+        "CAST(coalesce(c.n, 0) AS BIGINT) AS x FROM hl_g g "
+        "LEFT JOIN hl_c c ON c.event_type = g.event_type "
+        "AND c.h = g.h), "
+        "hl_m AS (SELECT max(t) AS tmax FROM hl_d), "
+        "hl_r AS (SELECT d0.event_type, CAST(0 AS BIGINT) AS t, "
+        "d0.x * 1000000 AS l, (d1.x - d0.x) * 1000000 AS b "
+        "FROM hl_d d0 JOIN hl_d d1 ON d1.event_type = d0.event_type "
+        "AND d1.t = 1 WHERE d0.t = 0 "
+        "UNION ALL "
+        "SELECT event_type, t, l2, ((l2 - l) + 3 * b) // 4 FROM "
+        "(SELECT r.event_type, r.t + 1 AS t, "
+        "(d.x * 1000000 + 3 * (r.l + r.b)) // 4 AS l2, r.l AS l, "
+        "r.b AS b FROM hl_r r JOIN hl_d d "
+        "ON d.event_type = r.event_type AND d.t = r.t + 1 "
+        "WHERE r.t < (SELECT tmax FROM hl_m)) __h) "
+        "SELECT r.event_type, r.t, d.x, CAST(r.l AS BIGINT) "
+        "AS level_e6, CAST(r.b AS BIGINT) AS trend_e6 "
+        "FROM hl_r r JOIN hl_d d ON d.event_type = r.event_type "
+        "AND d.t = r.t "
+        f"WHERE r.t % {HOLT_CKPT} = 0 OR r.t = "
+        "(SELECT tmax FROM hl_m) ORDER BY 1, 2")
+
+
 ORACLE_SQL: dict[str, str] = {
     # politeness wait replay: max-plus closed form, one window max
     "politeness_wait_replay": _politeness_wait_oracle_sql(),
+    # Holt linear smoothing trajectory, recursive-CTE replay
+    "holt_linear": _holt_oracle_sql(),
     # the live RobotsCache hash algebra replayed end-to-end
     "robots_verdict_stats": _robots_oracle_sql(),
     # FK orphan audit: broadcast probes + one bucketed anti-join
