@@ -479,6 +479,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "robots_verdict_stats": qa.q_robots_verdict_stats,
         # Holt double-exponential smoothing, exact e6 trajectory
         "holt_linear": qa.q_holt_linear,
+        # multi-pattern substring match counts per source
+        "pattern_match_counts": qa.q_pattern_match_counts,
+        # the live URL-seen BloomFilter algebra replayed in SQL
+        "urlseen_bloom_audit": qa.q_urlseen_bloom_audit,
     }
 
 

@@ -7203,9 +7203,271 @@ def _holt_oracle_sql() -> str:
         "(SELECT tmax FROM hl_m) ORDER BY 1, 2")
 
 
+PM_PATTERNS = ("join", "sort", "merge", "table", "stream", "the")
+
+
+def q_pattern_match_counts(sf_dir: str):
+    """MULTI-PATTERN SUBSTRING MATCH COUNTS (the content-filter /
+    keyword-screen primitive — the reference greps crawl results for
+    needles in its test suite; curation pipelines count banned-word
+    and boilerplate markers the same way): for each (source, pattern)
+    over a config-sized pattern set, the number of docs containing
+    the pattern, total occurrences and the max per doc. Patterns are
+    chosen border-free (no proper prefix = suffix), so non-overlapping
+    occurrence counting is unambiguous and Arrow's count_substring
+    equals DuckDB's replace-length arithmetic exactly.
+
+    Scale shape: one streaming pass; per batch a loop over the
+    PATTERN SET (config-sized), each iteration one vectorized Arrow
+    count_substring + bincount partial; the driver merges
+    sources × patterns rows."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"], "")
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        k = len(uniq)
+        outs = {"source": [], "pattern": [], "n_docs": [],
+                "n_occ": [], "max_occ": []}
+        for p in PM_PATTERNS:
+            cnt = pc.count_substring(text, p).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            occ = np.bincount(codes, weights=cnt,
+                              minlength=k).astype(np.int64)
+            nd = np.bincount(codes, weights=(cnt > 0),
+                             minlength=k).astype(np.int64)
+            mx = np.zeros(k, dtype=np.int64)
+            np.maximum.at(mx, codes, cnt)
+            outs["source"].extend(uniq)
+            outs["pattern"].extend([p] * k)
+            outs["n_docs"].extend(nd)
+            outs["n_occ"].extend(occ)
+            outs["max_occ"].extend(mx)
+        return pa.table({
+            "source": pa.array(outs["source"], pa.string()),
+            "pattern": pa.array(outs["pattern"], pa.string()),
+            "n_docs": pa.array(outs["n_docs"], pa.int64()),
+            "n_occ": pa.array(outs["n_occ"], pa.int64()),
+            "max_occ": pa.array(outs["max_occ"], pa.int64())})
+
+    pdf = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    pdf = pdf.sort_values(["source", "pattern"]).reset_index(drop=True)
+    sums = pdf.groupby(["source", "pattern"], as_index=False)[
+        ["n_docs", "n_occ"]].sum()
+    mx = pdf.groupby(["source", "pattern"], as_index=False)[
+        "max_occ"].max()
+    out = sums.merge(mx, on=["source", "pattern"])
+    for c in ["n_docs", "n_occ", "max_occ"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["source", "pattern"]) \
+        .reset_index(drop=True)
+
+
+def _pattern_match_oracle_sql() -> str:
+    pats = ",".join(f"('{p}')" for p in PM_PATTERNS)
+    return (
+        f"WITH pm_p AS (SELECT * FROM (VALUES {pats}) v(pattern)), "
+        "pm_d AS (SELECT source, coalesce(text, '') AS text "
+        "FROM documents), "
+        "pm_c AS (SELECT d.source, p.pattern, "
+        "CAST((length(d.text) - length(replace(d.text, p.pattern, "
+        "''))) // length(p.pattern) AS BIGINT) AS cnt "
+        "FROM pm_d d CROSS JOIN pm_p p) "
+        "SELECT source, pattern, "
+        "CAST(count(*) FILTER (cnt > 0) AS BIGINT) AS n_docs, "
+        "CAST(sum(cnt) AS BIGINT) AS n_occ, "
+        "CAST(max(cnt) AS BIGINT) AS max_occ "
+        "FROM pm_c GROUP BY 1, 2 ORDER BY 1, 2")
+
+
+BLOOM_CAP, BLOOM_FPP, BLOOM_SEED = 100_000, 0.01, 0
+
+
+def _bloom_h2_vec(h1_u: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized mirror of BloomFilter._positions's second hash:
+    stable_hash64 over the 8 little-endian bytes of h1 (seed^0xA5A5),
+    then |1 — the Kirsch-Mitzenmacher double-hash step
+    (state/filters.py:44-48), bit-identical."""
+    from ..functions import hashing as hh
+    with np.errstate(over="ignore"):
+        t = np.full(h1_u.shape,
+                    np.uint64((hh._FNV_OFFSET ^ ((seed ^ 0xA5A5)
+                                                 & hh._MASK))
+                              & hh._MASK))
+        for i in range(8):
+            b = (h1_u >> np.uint64(8 * i)) & np.uint64(0xFF)
+            t = (t ^ b) * np.uint64(hh._FNV_PRIME)
+        return hh.splitmix64_np(t) | np.uint64(1)
+
+
+def q_urlseen_bloom_audit(sf_dir: str, capacity: int = BLOOM_CAP):
+    """URL-SEEN BLOOM FILTER AUDIT — hash-gates the engine's A6
+    north-star membership filter (state/filters.py BloomFilter: the
+    cold-shard URL-seen structure) against a full SQL replay of its
+    double-hash algebra: every inserted URL's k bit positions are
+    g_i = (h1 + i·h2) mod 2⁶⁴ mod m with h1 = stable_hash64(url) and
+    h2 = stable_hash64(bytes_le(h1), seed^0xA5A5)|1, exactly as the
+    live filter computes them. Inserted keys: one canonical URL per
+    document; probes: a disjoint same-shaped URL set — every probe
+    hit is by construction a FALSE POSITIVE, so the filter's realized
+    FP behavior (not just its bit count) is pinned. Output: key/
+    distinct-hash counts, the filter geometry (m, k from the LIVE
+    class formula), exact popcount of the bit array, probe count and
+    false-positive count.
+
+    The Ray side computes positions vectorized (the same algebra;
+    test_round4d pins it bit-for-bit against a live BloomFilter
+    object, bits AND membership); the bit-position set is bounded by
+    m (CONFIG-sized), broadcast once for the probe pass. The
+    distinct-h1 union is the documented audit-tier driver bound (8
+    bytes per key; sampled replay is the 100-TB path).
+
+    Scale shape: two streaming passes (insert-positions, probe), each
+    a vectorized hash + searchsorted per batch; no shuffle."""
+    from ..functions.hashing import stable_hash64_col_np
+    from ..state.filters import BloomFilter
+
+    proto = BloomFilter(capacity, BLOOM_FPP, BLOOM_SEED)
+    m, k = proto.num_bits, proto.num_hashes
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def _urls(batch: pa.Table, pfx: str) -> pa.Array:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype("U")
+        src = batch["source"].to_numpy(zero_copy_only=False) \
+            .astype("U")
+        return pa.array(np.char.add(np.char.add(np.char.add(
+            "http://", src), f".example/{pfx}"), ids))
+
+    def _positions(h1: np.ndarray) -> np.ndarray:
+        h2 = _bloom_h2_vec(h1, BLOOM_SEED)
+        with np.errstate(over="ignore"):
+            pos = (h1[:, None]
+                   + np.arange(k, dtype=np.uint64)[None, :]
+                   * h2[:, None]) % np.uint64(m)
+        return pos.astype(np.int64)
+
+    def ins_part(batch: pa.Table) -> pa.Table:
+        h1 = stable_hash64_col_np(_urls(batch, "d"), BLOOM_SEED)
+        pos = np.unique(_positions(h1))
+        return pa.table({
+            "pos": pa.array([pos.tolist()],
+                            pa.list_(pa.int64())),
+            "h1": pa.array([np.unique(h1).view(np.int64).tolist()],
+                           pa.list_(pa.int64())),
+            "n": pa.array([len(h1)], pa.int64())})
+
+    parts = ds.map_batches(ins_part, batch_format="pyarrow") \
+        .to_pandas()
+    n_keys = int(parts["n"].sum())
+    S = np.unique(np.concatenate(
+        [np.asarray(p, np.int64) for p in parts["pos"]])) \
+        if len(parts) else np.empty(0, np.int64)
+    h1_all = np.unique(np.concatenate(
+        [np.asarray(p, np.int64) for p in parts["h1"]])) \
+        if len(parts) else np.empty(0, np.int64)
+    sref = ray.put(S)
+
+    def probe_part(batch: pa.Table) -> pa.Table:
+        S_ = ray.get(sref)
+        h1 = stable_hash64_col_np(_urls(batch, "p"), BLOOM_SEED)
+        pos = _positions(h1)
+        idx = np.clip(np.searchsorted(S_, pos), 0,
+                      max(len(S_) - 1, 0))
+        hit = (S_[idx] == pos) if len(S_) else \
+            np.zeros_like(pos, bool)
+        fp = hit.all(axis=1)
+        return pa.table({
+            "n_probes": pa.array([len(h1)], pa.int64()),
+            "n_fp": pa.array([int(fp.sum())], pa.int64())})
+
+    pr = ds.map_batches(probe_part, batch_format="pyarrow") \
+        .to_pandas()
+    out = pd.DataFrame([(n_keys, len(h1_all), m, k, len(S),
+                         int(pr["n_probes"].sum()),
+                         int(pr["n_fp"].sum()))],
+                       columns=["n_keys", "n_distinct_hashes",
+                                "num_bits", "num_hashes", "bits_set",
+                                "n_probes", "n_false_positives"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _bloom_oracle_sql() -> str:
+    from ..functions.sqlmirror import (FNV_OFF, FNV_P, M64, mul_mod64,
+                                       splitmix_stage_exprs,
+                                       stable_hash64_cte)
+    from ..state.filters import BloomFilter
+    proto = BloomFilter(BLOOM_CAP, BLOOM_FPP, BLOOM_SEED)
+    m, k = proto.num_bits, proto.num_hashes
+    seed2 = (BLOOM_SEED ^ 0xA5A5) & (M64 - 1)
+
+    w1, c1 = stable_hash64_cte(
+        "SELECT 'http://' || source || '.example/d' || "
+        "CAST(doc_id AS VARCHAR) AS u FROM documents",
+        "u", {"h1": BLOOM_SEED}, prefix="bi_")
+    w2, c2 = stable_hash64_cte(
+        "SELECT 'http://' || source || '.example/p' || "
+        "CAST(doc_id AS VARCHAR) AS u FROM documents",
+        "u", {"h1": BLOOM_SEED}, prefix="bq_", include_with=False)
+
+    def h2_chain(prefix: str, src_cte: str) -> tuple[str, str]:
+        sql = (f", {prefix}f0 AS (SELECT u, h1, "
+               f"CAST({(FNV_OFF ^ seed2) & (M64 - 1)} AS UBIGINT) "
+               f"AS t FROM {src_cte})")
+        prev = f"{prefix}f0"
+        for i in range(8):
+            sql += (f", {prefix}x{i} AS (SELECT u, h1, "
+                    f"CAST(xor(t, (h1 >> {8 * i}) & 255) AS UBIGINT) "
+                    f"AS t FROM {prev})")
+            sql += (f", {prefix}m{i} AS (SELECT u, h1, "
+                    f"{mul_mod64('t', FNV_P)} AS t "
+                    f"FROM {prefix}x{i})")
+            prev = f"{prefix}m{i}"
+        for j, st in enumerate(splitmix_stage_exprs("t")):
+            sql += (f", {prefix}s{j} AS (SELECT u, h1, {st} AS t "
+                    f"FROM {prev})")
+            prev = f"{prefix}s{j}"
+        sql += (f", {prefix}h AS (SELECT u, h1, "
+                f"CAST(t | 1 AS UBIGINT) AS h2 FROM {prev})")
+        return sql, f"{prefix}h"
+
+    hi, ci = h2_chain("bh_", c1)
+    hp, cp = h2_chain("ph_", c2)
+    pos_expr = (f"CAST(((CAST(h1 AS HUGEINT) + gs.generate_series * "
+                f"CAST(h2 AS HUGEINT)) % {M64}) % {m} AS BIGINT)")
+    return w1 + w2 + hi + hp + (
+        f", bi_pos AS (SELECT DISTINCT {pos_expr} AS pos FROM {ci} "
+        f"CROSS JOIN generate_series(0, {k - 1}) gs), "
+        f"bq_pos AS (SELECT u, {pos_expr} AS pos FROM {cp} "
+        f"CROSS JOIN generate_series(0, {k - 1}) gs), "
+        "bq_g AS (SELECT p.u, count(DISTINCT p.pos) AS np, "
+        "count(DISTINCT s.pos) AS nm FROM bq_pos p "
+        "LEFT JOIN bi_pos s ON s.pos = p.pos GROUP BY p.u), "
+        f"b_ins AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, "
+        f"CAST(count(DISTINCT h1) AS BIGINT) AS n_distinct_hashes "
+        f"FROM {ci}), "
+        "b_bits AS (SELECT CAST(count(*) AS BIGINT) AS bits_set "
+        "FROM bi_pos), "
+        "b_pr AS (SELECT CAST(count(*) AS BIGINT) AS n_probes, "
+        "CAST(count(*) FILTER (np = nm) AS BIGINT) "
+        "AS n_false_positives FROM bq_g) "
+        "SELECT i.n_keys, i.n_distinct_hashes, "
+        f"CAST({m} AS BIGINT) AS num_bits, "
+        f"CAST({k} AS BIGINT) AS num_hashes, b.bits_set, "
+        "p.n_probes, p.n_false_positives "
+        "FROM b_ins i CROSS JOIN b_bits b CROSS JOIN b_pr p")
+
+
 ORACLE_SQL: dict[str, str] = {
     # politeness wait replay: max-plus closed form, one window max
     "politeness_wait_replay": _politeness_wait_oracle_sql(),
+    # the live BloomFilter double-hash algebra replayed in SQL
+    "urlseen_bloom_audit": _bloom_oracle_sql(),
+    # multi-pattern substring counts, border-free pattern set
+    "pattern_match_counts": _pattern_match_oracle_sql(),
     # Holt linear smoothing trajectory, recursive-CTE replay
     "holt_linear": _holt_oracle_sql(),
     # the live RobotsCache hash algebra replayed end-to-end

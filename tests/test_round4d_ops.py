@@ -242,3 +242,44 @@ def test_robots_query_matches_live_robotscache(tmp_path, ray_session):
         assert int(row["n_denied"]) == nd
         assert int(row["n_allowed"]) == nu - nd
         assert int(row["mask"]) == rc._rules(f"{s}.example")
+
+
+def test_bloom_audit_matches_live_filter(tmp_path, ray_session):
+    """The vectorized bloom audit equals a literal drive of the LIVE
+    BloomFilter: popcount of the bit array and per-probe membership,
+    at a tiny capacity chosen to force REAL false positives."""
+    from crawling_infrastructure_ray.pipelines.analytics import (
+        BLOOM_FPP, BLOOM_SEED, q_urlseen_bloom_audit)
+    from crawling_infrastructure_ray.state.filters import BloomFilter
+
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["w"] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array([f"s{i % 4}" for i in range(n)],
+                           pa.string()),
+        "n_chars": pa.array([1] * n, pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    cap = 60  # overloaded filter -> false positives guaranteed
+    got = q_urlseen_bloom_audit(str(tmp_path), capacity=cap).iloc[0]
+
+    bf = BloomFilter(cap, BLOOM_FPP, BLOOM_SEED)
+    srcs = [f"s{i % 4}" for i in range(n)]
+    for i, s in enumerate(srcs):
+        bf.add(f"http://{s}.example/d{i}")
+    fp = sum(bf.contains(f"http://{s}.example/p{i}")
+             for i, s in enumerate(srcs))
+    pop = int(np.bitwise_count(bf.bits).sum()) \
+        if hasattr(np, "bitwise_count") else \
+        int(sum(bin(int(w)).count("1") for w in bf.bits))
+
+    assert int(got["num_bits"]) == bf.num_bits
+    assert int(got["num_hashes"]) == bf.num_hashes
+    assert int(got["n_keys"]) == n
+    assert int(got["bits_set"]) == pop
+    assert int(got["n_probes"]) == n
+    assert int(got["n_false_positives"]) == fp
+    assert fp > 0, "capacity too large: FP path not exercised"
