@@ -483,6 +483,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "pattern_match_counts": qa.q_pattern_match_counts,
         # the live URL-seen BloomFilter algebra replayed in SQL
         "urlseen_bloom_audit": qa.q_urlseen_bloom_audit,
+        # Hamilton largest-remainder crawl budget apportionment
+        "crawl_budget_apportionment": qa.q_crawl_budget_apportionment,
     }
 
 

@@ -7461,9 +7461,84 @@ def _bloom_oracle_sql() -> str:
         "FROM b_ins i CROSS JOIN b_bits b CROSS JOIN b_pr p")
 
 
+CRAWL_BUDGET = 10_000
+
+
+def q_crawl_budget_apportionment(sf_dir: str):
+    """CRAWL BUDGET APPORTIONMENT (Hamilton / largest-remainder): a
+    fixed per-cycle fetch budget of 10 000 slots divided across
+    sources proportionally to their total character mass — the
+    host-budget policy seat of the frontier's priority key
+    (crawl-depth, HOST-BUDGET, enqueue-time; reference: per-task
+    max_items caps, crawltask.model.ts). Exact integer apportionment:
+    base_i = B·mass_i // M, then the B − Σbase leftover slots go to
+    the largest remainders (B·mass_i mod M), ties broken by source
+    name — so Σ budget_i = B exactly, no float shares. Output per
+    source: mass, base, extra flag, final budget.
+
+    Scale shape: one n_chars-sum combiner (enum-keyed), then the
+    apportionment runs on the source-universe-sized driver frame; the
+    oracle replays base/remainder arithmetic with one rank window."""
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source"]).aggregate([("n_chars", "sum")])
+        return g.rename_columns(["source", "mass"])
+
+    agg = _merge_partials(ds.map_batches(part, batch_format="pyarrow"),
+                          ["source"], ["mass"])
+    agg = agg.sort_values("source").reset_index(drop=True)
+    mass = agg["mass"].to_numpy(np.int64)
+    M = int(mass.sum())
+    B = CRAWL_BUDGET
+    assert B * int(mass.max(initial=0)) < 2 ** 62, \
+        "budget*mass would overflow int64"
+    base = B * mass // M
+    rem = B * mass % M
+    extra = B - int(base.sum())
+    order = np.lexsort((agg["source"].to_numpy(), -rem))
+    flag = np.zeros(len(agg), dtype=np.int64)
+    flag[order[:extra]] = 1
+    out = pd.DataFrame({
+        "source": agg["source"],
+        "mass": mass,
+        "base": base,
+        "extra": flag,
+        "budget": base + flag})
+    assert int(out["budget"].sum()) == B
+    for c in ["mass", "base", "extra", "budget"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _budget_oracle_sql() -> str:
+    B = CRAWL_BUDGET
+    return (
+        "WITH cb_m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) "
+        "AS mass FROM documents GROUP BY source), "
+        "cb_t AS (SELECT CAST(sum(mass) AS BIGINT) AS total, "
+        "CAST(count(*) AS BIGINT) AS s FROM cb_m), "
+        f"cb_b AS (SELECT m.source, m.mass, "
+        f"CAST({B} * m.mass // t.total AS BIGINT) AS base, "
+        f"CAST({B} * m.mass % t.total AS BIGINT) AS rem "
+        "FROM cb_m m CROSS JOIN cb_t t), "
+        "cb_e AS (SELECT CAST(" + str(B) + " - sum(base) AS BIGINT) "
+        "AS extra FROM cb_b), "
+        "cb_r AS (SELECT source, mass, base, row_number() OVER "
+        "(ORDER BY rem DESC, source) AS rk FROM cb_b) "
+        "SELECT r.source, r.mass, r.base, "
+        "CAST(CASE WHEN r.rk <= e.extra THEN 1 ELSE 0 END AS BIGINT) "
+        "AS extra, "
+        "CAST(r.base + CASE WHEN r.rk <= e.extra THEN 1 ELSE 0 END "
+        "AS BIGINT) AS budget "
+        "FROM cb_r r CROSS JOIN cb_e e ORDER BY r.source")
+
+
 ORACLE_SQL: dict[str, str] = {
     # politeness wait replay: max-plus closed form, one window max
     "politeness_wait_replay": _politeness_wait_oracle_sql(),
+    # Hamilton largest-remainder crawl budget apportionment
+    "crawl_budget_apportionment": _budget_oracle_sql(),
     # the live BloomFilter double-hash algebra replayed in SQL
     "urlseen_bloom_audit": _bloom_oracle_sql(),
     # multi-pattern substring counts, border-free pattern set
