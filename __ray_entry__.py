@@ -485,6 +485,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "urlseen_bloom_audit": qa.q_urlseen_bloom_audit,
         # Hamilton largest-remainder crawl budget apportionment
         "crawl_budget_apportionment": qa.q_crawl_budget_apportionment,
+        # corpus-wide column profile, schema contract pinned
+        "table_profile_audit": qa.q_table_profile_audit,
     }
 
 

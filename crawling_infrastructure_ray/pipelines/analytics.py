@@ -7534,9 +7534,105 @@ def _budget_oracle_sql() -> str:
         "FROM cb_r r CROSS JOIN cb_e e ORDER BY r.source")
 
 
+# the corpus schema contract (TESTDATA.md) — single source for the
+# profile audit's Ray pass and its generated oracle
+CORPUS_COLUMNS: dict[str, list[str]] = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus",
+               "o_totalprice", "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_linenumber", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax", "l_returnflag",
+                 "l_linestatus", "l_shipdate"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value",
+               "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+
+def q_table_profile_audit(sf_dir: str):
+    """CORPUS-WIDE COLUMN PROFILE (the ingest data-quality sweep a
+    100-TB pipeline runs before trusting any table): for every
+    (table, column) across all ten tables — row count, null count,
+    and for string columns the empty-string count. The schema
+    contract is pinned as a constant (CORPUS_COLUMNS) shared by the
+    Ray pass and the generated oracle, so a silently added/dropped
+    column fails the gate, not just a value drift.
+
+    Scale shape: one streaming pass per table; per batch one
+    vectorized null_count/equality per column (Arrow C, no row
+    loops); the merge is schema-sized."""
+    rows = []
+    for tbl, cols in CORPUS_COLUMNS.items():
+        ds = read_table(sf_dir, tbl)
+
+        def part(batch: pa.Table, _cols=tuple(cols)) -> pa.Table:
+            out = {"n_rows": [batch.num_rows]}
+            for c in _cols:
+                col = batch[c]
+                out[f"null__{c}"] = [col.null_count]
+                if pa.types.is_string(col.type) or \
+                        pa.types.is_large_string(col.type):
+                    out[f"empty__{c}"] = [pc.sum(
+                        pc.equal(pc.fill_null(col, ""), "")
+                    ).as_py() or 0]
+            return pa.table({k2: pa.array(v, pa.int64())
+                             for k2, v in out.items()})
+
+        pdf = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        n = int(pdf["n_rows"].sum())
+        for c in cols:
+            nn = int(pdf[f"null__{c}"].sum())
+            ne = int(pdf[f"empty__{c}"].sum()) \
+                if f"empty__{c}" in pdf.columns else -1
+            rows.append((tbl, c, n, nn, ne))
+    out = pd.DataFrame(rows, columns=["tbl", "col", "n_rows",
+                                      "n_nulls", "n_empty"])
+    for c in ["n_rows", "n_nulls", "n_empty"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["tbl", "col"]).reset_index(drop=True)
+
+
+def _profile_oracle_sql() -> str:
+    # string columns mirror the Ray side's is_string branch; -1 marks
+    # non-string columns (schema-pinned, not data-derived)
+    STR_COLS = {
+        "region": {"r_name"}, "nation": {"n_name"},
+        "customer": {"c_name", "c_mktsegment"},
+        "supplier": {"s_name"},
+        "part": {"p_name", "p_brand", "p_type"},
+        "orders": {"o_orderstatus", "o_orderpriority"},
+        "lineitem": {"l_returnflag", "l_linestatus"},
+        "events": {"event_type", "props"},
+        "documents": {"text", "lang", "source"},
+        "embeddings": set(),
+    }
+    parts = []
+    for tbl, cols in CORPUS_COLUMNS.items():
+        for c in cols:
+            empty = (f"CAST(count(*) FILTER (coalesce({c}, '') = '') "
+                     "AS BIGINT)") if c in STR_COLS[tbl] \
+                else "CAST(-1 AS BIGINT)"
+            parts.append(
+                f"SELECT '{tbl}' AS tbl, '{c}' AS col, "
+                f"CAST(count(*) AS BIGINT) AS n_rows, "
+                f"CAST(count(*) FILTER ({c} IS NULL) AS BIGINT) "
+                f"AS n_nulls, {empty} AS n_empty FROM {tbl}")
+    return " UNION ALL ".join(parts) + " ORDER BY tbl, col"
+
+
 ORACLE_SQL: dict[str, str] = {
     # politeness wait replay: max-plus closed form, one window max
     "politeness_wait_replay": _politeness_wait_oracle_sql(),
+    # corpus-wide column profile, schema contract pinned
+    "table_profile_audit": _profile_oracle_sql(),
     # Hamilton largest-remainder crawl budget apportionment
     "crawl_budget_apportionment": _budget_oracle_sql(),
     # the live BloomFilter double-hash algebra replayed in SQL
