@@ -487,6 +487,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "crawl_budget_apportionment": qa.q_crawl_budget_apportionment,
         # corpus-wide column profile, schema contract pinned
         "table_profile_audit": qa.q_table_profile_audit,
+        # the live CuckooFilter membership algebra replayed in SQL
+        "urlseen_cuckoo_audit": qa.q_urlseen_cuckoo_audit,
     }
 
 

@@ -7628,9 +7628,202 @@ def _profile_oracle_sql() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY tbl, col"
 
 
+CK_CAP = 200_000
+
+
+def _cuckoo_h2_vec(fp_u: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized mirror of CuckooFilter._alt_index's hash:
+    stable_hash64 over the 2 little-endian bytes of the fingerprint,
+    seed^0x5C5C (state/filters.py:110-111), bit-identical."""
+    from ..functions import hashing as hh
+    with np.errstate(over="ignore"):
+        t = np.full(fp_u.shape,
+                    np.uint64((hh._FNV_OFFSET ^ ((seed ^ 0x5C5C)
+                                                 & hh._MASK))
+                              & hh._MASK))
+        for i in range(2):
+            b = (fp_u >> np.uint64(8 * i)) & np.uint64(0xFF)
+            t = (t ^ b) * np.uint64(hh._FNV_PRIME)
+        return hh.splitmix64_np(t)
+
+
+def q_urlseen_cuckoo_audit(sf_dir: str, capacity: int = CK_CAP):
+    """URL-SEEN CUCKOO FILTER AUDIT — the A6 primary structure
+    (state/filters.py CuckooFilter: 4-slot buckets, 16-bit partial-key
+    fingerprints, i2 = i1 ^ H(fp)). The filter's OBSERVABLE state is
+    order-independent: add_hash dedupes via contains (so the stored
+    set is exactly the distinct (bucket-pair, fp) keys — which slot
+    holds an fp depends on eviction order, but membership probes both
+    buckets of the pair, and pairs for a given fp partition the
+    bucket space because the alternate map is an fp-parameterized
+    involution). That makes count, membership and false-positive
+    behavior exactly SQL-replayable without replaying kicks. Inserted
+    keys / probes: the bloom audit's URL universes. Output: key
+    count, stored-entry count (= the live filter's .count), bucket
+    count, the max bucket-pair load (must be ≤ 2·SLOTS for the
+    no-insert-failure precondition), probe count and false positives.
+
+    The Ray side vectorizes fp/i1/i2 (the 2-byte FNV mirrored by
+    _cuckoo_h2_vec); test_round4d pins it against a LIVE CuckooFilter
+    (count, per-probe contains). The distinct-entry union is the
+    documented audit-tier driver bound.
+
+    Scale shape: two streaming passes, vectorized hash + searchsorted
+    probes; no shuffle."""
+    from ..functions.hashing import stable_hash64_col_np
+    from ..state.filters import CuckooFilter
+
+    proto = CuckooFilter(capacity, BLOOM_SEED)
+    nb = proto.nbuckets
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def _urls(batch: pa.Table, pfx: str) -> pa.Array:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype("U")
+        src = batch["source"].to_numpy(zero_copy_only=False) \
+            .astype("U")
+        return pa.array(np.char.add(np.char.add(np.char.add(
+            "http://", src), f".example/{pfx}"), ids))
+
+    def _entries(h1: np.ndarray):
+        fp = (h1 & np.uint64(0xFFFF))
+        fp = np.where(fp == 0, np.uint64(1), fp)
+        i1 = ((h1 >> np.uint64(16)) & np.uint64(nb - 1)) \
+            .astype(np.int64)
+        i2 = (i1 ^ (_cuckoo_h2_vec(fp, BLOOM_SEED)
+                    & np.uint64(nb - 1)).astype(np.int64))
+        cb, ca = np.minimum(i1, i2), np.maximum(i1, i2)
+        mem = cb * 65536 + fp.astype(np.int64)   # membership key
+        pair = cb * nb + ca                      # pair-load key
+        return mem, pair
+
+    def ins_part(batch: pa.Table) -> pa.Table:
+        h1 = stable_hash64_col_np(_urls(batch, "d"), BLOOM_SEED)
+        mem, pair = _entries(h1)
+        u, first = np.unique(mem, return_index=True)
+        return pa.table({
+            "mem": pa.array([u.tolist()], pa.list_(pa.int64())),
+            "pair": pa.array([pair[first].tolist()],
+                             pa.list_(pa.int64())),
+            "n": pa.array([len(h1)], pa.int64())})
+
+    parts = ds.map_batches(ins_part, batch_format="pyarrow") \
+        .to_pandas()
+    n_keys = int(parts["n"].sum())
+    mem_all = np.concatenate([np.asarray(p, np.int64)
+                              for p in parts["mem"]]) \
+        if len(parts) else np.empty(0, np.int64)
+    pair_all = np.concatenate([np.asarray(p, np.int64)
+                               for p in parts["pair"]]) \
+        if len(parts) else np.empty(0, np.int64)
+    stored, first = np.unique(mem_all, return_index=True)
+    pair_stored = pair_all[first]
+    _, pl = np.unique(pair_stored, return_counts=True)
+    max_pair_load = int(pl.max(initial=0))
+    assert max_pair_load <= 2 * CuckooFilter.SLOTS, \
+        "bucket-pair overload: live-filter equivalence not guaranteed"
+    sref = ray.put(stored)
+
+    def probe_part(batch: pa.Table) -> pa.Table:
+        S_ = ray.get(sref)
+        h1 = stable_hash64_col_np(_urls(batch, "p"), BLOOM_SEED)
+        mem, _ = _entries(h1)
+        idx = np.clip(np.searchsorted(S_, mem), 0,
+                      max(len(S_) - 1, 0))
+        fp = (S_[idx] == mem) if len(S_) else np.zeros_like(mem, bool)
+        return pa.table({
+            "n_probes": pa.array([len(h1)], pa.int64()),
+            "n_fp": pa.array([int(fp.sum())], pa.int64())})
+
+    pr = ds.map_batches(probe_part, batch_format="pyarrow") \
+        .to_pandas()
+    out = pd.DataFrame([(n_keys, len(stored), nb, max_pair_load,
+                         int(pr["n_probes"].sum()),
+                         int(pr["n_fp"].sum()))],
+                       columns=["n_keys", "n_stored", "nbuckets",
+                                "max_pair_load", "n_probes",
+                                "n_false_positives"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _cuckoo_oracle_sql() -> str:
+    from ..functions.sqlmirror import (FNV_OFF, FNV_P, M64, mul_mod64,
+                                       splitmix_stage_exprs,
+                                       stable_hash64_cte)
+    from ..state.filters import CuckooFilter
+    proto = CuckooFilter(CK_CAP, BLOOM_SEED)
+    nb = proto.nbuckets
+    seed2 = (BLOOM_SEED ^ 0x5C5C) & (M64 - 1)
+
+    w1, c1 = stable_hash64_cte(
+        "SELECT 'http://' || source || '.example/d' || "
+        "CAST(doc_id AS VARCHAR) AS u FROM documents",
+        "u", {"h1": BLOOM_SEED}, prefix="ci_")
+    w2, c2 = stable_hash64_cte(
+        "SELECT 'http://' || source || '.example/p' || "
+        "CAST(doc_id AS VARCHAR) AS u FROM documents",
+        "u", {"h1": BLOOM_SEED}, prefix="cq_", include_with=False)
+
+    def fp_chain(prefix: str, src_cte: str) -> tuple[str, str]:
+        # fp/i1, then H(fp) over the 2 LE fingerprint bytes
+        sql = (f", {prefix}a AS (SELECT u, "
+               "CASE WHEN h1 % 65536 = 0 THEN CAST(1 AS UBIGINT) "
+               "ELSE h1 % 65536 END AS fp, "
+               f"CAST((h1 >> 16) % {nb} AS BIGINT) AS i1 "
+               f"FROM {src_cte})")
+        sql += (f", {prefix}f0 AS (SELECT u, fp, i1, "
+                f"CAST({(FNV_OFF ^ seed2) & (M64 - 1)} AS UBIGINT) "
+                f"AS t FROM {prefix}a)")
+        prev = f"{prefix}f0"
+        for i in range(2):
+            sql += (f", {prefix}x{i} AS (SELECT u, fp, i1, "
+                    f"CAST(xor(t, (fp >> {8 * i}) & 255) AS UBIGINT) "
+                    f"AS t FROM {prev})")
+            sql += (f", {prefix}m{i} AS (SELECT u, fp, i1, "
+                    f"{mul_mod64('t', FNV_P)} AS t "
+                    f"FROM {prefix}x{i})")
+            prev = f"{prefix}m{i}"
+        for j, st in enumerate(splitmix_stage_exprs("t")):
+            sql += (f", {prefix}s{j} AS (SELECT u, fp, i1, {st} AS t "
+                    f"FROM {prev})")
+            prev = f"{prefix}s{j}"
+        sql += (f", {prefix}e AS (SELECT u, CAST(fp AS BIGINT) AS fp, "
+                "i1, CAST(xor(CAST(i1 AS UBIGINT), "
+                f"t % {nb}) AS BIGINT) AS i2 FROM {prev})")
+        sql += (f", {prefix}k AS (SELECT u, "
+                "least(i1, i2) * 65536 + fp AS mem, "
+                f"least(i1, i2) * {nb} + greatest(i1, i2) AS pair "
+                f"FROM {prefix}e)")
+        return sql, f"{prefix}k"
+
+    fi, ki = fp_chain("ch_", c1)
+    fq, kq = fp_chain("cp_", c2)
+    return w1 + w2 + fi + fq + (
+        f", ck_s AS (SELECT mem, min(pair) AS pair FROM {ki} "
+        "GROUP BY mem), "
+        "ck_l AS (SELECT CAST(max(cnt) AS BIGINT) AS mpl FROM "
+        "(SELECT pair, count(*) AS cnt FROM ck_s GROUP BY pair)), "
+        f"ck_i AS (SELECT CAST(count(*) AS BIGINT) AS n_keys "
+        f"FROM {ki}), "
+        "ck_n AS (SELECT CAST(count(*) AS BIGINT) AS n_stored "
+        "FROM ck_s), "
+        f"ck_p AS (SELECT CAST(count(*) AS BIGINT) AS n_probes, "
+        "CAST(count(*) FILTER (s.mem IS NOT NULL) AS BIGINT) "
+        f"AS n_fp FROM {kq} q LEFT JOIN ck_s s ON s.mem = q.mem) "
+        "SELECT i.n_keys, n.n_stored, "
+        f"CAST({nb} AS BIGINT) AS nbuckets, l.mpl AS max_pair_load, "
+        "p.n_probes, p.n_fp AS n_false_positives "
+        "FROM ck_i i CROSS JOIN ck_n n CROSS JOIN ck_l l "
+        "CROSS JOIN ck_p p")
+
+
 ORACLE_SQL: dict[str, str] = {
     # politeness wait replay: max-plus closed form, one window max
     "politeness_wait_replay": _politeness_wait_oracle_sql(),
+    # the live CuckooFilter membership algebra replayed in SQL
+    "urlseen_cuckoo_audit": _cuckoo_oracle_sql(),
     # corpus-wide column profile, schema contract pinned
     "table_profile_audit": _profile_oracle_sql(),
     # Hamilton largest-remainder crawl budget apportionment

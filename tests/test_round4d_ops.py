@@ -283,3 +283,41 @@ def test_bloom_audit_matches_live_filter(tmp_path, ray_session):
     assert int(got["n_probes"]) == n
     assert int(got["n_false_positives"]) == fp
     assert fp > 0, "capacity too large: FP path not exercised"
+
+
+def test_cuckoo_audit_matches_live_filter(tmp_path, ray_session):
+    """The vectorized cuckoo audit equals a literal drive of the LIVE
+    CuckooFilter: stored-entry count (.count) and per-probe
+    contains(), at a load high enough that evictions occur (kicks
+    move entries but never change the observable membership set)."""
+    from crawling_infrastructure_ray.pipelines.analytics import (
+        BLOOM_SEED, q_urlseen_cuckoo_audit)
+    from crawling_infrastructure_ray.state.filters import CuckooFilter
+
+    n = 900
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["w"] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array([f"s{i % 5}" for i in range(n)],
+                           pa.string()),
+        "n_chars": pa.array([1] * n, pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    cap = 1000  # nbuckets=512 -> ~44% slot load, evictions plausible
+    got = q_urlseen_cuckoo_audit(str(tmp_path), capacity=cap).iloc[0]
+
+    cf = CuckooFilter(cap, BLOOM_SEED)
+    srcs = [f"s{i % 5}" for i in range(n)]
+    for i, s in enumerate(srcs):
+        cf.add(f"http://{s}.example/d{i}")
+    fp = sum(cf.contains(f"http://{s}.example/p{i}")
+             for i, s in enumerate(srcs))
+
+    assert int(got["nbuckets"]) == cf.nbuckets
+    assert int(got["n_keys"]) == n
+    assert int(got["n_stored"]) == cf.count
+    assert int(got["n_probes"]) == n
+    assert int(got["n_false_positives"]) == fp
+    assert int(got["max_pair_load"]) <= 2 * CuckooFilter.SLOTS
