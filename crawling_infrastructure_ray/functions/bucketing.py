@@ -54,9 +54,10 @@ def tag_bucket_fn(keys: list[str], num_buckets: int = 32,
                 col = batch[c]
                 if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
                     enc = pc.dictionary_encode(col.combine_chunks())
-                    dh = np.fromiter(
-                        (stable_hash64(v) for v in enc.dictionary.to_pylist()),
-                        dtype=np.uint64, count=len(enc.dictionary))
+                    # byte-position vectorized FNV over the DISTINCT
+                    # values (bit-identical to stable_hash64)
+                    from .hashing import stable_hash64_col_np
+                    dh = stable_hash64_col_np(enc.dictionary)
                     h = dh[enc.indices.to_numpy(zero_copy_only=False)]
                 else:
                     v = col.to_numpy(zero_copy_only=False)

@@ -63,9 +63,8 @@ class HyperLogLog:
         uniq = pc.unique(col)
         if not len(uniq):
             return
-        self.add_hashes(np.fromiter(
-            (stable_hash64(v, self.seed) for v in uniq.to_pylist()),
-            dtype=np.uint64, count=len(uniq)))
+        from ..functions.hashing import stable_hash64_col_np
+        self.add_hashes(stable_hash64_col_np(uniq, self.seed))
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         assert other.p == self.p
