@@ -6701,6 +6701,8 @@ def q_lru_cache_stats(sf_dir: str):
             "k": pa.array(uid % K, type=pa.int64()),
             "t": batch["ts"].cast(pa.int64())})
 
+    # corpus-sized pin (two consumers: the index build and the probe
+    # pass) — object-store/spill-resident blocks, never driver heap
     claims = ds.map_batches(to_claims,
                             batch_format="pyarrow").materialize()
 

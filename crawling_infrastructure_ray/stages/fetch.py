@@ -118,8 +118,10 @@ def fetch_store_batch(batch: pa.Table, *, seed: int = 42, max_depth: int = 2,
                 fetched.column_names.index("status"), "status", new_status)
     ok = fetched.filter(pa.compute.equal(fetched["status"], "completed"))
     if ok.num_rows and docs_dir:
-        part_col = pa.array([stable_hash64(u, seed) % 1024
-                             for u in ok["url"].to_pylist()], pa.uint16())
+        from ..functions.hashing import stable_hash64_col_np
+        part_col = pa.array(
+            (stable_hash64_col_np(ok["url"], seed)
+             % np.uint64(1024)).astype(np.uint16), pa.uint16())
         # signature-at-ingest: per-doc simhash + winnowing fingerprint
         # computed where the text already is (feeds downstream dedup
         # without a second pass over the corpus). Text assembly is
