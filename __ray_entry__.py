@@ -489,6 +489,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "table_profile_audit": qa.q_table_profile_audit,
         # the live CuckooFilter membership algebra replayed in SQL
         "urlseen_cuckoo_audit": qa.q_urlseen_cuckoo_audit,
+        # Kendall tau-b concordance over the dense hourly series
+        "kendall_tau": qa.q_kendall_tau,
     }
 
 

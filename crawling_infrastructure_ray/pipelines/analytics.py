@@ -7821,9 +7821,97 @@ def _cuckoo_oracle_sql() -> str:
         "CROSS JOIN ck_p p")
 
 
+def q_kendall_tau(sf_dir: str):
+    """KENDALL TAU-B COMPONENTS per event type — is hourly traffic
+    monotonically trending? Completes the rank-statistics family
+    (Mann-Whitney / KS / Spearman / chi² / Gini) with the
+    concordance statistic: over the DENSE hourly count series
+    (acf_hourly contract), for every hour pair h1 < h2 count
+    concordant (count strictly rose), discordant (strictly fell) and
+    y-ties — exact int64 all the way (x = the hour index is never
+    tied; tau-b itself is one downstream divide).
+
+    Scale shape: the (type, hour) combiner again; the pair counting
+    runs per type on the clock-bounded dense vector — vectorized as
+    'pairs with larger count among later hours' via a per-prefix
+    running tally (O(H·maxcount) bincount cumsum), never a Python
+    pair loop. The oracle is one self-join per type over the dense
+    grid."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                      pa.scalar(3_600_000_000, pa.int64()))
+        t = pa.table({"event_type": batch["event_type"], "h": h})
+        g = t.group_by(["event_type", "h"]).aggregate([("h", "count")])
+        return g.rename_columns(["event_type", "h", "n"])
+
+    hc = _merge_partials(ds.map_batches(partial,
+                                        batch_format="pyarrow"),
+                         ["event_type", "h"], ["n"])
+    h0, h1 = int(hc["h"].min()), int(hc["h"].max())
+    grid_n = h1 - h0 + 1
+    rows = []
+    for et, g in hc.groupby("event_type", sort=True):
+        x = np.zeros(grid_n, dtype=np.int64)
+        x[g["h"].to_numpy(np.int64) - h0] = g["n"].to_numpy(np.int64)
+        # running-tally pair count: for each later hour, how many
+        # earlier hours had smaller / equal / larger counts — a
+        # cumulative bincount over the value domain (counts are
+        # small ints), fully vectorized per prefix step via cumsum
+        vmax = int(x.max(initial=0))
+        seen = np.zeros(vmax + 2, dtype=np.int64)
+        conc = disc = ties = 0
+        for v in x:  # clock-bounded loop (hours), not data-bounded
+            c = seen.cumsum()
+            conc += int(c[v - 1]) if v > 0 else 0
+            ties += int(seen[v])
+            disc += int(c[-1] - c[v])
+            seen[v] += 1
+        n_pairs = grid_n * (grid_n - 1) // 2
+        assert conc + disc + ties == n_pairs
+        rows.append((et, n_pairs, conc, disc, ties))
+    out = pd.DataFrame(rows, columns=["event_type", "n_pairs",
+                                      "n_concordant", "n_discordant",
+                                      "n_ties_y"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _kendall_oracle_sql() -> str:
+    return (
+        "WITH kt_e AS (SELECT event_type, "
+        "epoch_us(ts) // 3600000000 AS h FROM events), "
+        "kt_c AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n "
+        "FROM kt_e GROUP BY 1, 2), "
+        "kt_b AS (SELECT min(h) AS h0, max(h) AS h1 FROM kt_e), "
+        "kt_t AS (SELECT DISTINCT event_type FROM kt_e), "
+        "kt_g AS (SELECT t.event_type, "
+        "unnest(generate_series(b.h0, b.h1)) AS h "
+        "FROM kt_t t CROSS JOIN kt_b b), "
+        "kt_d AS (SELECT g.event_type, g.h, "
+        "CAST(coalesce(c.n, 0) AS BIGINT) AS x FROM kt_g g "
+        "LEFT JOIN kt_c c ON c.event_type = g.event_type "
+        "AND c.h = g.h), "
+        "kt_p AS (SELECT a.event_type, "
+        "CASE WHEN b.x > a.x THEN 1 ELSE 0 END AS co, "
+        "CASE WHEN b.x < a.x THEN 1 ELSE 0 END AS di, "
+        "CASE WHEN b.x = a.x THEN 1 ELSE 0 END AS ti "
+        "FROM kt_d a JOIN kt_d b ON b.event_type = a.event_type "
+        "AND b.h > a.h) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs, "
+        "CAST(sum(co) AS BIGINT) AS n_concordant, "
+        "CAST(sum(di) AS BIGINT) AS n_discordant, "
+        "CAST(sum(ti) AS BIGINT) AS n_ties_y "
+        "FROM kt_p GROUP BY 1 ORDER BY 1")
+
+
 ORACLE_SQL: dict[str, str] = {
     # politeness wait replay: max-plus closed form, one window max
     "politeness_wait_replay": _politeness_wait_oracle_sql(),
+    # Kendall tau-b components over the dense hourly series
+    "kendall_tau": _kendall_oracle_sql(),
     # the live CuckooFilter membership algebra replayed in SQL
     "urlseen_cuckoo_audit": _cuckoo_oracle_sql(),
     # corpus-wide column profile, schema contract pinned
