@@ -491,6 +491,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "urlseen_cuckoo_audit": qa.q_urlseen_cuckoo_audit,
         # Kendall tau-b concordance over the dense hourly series
         "kendall_tau": qa.q_kendall_tau,
+        # frontier host->shard routing balance audit
+        "frontier_shard_balance": qa.q_frontier_shard_balance,
     }
 
 

@@ -7907,9 +7907,70 @@ def _kendall_oracle_sql() -> str:
         "FROM kt_p GROUP BY 1 ORDER BY 1")
 
 
+FRONTIER_SHARDS_AUDIT = 8
+FRONTIER_SEED = 42
+
+
+def q_frontier_shard_balance(sf_dir: str):
+    """FRONTIER SHARD-ROUTING BALANCE — hash-gates the frontier's
+    host→shard map (shard = stable_hash64(host, seed) % K,
+    state/frontier.py:709 — host-affine so per-host politeness and
+    FIFO live wholly in one shard) at K=8 over the corpus host
+    universe: per shard, host count, document count and character
+    mass. A placement drift here would silently break per-host FIFO
+    conformance; a skewed shard is a hot frontier actor at 10^10
+    URLs. The Ray side routes each DISTINCT host through the same
+    stable_hash64 (vectorized byte-position FNV, bit-identical); the
+    oracle replays the hash with the shared recursive-CTE mirror.
+
+    Scale shape: one enum-keyed mass combiner; routing touches only
+    the host universe."""
+    from ..functions.hashing import stable_hash64_col_np
+
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")])
+        return g.rename_columns(["source", "mass", "n_docs"])
+
+    agg = _merge_partials(ds.map_batches(part, batch_format="pyarrow"),
+                          ["source"], ["mass", "n_docs"])
+    hosts = pa.array((agg["source"].astype(str) + ".example")
+                     .to_numpy())
+    shard = (stable_hash64_col_np(hosts, FRONTIER_SEED)
+             % np.uint64(FRONTIER_SHARDS_AUDIT)).astype(np.int64)
+    agg = agg.assign(shard=shard)
+    out = agg.groupby("shard", as_index=False).agg(
+        n_hosts=("source", "size"), n_docs=("n_docs", "sum"),
+        chars_mass=("mass", "sum"))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("shard").reset_index(drop=True)
+
+
+def _frontier_shard_oracle_sql() -> str:
+    from ..functions.sqlmirror import stable_hash64_cte
+    w, c = stable_hash64_cte(
+        "SELECT source, source || '.example' AS host, mass, n_docs "
+        "FROM (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass, "
+        "CAST(count(*) AS BIGINT) AS n_docs FROM documents "
+        "GROUP BY source)",
+        "host", {"hh": FRONTIER_SEED},
+        carry_cols=("source", "mass", "n_docs"), prefix="fs_")
+    return w + (
+        f" SELECT CAST(hh % {FRONTIER_SHARDS_AUDIT} AS BIGINT) "
+        "AS shard, CAST(count(*) AS BIGINT) AS n_hosts, "
+        "CAST(sum(n_docs) AS BIGINT) AS n_docs, "
+        "CAST(sum(mass) AS BIGINT) AS chars_mass "
+        f"FROM {c} GROUP BY 1 ORDER BY 1")
+
+
 ORACLE_SQL: dict[str, str] = {
     # politeness wait replay: max-plus closed form, one window max
     "politeness_wait_replay": _politeness_wait_oracle_sql(),
+    # frontier host->shard routing balance, live hash replayed
+    "frontier_shard_balance": _frontier_shard_oracle_sql(),
     # Kendall tau-b components over the dense hourly series
     "kendall_tau": _kendall_oracle_sql(),
     # the live CuckooFilter membership algebra replayed in SQL
