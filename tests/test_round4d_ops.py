@@ -9,6 +9,7 @@ bursts, idle gaps, single-access keys)."""
 import collections
 
 import numpy as np
+import pytest
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -321,3 +322,63 @@ def test_cuckoo_audit_matches_live_filter(tmp_path, ray_session):
     assert int(got["n_probes"]) == n
     assert int(got["n_false_positives"]) == fp
     assert int(got["max_pair_load"]) <= 2 * CuckooFilter.SLOTS
+
+
+def test_maxplus_closed_form_property():
+    """Property sweep (no Ray): on 300 random claim sequences —
+    bursts, ties, idle gaps, single claims — the politeness closed
+    form i*T + runmax(t_j - j*T) equals the literal sequential fold
+    sched_i = max(t_i, sched_{i-1} + T), element for element."""
+    rng = np.random.default_rng(99)
+    T = 30_000_000
+    for _ in range(300):
+        n = int(rng.integers(1, 40))
+        t = np.sort(rng.choice(
+            rng.integers(1, 10) * T * 4, size=n,
+            replace=True)).astype(np.int64)
+        i = np.arange(n, dtype=np.int64)
+        closed = np.maximum.accumulate(t - i * T) + i * T
+        sched = np.empty(n, np.int64)
+        acc = None
+        for j in range(n):
+            acc = t[j] if acc is None else max(t[j], acc + T)
+            sched[j] = acc
+        assert (closed == sched).all()
+
+
+@pytest.mark.parametrize("seed", [23, 57])
+def test_lru_stats_property_seeds(tmp_path, ray_session, seed):
+    """The LRU e2e equality holds across independently-random
+    streams (different reuse mixes), not just the one crafted case."""
+    rng = np.random.default_rng(seed)
+    n = 800
+    keys = rng.zipf(1.5, size=n).astype(np.int64) % 300
+    ts = 1_700_000_000_000_000 + \
+        np.arange(n, dtype=np.int64) * 777_777
+    sf = _write_events(tmp_path, ts, keys)
+
+    from crawling_infrastructure_ray.pipelines.analytics import (
+        LRU_CAPS, LRU_KEYS, q_lru_cache_stats)
+    got = q_lru_cache_stats(sf)
+
+    for cap in LRU_CAPS:
+        cache = collections.OrderedDict()
+        hits = comp = capmiss = 0
+        seen = set()
+        for k in keys:
+            k = int(k) % LRU_KEYS
+            if k in cache:
+                hits += 1
+                cache.move_to_end(k)
+            else:
+                if k in seen:
+                    capmiss += 1
+                else:
+                    comp += 1
+                    seen.add(k)
+                cache[k] = True
+                if len(cache) > cap:
+                    cache.popitem(last=False)
+        row = got[got["capacity"] == cap].iloc[0]
+        assert (int(row["hits"]), int(row["capacity_misses"]),
+                int(row["compulsory_misses"])) == (hits, capmiss, comp)
