@@ -25,7 +25,10 @@ NAMES = ["dedup_simhash", "dedup_simhash_pairs", "dedup_minhash_pairs",
          "gopher_rules", "simpson_diversity", "source_cosine_matrix",
          # source-format gates: the embedded \t/\n/\x0b docs exercise
          # JSON escaping and CSV quoted-newline parsing end to end
-         "jsonl_roundtrip_stats", "csv_roundtrip_stats"]
+         "jsonl_roundtrip_stats", "csv_roundtrip_stats",
+         # session-6: substring counting over empty/whitespace/dup
+         # docs; the gzip gate adds the codec seam on the same edges
+         "pattern_match_counts", "gzip_roundtrip_stats"]
 
 BASE = "the quick brown fox jumps over the lazy dog again and again today"
 
