@@ -493,6 +493,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "kendall_tau": qa.q_kendall_tau,
         # frontier host->shard routing balance audit
         "frontier_shard_balance": qa.q_frontier_shard_balance,
+        # the north-star priority heap's ordering oracle
+        "crawl_order_priority": qt.q_crawl_order_priority,
     }
 
 

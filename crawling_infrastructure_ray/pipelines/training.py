@@ -8601,9 +8601,116 @@ def _random_walks_oracle_sql(steps: int = RW_STEPS) -> str:
     return sql.replace("WITH ", "WITH RECURSIVE ", 1)
 
 
+PRIO_SALT = 0x5AD7_33C1_0B29_001D  # seed-priority draw (< 2^63)
+
+
+def _run_priority_crawl(sf_dir: str) -> str:
+    """Conformance run of the NORTH-STAR PRIORITY HEAP (frontier
+    order='priority', key = (crawl_depth, -priority, enqueue_seq) —
+    frontier.py:176-182): seeds-only (max_depth=0) so no births land
+    mid-round and the claim order is closed-form; per-seed priorities
+    are a deterministic splitmix draw over the enqueue position,
+    replayed identically by the oracle."""
+    from ..functions.hashing import splitmix64_np
+    from ..state.frontier import Frontier
+
+    out = _crawl_fifo_out_dir(sf_dir) + "_prio"
+    if not os.path.isdir(os.path.join(out, "claims")):
+        seeds = make_seed_urls(_CRAWL_SEEDS, seed=42)["url"].to_pylist()
+        prios = (splitmix64_np(
+            np.arange(len(seeds), dtype=np.int64).view(np.uint64)
+            ^ np.uint64(PRIO_SALT)) % np.uint64(3)).astype(np.int64)
+        fr = Frontier(1, seed=42, dedup=True, max_retries=3,
+                      order="priority")
+        fr.enqueue(seeds, priorities=prios.tolist())
+        run_crawl(None, frontier=fr, seed=42, num_shards=1, dedup=True,
+                  max_depth=0, items_per_wave=256, out_dir=out)
+    return out
+
+
+def q_crawl_order_priority(sf_dir: str):
+    """PRIORITY-MODE CLAIM STREAM, driver-gated — the north star's
+    priority heap (crawl-depth, -priority, enqueue-time) finally gets
+    its own ORACLE next to the FIFO/K=8 gates: a seeds-only
+    (depth-0) run with splitmix-drawn priorities 0..2, whose claim
+    order is closed-form — within each drain-to-drain round the open
+    set is static (no mid-round births), so the stream is exactly
+    ORDER BY (round, priority DESC, enqueue_seq), with the same
+    per-item round/attempt algebra as the FIFO replay (claim profile
+    a pure function of the fetch hash: transient/permafail/
+    blocked-once/clean). Wave chunking follows the rank order, so
+    (round, key) ordering equals the engine's (wave, key) ordering.
+    Output: (claim_idx, enqueue_seq, url, attempt, priority).
+
+    The engine side reconstructs each claim's priority from its seq
+    (priority = draw(first-occurrence position) = draw(seq) — the
+    frontier discards duplicate occurrences' draws exactly like
+    seqs); the oracle replays the hash profile + priority draw with
+    the shared mirrors."""
+    import pyarrow.dataset as pads
+
+    from ..functions.hashing import splitmix64_np
+
+    out = _run_priority_crawl(sf_dir)
+    tbl = pads.dataset(os.path.join(out, "claims")).to_table()
+    seq = tbl["enqueue_seq"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    wave = tbl["wave"].to_numpy(zero_copy_only=False).astype(np.int64)
+    prio = (splitmix64_np(seq.view(np.uint64)
+                          ^ np.uint64(PRIO_SALT))
+            % np.uint64(3)).astype(np.int64)
+    order = np.lexsort((seq, -prio, wave))
+    return pa.table({
+        "claim_idx": pa.array(np.arange(len(seq), dtype=np.int64)),
+        "enqueue_seq": pa.array(seq[order]),
+        "url": tbl["url"].take(pa.array(order)),
+        "attempt": pc.cast(tbl["attempt"].take(pa.array(order)),
+                           pa.int64()),
+        "priority": pa.array(prio[order])})
+
+
+def _crawl_priority_oracle_sql(seed: int = 42,
+                               n_seeds: int = _CRAWL_SEEDS) -> str:
+    from ..functions.sqlmirror import splitmix64_cte, stable_hash64_cte
+    from ..sources.corpus import _FETCH_SALT
+
+    urls = make_seed_urls(n_seeds, seed=seed)["url"].to_pylist()
+    values = ", ".join(f"({i}, '{u}')" for i, u in enumerate(urls))
+    sql = (f"WITH RECURSIVE cp_seedlist(pos, url) AS (VALUES {values}), "
+           "cp_seed0 AS (SELECT url, CAST(min(pos) AS BIGINT) AS seq "
+           "FROM cp_seedlist GROUP BY url)")
+    w1, c1 = stable_hash64_cte(
+        "SELECT url, seq FROM cp_seed0", "url",
+        {"fh": seed ^ _FETCH_SALT}, carry_cols=("seq",),
+        prefix="cph_", include_with=False)
+    sql += w1
+    w2, c2 = splitmix64_cte(
+        f"SELECT url, seq, fh FROM {c1}",
+        f"xor(CAST(seq AS UBIGINT), CAST({PRIO_SALT} AS UBIGINT))",
+        "pd", carry_cols=("url", "seq", "fh"), prefix="cpp_",
+        include_with=False)
+    sql += w2 + (
+        f", cp_items AS (SELECT url, seq, "
+        "CAST(pd % 3 AS BIGINT) AS prio, "
+        "CASE WHEN fh % 100 < 6 THEN 2 + CAST((fh >> 8) % 2 AS BIGINT) "
+        "WHEN fh % 100 >= 10 THEN 1 WHEN fh % 100 >= 8 THEN 2 "
+        f"ELSE 3 END AS n_claims FROM {c2}), "
+        "cp_claims AS (SELECT url, seq, prio, t.i AS round "
+        "FROM cp_items, "
+        "unnest(generate_series(0, CAST(n_claims AS INT) - 1)) "
+        "AS t(i)) "
+        "SELECT CAST(row_number() OVER (ORDER BY round, prio DESC, "
+        "seq) - 1 AS BIGINT) AS claim_idx, seq AS enqueue_seq, url, "
+        "CAST(round AS BIGINT) AS attempt, prio AS priority "
+        "FROM cp_claims ORDER BY 1")
+    return sql
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
     # MMR greedy selection trajectory, incremental replay
     "mmr_selection": _mmr_oracle_sql(),
+    # the north-star priority heap's own ordering oracle
+    "crawl_order_priority": _crawl_priority_oracle_sql(),
     # deterministic random walks, recursive-CTE trajectory replay
     "host_random_walks": _random_walks_oracle_sql(),
     # balanced class downsampling: per-label top-m splitmix draws
