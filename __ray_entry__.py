@@ -495,6 +495,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "frontier_shard_balance": qa.q_frontier_shard_balance,
         # the north-star priority heap's ordering oracle
         "crawl_order_priority": qt.q_crawl_order_priority,
+        # id-keyspace gap ranges: range buckets + boundary stitch
+        "event_id_gap_ranges": qa.q_event_id_gap_ranges,
     }
 
 

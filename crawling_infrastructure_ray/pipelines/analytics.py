@@ -7966,9 +7966,87 @@ def _frontier_shard_oracle_sql() -> str:
         f"FROM {c} GROUP BY 1 ORDER BY 1")
 
 
+GAP_BUCKET_BITS = 12  # 4096-wide id ranges per bucket
+
+
+def q_event_id_gap_ranges(sf_dir: str):
+    """SEQUENCE GAP DETECTION over a sparse id set (the completeness
+    audit for any id-keyed ingest — which ranges of the keyspace are
+    missing?): every maximal run of ids ABSENT from the purchase
+    events' id set, between that set's min and max, as
+    (gap_start, gap_end, gap_len). Demonstrates the one distributed
+    pattern the islands family hadn't: RANGE-partitioned order
+    statistics with driver-side boundary stitching — ids are bucketed
+    by id >> 12 (contiguous, disjoint ranges, so each bucket's
+    internal gaps are decidable locally), each bucket emits its
+    internal gaps plus its (first, last) boundary, and the driver
+    stitches adjacent non-consecutive boundaries into cross-bucket
+    gaps (bucket summaries are data/4096-sized — the documented
+    driver bound; empty id ranges fall out of the stitch naturally).
+
+    The oracle is the classic islands/LEAD twin over the distinct
+    ids."""
+    ds = read_table(sf_dir, "events", columns=["event_id",
+                                               "event_type"])
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        ids = pc.unique(t["event_id"].combine_chunks())
+        return pa.table({
+            "id": ids,
+            "bkt": pc.shift_right(ids, GAP_BUCKET_BITS)})
+
+    def bucket_gaps(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["id"].to_numpy(np.int64))
+        brk = np.flatnonzero(np.diff(ids) > 1)
+        return pd.DataFrame({
+            "gap_start": np.concatenate(
+                [ids[brk] + 1, [ids[0]]]),        # last row: boundary
+            "gap_end": np.concatenate(
+                [ids[brk + 1] - 1, [ids[-1]]]),   # marker (first/last)
+            "is_boundary": np.concatenate(
+                [np.zeros(len(brk), np.int64), [1]])})
+
+    pdf = (ds.map_batches(to_ids, batch_format="pyarrow")
+           .groupby("bkt").map_groups(bucket_gaps,
+                                      batch_format="pandas")
+           .to_pandas())
+    inner = pdf[pdf["is_boundary"] == 0][["gap_start", "gap_end"]]
+    bounds = pdf[pdf["is_boundary"] == 1].sort_values("gap_start")
+    firsts = bounds["gap_start"].to_numpy(np.int64)  # bucket min id
+    lasts = bounds["gap_end"].to_numpy(np.int64)     # bucket max id
+    stitch_mask = firsts[1:] - lasts[:-1] > 1
+    stitched = pd.DataFrame({
+        "gap_start": lasts[:-1][stitch_mask] + 1,
+        "gap_end": firsts[1:][stitch_mask] - 1})
+    out = pd.concat([inner, stitched], ignore_index=True)
+    out["gap_len"] = out["gap_end"] - out["gap_start"] + 1
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("gap_start").reset_index(drop=True)
+
+
+def _gap_ranges_oracle_sql() -> str:
+    return (
+        "WITH gp_e AS (SELECT DISTINCT event_id AS id FROM events "
+        "WHERE event_type = 'purchase'), "
+        "gp_r AS (SELECT id, id - row_number() OVER (ORDER BY id) "
+        "AS grp FROM gp_e), "
+        "gp_i AS (SELECT min(id) AS s, max(id) AS e FROM gp_r "
+        "GROUP BY grp), "
+        "gp_l AS (SELECT e + 1 AS gap_start, "
+        "lead(s) OVER (ORDER BY s) - 1 AS gap_end FROM gp_i) "
+        "SELECT CAST(gap_start AS BIGINT) AS gap_start, "
+        "CAST(gap_end AS BIGINT) AS gap_end, "
+        "CAST(gap_end - gap_start + 1 AS BIGINT) AS gap_len "
+        "FROM gp_l WHERE gap_end IS NOT NULL ORDER BY 1")
+
+
 ORACLE_SQL: dict[str, str] = {
     # politeness wait replay: max-plus closed form, one window max
     "politeness_wait_replay": _politeness_wait_oracle_sql(),
+    # id-keyspace gap ranges: range buckets + boundary stitch
+    "event_id_gap_ranges": _gap_ranges_oracle_sql(),
     # frontier host->shard routing balance, live hash replayed
     "frontier_shard_balance": _frontier_shard_oracle_sql(),
     # Kendall tau-b components over the dense hourly series
