@@ -497,6 +497,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "crawl_order_priority": qt.q_crawl_order_priority,
         # id-keyspace gap ranges: range buckets + boundary stitch
         "event_id_gap_ranges": qa.q_event_id_gap_ranges,
+        # weighted interval scheduling: exact DP trajectory
+        "interval_scheduling": qa.q_interval_scheduling,
     }
 
 

@@ -8042,9 +8042,139 @@ def _gap_ranges_oracle_sql() -> str:
         "FROM gp_l WHERE gap_end IS NOT NULL ORDER BY 1")
 
 
+WS_CAP = 12  # intervals per user entering the DP (deterministic cap)
+
+
+def q_interval_scheduling(sf_dir: str):
+    """WEIGHTED INTERVAL SCHEDULING (the classic exact DP — first
+    member of the dynamic-programming family next to the greedy
+    selectors): per user, from their first 12 purchases (by ts,
+    event_id), build intervals [t, t + cents·1 s) weighted by cents
+    and compute the maximum total weight of a non-overlapping subset
+    via M(i) = max(M(i−1), v_i + M(p(i))) over end-sorted intervals,
+    p(i) = last interval ending ≤ start_i. All arithmetic exact
+    int64. Output: (user_id, n_intervals, best_weight_c).
+
+    Scale shape: user-bucketed map_groups; inside a bucket the DP is
+    vectorized ACROSS users — a (users × 12 × 12) broadcast computes
+    every p(i), then 12 DP steps of take_along_axis/maximum advance
+    all users at once (the loop is over the CONFIG cap, not rows).
+    The oracle unrolls the same 12 DP steps as chained CTEs, each
+    joining the accumulated M table."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "value",
+                             "event_type"])
+
+    def to_iv(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        v_c = pc.cast(pc.round(pc.multiply(t["value"],
+                                           pa.scalar(100.0))),
+                      pa.int64())
+        t = pa.table({"user_id": t["user_id"],
+                      "event_id": t["event_id"],
+                      "s": t["ts"].cast(pa.int64()),
+                      "v": v_c})
+        # v > 0 keeps every interval strictly positive-length, which
+        # is what makes p(i) self-count-free (e_i > s_i) — the DP's
+        # correctness precondition, enforced identically in the twin
+        return t.filter(pc.greater(t["v"], 0))
+
+    def dp_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "s", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        g = g[g.groupby("user_id").cumcount() < WS_CAP].copy()
+        g["e"] = g["s"] + g["v"] * 1_000_000
+        g = g.sort_values(["user_id", "e", "s", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        uid, uidx = np.unique(g["user_id"].to_numpy(np.int64),
+                              return_inverse=True)
+        nu = len(uid)
+        k = g.groupby("user_id", sort=True).cumcount() \
+            .to_numpy(np.int64)
+        S = np.full((nu, WS_CAP), np.iinfo(np.int64).min, np.int64)
+        E = np.full((nu, WS_CAP), np.iinfo(np.int64).max, np.int64)
+        V = np.zeros((nu, WS_CAP), np.int64)
+        ok = np.zeros((nu, WS_CAP), bool)
+        S[uidx, k] = g["s"].to_numpy(np.int64)
+        E[uidx, k] = g["e"].to_numpy(np.int64)
+        V[uidx, k] = g["v"].to_numpy(np.int64)
+        ok[uidx, k] = True
+        # p[u,i] = number of valid intervals of u ending <= start_i
+        P = ((E[:, :, None] <= S[:, None, :])
+             & ok[:, :, None]).sum(axis=1)
+        M = np.zeros((nu, WS_CAP + 1), np.int64)
+        for i in range(1, WS_CAP + 1):
+            take = V[:, i - 1] + np.take_along_axis(
+                M, P[:, i - 1:i], axis=1)[:, 0]
+            M[:, i] = np.where(ok[:, i - 1],
+                               np.maximum(M[:, i - 1], take),
+                               M[:, i - 1])
+        n_iv = ok.sum(axis=1).astype(np.int64)
+        return pd.DataFrame({"user_id": uid, "n_intervals": n_iv,
+                             "best_weight_c": M[np.arange(nu), n_iv]})
+
+    out = (ds.map_batches(to_iv, batch_format="pyarrow")
+           .map_batches(_tag_bucket(["user_id"], 32, "_wsb"),
+                        batch_format="pyarrow")
+           .groupby("_wsb").map_groups(dp_bucket,
+                                       batch_format="pandas")
+           .to_pandas())
+    cols = ["user_id", "n_intervals", "best_weight_c"]
+    if out.empty or "user_id" not in out.columns:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    out = out[cols]
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _interval_sched_oracle_sql() -> str:
+    K = WS_CAP
+    sql = (
+        "WITH ws_e AS MATERIALIZED (SELECT user_id, event_id, epoch_us(ts) AS s, "
+        "CAST(round(value * 100) AS BIGINT) AS v, "
+        "row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS rn FROM events "
+        "WHERE event_type = 'purchase' AND round(value * 100) > 0), "
+        f"ws_c AS MATERIALIZED (SELECT user_id, event_id, s, v, "
+        f"s + v * 1000000 AS e FROM ws_e WHERE rn <= {K}), "
+        "ws_i AS MATERIALIZED (SELECT user_id, s, v, e, CAST(row_number() OVER "
+        "(PARTITION BY user_id ORDER BY e, s, event_id) AS BIGINT) "
+        "AS i FROM ws_c), "
+        "ws_p AS MATERIALIZED (SELECT a.user_id, a.i, a.v, "
+        "CAST(coalesce((SELECT max(b.i) FROM ws_i b "
+        "WHERE b.user_id = a.user_id AND b.e <= a.s), 0) AS BIGINT) "
+        "AS p FROM ws_i a), "
+        "ws_m0 AS (SELECT DISTINCT user_id, CAST(0 AS BIGINT) AS i, "
+        "CAST(0 AS BIGINT) AS m FROM ws_i)")
+    prev = "ws_m0"
+    for k in range(1, K + 1):
+        sql += (
+            f", ws_s{k} AS MATERIALIZED (SELECT r.user_id, r.i, "
+            f"greatest(pv.m, r.v + pm.m) AS m FROM ws_p r "
+            f"JOIN {prev} pv ON pv.user_id = r.user_id "
+            f"AND pv.i = r.i - 1 "
+            f"JOIN {prev} pm ON pm.user_id = r.user_id "
+            f"AND pm.i = r.p WHERE r.i = {k}), "
+            f"ws_m{k} AS MATERIALIZED (SELECT * FROM {prev} "
+            f"UNION ALL SELECT * FROM ws_s{k})")
+        prev = f"ws_m{k}"
+    sql += (
+        f", ws_b AS (SELECT user_id, i, m, row_number() OVER "
+        f"(PARTITION BY user_id ORDER BY i DESC) AS rk FROM {prev}) "
+        "SELECT b.user_id, CAST(c.n AS BIGINT) AS n_intervals, "
+        "CAST(b.m AS BIGINT) AS best_weight_c FROM ws_b b "
+        "JOIN (SELECT user_id, count(*) AS n FROM ws_i GROUP BY 1) c "
+        "ON c.user_id = b.user_id WHERE b.rk = 1 ORDER BY b.user_id")
+    return sql
+
+
 ORACLE_SQL: dict[str, str] = {
     # politeness wait replay: max-plus closed form, one window max
     "politeness_wait_replay": _politeness_wait_oracle_sql(),
+    # weighted interval scheduling: exact DP, 12-step unrolled twin
+    "interval_scheduling": _interval_sched_oracle_sql(),
     # id-keyspace gap ranges: range buckets + boundary stitch
     "event_id_gap_ranges": _gap_ranges_oracle_sql(),
     # frontier host->shard routing balance, live hash replayed

@@ -382,3 +382,53 @@ def test_lru_stats_property_seeds(tmp_path, ray_session, seed):
         row = got[got["capacity"] == cap].iloc[0]
         assert (int(row["hits"]), int(row["capacity_misses"]),
                 int(row["compulsory_misses"])) == (hits, capmiss, comp)
+
+
+def test_interval_scheduling_matches_bruteforce(tmp_path, ray_session):
+    """The vectorized DP equals exhaustive 2^n subset enumeration on
+    random overlapping intervals (n <= 8 per user), including users
+    with nested/identical/touching intervals."""
+    from itertools import combinations
+
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_interval_scheduling
+
+    rng = np.random.default_rng(17)
+    rows = []
+    eid = 0
+    base = 1_700_000_000_000_000
+    expect = {}
+    for u in range(1, 31):
+        n = int(rng.integers(1, 9))
+        iv = []
+        for _ in range(n):
+            s = base + int(rng.integers(0, 50)) * 1_000_000
+            v = int(rng.integers(1, 30))  # cents (v>0: DP precondition)
+            iv.append((s, s + v * 1_000_000, v))
+            rows.append((eid, s, u, "purchase", v / 100.0))
+            eid += 1
+        best = 0
+        for r in range(n + 1):
+            for comb in combinations(range(n), r):
+                sel = sorted((iv[i] for i in comb),
+                             key=lambda t: t[1])
+                if all(sel[j][1] <= sel[j + 1][0]
+                       for j in range(len(sel) - 1)):
+                    best = max(best, sum(t[2] for t in sel))
+        expect[u] = (n, best)
+
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64),
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    got = q_interval_scheduling(str(tmp_path)).set_index("user_id")
+    for u, (n, best) in expect.items():
+        assert int(got.loc[u, "n_intervals"]) == n
+        assert int(got.loc[u, "best_weight_c"]) == best
