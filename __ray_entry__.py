@@ -499,6 +499,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "event_id_gap_ranges": qa.q_event_id_gap_ranges,
         # weighted interval scheduling: exact DP trajectory
         "interval_scheduling": qa.q_interval_scheduling,
+        # the full iterative BPE trainer (5 merge rounds)
+        "bpe_train_merges": qt.q_bpe_train_merges,
     }
 
 

@@ -8706,9 +8706,107 @@ def _crawl_priority_oracle_sql(seed: int = 42,
     return sql
 
 
+BPE_ROUNDS = 5
+
+
+def q_bpe_train_merges(sf_dir: str, rounds: int = BPE_ROUNDS):
+    """BPE TOKENIZER TRAINING LOOP (Sennrich et al. 2016) — the full
+    iterative trainer, not just one pair count (bpe_pair_counts is
+    the single-round primitive): 5 merge rounds over the corpus
+    word-frequency table, each selecting the most frequent adjacent
+    symbol pair (tie-break lexicographic on 'left right') and
+    rewriting every word's symbol sequence with a boundary-padded
+    left-to-right replace (' l r ' → ' lr ' on ' '+s+' ' — the
+    padding is what stops a pair matching across symbol boundaries,
+    e.g. symbols 'xa b' vs pair 'a b'). MERGE-CHAIN CONTRACT: the
+    replace consumes the separator, so in a run like 'a a a a' one
+    ROUND merges alternating occurrences ('aa a a' after round 1,
+    'aa aa' after the pair re-wins a later round) — a deliberate,
+    documented variant of canonical BPE's within-round chain merge,
+    chosen because Python str.replace and SQL replace() share these
+    exact left-to-right non-overlap semantics, which is what makes
+    the whole trajectory hash-gateable. Output:
+    (round, left, right, merged, pair_count) — the merge table a
+    tokenizer ships.
+
+    Scale shape: the corpus-sized pass is the distributed
+    word-frequency combiner (vocab_partial_counts →
+    _merge_partials_ray); the trainer loop runs on the VOCAB-sized
+    word table on the driver — the standard BPE shape (every real
+    trainer iterates a word-count table, not the corpus). The oracle
+    replays the rounds as chained MATERIALIZED CTEs over the same
+    unnested token counts."""
+    from ..stages import sampling as sp
+    from .analytics import _merge_partials_ray
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    vc = _merge_partials_ray(
+        ds.map_batches(sp.vocab_partial_counts,
+                       batch_format="pyarrow"),
+        ["token"], ["n"]).to_pandas()
+    words = [(" ".join(w), int(f))
+             for w, f in zip(vc["token"], vc["n"])]
+    out = []
+    for r in range(1, rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for s, f in words:
+            syms = s.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(),
+            key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        merged = left + right
+        pat, rep = f" {left} {right} ", f" {merged} "
+        words = [((" " + s + " ").replace(pat, rep).strip(" "), f)
+                 for s, f in words]
+        out.append((r, left, right, merged, cnt))
+    res = pd.DataFrame(out, columns=["round", "lhs", "rhs",
+                                     "merged", "pair_count"])
+    res["round"] = res["round"].astype("int64")
+    res["pair_count"] = res["pair_count"].astype("int64")
+    return res
+
+
+def _bpe_train_oracle_sql(rounds: int = BPE_ROUNDS) -> str:
+    from ..functions.sqlmirror import tokens_sql
+    sql = (
+        "WITH bt_t AS MATERIALIZED (SELECT unnest("
+        + tokens_sql("coalesce(text, '')") + ") AS w FROM documents), "
+        "bt_w0 AS MATERIALIZED (SELECT trim(regexp_replace(w, "
+        "'(.)', '\\1 ', 'g')) AS s, CAST(count(*) AS BIGINT) AS f "
+        "FROM bt_t WHERE w <> '' GROUP BY 1)")
+    prev = "bt_w0"
+    sel = []
+    for r in range(1, rounds + 1):
+        sql += (
+            f", bt_p{r} AS MATERIALIZED (SELECT syms[i] AS l, "
+            "syms[i + 1] AS r, CAST(sum(f) AS BIGINT) AS cnt FROM "
+            f"(SELECT string_split(s, ' ') AS syms, f FROM {prev}), "
+            "unnest(generate_series(1, len(syms) - 1)) AS t(i) "
+            "GROUP BY 1, 2), "
+            f"bt_k{r} AS MATERIALIZED (SELECT l, r, cnt FROM bt_p{r} "
+            "ORDER BY cnt DESC, l || ' ' || r LIMIT 1), "
+            f"bt_w{r} AS MATERIALIZED (SELECT trim(replace("
+            f"' ' || s || ' ', "
+            f"(SELECT ' ' || l || ' ' || r || ' ' FROM bt_k{r}), "
+            f"(SELECT ' ' || l || r || ' ' FROM bt_k{r})), ' ') AS s, "
+            f"f FROM {prev})")
+        sel.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, l AS lhs, "
+            f"r AS rhs, l || r AS merged, cnt AS pair_count "
+            f"FROM bt_k{r}")
+        prev = f"bt_w{r}"
+    return sql + " " + " UNION ALL ".join(sel) + " ORDER BY 1"
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
     # MMR greedy selection trajectory, incremental replay
     "mmr_selection": _mmr_oracle_sql(),
+    # the full iterative BPE trainer, chained-CTE round replay
+    "bpe_train_merges": _bpe_train_oracle_sql(),
     # the north-star priority heap's own ordering oracle
     "crawl_order_priority": _crawl_priority_oracle_sql(),
     # deterministic random walks, recursive-CTE trajectory replay

@@ -432,3 +432,37 @@ def test_interval_scheduling_matches_bruteforce(tmp_path, ray_session):
     for u, (n, best) in expect.items():
         assert int(got.loc[u, "n_intervals"]) == n
         assert int(got.loc[u, "best_weight_c"]) == best
+
+
+def test_bpe_trainer_boundary_and_chain(tmp_path, ray_session):
+    """BPE merge semantics on crafted words: the boundary padding
+    must stop 'a b' matching inside symbols like 'xa b', and the
+    documented merge-chain contract holds — the separator-consuming
+    replace turns 'a a a a' into 'aa a a' in round 1, 'aa aa' when
+    (a,a) re-wins round 2, then merges (aa,aa); the 'xab' words
+    survive untouched until their own pairs win."""
+    from crawling_infrastructure_ray.pipelines.training import \
+        q_bpe_train_merges
+
+    # corpus: 'aaaa' x4 (pairs a+a dominate), 'xab' x3 (after round
+    # 1 merges a+a, 'x a b' must NOT have been corrupted into 'x ab')
+    docs = ["aaaa aaaa aaaa aaaa", "xab xab xab"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(["en"] * len(docs), pa.string()),
+        "source": pa.array(["s"] * len(docs), pa.string()),
+        "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    got = q_bpe_train_merges(str(tmp_path))
+    rows = [(r["lhs"], r["rhs"], int(r["pair_count"]))
+            for _, r in got.sort_values("round").iterrows()]
+    # round 1: 'a a' = 3 per 'aaaa' x 4 words = 12; word -> 'aa a a'
+    # round 2: tie (aa,a)=4 vs (a,a)=4 -> lex 'a a' wins; -> 'aa aa'
+    # round 3: (aa,aa)=4; round 4: tie (a,b)/(x,a)=3 -> 'a b' wins
+    # ('xab' words intact through rounds 1-3 — boundary padding);
+    # round 5: (x,ab)=3
+    assert rows == [("a", "a", 12), ("a", "a", 4), ("aa", "aa", 4),
+                    ("a", "b", 3), ("x", "ab", 3)]
