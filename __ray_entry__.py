@@ -501,6 +501,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "interval_scheduling": qa.q_interval_scheduling,
         # the full iterative BPE trainer (5 merge rounds)
         "bpe_train_merges": qt.q_bpe_train_merges,
+        # the north rule's span-sequence invariant as an oracle
+        "crawl_span_sequences": qt.q_crawl_span_sequences,
     }
 
 

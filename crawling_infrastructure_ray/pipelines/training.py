@@ -8802,9 +8802,112 @@ def _bpe_train_oracle_sql(rounds: int = BPE_ROUNDS) -> str:
     return sql + " " + " UNION ALL ".join(sel) + " ORDER BY 1"
 
 
+def q_crawl_span_sequences(sf_dir: str):
+    """FULL SPAN-SEQUENCE EQUALITY, driver-gated — the north rule's
+    per-row invariant ("span-sequence equality: kind, text,
+    media_ref, order") stated as an oracle query instead of a pytest
+    golden: every document of the K=1 conformance crawl exploded to
+    one row per span (doc_id, span_idx, kind, media_ref, offset,
+    text) with the FULL text payload, and DuckDB reconstructs every
+    row independently — the queue replay for the doc universe, the
+    span-hash chain for per-span geometry, md5 for media refs, and
+    the LITERAL token stream ('tok' || lpad(((sh >> (j%48)) % 512) ·
+    ((j+1) % 512) % 512, 3, '0') space-joined) for the text, offsets
+    as the windowed sum of preceding text lengths. A single character
+    of drift anywhere in the fetch path fails the hash.
+
+    Scale shape: one vectorized list-explode over the crawl output
+    (Arrow list_flatten + length arithmetic, no row loops); the
+    output IS the span table, so materializing it is the contract."""
+    out = _run_fifo_crawl(sf_dir)
+    docs = read_documents(out)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lens = pc.list_value_length(spans).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        total = int(lens.sum())
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) \
+            .astype(np.int64)
+        span_idx = np.arange(total, dtype=np.int64) \
+            - np.repeat(starts, lens)
+        flat = pc.list_flatten(spans)
+        doc_rep = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), lens)
+        return pa.table({
+            "doc_id": pa.array(doc_rep, pa.string()),
+            "span_idx": pa.array(span_idx),
+            "kind": flat.field("kind"),
+            "media_ref": flat.field("media_ref"),
+            "offset": pc.cast(flat.field("offset"), pa.int64()),
+            "text": flat.field("text")})
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
+def _span_sequences_oracle_sql() -> str:
+    from ..functions.sqlmirror import stable_hash64_cte
+    from ..sources.corpus import _SPAN_SALT, _VOCAB
+
+    seed = 42
+    V = len(_VOCAB)
+    with_sql, _, items = _crawl_replay_ctes(seed=seed)
+    sql = with_sql + (
+        f", sq_doc AS (SELECT url, split_part(url, '/', 3) AS host, "
+        f"'d-' || substr(md5(url), 1, 12) AS doc_id "
+        f"FROM {items} WHERE a_star IS NOT NULL)")
+    w1, c1 = stable_hash64_cte(
+        "SELECT doc_id, host FROM sq_doc", "doc_id",
+        {"ih": seed ^ _SPAN_SALT}, carry_cols=("host",),
+        prefix="sq_", include_with=False)
+    sql += w1 + (
+        f", sq_n AS (SELECT doc_id, host, "
+        f"CAST(1 + ((ih % 13) * 3) % 13 AS INT) AS n_spans FROM {c1}), "
+        "sq_si AS (SELECT doc_id, host, t.i AS si, "
+        "doc_id || '|' || CAST(t.i AS VARCHAR) AS ss FROM sq_n, "
+        "unnest(generate_series(0, n_spans - 1)) AS t(i))")
+    w2, c2 = stable_hash64_cte(
+        "SELECT ss, doc_id, host, si FROM sq_si", "ss",
+        {"sh": seed ^ _SPAN_SALT}, carry_cols=("doc_id", "host", "si"),
+        prefix="sr_", include_with=False)
+    sql += w2 + (
+        f", sq_sp AS MATERIALIZED (SELECT doc_id, host, si AS i, ss, sh, "
+        "CAST(96 + sh % 192 AS BIGINT) AS ntok FROM "
+        f"{c2}), "
+        # literal token stream for text (even) spans
+        "sq_tx AS MATERIALIZED (SELECT doc_id, i, "
+        "string_agg('tok' || lpad(CAST("
+        f"(((sh >> CAST(t.j % 48 AS INTEGER)) % {V}) "
+        f"* ((t.j + 1) % {V})) % {V} AS VARCHAR), 3, '0'), "
+        "' ' ORDER BY t.j) AS text FROM sq_sp, "
+        "unnest(generate_series(0, CAST(ntok AS INT) - 1)) AS t(j) "
+        "WHERE i % 2 = 0 GROUP BY doc_id, i), "
+        "sq_rows AS (SELECT s.doc_id, s.i AS span_idx, "
+        "CASE WHEN s.i % 2 = 0 THEN 'text' ELSE 'media' END AS kind, "
+        "CASE WHEN s.i % 2 = 0 THEN '' ELSE "
+        "'m://' || s.host || '/' || substr(md5(s.ss), 1, 10) END "
+        "AS media_ref, "
+        "CAST(coalesce(sum(CASE WHEN s.i % 2 = 0 "
+        "THEN 7 * s.ntok - 1 ELSE 0 END) OVER "
+        "(PARTITION BY s.doc_id ORDER BY s.i "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS BIGINT) AS \"offset\", "
+        "coalesce(t.text, '') AS text "
+        "FROM sq_sp s LEFT JOIN sq_tx t "
+        "ON t.doc_id = s.doc_id AND t.i = s.i) "
+        "SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, kind, "
+        "media_ref, \"offset\", text FROM sq_rows "
+        "ORDER BY doc_id, span_idx")
+    return sql
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
     # MMR greedy selection trajectory, incremental replay
     "mmr_selection": _mmr_oracle_sql(),
+    # the north rule's per-row span-sequence invariant, end to end
+    "crawl_span_sequences": _span_sequences_oracle_sql(),
     # the full iterative BPE trainer, chained-CTE round replay
     "bpe_train_merges": _bpe_train_oracle_sql(),
     # the north-star priority heap's own ordering oracle
