@@ -503,6 +503,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "bpe_train_merges": qt.q_bpe_train_merges,
         # the north rule's span-sequence invariant as an oracle
         "crawl_span_sequences": qt.q_crawl_span_sequences,
+        # LIS per user: second exact-DP family member
+        "lis_per_user": qa.q_lis_per_user,
     }
 
 

@@ -8170,9 +8170,114 @@ def _interval_sched_oracle_sql() -> str:
     return sql
 
 
+LIS_CAP = 12  # purchases per user entering the LIS DP
+
+
+def q_lis_per_user(sf_dir: str):
+    """LONGEST STRICTLY-INCREASING SUBSEQUENCE of purchase amounts
+    per user (is the user's spend escalating?) — the second
+    exact-DP-family member next to interval_scheduling: over each
+    user's first 12 purchases in (ts, event_id) order, the classic
+    L(k) = 1 + max{L(j) : j < k, v_j < v_k} with cent-exact values.
+    Output: (user_id, n_items, lis_len).
+
+    Scale shape: user-bucketed map_groups; inside a bucket the DP is
+    vectorized ACROSS users — one (users × 12 × 12) strict-less mask,
+    then 12 steps of masked column-max (the loop is over the CONFIG
+    cap). The oracle unrolls the same 12 steps as chained
+    MATERIALIZED CTEs accumulating (user, k, L)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "value",
+                             "event_type"])
+
+    def to_v(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "s": t["ts"].cast(pa.int64()),
+            "v": pc.cast(pc.round(pc.multiply(t["value"],
+                                              pa.scalar(100.0))),
+                         pa.int64())})
+
+    def lis_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "s", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        g = g[g.groupby("user_id").cumcount() < LIS_CAP]
+        uid, uidx = np.unique(g["user_id"].to_numpy(np.int64),
+                              return_inverse=True)
+        nu = len(uid)
+        k = g.groupby("user_id", sort=True).cumcount() \
+            .to_numpy(np.int64)
+        V = np.zeros((nu, LIS_CAP), np.int64)
+        ok = np.zeros((nu, LIS_CAP), bool)
+        V[uidx, k] = g["v"].to_numpy(np.int64)
+        ok[uidx, k] = True
+        L = np.zeros((nu, LIS_CAP), np.int64)
+        L[:, 0] = ok[:, 0].astype(np.int64)
+        less = (V[:, :, None] < V[:, None, :]) \
+            & ok[:, :, None] & ok[:, None, :]
+        for i in range(1, LIS_CAP):
+            prior = np.where(less[:, :i, i], L[:, :i], 0)
+            L[:, i] = np.where(ok[:, i],
+                               1 + prior.max(axis=1, initial=0), 0)
+        return pd.DataFrame({
+            "user_id": uid,
+            "n_items": ok.sum(axis=1).astype(np.int64),
+            "lis_len": L.max(axis=1)})
+
+    out = (ds.map_batches(to_v, batch_format="pyarrow")
+           .map_batches(_tag_bucket(["user_id"], 32, "_lsb"),
+                        batch_format="pyarrow")
+           .groupby("_lsb").map_groups(lis_bucket,
+                                       batch_format="pandas")
+           .to_pandas())
+    cols = ["user_id", "n_items", "lis_len"]
+    if out.empty or "user_id" not in out.columns:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    out = out[cols]
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _lis_oracle_sql() -> str:
+    K = LIS_CAP
+    sql = (
+        "WITH li_e AS MATERIALIZED (SELECT user_id, "
+        "CAST(round(value * 100) AS BIGINT) AS v, "
+        "CAST(row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS BIGINT) AS k FROM events "
+        "WHERE event_type = 'purchase'), "
+        f"li_c AS MATERIALIZED (SELECT * FROM li_e WHERE k <= {K}), "
+        "li_l1 AS MATERIALIZED (SELECT user_id, k, "
+        "CAST(1 AS BIGINT) AS l FROM li_c WHERE k = 1)")
+    prev = "li_l1"
+    for k in range(2, K + 1):
+        sql += (
+            f", li_s{k} AS MATERIALIZED (SELECT c.user_id, c.k, "
+            "CAST(1 + coalesce((SELECT max(p.l) FROM "
+            f"{prev} p JOIN li_c pc ON pc.user_id = p.user_id "
+            "AND pc.k = p.k WHERE p.user_id = c.user_id "
+            "AND pc.v < c.v), 0) AS BIGINT) AS l "
+            f"FROM li_c c WHERE c.k = {k}), "
+            f"li_l{k} AS MATERIALIZED (SELECT * FROM {prev} "
+            f"UNION ALL SELECT * FROM li_s{k})")
+        prev = f"li_l{k}"
+    sql += (
+        f" SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_items, "
+        f"CAST(max(l.l) AS BIGINT) AS lis_len FROM li_c c "
+        f"JOIN {prev} l ON l.user_id = c.user_id AND l.k = c.k "
+        "GROUP BY c.user_id ORDER BY c.user_id")
+    return sql
+
+
 ORACLE_SQL: dict[str, str] = {
     # politeness wait replay: max-plus closed form, one window max
     "politeness_wait_replay": _politeness_wait_oracle_sql(),
+    # LIS per user: second exact-DP member, 12-step unrolled twin
+    "lis_per_user": _lis_oracle_sql(),
     # weighted interval scheduling: exact DP, 12-step unrolled twin
     "interval_scheduling": _interval_sched_oracle_sql(),
     # id-keyspace gap ranges: range buckets + boundary stitch

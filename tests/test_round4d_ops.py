@@ -466,3 +466,46 @@ def test_bpe_trainer_boundary_and_chain(tmp_path, ray_session):
     # round 5: (x,ab)=3
     assert rows == [("a", "a", 12), ("a", "a", 4), ("aa", "aa", 4),
                     ("a", "b", 3), ("x", "ab", 3)]
+
+
+def test_lis_matches_bruteforce(tmp_path, ray_session):
+    """LIS DP equals exhaustive subsequence enumeration on random
+    value sequences with duplicates (strictness matters: equal
+    values must NOT extend a run)."""
+    from itertools import combinations
+
+    from crawling_infrastructure_ray.pipelines.analytics import \
+        q_lis_per_user
+
+    rng = np.random.default_rng(29)
+    rows, expect, eid = [], {}, 0
+    base = 1_700_000_000_000_000
+    for u in range(1, 26):
+        n = int(rng.integers(1, 10))
+        vals = [int(rng.integers(1, 6)) for _ in range(n)]  # dupes
+        for j, v in enumerate(vals):
+            rows.append((eid, base + j * 1_000_000, u, v / 100.0))
+            eid += 1
+        best = 1
+        for r in range(1, n + 1):
+            for comb in combinations(range(n), r):
+                if all(vals[comb[j]] < vals[comb[j + 1]]
+                       for j in range(r - 1)):
+                    best = max(best, r)
+        expect[u] = (n, best)
+
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64),
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["purchase"] * len(rows), pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    got = q_lis_per_user(str(tmp_path)).set_index("user_id")
+    for u, (n, best) in expect.items():
+        assert int(got.loc[u, "n_items"]) == n
+        assert int(got.loc[u, "lis_len"]) == best
