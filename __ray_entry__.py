@@ -505,6 +505,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "crawl_span_sequences": qt.q_crawl_span_sequences,
         # LIS per user: second exact-DP family member
         "lis_per_user": qa.q_lis_per_user,
+        # fuzzy URL pairs at ed<=2: banded Levenshtein verify
+        "url_levenshtein_pairs": qt.q_url_levenshtein_pairs,
     }
 
 

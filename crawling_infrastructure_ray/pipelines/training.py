@@ -8903,9 +8903,156 @@ def _span_sequences_oracle_sql() -> str:
     return sql
 
 
+def _ed2_banded(a_urls: np.ndarray, b_urls: np.ndarray) -> np.ndarray:
+    """Exact Levenshtein distance CAPPED AT 3 for pair arrays, via
+    the classic k=2 banded DP (5 diagonal lanes), vectorized ACROSS
+    PAIRS — the row loop is over string LENGTH, never pairs. Returns
+    int64 distances (3 means '>2'). ASCII inputs."""
+    n = len(a_urls)
+    if n == 0:
+        return np.empty(0, np.int64)
+    la = np.fromiter((len(s) for s in a_urls), np.int64, n)
+    lb = np.fromiter((len(s) for s in b_urls), np.int64, n)
+    L = int(max(la.max(initial=0), lb.max(initial=0)))
+    A = np.zeros((n, L), np.uint8)
+    B = np.zeros((n, L), np.uint8)
+    for r in range(n):  # pair-setup loop: byte copy only, no DP here
+        A[r, :la[r]] = np.frombuffer(a_urls[r].encode("ascii"),
+                                     np.uint8)
+        B[r, :lb[r]] = np.frombuffer(b_urls[r].encode("ascii"),
+                                     np.uint8)
+    INF = np.int64(9)
+    prev = np.full((n, 5), INF, np.int64)
+    prev[:, 2], prev[:, 3], prev[:, 4] = 0, 1, 2  # row 0: D[0][j]=j
+    res = np.full(n, INF, np.int64)
+    done0 = la == 0
+    res[done0] = np.minimum(lb[done0], 3)
+    for i in range(1, L + 1):
+        cur = np.full((n, 5), INF, np.int64)
+        for lane in range(5):
+            j = i + lane - 2
+            if j < 0:
+                continue
+            if j == 0:
+                cur[:, lane] = np.minimum(i, INF)
+                continue
+            sub = prev[:, lane] + (A[:, i - 1] != B[:, j - 1]) \
+                if j - 1 < L else np.full(n, INF, np.int64)
+            dele = prev[:, lane + 1] + 1 if lane < 4 \
+                else np.full(n, INF, np.int64)
+            ins = cur[:, lane - 1] + 1 if lane > 0 \
+                else np.full(n, INF, np.int64)
+            v = np.minimum(np.minimum(sub, dele), ins)
+            v = np.where(j <= lb, v, INF)
+            cur[:, lane] = np.minimum(v, INF)
+        prev = cur
+        fin = la == i
+        if fin.any():
+            lane_f = (lb - la + 2)
+            ok = fin & (lane_f >= 0) & (lane_f <= 4)
+            res[ok] = prev[ok, lane_f[ok]]
+    return np.minimum(res, 3)
+
+
+def q_url_levenshtein_pairs(sf_dir: str):
+    """FUZZY URL DEDUP AT EDIT DISTANCE ≤ 2 — extends the ed-1
+    SymSpell operator (url_edit_pairs) with full exact Levenshtein:
+    candidates are all URL pairs sharing the (site, p) PREFIX GROUP
+    (split_part components 3 and 5 — the documented blocking
+    contract: every injected variant shares its base's prefix, and
+    the contract is replayed verbatim in SQL; cross-prefix ed-2 pairs
+    are out-of-block by design, the sorted-neighborhood trade), then
+    verified with the exact k=2 BANDED Levenshtein DP (_ed2_banded —
+    5 diagonal lanes vectorized across pairs, the row loop is over
+    string length). URL universe: _ed1_urls_np. Output:
+    (url_a, url_b, ed) for ed ∈ {1, 2}.
+
+    Scale shape: prefix groups shrink the pair space to
+    Σ per-group C(m,2) (group sizes = n/350 in this corpus —
+    documented; a web-scale run adds a tail-length sub-key); one
+    group-key bucket shuffle; the verify is candidate-scale. The
+    oracle replays blocking verbatim and verifies with DuckDB's
+    levenshtein()."""
+    from ..functions.bucketing import tag_bucket_fn
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_urls(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = _ed1_urls_np(ids)
+        grp = urls.str.split("/").str[2] + "|" \
+            + urls.str.split("/").str[4]
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "grp": pa.array(grp, pa.string())})
+
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, gg in g.groupby("grp", sort=False):
+            u = np.unique(gg["url"].to_numpy())
+            if len(u) < 2:
+                continue
+            i, j = np.triu_indices(len(u), 1)
+            la = np.fromiter((len(s) for s in u), np.int64, len(u))
+            keep = np.abs(la[i] - la[j]) <= 2
+            i, j = i[keep], j[keep]
+            if not len(i):
+                continue
+            d = _ed2_banded(u[i], u[j])
+            hit = d <= 2
+            if hit.any():
+                outs.append(pd.DataFrame({
+                    "url_a": u[i[hit]], "url_b": u[j[hit]],
+                    "ed": d[hit]}))
+        if not outs:
+            return pd.DataFrame({
+                "url_a": pd.Series([], dtype=object),
+                "url_b": pd.Series([], dtype=object),
+                "ed": pd.Series([], dtype="int64")})
+        out = pd.concat(outs, ignore_index=True)
+        out["ed"] = out["ed"].astype("int64")
+        return out
+
+    out = (ds.map_batches(to_urls, batch_format="pyarrow")
+           .map_batches(tag_bucket_fn(["grp"], 32, "_lvb"),
+                        batch_format="pyarrow")
+           .groupby("_lvb").map_groups(pair_bucket,
+                                       batch_format="pandas")
+           .to_pandas())
+    cols = ["url_a", "url_b", "ed"]
+    if out.empty or "url_a" not in out.columns:
+        return pd.DataFrame({"url_a": pd.Series([], dtype=object),
+                             "url_b": pd.Series([], dtype=object),
+                             "ed": pd.Series([], dtype="int64")})
+    out = out[cols].drop_duplicates()
+    out["ed"] = out["ed"].astype("int64")
+    return out.sort_values(["url_a", "url_b"]).reset_index(drop=True)
+
+
+def _url_lev_oracle_sql() -> str:
+    base = ("'https://site' || CAST(doc_id % 7 AS VARCHAR) || "
+            "'.example.com/p/' || CAST(doc_id % 50 AS VARCHAR) || "
+            "'/doc/' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"WITH lv_b AS (SELECT doc_id, {base} AS url FROM documents), "
+        "lv_u AS (SELECT DISTINCT url FROM ("
+        "SELECT url FROM lv_b "
+        "UNION ALL SELECT url || 'x' FROM lv_b WHERE doc_id % 11 = 3 "
+        "UNION ALL SELECT substr(url, 1, length(url) - 1) || 'x' "
+        "FROM lv_b WHERE doc_id % 11 = 7)), "
+        "lv_g AS (SELECT url, split_part(url, '/', 3) || '|' || "
+        "split_part(url, '/', 5) AS grp FROM lv_u) "
+        "SELECT a.url AS url_a, b.url AS url_b, "
+        "CAST(levenshtein(a.url, b.url) AS BIGINT) AS ed "
+        "FROM lv_g a JOIN lv_g b ON a.grp = b.grp AND a.url < b.url "
+        "WHERE abs(length(a.url) - length(b.url)) <= 2 "
+        "AND levenshtein(a.url, b.url) <= 2 ORDER BY 1, 2")
+
+
 ORACLE_SQL_TRAINING: dict[str, str] = {
     # MMR greedy selection trajectory, incremental replay
     "mmr_selection": _mmr_oracle_sql(),
+    # fuzzy URL pairs at ed<=2: prefix-group blocking + banded DP
+    "url_levenshtein_pairs": _url_lev_oracle_sql(),
     # the north rule's per-row span-sequence invariant, end to end
     "crawl_span_sequences": _span_sequences_oracle_sql(),
     # the full iterative BPE trainer, chained-CTE round replay

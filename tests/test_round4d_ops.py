@@ -509,3 +509,47 @@ def test_lis_matches_bruteforce(tmp_path, ray_session):
     for u, (n, best) in expect.items():
         assert int(got.loc[u, "n_items"]) == n
         assert int(got.loc[u, "lis_len"]) == best
+
+
+def test_ed2_banded_matches_full_dp():
+    """The k=2 banded Levenshtein equals the full O(nm) DP (capped at
+    3) on random string pairs covering equal/±1/±2/±3 lengths,
+    transpositions (ed 2 here), repeats, and identical strings."""
+    from crawling_infrastructure_ray.pipelines.training import \
+        _ed2_banded
+
+    def full_dp(a, b):
+        n, m = len(a), len(b)
+        D = list(range(m + 1))
+        for i in range(1, n + 1):
+            prev, D[0] = D[0], i
+            for j in range(1, m + 1):
+                cur = min(D[j] + 1, D[j - 1] + 1,
+                          prev + (a[i - 1] != b[j - 1]))
+                prev, D[j] = D[j], cur
+        return min(D[m], 3)
+
+    rng = np.random.default_rng(41)
+    al, bl = [], []
+    for _ in range(300):
+        n = int(rng.integers(0, 14))
+        a = "".join(chr(97 + c) for c in rng.integers(0, 4, n))
+        b = list(a)
+        for _ in range(int(rng.integers(0, 4))):
+            op = rng.integers(0, 3)
+            p = int(rng.integers(0, max(len(b), 1)))
+            if op == 0 and b:
+                b[p] = chr(97 + int(rng.integers(0, 4)))
+            elif op == 1:
+                b.insert(p, chr(97 + int(rng.integers(0, 4))))
+            elif b:
+                del b[p]
+        al.append(a)
+        bl.append("".join(b))
+    al.append("abcd"); bl.append("abdc")   # transposition -> 2
+    al.append(""); bl.append("")           # both empty -> 0
+    al.append("aaaa"); bl.append("aaaaaa") # +2 inserts
+    got = _ed2_banded(np.array(al, object), np.array(bl, object))
+    want = np.array([full_dp(a, b) for a, b in zip(al, bl)], np.int64)
+    assert (got == want).all(), \
+        (np.flatnonzero(got != want)[:5], got[:10], want[:10])
