@@ -46,11 +46,17 @@ def stable_hash64_np(arr, seed: int = 0) -> np.ndarray:
     if n >= 64:
         try:
             import pyarrow as _pa
-            col = arr if isinstance(arr, (_pa.Array, _pa.ChunkedArray)) \
-                else _pa.array(arr)
-            return stable_hash64_col_np(col, seed)
-        except (ImportError, _pa.lib.ArrowInvalid, TypeError):
-            pass
+        except ImportError:
+            _pa = None
+        if _pa is not None:
+            try:
+                col = arr if isinstance(arr, (_pa.Array, _pa.ChunkedArray)) \
+                    else _pa.array(arr)
+                return stable_hash64_col_np(col, seed)
+            except (_pa.lib.ArrowInvalid, TypeError, UnicodeEncodeError):
+                # lone-surrogate strings: pa.array() cannot UTF-8-encode
+                # them; the per-row fold (surrogatepass) still can.
+                pass
     return np.fromiter((stable_hash64(s, seed) for s in arr), dtype=np.uint64, count=n)
 
 

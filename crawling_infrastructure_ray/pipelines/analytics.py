@@ -451,8 +451,8 @@ def q_j2_bucketed_join_revenue(sf_dir: str, num_buckets: int = 64):
 
     def tag_li(batch: pa.Table) -> pa.Table:
         # exact integer 1e-4 units (see q_q1 determinism note)
-        price_c = (np.asarray(batch["l_extendedprice"].to_pylist()) * 100).round().astype(np.int64)
-        disc_c = (np.asarray(batch["l_discount"].to_pylist()) * 100).round().astype(np.int64)
+        price_c = (batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).round().astype(np.int64)
+        disc_c = (batch["l_discount"].to_numpy(zero_copy_only=False) * 100).round().astype(np.int64)
         rev = pa.array(price_c * (100 - disc_c), pa.int64())
         # map-side combine BEFORE the shuffle: lineitem has ~4 rows per
         # orderkey, so pre-summing (revenue, n_lines) per key per batch
@@ -6184,6 +6184,7 @@ def q_auc_mannwhitney(sf_dir: str):
     n1, n2 = int(na.sum()), int(nb.sum())
     u_x2 = r1_x2 - n1 * (n1 + 1)
     assert abs(u_x2) < 2 ** 62, "AUC doubled-U overflow: widen dtype"
+    assert n1 and n2, "AUC needs both classes non-empty (documented contract)"
     auc = float(u_x2) / float(2 * n1 * n2)
     return pd.DataFrame({"n_pos": pd.Series([n1], dtype="int64"),
                          "n_neg": pd.Series([n2], dtype="int64"),
@@ -6229,6 +6230,7 @@ def q_ks_test_value(sf_dir: str):
     d_num = max((abs(int(a) * n2 - int(b) * n1)
                  for a, b in zip(ca, cbn)), default=0)
     assert d_num < 2 ** 62, "KS numerator overflow: widen dtype"
+    assert n1 and n2, "KS needs both samples non-empty (documented contract)"
     ks = float(d_num) / float(n1 * n2)
     return pd.DataFrame({"n_a": pd.Series([n1], dtype="int64"),
                          "n_b": pd.Series([n2], dtype="int64"),
@@ -6545,6 +6547,7 @@ def q_gini_revenue(sf_dir: str):
         s1 += v * (cnt * n + cnt * (cnt + 1) // 2)
         n += cnt
         sx += v * cnt
+    assert n and sx, "Gini needs >=1 customer with non-zero revenue"
     gini = float(2 * s1 - (n + 1) * sx) / float(n * sx)
     return pd.DataFrame({"n_customers": pd.Series([n], dtype="int64"),
                          "total_cents": pd.Series([sx], dtype="int64"),
@@ -6786,15 +6789,23 @@ def _lru_oracle_sql() -> str:
         "LEFT JOIN lv y ON y.t > x.prev AND y.t < x.t "
         "AND y.prev <= x.prev GROUP BY x.t), "
         "lt AS (SELECT count(*) AS na, "
-        "count(*) FILTER (prev < 0) AS cm FROM lv) "
+        "count(*) FILTER (prev < 0) AS cm FROM lv), "
+        # driven from the capacities VALUES list (not ld): a corpus
+        # where every access is compulsory (no key reuse) leaves ld
+        # empty, yet the engine still emits one row per capacity with
+        # zero hits/capacity-misses — LEFT JOIN keeps those rows.
+        "ls AS (SELECT c2.capacity, "
+        "count(*) FILTER (ld.sd >= c2.capacity) AS capmiss, "
+        "count(*) FILTER (ld.sd < c2.capacity) AS hit "
+        f"FROM ld CROSS JOIN (VALUES {caps}) c2(capacity) GROUP BY 1) "
         "SELECT CAST(c.capacity AS BIGINT) AS capacity, "
         "CAST(lt.na AS BIGINT) AS n_accesses, "
         "CAST(lt.cm AS BIGINT) AS compulsory_misses, "
-        "CAST(count(*) FILTER (ld.sd >= c.capacity) AS BIGINT) "
-        "AS capacity_misses, "
-        "CAST(count(*) FILTER (ld.sd < c.capacity) AS BIGINT) AS hits "
-        f"FROM ld CROSS JOIN (VALUES {caps}) c(capacity) CROSS JOIN lt "
-        "GROUP BY c.capacity, lt.na, lt.cm ORDER BY c.capacity")
+        "CAST(coalesce(ls.capmiss, 0) AS BIGINT) AS capacity_misses, "
+        "CAST(coalesce(ls.hit, 0) AS BIGINT) AS hits "
+        f"FROM (VALUES {caps}) c(capacity) CROSS JOIN lt "
+        "LEFT JOIN ls ON ls.capacity = c.capacity "
+        "ORDER BY c.capacity")
 
 
 ACF_LAGS = (1, 2, 3, 6, 12, 24)
