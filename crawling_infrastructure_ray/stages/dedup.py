@@ -437,7 +437,8 @@ def jaccard_exact_pairs_ds(ds: rd.Dataset, *, shingle_k: int = 3,
                            num_pair_buckets: int = 32,
                            id_column: str = "doc_id",
                            column: str = "text",
-                           metric: str = "jaccard") -> rd.Dataset:
+                           metric: str = "jaccard",
+                           max_df: int | None = None) -> rd.Dataset:
     """EXACT all-pairs n-gram Jaccard >= threshold, fully distributed
     (shingle inverted-index join; no LSH recall gap, no driver state).
 
@@ -459,6 +460,19 @@ def jaccard_exact_pairs_ds(ds: rd.Dataset, *, shingle_k: int = 3,
     all-pairs semantics, not to this implementation. At 100 TB use
     the MinHash/LSH path (minhash_dedup_pairs); keep this operator
     for bounded-df corpora and as the exactness baseline.
+
+    ``max_df`` bounds that quadratic explicitly (r04 verdict item 3):
+    shingles whose document frequency exceeds ``max_df`` are dropped
+    from candidate generation AND intersection counting, capping
+    per-shingle pair emission at max_df·(max_df−1)/2 rows. Set sizes
+    (the union denominator) stay FULL, so the reported score is the
+    exact "df-bounded Jaccard" — a deterministic lower bound on true
+    Jaccard, mirrored term-for-term in the DuckDB oracle (a HAVING
+    count(*) <= max_df filter on the shingle self-join). df is
+    computed part-locally, which IS global df: a shingle's partition
+    is a pure function of its hash, so every occurrence lands in one
+    part. This is the classic stopword-prefix bound from the
+    All-Pairs/PPJoin family (Bayardo et al., WWW'07).
     """
     from ..functions.bucketing import tag_bucket_fn
 
@@ -489,6 +503,11 @@ def jaccard_exact_pairs_ds(ds: rd.Dataset, *, shingle_k: int = 3,
         # drop them before the per-group Python loop so the loop runs
         # only over genuinely shared shingles
         g = g[g["shingle"].duplicated(keep=False)]
+        if max_df is not None and len(g):
+            # df-bounded mode: drop hot shingles before pair emission
+            # (part-local size == global df, see docstring)
+            g = g[g.groupby("shingle")["shingle"].transform("size")
+                  <= max_df]
         frames = []
         for _, grp in g.groupby("shingle", sort=False):
             if len(grp) < 2:
