@@ -60,9 +60,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has a driver CORRECTNESS row to the back, so each round's 50
     # rows land on never-graded queries until the registry is fully
     # covered.
+    # r05: the queries that oracle-gate the LIVE engine (frontier
+    # ordering, seen-filters, robots, politeness, shard routing, the
+    # per-row span-sequence invariant) are pinned to the head of the
+    # window — they are the strongest evidence the driver can record,
+    # and none of them had landed a driver row by r04 (its grading
+    # file came back empty).
+    pinned = [
+        "crawl_order_sharded", "crawl_order_priority",
+        "crawl_span_sequences", "urlseen_bloom_audit",
+        "urlseen_cuckoo_audit", "robots_verdict_stats",
+        "politeness_wait_replay", "frontier_shard_balance",
+        # r05 addition: real PPM decode, oracle = generator closed form
+        "media_decode_stats",
+    ]
     reg = _registry()
     graded = _driver_graded_names()
-    ordered = {k: v for k, v in reg.items() if k not in graded}
+    ordered = {k: reg[k] for k in pinned if k in reg and k not in graded}
+    ordered.update({k: v for k, v in reg.items() if k not in graded})
     ordered.update({k: v for k, v in reg.items() if k in graded})
     return ordered
 
@@ -292,6 +307,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "crawl_host_counts": qt.q_crawl_host_counts,
         "crawl_simhash_audit": qt.q_crawl_simhash_audit,
         "media_spans": qt.q_media_spans,
+        # r05: REAL image decode (PPM P6 round-trip, closed-form oracle)
+        "media_decode_stats": qt.q_media_decode_stats,
         "media_ann_topk": qt.q_media_ann_topk,
         "curate_documents": qc.q_curate_documents,
         "a3_warm_crawl": qt.q_a3_warm_crawl,

@@ -57,6 +57,8 @@ def stable_hash64_np(arr, seed: int = 0) -> np.ndarray:
                 # lone-surrogate strings: pa.array() cannot UTF-8-encode
                 # them; the per-row fold (surrogatepass) still can.
                 pass
+    if hasattr(arr, "to_pylist"):  # Arrow column below the fast-path cut
+        arr = arr.to_pylist()
     return np.fromiter((stable_hash64(s, seed) for s in arr), dtype=np.uint64, count=n)
 
 

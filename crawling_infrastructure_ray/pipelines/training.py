@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.bucketing import i64_as_u64, tag_bucket_fn, u64_as_i64
-from ..sources.corpus import make_seed_urls
+from ..sources.corpus import fetch_media_payloads, make_seed_urls
 from ..sources.readers import read_table
 from ..stages import dedup as dd
 from ..stages import multimodal as mm
@@ -5002,12 +5002,13 @@ def _media_frame_plan_oracle_sql(seed: int = 42,
 
 def q_media_ann_topk(sf_dir: str):
     """Multimodal → similarity-search END TO END: media spans exploded
-    to typed rows, feature extraction through the decode ACTOR POOL
-    (deterministic fake — codecs absent from this container, stub
-    declared in stages/multimodal.py), then exact cosine top-5 over the
-    feature column for 3 deterministic query refs via the partial-top-k
-    ANN stage. Exercises the full multimodal plumbing chain the way a
-    real image-embedding pipeline would run. ORACLE-CHECKED end to end
+    to typed rows, feature extraction through an ACTOR POOL
+    (HashFeaturizer — the declared-synthetic embedding stand-in; real
+    image DECODE is the separate oracle-gated q_media_decode_stats
+    chain), then exact cosine top-5 over the feature column for 3
+    deterministic query refs via the partial-top-k ANN stage.
+    Exercises the full multimodal plumbing chain the way a real
+    image-embedding pipeline would run. ORACLE-CHECKED end to end
     (_media_ann_topk_oracle_sql — integer-dot cosine re-ranked in
     DuckDB over the crawl mirror's refs)."""
     import numpy as np
@@ -5018,21 +5019,99 @@ def q_media_ann_topk(sf_dir: str):
     docs = read_documents(out)
     media = docs.map_batches(mm.media_rows_from_spans, batch_format="pyarrow")
     feats = media.map_batches(
-        mm.DecodeStub, fn_constructor_kwargs={"mode": "fake"},
+        mm.HashFeaturizer,
         batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
 
     # query set: the 3 lexicographically-smallest media refs (partial
     # min-3 per batch → tiny driver merge), features recomputed via the
-    # same deterministic stub
+    # same deterministic featurizer
     def min3(batch: pa.Table) -> pa.Table:
         return batch.select(["media_ref"]).sort_by("media_ref").slice(0, 3)
 
     refs = sorted(media.map_batches(min3, batch_format="pyarrow")
                   .to_pandas()["media_ref"])[:3]
-    qtbl = mm.DecodeStub("fake")(pa.table({"media_ref": pa.array(refs)}))
+    qtbl = mm.HashFeaturizer()(pa.table({"media_ref": pa.array(refs)}))
     qmat = np.asarray(qtbl["features"].to_pylist(), dtype=np.float64)
     return ss.brute_force_topk(feats, qmat, refs, k=5,
                                id_column="media_ref", column="features")
+
+
+def q_media_decode_stats(sf_dir: str):
+    """IMAGE DECODE end to end — real bytes through a real parser
+    (r04 verdict item 4, replacing the r01–r04 DecodeStub): the
+    crawl's image refs are fetched from the synthetic origin as
+    binary PPM (P6) payloads (corpus.make_media_payload — magic +
+    comment + dims + maxval header, raw RGB raster), decoded by the
+    pure-numpy P6 parser inside the MediaDecoder ACTOR POOL
+    (stages/multimodal.decode_ppm), and reduced to exact integer
+    pixel statistics per image. ORACLE-CHECKED: DuckDB never sees a
+    byte — it replays the generator's closed form from each ref's
+    hash (every full 256-pixel run is a complete residue cycle
+    contributing 32640 / 5559680 to the sum / sum-of-squares; the
+    partial run is enumerated, ≤255 terms per image), so the gate
+    proves decode(encode(ref)) recovers every pixel the origin drew.
+    Reference analog: the browser worker's media fetch+store
+    (crawler/src/browser_worker.ts:26-748). batch_size=256: wide
+    binary rows (≤ ~2.2 KB/payload) keep actor heap small."""
+    out = _crawl_out_dir(sf_dir)
+    if not os.path.isdir(os.path.join(out, "documents")):
+        q_crawl_documents(sf_dir)
+    docs = read_documents(out)
+    media = docs.map_batches(mm.media_rows_from_spans,
+                             batch_format="pyarrow")
+    imgs = media.map_batches(
+        lambda b: b.filter(pc.equal(b["media_type"], "image")),
+        batch_format="pyarrow")
+    stats = (imgs.map_batches(fetch_media_payloads,
+                              batch_format="pyarrow")
+             .map_batches(mm.MediaDecoder, concurrency=(1, 4),
+                          num_cpus=1, batch_size=256,
+                          batch_format="pyarrow"))
+    cols = ["media_ref", "img_w", "img_h", "n_bytes", "pixel_sum",
+            "pixel_sq_sum", "mean_e3"]
+    return stats.select_columns(cols).to_pandas() \
+        .sort_values("media_ref").reset_index(drop=True)
+
+
+def _media_decode_oracle_sql(seed: int = 42) -> str:
+    """DuckDB twin of the PPM decode chain: image refs (hh % 3 = 0)
+    from the crawl mirror, pixel statistics from the generator's
+    closed form — (n // 256) full residue cycles at Σv = 32640 and
+    Σv² = 5,559,680, plus an enumerated partial cycle of n % 256
+    terms (b + 31·i mod 256). LEFT JOIN keeps images whose raster
+    length is an exact multiple of 256 (empty partial)."""
+    from ..functions.sqlmirror import stable_hash64_cte
+
+    with_sql, docs = _crawl_docs_ctes(seed=seed)
+    sql = with_sql + (
+        f", mdd_ref AS (SELECT 'm://' || host || '/' || "
+        f"substr(md5(doc_id || '|' || CAST(i AS VARCHAR)), 1, 10) AS ref "
+        f"FROM {docs}, unnest(generate_series(1, n_spans - 1, 2)) AS t(i))")
+    w, c = stable_hash64_cte("SELECT ref FROM mdd_ref", "ref", {"hh": 0},
+                             prefix="mdd_", include_with=False)
+    sql += w + (
+        f", mdd_img AS (SELECT ref, "
+        f"CAST(8 + (hh >> 32) % 24 AS BIGINT) AS w, "
+        f"CAST(8 + (hh >> 40) % 16 AS BIGINT) AS h, "
+        f"CAST(hh % 256 AS BIGINT) AS b FROM {c} WHERE hh % 3 = 0), "
+        "mdd_n AS (SELECT ref, w, h, b, 3 * w * h AS n FROM mdd_img), "
+        "mdd_p AS (SELECT ref, "
+        "CAST(sum((b + 31 * i) % 256) AS BIGINT) AS psum, "
+        "CAST(sum(((b + 31 * i) % 256) * ((b + 31 * i) % 256)) AS BIGINT) "
+        "AS sqsum "
+        "FROM mdd_n, unnest(generate_series(0, n % 256 - 1)) AS u(i) "
+        "GROUP BY 1), "
+        "mdd_s AS (SELECT m.ref AS media_ref, m.w, m.h, m.n, "
+        "(m.n // 256) * 32640 + coalesce(p.psum, 0) AS pixel_sum, "
+        "(m.n // 256) * 5559680 + coalesce(p.sqsum, 0) AS pixel_sq_sum "
+        "FROM mdd_n m LEFT JOIN mdd_p p ON m.ref = p.ref) "
+        "SELECT media_ref, CAST(w AS INTEGER) AS img_w, "
+        "CAST(h AS INTEGER) AS img_h, CAST(n AS BIGINT) AS n_bytes, "
+        "CAST(pixel_sum AS BIGINT) AS pixel_sum, "
+        "CAST(pixel_sq_sum AS BIGINT) AS pixel_sq_sum, "
+        "CAST(pixel_sum * 1000 // n AS BIGINT) AS mean_e3 "
+        "FROM mdd_s ORDER BY media_ref")
+    return sql
 
 
 def _m8_oracle_sql() -> str:
@@ -5806,8 +5885,8 @@ def _media_spans_oracle_sql(seed: int = 42) -> str:
 
 def _media_ann_topk_oracle_sql(seed: int = 42, k: int = 5) -> str:
     """DuckDB twin of the multimodal→ANN chain: media refs from the
-    crawl mirror, fake features = bytes of stable_hash64(ref)/255
-    (multimodal.DecodeStub), exact cosine top-k. The /255 scaling
+    crawl mirror, features = bytes of stable_hash64(ref)/255
+    (multimodal.HashFeaturizer), exact cosine top-k. The /255 scaling
     cancels in cosine, so the dot products and norms are computed on
     INTEGER byte values with float entering only at the final
     divide+sqrt. Float-safety is corpus-checked, not hoped: the crawl
@@ -9252,6 +9331,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "crawl_simhash_audit": _crawl_simhash_audit_oracle_sql(),
     "media_spans": _media_spans_oracle_sql(),
     "media_ann_topk": _media_ann_topk_oracle_sql(),
+    "media_decode_stats": _media_decode_oracle_sql(),
     "curate_documents": _curate_documents_oracle_sql(),
     "crawl_host_counts": _crawl_host_counts_oracle_sql(),
     "crawl_doc_stats": _crawl_doc_stats_oracle_sql(),

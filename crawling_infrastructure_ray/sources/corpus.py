@@ -169,3 +169,43 @@ def spans_arrow_type() -> pa.DataType:
         ("media_ref", pa.string()),
         ("offset", pa.int32()),
     ]))
+
+
+PPM_STEP = 31  # coprime with 256 → the pixel stream walks ALL residues
+
+
+def make_media_payload(media_ref: str) -> bytes:
+    """Deterministic synthetic THUMBNAIL bytes for a media ref: a REAL
+    binary PPM (P6) image — magic + comment + dims + maxval header,
+    then raw RGB raster. The reference's browser worker stores fetched
+    media blobs next to the page (browser_worker.ts:26-748); this
+    generator is that origin/storage stand-in, sized as a thumbnail
+    (8–31 × 8–23 px, ≤ ~2.2 KB) so wide-binary batches stay small.
+
+    Everything is closed-form in hh = stable_hash64(ref): dims
+    w = 8 + (hh>>32) % 24, h = 8 + (hh>>40) % 16; flat pixel i holds
+    (hh%256 + 31·i) mod 256. gcd(31,256)=1 makes each 256-run of
+    pixels a full residue cycle (sum 32640, sum-of-squares 5559680),
+    which is what lets the DuckDB oracle replay exact pixel statistics
+    without materializing rasters (training._media_decode_oracle_sql).
+    """
+    hh = stable_hash64(media_ref)
+    w = 8 + (hh >> 32) % 24
+    h = 8 + (hh >> 40) % 16
+    base = hh % 256
+    n = w * h * 3
+    px = ((np.uint64(base)
+           + np.uint64(PPM_STEP) * np.arange(n, dtype=np.uint64))
+          % np.uint64(256)).astype(np.uint8)
+    header = f"P6\n# thumb {w}x{h} for {media_ref}\n{w} {h}\n255\n"
+    return header.encode("ascii") + px.tobytes()
+
+
+def fetch_media_payloads(batch: pa.Table) -> pa.Table:
+    """Simulated media STORAGE FETCH: append each ref's payload bytes
+    as a binary column — the stand-in for the blob GET the reference
+    workers issue per media asset. Per-ref generation is inherent
+    (variable-size binary rows), matching the per-asset fetch shape."""
+    payloads = [make_media_payload(r)
+                for r in batch["media_ref"].to_pylist()]
+    return batch.append_column("payload", pa.array(payloads, pa.binary()))

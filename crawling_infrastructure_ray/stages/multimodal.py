@@ -1,14 +1,21 @@
-"""Multimodal column stages — Ray-side plumbing, decode stubbed.
+"""Multimodal column stages.
 
 Media is carried as opaque references/bytes with typed metadata (the
 input_hint documents table stores ``media_ref`` strings inside spans;
-a payload variant stores a ``binary`` column). Image/audio codec
-libraries are NOT in this container, so the decode kernel is a
-clearly-marked stub: ``DecodeStub`` either raises NotImplementedError
-(strict mode) or produces a deterministic fake feature vector derived
-from the payload hash (test mode). Everything around it — schema,
-batch sizing (small batches: wide binary rows), actor-pool signature,
-output layout — is real and tested.
+a payload variant stores a ``binary`` column). Image DECODE is REAL:
+``decode_ppm`` is a pure-numpy parser for the binary PPM (P6)
+container — the uncompressed format the synthetic origin
+(sources/corpus.make_media_payload) emits — and ``MediaDecoder`` is
+the actor-pool stage that decodes payload batches into exact integer
+pixel statistics, oracle-gated end to end
+(training.q_media_decode_stats). Compressed codecs (JPEG/PNG/libav)
+are not in this container; a production deployment swaps decode_ppm
+for the codec call inside the SAME actor signature.
+
+``HashFeaturizer`` is the declared-synthetic embedding stand-in for
+the media→ANN chain (real image embedders aren't in the container):
+8 bytes of stable_hash64(ref) scaled to [0,1] — not a decode path,
+just a deterministic feature draw the oracle replays.
 """
 
 from __future__ import annotations
@@ -17,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import stable_hash64
+from ..functions.hashing import stable_hash64, stable_hash64_np
 
 MEDIA_SCHEMA = pa.schema([
     ("media_ref", pa.string()),
@@ -55,38 +62,113 @@ def media_rows_from_spans(batch: pa.Table) -> pa.Table:
                      "duration_ms": pa.array(dur, pa.int32())})
 
 
-class DecodeStub:
-    """Actor-pool decode/feature-extract stage (A1-style heavyweight
-    state). STUB: real codecs are unavailable in this container.
+def decode_ppm(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-numpy decoder for the binary PPM (P6) container.
 
-    mode='fake'  → deterministic 8-dim feature from the ref hash
-                   (keeps downstream plumbing testable end to end)
-    mode='strict'→ NotImplementedError (what production would replace
-                   with a real decoder: PIL/libav model load in
-                   __init__, batched decode in __call__)
+    A real parser, not a fixed-offset slice: the header is tokenized
+    with arbitrary-whitespace and ``#``-comment handling per the
+    netpbm spec (magic, width, height, maxval, then exactly ONE
+    whitespace byte before the raster), and the raster length is
+    validated. Returns (width, height, H×W×3 uint8 array) — the
+    raster view is zero-copy over the input buffer.
     """
+    if buf[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6 magic missing)")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(buf) and buf[pos] in b" \t\n\r\x0b\x0c":
+            pos += 1
+        if pos < len(buf) and buf[pos] in b"#":
+            pos = buf.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(buf) and buf[pos] not in b" \t\n\r\x0b\x0c":
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        vals.append(int(buf[start:pos]))
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (8-bit only)")
+    pos += 1  # the single whitespace byte separating header and raster
+    n = w * h * 3
+    raster = np.frombuffer(buf, dtype=np.uint8, offset=pos)
+    if raster.size < n:
+        raise ValueError(f"PPM raster short: {raster.size} < {n}")
+    return w, h, raster[:n].reshape(h, w, 3)
+
+
+class MediaDecoder:
+    """Actor-pool IMAGE DECODE stage (A1-style heavyweight state:
+    construct once per actor, decode per batch; a production build
+    loads its codec/model here instead of the pure-numpy P6 parser).
+    Input batches carry (media_ref, payload[binary]); output appends
+    exact integer pixel statistics per image — the columns the
+    DuckDB oracle replays from the generator's closed form
+    (training._media_decode_oracle_sql):
+
+      img_w, img_h      decoded dimensions (int32)
+      n_bytes           w·h·3 raster bytes (int64)
+      pixel_sum         Σ raster (int64)
+      pixel_sq_sum      Σ raster² (int64)
+      mean_e3           pixel_sum·1000 // n_bytes (int64, exact)
+
+    Per-image decode is inherent (variable-size binary rows — the
+    WARC-writer contract); the per-image reductions are numpy. Batch
+    small (wide binary rows): the callers pass batch_size<=512.
+    """
+
+    def __init__(self):
+        self.n_decoded = 0  # per-actor lineage counter
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        k = len(payloads)
+        ws = np.empty(k, np.int32)
+        hs = np.empty(k, np.int32)
+        ps = np.empty(k, np.int64)
+        sq = np.empty(k, np.int64)
+        for i, buf in enumerate(payloads):
+            w, h, px = decode_ppm(buf)
+            flat = px.reshape(-1).astype(np.int64)
+            ws[i], hs[i] = w, h
+            ps[i] = flat.sum()
+            sq[i] = (flat * flat).sum()
+        self.n_decoded += k
+        nb = ws.astype(np.int64) * hs.astype(np.int64) * 3
+        return (batch.drop_columns(["payload"])
+                .append_column("img_w", pa.array(ws, pa.int32()))
+                .append_column("img_h", pa.array(hs, pa.int32()))
+                .append_column("n_bytes", pa.array(nb, pa.int64()))
+                .append_column("pixel_sum", pa.array(ps, pa.int64()))
+                .append_column("pixel_sq_sum", pa.array(sq, pa.int64()))
+                .append_column("mean_e3", pa.array(
+                    ps * 1000 // nb, pa.int64())))
+
+
+class HashFeaturizer:
+    """Deterministic 8-dim feature from the ref hash — the embedding
+    stand-in for the media→ANN chain (bytes of stable_hash64(ref),
+    scaled /255; the scaling cancels in cosine so the oracle re-ranks
+    on integer dots). Declared synthetic: NOT a decode path — see
+    MediaDecoder for actual image decode. Vectorized: one
+    stable_hash64_np pass + a byte-plane shift matrix per batch."""
 
     FEATURE_DIM = 8
 
-    def __init__(self, mode: str = "fake"):
-        if mode not in ("fake", "strict"):
-            raise ValueError(mode)
-        self.mode = mode
-        # real impl: load decoder/model ONCE per actor here
+    def __init__(self):
+        pass  # real embedder: load model weights ONCE per actor here
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.mode == "strict":
-            raise NotImplementedError(
-                "media decode requires codec libraries not present in this "
-                "container; run with mode='fake' for the deterministic stub")
-        refs = batch["media_ref"].to_pylist()
-        feats = np.empty((len(refs), self.FEATURE_DIM))
-        for i, ref in enumerate(refs):
-            h = stable_hash64(ref)
-            feats[i] = [((h >> (8 * j)) & 0xFF) / 255.0
-                        for j in range(self.FEATURE_DIM)]
-        return batch.append_column(
-            "features", pa.array(list(feats), pa.list_(pa.float64())))
+        h = stable_hash64_np(batch["media_ref"])
+        shifts = np.uint64(8) * np.arange(self.FEATURE_DIM, dtype=np.uint64)
+        feats = ((h[:, None] >> shifts[None, :]) & np.uint64(0xFF)) / 255.0
+        offsets = pa.array(
+            np.arange(0, (len(h) + 1) * self.FEATURE_DIM,
+                      self.FEATURE_DIM, dtype=np.int32))
+        col = pa.ListArray.from_arrays(
+            offsets, pa.array(feats.reshape(-1), pa.float64()))
+        return batch.append_column("features", col)
 
 
 class ResizeStub:

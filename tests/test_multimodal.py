@@ -1,9 +1,13 @@
+import numpy as np
 import pyarrow as pa
 import pytest
 
-from crawling_infrastructure_ray.sources.corpus import make_spans, spans_arrow_type
+from crawling_infrastructure_ray.sources.corpus import (
+    fetch_media_payloads, make_media_payload, make_spans, spans_arrow_type)
+from crawling_infrastructure_ray.functions.hashing import stable_hash64
 from crawling_infrastructure_ray.stages.multimodal import (
-    DecodeStub, ResizeStub, frame_sample_plan, media_rows_from_spans)
+    HashFeaturizer, MediaDecoder, ResizeStub, decode_ppm,
+    frame_sample_plan, media_rows_from_spans)
 
 
 def _doc_batch():
@@ -21,16 +25,66 @@ def test_media_rows_from_spans():
     assert out.equals(media_rows_from_spans(_doc_batch()))
 
 
-def test_decode_stub_fake_and_strict():
-    media = media_rows_from_spans(_doc_batch())
-    out = DecodeStub(mode="fake")(media)
-    feats = out["features"].to_pylist()
-    assert all(len(f) == DecodeStub.FEATURE_DIM for f in feats)
-    assert all(0.0 <= x <= 1.0 for f in feats for x in f)
-    with pytest.raises(NotImplementedError):
-        DecodeStub(mode="strict")(media)
+def test_ppm_roundtrip_exact():
+    """decode(encode(ref)) recovers the generator's closed form
+    pixel-for-pixel — the contract the DuckDB oracle replays."""
+    for ref in ["m://h0.example/abc", "m://h1.example/0123456789", "m://x/y"]:
+        buf = make_media_payload(ref)
+        w, h, px = decode_ppm(buf)
+        hh = stable_hash64(ref)
+        assert (w, h) == (8 + (hh >> 32) % 24, 8 + (hh >> 40) % 16)
+        n = w * h * 3
+        want = ((hh % 256 + 31 * np.arange(n, dtype=np.uint64)) % 256) \
+            .astype(np.uint8)
+        assert np.array_equal(px.reshape(-1), want)
+
+
+def test_decode_ppm_header_handling():
+    # comments and arbitrary whitespace in the header are legal P6
+    raster = bytes(range(12))  # 2x2 RGB
+    buf = b"P6\n# a comment\n  2\t2\n# another\n255\n" + raster
+    w, h, px = decode_ppm(buf)
+    assert (w, h) == (2, 2) and px.reshape(-1).tolist() == list(range(12))
     with pytest.raises(ValueError):
-        DecodeStub(mode="bogus")
+        decode_ppm(b"P5\n2 2\n255\n" + raster)       # wrong magic
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n65535\n" + raster)     # 16-bit maxval
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n4 4\n255\n" + raster)       # short raster
+
+
+def test_media_decoder_stage():
+    media = media_rows_from_spans(_doc_batch())
+    imgs = media.filter(pa.compute.equal(media["media_type"], "image"))
+    out = MediaDecoder()(fetch_media_payloads(imgs))
+    assert out.num_rows == imgs.num_rows
+    assert "payload" not in out.column_names
+    nb = out["n_bytes"].to_numpy()
+    assert np.array_equal(
+        nb, out["img_w"].to_numpy().astype(np.int64)
+        * out["img_h"].to_numpy() * 3)
+    # stats against the closed form, independently of decode
+    for ref, psum, sq in zip(out["media_ref"].to_pylist(),
+                             out["pixel_sum"].to_pylist(),
+                             out["pixel_sq_sum"].to_pylist()):
+        hh = stable_hash64(ref)
+        w, h = 8 + (hh >> 32) % 24, 8 + (hh >> 40) % 16
+        n = w * h * 3
+        v = (hh % 256 + 31 * np.arange(n, dtype=np.int64)) % 256
+        assert psum == v.sum() and sq == (v * v).sum()
+
+
+def test_hash_featurizer():
+    media = media_rows_from_spans(_doc_batch())
+    out = HashFeaturizer()(media)
+    feats = out["features"].to_pylist()
+    assert all(len(f) == HashFeaturizer.FEATURE_DIM for f in feats)
+    assert all(0.0 <= x <= 1.0 for f in feats for x in f)
+    # bit-identical to the scalar definition
+    ref = out["media_ref"][0].as_py()
+    h = stable_hash64(ref)
+    want = [((h >> (8 * j)) & 0xFF) / 255.0 for j in range(8)]
+    assert feats[0] == want
 
 
 def test_resize_stub_aspect():
