@@ -71,8 +71,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_span_sequences", "urlseen_bloom_audit",
         "urlseen_cuckoo_audit", "robots_verdict_stats",
         "politeness_wait_replay", "frontier_shard_balance",
-        # r05 addition: real PPM decode, oracle = generator closed form
-        "media_decode_stats",
+        # r05 additions: real PPM/WAV decode, oracle = generator
+        # closed form
+        "media_decode_stats", "audio_decode_stats",
     ]
     reg = _registry()
     graded = _driver_graded_names()
@@ -307,8 +308,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "crawl_host_counts": qt.q_crawl_host_counts,
         "crawl_simhash_audit": qt.q_crawl_simhash_audit,
         "media_spans": qt.q_media_spans,
-        # r05: REAL image decode (PPM P6 round-trip, closed-form oracle)
+        # r05: REAL image + audio decode (PPM P6 / RIFF WAV round-trip,
+        # closed-form oracles)
         "media_decode_stats": qt.q_media_decode_stats,
+        "audio_decode_stats": qt.q_audio_decode_stats,
         "media_ann_topk": qt.q_media_ann_topk,
         "curate_documents": qc.q_curate_documents,
         "a3_warm_crawl": qt.q_a3_warm_crawl,

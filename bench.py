@@ -189,12 +189,20 @@ def run_bench() -> dict:
     return out
 
 
-def run_scaling(pair: tuple[int, int] = (8, 32)) -> dict:
+def run_scaling(pair: tuple[int, int] = (4, 16)) -> dict:
     """Same crawl job at num_cpus=N and num_cpus=4N in fresh processes.
 
-    Default pair (8, 32); a second pair (e.g. ``--scaling-pair 4 16``)
-    shows the ≥0.8 efficiency bar is not a single-point artifact
-    (recorded in BASELINE.md)."""
+    OFFICIAL PROTOCOL (pinned r05, verdict item 5): pair (4, 16).
+    Justification, measured r04: after the fetch-path vectorization
+    the 8-cpu end runs 15-17k urls/s, so a 4x-clean 32-cpu end would
+    need 60k+ — but the 32-VCPU box tops out at ~38-44k regardless of
+    num_cpus (frontier shard actors, object-store and Ray aux threads
+    share the same cores), so (8,32)'s hi end is ceiling-bound and
+    measures the BOX, not the engine. (4,16) keeps the hi end at half
+    the box (16 + aux < 32 busy cores) where throughput still scales
+    with granted CPUs; both ends run the identical protocol. The
+    (8,32) pair remains available via ``--scaling-pair 8 32`` for
+    comparison against r01-r03 history."""
     # PASS-MAJOR across phases (same noise control as the main bench,
     # one level up): the VM weather oscillates on a ~5-minute period,
     # so running all of phase N then all of phase 4N correlates each

@@ -524,7 +524,9 @@ def q_j3_native_hash_join(sf_dir: str):
     queries(): on this Ray version (2.49) the hash-shuffle join hangs
     when the session has few CPUs (observed at num_cpus=4 with
     num_partitions 2..32) and is ~4x slower than the explicit bucketed
-    join (q_j2) at 32 cpus. q_j2 is the default large-large join."""
+    join (q_j2) at 32 cpus. q_j2 is the default large-large join.
+    Re-tested 2026-08-20 (r05, ray 2.49.2 unchanged): still hangs at
+    num_cpus=4 past a 180 s timeout on sf0.01 — skip stands."""
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
     j = li.join(orders, join_type="inner", num_partitions=32,

@@ -17,7 +17,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.bucketing import i64_as_u64, tag_bucket_fn, u64_as_i64
-from ..sources.corpus import fetch_media_payloads, make_seed_urls
+from ..sources.corpus import (fetch_audio_payloads, fetch_media_payloads,
+                              make_seed_urls)
 from ..sources.readers import read_table
 from ..stages import dedup as dd
 from ..stages import multimodal as mm
@@ -5073,6 +5074,78 @@ def q_media_decode_stats(sf_dir: str):
         .sort_values("media_ref").reset_index(drop=True)
 
 
+def q_audio_decode_stats(sf_dir: str):
+    """AUDIO DECODE end to end — the WAV sibling of
+    q_media_decode_stats: the crawl's audio refs are fetched from the
+    synthetic origin as REAL RIFF/WAVE PCM16 files (fmt chunk with
+    optional cbSize, a junk 'cue ' chunk the parser must skip, then
+    data), decoded by the chunk-walking pure-numpy parser inside the
+    AudioDecoder ACTOR POOL, and reduced to exact integer sample
+    statistics. ORACLE-CHECKED from the generator's closed form: the
+    int16 samples are an affine map (257·v − 32768) of the stride-31
+    residue walk, so Σs and Σs² are affine in the walk's Σv / Σv²
+    (full-cycle constants + ≤255-term enumerated partial) — DuckDB
+    never sees a byte. batch_size=256 (≤ ~4 KB/payload)."""
+    out = _crawl_out_dir(sf_dir)
+    if not os.path.isdir(os.path.join(out, "documents")):
+        q_crawl_documents(sf_dir)
+    docs = read_documents(out)
+    media = docs.map_batches(mm.media_rows_from_spans,
+                             batch_format="pyarrow")
+    auds = media.map_batches(
+        lambda b: b.filter(pc.equal(b["media_type"], "audio")),
+        batch_format="pyarrow")
+    stats = (auds.map_batches(fetch_audio_payloads,
+                              batch_format="pyarrow")
+             .map_batches(mm.AudioDecoder, concurrency=(1, 4),
+                          num_cpus=1, batch_size=256,
+                          batch_format="pyarrow"))
+    cols = ["media_ref", "sample_rate", "n_samples", "sample_sum",
+            "sample_sq_sum", "duration_us"]
+    return stats.select_columns(cols).to_pandas() \
+        .sort_values("media_ref").reset_index(drop=True)
+
+
+def _audio_decode_oracle_sql(seed: int = 42) -> str:
+    """DuckDB twin of the WAV decode chain: audio refs (hh % 3 = 1)
+    from the crawl mirror; n = 256 + (hh>>48) % 1792 samples whose
+    residue-walk sums come from full-cycle constants + an enumerated
+    partial (each 256-run of (b + 31·i) mod 256 repeats identically,
+    since 31·256 ≡ 0 mod 256); int16 affine map applied in exact
+    integer arithmetic."""
+    from ..functions.sqlmirror import stable_hash64_cte
+
+    with_sql, docs = _crawl_docs_ctes(seed=seed)
+    sql = with_sql + (
+        f", aud_ref AS (SELECT 'm://' || host || '/' || "
+        f"substr(md5(doc_id || '|' || CAST(i AS VARCHAR)), 1, 10) AS ref "
+        f"FROM {docs}, unnest(generate_series(1, n_spans - 1, 2)) AS t(i))")
+    w, c = stable_hash64_cte("SELECT ref FROM aud_ref", "ref", {"hh": 0},
+                             prefix="aud_", include_with=False)
+    sql += w + (
+        f", aud_n AS (SELECT ref, "
+        f"CAST(256 + (hh >> 48) % 1792 AS BIGINT) AS n, "
+        f"CAST(hh % 256 AS BIGINT) AS b FROM {c} WHERE hh % 3 = 1), "
+        "aud_p AS (SELECT ref, "
+        "CAST(sum((b + 31 * i) % 256) AS BIGINT) AS psum, "
+        "CAST(sum(((b + 31 * i) % 256) * ((b + 31 * i) % 256)) AS BIGINT) "
+        "AS sqsum "
+        "FROM aud_n, unnest(generate_series(0, n % 256 - 1)) AS u(i) "
+        "GROUP BY 1), "
+        "aud_s AS (SELECT m.ref AS media_ref, m.n, "
+        "(m.n // 256) * 32640 + coalesce(p.psum, 0) AS sv, "
+        "(m.n // 256) * 5559680 + coalesce(p.sqsum, 0) AS sv2 "
+        "FROM aud_n m LEFT JOIN aud_p p ON m.ref = p.ref) "
+        "SELECT media_ref, CAST(8000 AS INTEGER) AS sample_rate, "
+        "CAST(n AS BIGINT) AS n_samples, "
+        "CAST(257 * sv - 32768 * n AS BIGINT) AS sample_sum, "
+        "CAST(66049 * sv2 - 16842752 * sv + 1073741824 * n AS BIGINT) "
+        "AS sample_sq_sum, "
+        "CAST(n * 1000000 // 8000 AS BIGINT) AS duration_us "
+        "FROM aud_s ORDER BY media_ref")
+    return sql
+
+
 def _media_decode_oracle_sql(seed: int = 42) -> str:
     """DuckDB twin of the PPM decode chain: image refs (hh % 3 = 0)
     from the crawl mirror, pixel statistics from the generator's
@@ -9332,6 +9405,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "media_spans": _media_spans_oracle_sql(),
     "media_ann_topk": _media_ann_topk_oracle_sql(),
     "media_decode_stats": _media_decode_oracle_sql(),
+    "audio_decode_stats": _audio_decode_oracle_sql(),
     "curate_documents": _curate_documents_oracle_sql(),
     "crawl_host_counts": _crawl_host_counts_oracle_sql(),
     "crawl_doc_stats": _crawl_doc_stats_oracle_sql(),

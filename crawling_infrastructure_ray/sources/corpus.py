@@ -209,3 +209,48 @@ def fetch_media_payloads(batch: pa.Table) -> pa.Table:
     payloads = [make_media_payload(r)
                 for r in batch["media_ref"].to_pylist()]
     return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+
+AUDIO_RATE = 8000  # synthetic WAV sample rate (Hz)
+
+
+def make_audio_payload(media_ref: str) -> bytes:
+    """Deterministic synthetic AUDIO bytes for a media ref: a REAL
+    RIFF/WAVE file — 'RIFF' size 'WAVE' + an 18-byte 'fmt ' chunk
+    (PCM, mono, 8 kHz, 16-bit, with the optional cbSize field so the
+    parser must honor chunk sizes, not fixed offsets) + a junk 'cue '
+    chunk the decoder has to SKIP + the 'data' chunk.
+
+    Closed-form in hh = stable_hash64(ref): n_samples =
+    256 + (hh>>48) % 1792 (≤ 4 KB of PCM); sample i is the image
+    generator's stride-31 residue walk widened to int16 full scale:
+      v_i = (hh%256 + 31·i) mod 256 ;  s_i = 257·v_i − 32768
+    so Σs = 257·Σv − 32768·n and Σs² = 257²·Σv² − 2·257·32768·Σv +
+    n·32768² — both exact integers the DuckDB oracle replays from the
+    same full-cycle constants (32640 / 5559680) + enumerated partial
+    (training._audio_decode_oracle_sql)."""
+    import struct
+
+    hh = stable_hash64(media_ref)
+    n = 256 + (hh >> 48) % 1792
+    base = hh % 256
+    v = (np.uint64(base)
+         + np.uint64(PPM_STEP) * np.arange(n, dtype=np.uint64)) \
+        % np.uint64(256)
+    samples = (v.astype(np.int64) * 257 - 32768).astype("<i2")
+    fmt = struct.pack("<HHIIHHH", 1, 1, AUDIO_RATE, AUDIO_RATE * 2, 2,
+                      16, 0)  # PCM, mono, 16-bit, cbSize=0
+    cue = b"\x00" * 12  # skippable junk chunk
+    data = samples.tobytes()
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"cue " + struct.pack("<I", len(cue)) + cue
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def fetch_audio_payloads(batch: pa.Table) -> pa.Table:
+    """Audio variant of fetch_media_payloads (WAV bytes)."""
+    payloads = [make_audio_payload(r)
+                for r in batch["media_ref"].to_pylist()]
+    return batch.append_column("payload", pa.array(payloads, pa.binary()))

@@ -146,6 +146,79 @@ class MediaDecoder:
                     ps * 1000 // nb, pa.int64())))
 
 
+def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
+    """Pure-numpy decoder for RIFF/WAVE PCM16 mono.
+
+    A real chunk-walking parser: validates the RIFF/WAVE container,
+    iterates chunks honoring their declared sizes (word-aligned per
+    the RIFF spec), reads 'fmt ' (PCM16 mono only), SKIPS unknown
+    chunks (the synthetic origin plants a 'cue ' chunk precisely so a
+    fixed-offset slice would fail), and returns
+    (sample_rate, int16 sample array) from 'data' — zero-copy view.
+    """
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    declared = struct.unpack("<I", buf[4:8])[0]
+    if declared + 8 != len(buf):
+        raise ValueError(f"RIFF size {declared} != file {len(buf) - 8}")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        sz = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        body = buf[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            tag, ch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16])
+            if (tag, ch, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"unsupported WAV format tag={tag} ch={ch} bits={bits}"
+                    " (PCM16 mono only)")
+        elif cid == b"data":
+            if sz % 2:
+                raise ValueError("odd PCM16 data size")
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, samples
+
+
+class AudioDecoder:
+    """Actor-pool AUDIO DECODE stage — the WAV sibling of
+    MediaDecoder: (media_ref, payload[binary]) batches in, exact
+    integer sample statistics out (the columns
+    training._audio_decode_oracle_sql replays from the generator's
+    closed form): sample_rate (int32), n_samples, sample_sum,
+    sample_sq_sum, duration_us = n·1e6 // rate (all int64)."""
+
+    def __init__(self):
+        self.n_decoded = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        k = len(payloads)
+        rates = np.empty(k, np.int32)
+        ns = np.empty(k, np.int64)
+        ss = np.empty(k, np.int64)
+        sq = np.empty(k, np.int64)
+        for i, buf in enumerate(payloads):
+            rate, s = decode_wav(buf)
+            s64 = s.astype(np.int64)
+            rates[i], ns[i] = rate, s64.size
+            ss[i] = s64.sum()
+            sq[i] = (s64 * s64).sum()
+        self.n_decoded += k
+        return (batch.drop_columns(["payload"])
+                .append_column("sample_rate", pa.array(rates, pa.int32()))
+                .append_column("n_samples", pa.array(ns, pa.int64()))
+                .append_column("sample_sum", pa.array(ss, pa.int64()))
+                .append_column("sample_sq_sum", pa.array(sq, pa.int64()))
+                .append_column("duration_us", pa.array(
+                    ns * 1_000_000 // rates, pa.int64())))
+
+
 class HashFeaturizer:
     """Deterministic 8-dim feature from the ref hash — the embedding
     stand-in for the media→ANN chain (bytes of stable_hash64(ref),

@@ -682,12 +682,27 @@ class Frontier:
     K>1 gives per-shard FIFO with deterministic shard interleaving.
     """
 
-    def __init__(self, num_shards: int = 1, *, seed: int = 42, **shard_kwargs):
+    def __init__(self, num_shards: int = 1, *, seed: int = 42,
+                 shard_resources: list[dict] | None = None,
+                 **shard_kwargs):
+        # shard_resources: optional per-shard custom-resource demands
+        # (len == num_shards), e.g. [{"nodeA": 0.5}, {"nodeB": 0.5}, …]
+        # — lets a multi-node deployment (or the single-box placement
+        # rehearsal, tools/remote_shards.py) pin each shard to a node
+        # group; placement changes WHERE a shard runs, never routing
+        # (shard = stable_hash64(host) % K is placement-independent).
         self.num_shards = num_shards
         self.seed = seed
         self.shard_kwargs = dict(shard_kwargs, seed=seed)
-        self.shards = [FrontierShard.remote(i, **self.shard_kwargs)
-                       for i in range(num_shards)]
+        if shard_resources is not None:
+            assert len(shard_resources) == num_shards
+            self.shards = [FrontierShard.options(
+                resources=shard_resources[i]).remote(
+                    i, **self.shard_kwargs)
+                for i in range(num_shards)]
+        else:
+            self.shards = [FrontierShard.remote(i, **self.shard_kwargs)
+                           for i in range(num_shards)]
         self.next_seq = 0
         # memoized host → shard; bounded (web-scale host sets reach
         # 10^7-10^8 — an unbounded driver-side memo would be its own

@@ -3,11 +3,12 @@ import pyarrow as pa
 import pytest
 
 from crawling_infrastructure_ray.sources.corpus import (
-    fetch_media_payloads, make_media_payload, make_spans, spans_arrow_type)
+    fetch_audio_payloads, fetch_media_payloads, make_audio_payload,
+    make_media_payload, make_spans, spans_arrow_type)
 from crawling_infrastructure_ray.functions.hashing import stable_hash64
 from crawling_infrastructure_ray.stages.multimodal import (
-    HashFeaturizer, MediaDecoder, ResizeStub, decode_ppm,
-    frame_sample_plan, media_rows_from_spans)
+    AudioDecoder, HashFeaturizer, MediaDecoder, ResizeStub, decode_ppm,
+    decode_wav, frame_sample_plan, media_rows_from_spans)
 
 
 def _doc_batch():
@@ -72,6 +73,54 @@ def test_media_decoder_stage():
         n = w * h * 3
         v = (hh % 256 + 31 * np.arange(n, dtype=np.int64)) % 256
         assert psum == v.sum() and sq == (v * v).sum()
+
+
+def test_wav_roundtrip_exact():
+    """decode(encode(ref)) recovers the affine-mapped residue walk
+    sample-for-sample — the contract the audio oracle replays."""
+    for ref in ["m://h0.example/abc", "m://h1.example/0123456789"]:
+        buf = make_audio_payload(ref)
+        rate, s = decode_wav(buf)
+        hh = stable_hash64(ref)
+        n = 256 + (hh >> 48) % 1792
+        assert rate == 8000 and s.size == n
+        v = (hh % 256 + 31 * np.arange(n, dtype=np.int64)) % 256
+        assert np.array_equal(s.astype(np.int64), v * 257 - 32768)
+
+
+def test_decode_wav_chunk_walking():
+    import struct
+    ref = "m://h0.example/abc"
+    buf = make_audio_payload(ref)
+    # the generator plants a junk 'cue ' chunk BEFORE data — a
+    # fixed-offset parser would misread; the walker must skip it
+    assert b"cue " in buf[:48]
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"AIFF")
+    with pytest.raises(ValueError):  # declared size mismatch
+        decode_wav(buf[:-2])
+    # stereo rejected
+    stereo = bytearray(buf)
+    fpos = buf.index(b"fmt ") + 8
+    stereo[fpos + 2:fpos + 4] = struct.pack("<H", 2)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(stereo))
+
+
+def test_audio_decoder_stage():
+    media = media_rows_from_spans(_doc_batch())
+    auds = media.filter(pa.compute.equal(media["media_type"], "audio"))
+    out = AudioDecoder()(fetch_audio_payloads(auds))
+    assert out.num_rows == auds.num_rows
+    for ref, n, ssum, sq in zip(out["media_ref"].to_pylist(),
+                                out["n_samples"].to_pylist(),
+                                out["sample_sum"].to_pylist(),
+                                out["sample_sq_sum"].to_pylist()):
+        hh = stable_hash64(ref)
+        want_n = 256 + (hh >> 48) % 1792
+        v = (hh % 256 + 31 * np.arange(want_n, dtype=np.int64)) % 256
+        s = v * 257 - 32768
+        assert (n, ssum, sq) == (want_n, s.sum(), (s * s).sum())
 
 
 def test_hash_featurizer():
