@@ -71,9 +71,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_span_sequences", "urlseen_bloom_audit",
         "urlseen_cuckoo_audit", "robots_verdict_stats",
         "politeness_wait_replay", "frontier_shard_balance",
-        # r05 additions: real PPM/WAV decode, oracle = generator
+        # r05 additions: real PPM/WAV/Y4M decode, oracle = generator
         # closed form
-        "media_decode_stats", "audio_decode_stats",
+        "media_decode_stats", "audio_decode_stats", "video_decode_stats",
     ]
     reg = _registry()
     graded = _driver_graded_names()
@@ -312,6 +312,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # closed-form oracles)
         "media_decode_stats": qt.q_media_decode_stats,
         "audio_decode_stats": qt.q_audio_decode_stats,
+        "video_decode_stats": qt.q_video_decode_stats,
         "media_ann_topk": qt.q_media_ann_topk,
         "curate_documents": qc.q_curate_documents,
         "a3_warm_crawl": qt.q_a3_warm_crawl,

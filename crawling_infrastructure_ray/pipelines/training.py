@@ -18,7 +18,7 @@ import pyarrow.compute as pc
 
 from ..functions.bucketing import i64_as_u64, tag_bucket_fn, u64_as_i64
 from ..sources.corpus import (fetch_audio_payloads, fetch_media_payloads,
-                              make_seed_urls)
+                              fetch_video_payloads, make_seed_urls)
 from ..sources.readers import read_table
 from ..stages import dedup as dd
 from ..stages import multimodal as mm
@@ -5146,6 +5146,95 @@ def _audio_decode_oracle_sql(seed: int = 42) -> str:
     return sql
 
 
+def q_video_decode_stats(sf_dir: str):
+    """VIDEO DECODE end to end — the Y4M member completing the decode
+    trio (image PPM / audio WAV / video YUV4MPEG2): the crawl's video
+    refs are fetched from the synthetic origin as REAL .y4m streams
+    (ASCII parameter line with tagged W/H/F/I/A/C fields, FRAME
+    markers, raw 4:4:4 planes), decoded by the tag-parsing frame
+    walker inside the VideoDecoder ACTOR POOL, and reduced to exact
+    integer statistics INCLUDING a luma-plane-only sum (y_sum) that
+    gates the plane split, not just the flat byte walk.
+    ORACLE-CHECKED from the generator's closed form: the flat stream
+    is one stride-31 residue walk across all frames, and each frame's
+    Y plane is a contiguous sub-range whose start offset shifts the
+    walk's base by 31·a mod 256 — w·h ≤ 165 < 256, so the per-frame
+    luma sum is a fully enumerated partial cycle. DuckDB never sees a
+    byte. batch_size=256 (≤ ~3.5 KB/payload)."""
+    out = _crawl_out_dir(sf_dir)
+    if not os.path.isdir(os.path.join(out, "documents")):
+        q_crawl_documents(sf_dir)
+    docs = read_documents(out)
+    media = docs.map_batches(mm.media_rows_from_spans,
+                             batch_format="pyarrow")
+    vids = media.map_batches(
+        lambda b: b.filter(pc.equal(b["media_type"], "video")),
+        batch_format="pyarrow")
+    stats = (vids.map_batches(fetch_video_payloads,
+                              batch_format="pyarrow")
+             .map_batches(mm.VideoDecoder, concurrency=(1, 4),
+                          num_cpus=1, batch_size=256,
+                          batch_format="pyarrow"))
+    cols = ["media_ref", "frm_w", "frm_h", "fps_num", "n_frames",
+            "n_bytes", "byte_sum", "byte_sq_sum", "y_sum"]
+    return stats.select_columns(cols).to_pandas() \
+        .sort_values("media_ref").reset_index(drop=True)
+
+
+def _video_decode_oracle_sql(seed: int = 42) -> str:
+    """DuckDB twin of the Y4M decode chain: video refs (hh % 3 = 2)
+    from the crawl mirror; totals from full-cycle constants + an
+    enumerated partial over n = f·3·w·h bytes; the luma sum expands
+    (ref × frame × plane-index) in two chained unnest CTEs — per
+    frame k the Y plane covers flat offsets [k·3wh, k·3wh + wh), a
+    base-shifted partial cycle since 31·256 ≡ 0 (mod 256)."""
+    from ..functions.sqlmirror import stable_hash64_cte
+
+    with_sql, docs = _crawl_docs_ctes(seed=seed)
+    sql = with_sql + (
+        f", vid_ref AS (SELECT 'm://' || host || '/' || "
+        f"substr(md5(doc_id || '|' || CAST(i AS VARCHAR)), 1, 10) AS ref "
+        f"FROM {docs}, unnest(generate_series(1, n_spans - 1, 2)) AS t(i))")
+    w, c = stable_hash64_cte("SELECT ref FROM vid_ref", "ref", {"hh": 0},
+                             prefix="vid_", include_with=False)
+    sql += w + (
+        f", vid_n AS (SELECT ref, "
+        f"CAST(4 + (hh >> 32) % 12 AS BIGINT) AS w, "
+        f"CAST(4 + (hh >> 40) % 8 AS BIGINT) AS h, "
+        f"CAST(2 + (hh >> 56) % 6 AS BIGINT) AS f, "
+        f"CAST(hh % 256 AS BIGINT) AS b FROM {c} WHERE hh % 3 = 2), "
+        "vid_t AS (SELECT ref, w, h, f, b, w * h AS wh, "
+        "f * w * h * 3 AS n FROM vid_n), "
+        "vid_p AS (SELECT ref, "
+        "CAST(sum((b + 31 * i) % 256) AS BIGINT) AS psum, "
+        "CAST(sum(((b + 31 * i) % 256) * ((b + 31 * i) % 256)) AS BIGINT) "
+        "AS sqsum "
+        "FROM vid_t, unnest(generate_series(0, n % 256 - 1)) AS u(i) "
+        "GROUP BY 1), "
+        # luma: expand frames, then plane offsets (wh <= 165 < 256,
+        # so the per-frame partial IS the whole plane)
+        "vid_fk AS (SELECT ref, b, wh, 3 * wh * k AS a FROM vid_t, "
+        "unnest(generate_series(0, f - 1)) AS fk(k)), "
+        "vid_y AS (SELECT ref, "
+        "CAST(sum((b + 31 * a + 31 * i) % 256) AS BIGINT) AS ysum "
+        "FROM vid_fk, unnest(generate_series(0, wh - 1)) AS yi(i) "
+        "GROUP BY 1), "
+        "vid_s AS (SELECT t.ref AS media_ref, t.w, t.h, t.f, t.n, "
+        "(t.n // 256) * 32640 + coalesce(p.psum, 0) AS byte_sum, "
+        "(t.n // 256) * 5559680 + coalesce(p.sqsum, 0) AS byte_sq_sum, "
+        "y.ysum AS y_sum "
+        "FROM vid_t t LEFT JOIN vid_p p ON t.ref = p.ref "
+        "JOIN vid_y y ON t.ref = y.ref) "
+        "SELECT media_ref, CAST(w AS INTEGER) AS frm_w, "
+        "CAST(h AS INTEGER) AS frm_h, CAST(25 AS INTEGER) AS fps_num, "
+        "CAST(f AS BIGINT) AS n_frames, CAST(n AS BIGINT) AS n_bytes, "
+        "CAST(byte_sum AS BIGINT) AS byte_sum, "
+        "CAST(byte_sq_sum AS BIGINT) AS byte_sq_sum, "
+        "CAST(y_sum AS BIGINT) AS y_sum "
+        "FROM vid_s ORDER BY media_ref")
+    return sql
+
+
 def _media_decode_oracle_sql(seed: int = 42) -> str:
     """DuckDB twin of the PPM decode chain: image refs (hh % 3 = 0)
     from the crawl mirror, pixel statistics from the generator's
@@ -9406,6 +9495,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "media_ann_topk": _media_ann_topk_oracle_sql(),
     "media_decode_stats": _media_decode_oracle_sql(),
     "audio_decode_stats": _audio_decode_oracle_sql(),
+    "video_decode_stats": _video_decode_oracle_sql(),
     "curate_documents": _curate_documents_oracle_sql(),
     "crawl_host_counts": _crawl_host_counts_oracle_sql(),
     "crawl_doc_stats": _crawl_doc_stats_oracle_sql(),

@@ -254,3 +254,44 @@ def fetch_audio_payloads(batch: pa.Table) -> pa.Table:
     payloads = [make_audio_payload(r)
                 for r in batch["media_ref"].to_pylist()]
     return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+
+VIDEO_FPS = (25, 1)  # synthetic Y4M frame rate
+
+
+def make_video_payload(media_ref: str) -> bytes:
+    """Deterministic synthetic VIDEO bytes for a media ref: a REAL
+    YUV4MPEG2 (.y4m) stream — the uncompressed video container the
+    mjpegtools/ffmpeg family exchanges: an ASCII parameter line
+    ('YUV4MPEG2 W.. H.. F25:1 Ip A1:1 C444\\n'), then per frame a
+    'FRAME\\n' marker + raw 4:4:4 Y,U,V planes.
+
+    Closed-form in hh = stable_hash64(ref): w = 4 + (hh>>32) % 12,
+    h = 4 + (hh>>40) % 8, n_frames = 2 + (hh>>56) % 6 (≤ ~3.5 KB);
+    the plane bytes are ONE stride-31 residue walk continuing across
+    all frames — flat byte j holds (hh%256 + 31·j) mod 256 — so total
+    Σ and Σ² replay from the same full-cycle constants + enumerated
+    partial as the image/audio oracles
+    (training._video_decode_oracle_sql)."""
+    hh = stable_hash64(media_ref)
+    w = 4 + (hh >> 32) % 12
+    h = 4 + (hh >> 40) % 8
+    f = 2 + (hh >> 56) % 6
+    base = hh % 256
+    per_frame = w * h * 3
+    v = (np.uint64(base) + np.uint64(PPM_STEP)
+         * np.arange(f * per_frame, dtype=np.uint64)) % np.uint64(256)
+    raw = v.astype(np.uint8).tobytes()
+    out = [f"YUV4MPEG2 W{w} H{h} F{VIDEO_FPS[0]}:{VIDEO_FPS[1]} "
+           f"Ip A1:1 C444\n".encode("ascii")]
+    for k in range(f):
+        out.append(b"FRAME\n")
+        out.append(raw[k * per_frame:(k + 1) * per_frame])
+    return b"".join(out)
+
+
+def fetch_video_payloads(batch: pa.Table) -> pa.Table:
+    """Video variant of fetch_media_payloads (Y4M bytes)."""
+    payloads = [make_video_payload(r)
+                for r in batch["media_ref"].to_pylist()]
+    return batch.append_column("payload", pa.array(payloads, pa.binary()))

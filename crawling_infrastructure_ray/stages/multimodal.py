@@ -219,6 +219,108 @@ class AudioDecoder:
                     ns * 1_000_000 // rates, pa.int64())))
 
 
+def decode_y4m(buf: bytes) -> tuple[int, int, tuple[int, int], np.ndarray]:
+    """Pure-numpy decoder for YUV4MPEG2 (.y4m) 4:4:4 streams.
+
+    A real parser: tokenizes the ASCII parameter line (magic word,
+    then tagged W/H/F/I/A/C parameters in ANY order, unknown X tags
+    ignored per the spec), requires C444 8-bit, then walks frames —
+    each introduced by a 'FRAME' marker line that may carry its own
+    parameters up to the newline — validating every raster length.
+    Returns (width, height, (fps_num, fps_den),
+    frames uint8 array of shape (n_frames, 3, h, w)) — planes are
+    zero-copy views reshaped over the input buffer.
+    """
+    nl = buf.find(b"\n")
+    if nl < 0:
+        raise ValueError("y4m: no stream header line")
+    toks = buf[:nl].split(b" ")
+    if toks[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    fps = (25, 1)
+    colorspace = b"C420"  # the spec's default when absent
+    for t in toks[1:]:
+        if not t:
+            continue
+        tag, val = t[:1], t[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = val.split(b":")
+            fps = (int(num), int(den))
+        elif tag == b"C":
+            colorspace = t
+        # I/A/X tags: legal, irrelevant to raster layout here
+    if w is None or h is None:
+        raise ValueError("y4m: header missing W or H")
+    if colorspace != b"C444":
+        raise ValueError(f"unsupported y4m colorspace {colorspace!r}"
+                         " (C444 8-bit only)")
+    per_frame = w * h * 3
+    pos, frames = nl + 1, []
+    while pos < len(buf):
+        fnl = buf.find(b"\n", pos)
+        if fnl < 0 or buf[pos:pos + 5] != b"FRAME":
+            raise ValueError("y4m: malformed FRAME marker")
+        pos = fnl + 1
+        if pos + per_frame > len(buf):
+            raise ValueError("y4m: truncated frame raster")
+        frames.append(np.frombuffer(buf, np.uint8, per_frame, pos)
+                      .reshape(3, h, w))
+        pos += per_frame
+    if not frames:
+        raise ValueError("y4m: zero frames")
+    return w, h, fps, np.stack(frames)
+
+
+class VideoDecoder:
+    """Actor-pool VIDEO DECODE stage — the Y4M member of the decode
+    trio (MediaDecoder/AudioDecoder/this): (media_ref,
+    payload[binary]) in, exact integer plane statistics out (the
+    columns training._video_decode_oracle_sql replays): frm_w, frm_h
+    (int32), fps_num (int32, proves the F tag parsed), n_frames,
+    n_bytes = frames·w·h·3, byte_sum, byte_sq_sum, y_sum (Σ of the
+    luma plane only — exercises the plane SPLIT, not just the flat
+    walk; all int64)."""
+
+    def __init__(self):
+        self.n_decoded = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        k = len(payloads)
+        ws = np.empty(k, np.int32)
+        hs = np.empty(k, np.int32)
+        fn = np.empty(k, np.int32)
+        nf = np.empty(k, np.int64)
+        bs = np.empty(k, np.int64)
+        sq = np.empty(k, np.int64)
+        ys = np.empty(k, np.int64)
+        for i, buf in enumerate(payloads):
+            w, h, fps, frames = decode_y4m(buf)
+            flat = frames.reshape(-1).astype(np.int64)
+            ws[i], hs[i], fn[i] = w, h, fps[0]
+            nf[i] = frames.shape[0]
+            bs[i] = flat.sum()
+            sq[i] = (flat * flat).sum()
+            ys[i] = frames[:, 0].astype(np.int64).sum()
+        self.n_decoded += k
+        nb = nf * ws.astype(np.int64) * hs.astype(np.int64) * 3
+        return (batch.drop_columns(["payload"])
+                .append_column("frm_w", pa.array(ws, pa.int32()))
+                .append_column("frm_h", pa.array(hs, pa.int32()))
+                .append_column("fps_num", pa.array(fn, pa.int32()))
+                .append_column("n_frames", pa.array(
+                    nf.astype(np.int64), pa.int64()))
+                .append_column("n_bytes", pa.array(nb, pa.int64()))
+                .append_column("byte_sum", pa.array(bs, pa.int64()))
+                .append_column("byte_sq_sum", pa.array(sq, pa.int64()))
+                .append_column("y_sum", pa.array(ys, pa.int64())))
+
+
 class HashFeaturizer:
     """Deterministic 8-dim feature from the ref hash — the embedding
     stand-in for the media→ANN chain (bytes of stable_hash64(ref),

@@ -3,12 +3,14 @@ import pyarrow as pa
 import pytest
 
 from crawling_infrastructure_ray.sources.corpus import (
-    fetch_audio_payloads, fetch_media_payloads, make_audio_payload,
-    make_media_payload, make_spans, spans_arrow_type)
+    fetch_audio_payloads, fetch_media_payloads, fetch_video_payloads,
+    make_audio_payload, make_media_payload, make_spans, make_video_payload,
+    spans_arrow_type)
 from crawling_infrastructure_ray.functions.hashing import stable_hash64
 from crawling_infrastructure_ray.stages.multimodal import (
-    AudioDecoder, HashFeaturizer, MediaDecoder, ResizeStub, decode_ppm,
-    decode_wav, frame_sample_plan, media_rows_from_spans)
+    AudioDecoder, HashFeaturizer, MediaDecoder, ResizeStub, VideoDecoder,
+    decode_ppm, decode_wav, decode_y4m, frame_sample_plan,
+    media_rows_from_spans)
 
 
 def _doc_batch():
@@ -121,6 +123,57 @@ def test_audio_decoder_stage():
         v = (hh % 256 + 31 * np.arange(want_n, dtype=np.int64)) % 256
         s = v * 257 - 32768
         assert (n, ssum, sq) == (want_n, s.sum(), (s * s).sum())
+
+
+def test_y4m_roundtrip_exact():
+    for ref in ["m://h0.example/abc", "m://h1.example/0123456789"]:
+        buf = make_video_payload(ref)
+        w, h, fps, frames = decode_y4m(buf)
+        hh = stable_hash64(ref)
+        assert (w, h) == (4 + (hh >> 32) % 12, 4 + (hh >> 40) % 8)
+        assert fps == (25, 1)
+        f = 2 + (hh >> 56) % 6
+        assert frames.shape == (f, 3, h, w)
+        n = f * w * h * 3
+        want = ((hh % 256 + 31 * np.arange(n, dtype=np.uint64)) % 256) \
+            .astype(np.uint8)
+        assert np.array_equal(frames.reshape(-1), want)
+
+
+def test_decode_y4m_tag_parsing():
+    raster = bytes(range(12))  # 2x2 C444 frame
+    # tags out of order, unknown X tag, FRAME with parameters
+    buf = (b"YUV4MPEG2 C444 Xsome=thing H2 W2 F30:1\n"
+           b"FRAME Iextra\n" + raster + b"FRAME\n" + raster)
+    w, h, fps, frames = decode_y4m(buf)
+    assert (w, h, fps, frames.shape) == (2, 2, (30, 1), (2, 3, 2, 2))
+    with pytest.raises(ValueError):
+        decode_y4m(b"MPEG4 W2 H2\n" + raster)        # wrong magic
+    with pytest.raises(ValueError):                  # default C420 raster
+        decode_y4m(b"YUV4MPEG2 W2 H2\nFRAME\n" + raster)
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + raster[:6])
+    with pytest.raises(ValueError):                  # zero frames
+        decode_y4m(b"YUV4MPEG2 W2 H2 C444\n")
+
+
+def test_video_decoder_stage():
+    media = media_rows_from_spans(_doc_batch())
+    vids = media.filter(pa.compute.equal(media["media_type"], "video"))
+    out = VideoDecoder()(fetch_video_payloads(vids))
+    assert out.num_rows == vids.num_rows
+    for ref, f, bsum, ysum in zip(out["media_ref"].to_pylist(),
+                                  out["n_frames"].to_pylist(),
+                                  out["byte_sum"].to_pylist(),
+                                  out["y_sum"].to_pylist()):
+        hh = stable_hash64(ref)
+        w, h = 4 + (hh >> 32) % 12, 4 + (hh >> 40) % 8
+        want_f = 2 + (hh >> 56) % 6
+        n = want_f * w * h * 3
+        v = (hh % 256 + 31 * np.arange(n, dtype=np.int64)) % 256
+        planes = v.reshape(want_f, 3, h * w)
+        assert (f, bsum, ysum) == (want_f, v.sum(),
+                                   planes[:, 0].sum())
 
 
 def test_hash_featurizer():
