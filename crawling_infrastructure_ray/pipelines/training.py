@@ -5181,6 +5181,82 @@ def q_video_decode_stats(sf_dir: str):
         .sort_values("media_ref").reset_index(drop=True)
 
 
+def q_media_resize_stats(sf_dir: str):
+    """DECODE + RESIZE end to end — the geometric-transform stage of
+    the image path made real: PPM payloads decoded (decode_ppm), then
+    aspect-preserving NEAREST-NEIGHBOR resampled to a 16-px box with
+    the integer floor mapping sy = y'·h // rh, sx = x'·w // rw (pure
+    numpy fancy indexing inside the MediaResizer ACTOR POOL), reduced
+    to exact integer statistics of the RESAMPLED raster.
+    ORACLE-CHECKED: DuckDB enumerates the target grid (three chained
+    unnest CTEs: rows, cols, channels — ≤768 terms/image) and reads
+    the generator's stride-31 walk at each mapped source index, so
+    the gate pins the resample's exact source-pixel selection, not
+    just its dimensions. The corpus mixes pass-through (max(w,h)≤16)
+    and downscale images, so both branches are exercised."""
+    out = _crawl_out_dir(sf_dir)
+    if not os.path.isdir(os.path.join(out, "documents")):
+        q_crawl_documents(sf_dir)
+    docs = read_documents(out)
+    media = docs.map_batches(mm.media_rows_from_spans,
+                             batch_format="pyarrow")
+    imgs = media.map_batches(
+        lambda b: b.filter(pc.equal(b["media_type"], "image")),
+        batch_format="pyarrow")
+    stats = (imgs.map_batches(fetch_media_payloads,
+                              batch_format="pyarrow")
+             .map_batches(mm.MediaResizer, concurrency=(1, 4),
+                          fn_constructor_kwargs={"max_side": 16},
+                          num_cpus=1, batch_size=256,
+                          batch_format="pyarrow"))
+    cols = ["media_ref", "resized_w", "resized_h", "resized_sum",
+            "resized_sq_sum"]
+    return stats.select_columns(cols).to_pandas() \
+        .sort_values("media_ref").reset_index(drop=True)
+
+
+def _media_resize_oracle_sql(seed: int = 42, max_side: int = 16) -> str:
+    """DuckDB twin of decode+NN-resize: target dims by integer floor
+    (pass-through when max(w,h) <= max_side), then the resampled
+    value at (y', x', c) is the walk at flat source index
+    3·(sy·w + sx) + c with sy = y'·h // rh, sx = x'·w // rw."""
+    from ..functions.sqlmirror import stable_hash64_cte
+
+    with_sql, docs = _crawl_docs_ctes(seed=seed)
+    sql = with_sql + (
+        f", mrs_ref AS (SELECT 'm://' || host || '/' || "
+        f"substr(md5(doc_id || '|' || CAST(i AS VARCHAR)), 1, 10) AS ref "
+        f"FROM {docs}, unnest(generate_series(1, n_spans - 1, 2)) AS t(i))")
+    w, c = stable_hash64_cte("SELECT ref FROM mrs_ref", "ref", {"hh": 0},
+                             prefix="mrs_", include_with=False)
+    S = max_side
+    sql += w + (
+        f", mrs_d AS (SELECT ref, "
+        f"CAST(8 + (hh >> 32) % 24 AS BIGINT) AS w, "
+        f"CAST(8 + (hh >> 40) % 16 AS BIGINT) AS h, "
+        f"CAST(hh % 256 AS BIGINT) AS b FROM {c} WHERE hh % 3 = 0), "
+        f"mrs_r AS (SELECT ref, w, h, b, "
+        f"CASE WHEN greatest(w, h) <= {S} THEN w "
+        f"ELSE w * {S} // greatest(w, h) END AS rw, "
+        f"CASE WHEN greatest(w, h) <= {S} THEN h "
+        f"ELSE h * {S} // greatest(w, h) END AS rh FROM mrs_d), "
+        "mrs_y AS (SELECT ref, w, b, rw, (y * h) // rh AS sy "
+        "FROM mrs_r, unnest(generate_series(0, rh - 1)) AS ty(y)), "
+        "mrs_x AS (SELECT ref, w, b, sy, (x * w) // rw AS sx "
+        "FROM mrs_y, unnest(generate_series(0, rw - 1)) AS tx(x)), "
+        "mrs_v AS (SELECT ref, "
+        "(b + 31 * (3 * (sy * w + sx) + ch)) % 256 AS v "
+        "FROM mrs_x, unnest(generate_series(0, 2)) AS tc(ch)), "
+        "mrs_s AS (SELECT ref, CAST(sum(v) AS BIGINT) AS s, "
+        "CAST(sum(v * v) AS BIGINT) AS s2 FROM mrs_v GROUP BY 1) "
+        "SELECT r.ref AS media_ref, CAST(r.rw AS INTEGER) AS resized_w, "
+        "CAST(r.rh AS INTEGER) AS resized_h, "
+        "CAST(s.s AS BIGINT) AS resized_sum, "
+        "CAST(s.s2 AS BIGINT) AS resized_sq_sum "
+        "FROM mrs_r r JOIN mrs_s s ON r.ref = s.ref ORDER BY 1")
+    return sql
+
+
 def _video_decode_oracle_sql(seed: int = 42) -> str:
     """DuckDB twin of the Y4M decode chain: video refs (hh % 3 = 2)
     from the crawl mirror; totals from full-cycle constants + an
@@ -9496,6 +9572,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "media_decode_stats": _media_decode_oracle_sql(),
     "audio_decode_stats": _audio_decode_oracle_sql(),
     "video_decode_stats": _video_decode_oracle_sql(),
+    "media_resize_stats": _media_resize_oracle_sql(),
     "curate_documents": _curate_documents_oracle_sql(),
     "crawl_host_counts": _crawl_host_counts_oracle_sql(),
     "crawl_doc_stats": _crawl_doc_stats_oracle_sql(),

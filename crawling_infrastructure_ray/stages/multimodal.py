@@ -347,8 +347,10 @@ class HashFeaturizer:
 
 
 class ResizeStub:
-    """Image resize stage stub: recomputes metadata (target box,
-    aspect-preserving) without touching payload bytes."""
+    """Metadata-only resize PLAN: recomputes the target box
+    (aspect-preserving) from claimed metadata without touching
+    payload bytes — the cheap planning pass that runs before payloads
+    are fetched. Actual pixel resampling is MediaResizer below."""
 
     def __init__(self, max_side: int = 256):
         self.max_side = max_side
@@ -359,6 +361,56 @@ class ResizeStub:
         scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
         return (batch.append_column("resized_w", pa.array((w * scale).astype(np.int32)))
                      .append_column("resized_h", pa.array((h * scale).astype(np.int32))))
+
+
+def resize_nn(px: np.ndarray, rw: int, rh: int) -> np.ndarray:
+    """Nearest-neighbor resample of an H×W×3 uint8 raster to rh×rw×3,
+    with the integer floor source mapping sy = y'·h // rh,
+    sx = x'·w // rw (exactly mirrorable in SQL) — pure numpy fancy
+    indexing, no per-pixel Python."""
+    h, w = px.shape[:2]
+    sy = (np.arange(rh, dtype=np.int64) * h) // rh
+    sx = (np.arange(rw, dtype=np.int64) * w) // rw
+    return px[sy][:, sx]
+
+
+class MediaResizer:
+    """Actor-pool DECODE + RESIZE stage: PPM payloads in, exact
+    integer statistics of the aspect-preserving nearest-neighbor
+    thumbnail out (the real-pixel upgrade of the ResizeStub plan;
+    oracle: training._media_resize_oracle_sql enumerates the target
+    grid and reads the generator walk at each mapped source index).
+    Target box: rw = w·S // max(w,h), rh = h·S // max(w,h) when the
+    image exceeds max_side S, else pass-through — all integer floor.
+    Emits resized_w/resized_h (int32), resized_sum, resized_sq_sum
+    (int64)."""
+
+    def __init__(self, max_side: int = 16):
+        self.max_side = max_side
+        self.n_resized = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        k = len(payloads)
+        rws = np.empty(k, np.int32)
+        rhs = np.empty(k, np.int32)
+        ss = np.empty(k, np.int64)
+        sq = np.empty(k, np.int64)
+        for i, buf in enumerate(payloads):
+            w, h, px = decode_ppm(buf)
+            m = max(w, h)
+            rw, rh = ((w, h) if m <= self.max_side else
+                      (w * self.max_side // m, h * self.max_side // m))
+            small = resize_nn(px, rw, rh).reshape(-1).astype(np.int64)
+            rws[i], rhs[i] = rw, rh
+            ss[i] = small.sum()
+            sq[i] = (small * small).sum()
+        self.n_resized += k
+        return (batch.drop_columns(["payload"])
+                .append_column("resized_w", pa.array(rws, pa.int32()))
+                .append_column("resized_h", pa.array(rhs, pa.int32()))
+                .append_column("resized_sum", pa.array(ss, pa.int64()))
+                .append_column("resized_sq_sum", pa.array(sq, pa.int64())))
 
 
 def frame_sample_plan(batch: pa.Table, every_ms: int = 1000) -> pa.Table:

@@ -8,8 +8,8 @@ from crawling_infrastructure_ray.sources.corpus import (
     spans_arrow_type)
 from crawling_infrastructure_ray.functions.hashing import stable_hash64
 from crawling_infrastructure_ray.stages.multimodal import (
-    AudioDecoder, HashFeaturizer, MediaDecoder, ResizeStub, VideoDecoder,
-    decode_ppm, decode_wav, decode_y4m, frame_sample_plan,
+    AudioDecoder, HashFeaturizer, MediaDecoder, MediaResizer, ResizeStub,
+    VideoDecoder, decode_ppm, decode_wav, decode_y4m, frame_sample_plan,
     media_rows_from_spans)
 
 
@@ -174,6 +174,37 @@ def test_video_decoder_stage():
         planes = v.reshape(want_f, 3, h * w)
         assert (f, bsum, ysum) == (want_f, v.sum(),
                                    planes[:, 0].sum())
+
+
+def test_resize_nn_exact():
+    from crawling_infrastructure_ray.stages.multimodal import resize_nn
+    px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    small = resize_nn(px, 3, 2)
+    assert small.shape == (2, 3, 3)
+    for yy in range(2):
+        for xx in range(3):
+            assert (small[yy, xx] == px[(yy * 4) // 2, (xx * 6) // 3]).all()
+    # pass-through dims give the identity
+    assert np.array_equal(resize_nn(px, 6, 4), px)
+
+
+def test_media_resizer_stage():
+    media = media_rows_from_spans(_doc_batch())
+    imgs = media.filter(pa.compute.equal(media["media_type"], "image"))
+    out = MediaResizer(max_side=16)(fetch_media_payloads(imgs))
+    assert out.num_rows == imgs.num_rows
+    from crawling_infrastructure_ray.stages.multimodal import resize_nn
+    for ref, rw, rh, s, s2 in zip(out["media_ref"].to_pylist(),
+                                  out["resized_w"].to_pylist(),
+                                  out["resized_h"].to_pylist(),
+                                  out["resized_sum"].to_pylist(),
+                                  out["resized_sq_sum"].to_pylist()):
+        w, h, px = decode_ppm(make_media_payload(ref))
+        m = max(w, h)
+        ew, eh = (w, h) if m <= 16 else (w * 16 // m, h * 16 // m)
+        assert (rw, rh) == (ew, eh)
+        small = resize_nn(px, ew, eh).reshape(-1).astype(np.int64)
+        assert (s, s2) == (small.sum(), (small * small).sum())
 
 
 def test_hash_featurizer():
