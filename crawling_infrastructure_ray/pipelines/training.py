@@ -4971,7 +4971,7 @@ def q_media_frame_plan(sf_dir: str):
     """Multimodal FRAME-SAMPLING plan: the crawl's video spans exploded
     to one row per planned frame timestamp (every 30 s, frames at
     0..duration_ms-1) — the schedule a real extractor actor pool would
-    consume; extraction itself is the stubbed decode. Vectorized
+    consume; actual frame decode is q_video_decode_stats. Vectorized
     explode (stages/multimodal.frame_sample_plan), zero shuffle.
     ORACLE-CHECKED: DuckDB recomputes every video's hash-derived
     duration from the crawl mirror and unrolls generate_series."""

@@ -415,7 +415,7 @@ class MediaResizer:
 
 def frame_sample_plan(batch: pa.Table, every_ms: int = 1000) -> pa.Table:
     """Video frame-sampling plan: one row per planned frame timestamp
-    (plumbing only — extraction itself is the stubbed decode).
+    (the planning pass; actual frame decode is VideoDecoder).
     Vectorized explode: per-video frame counts via ceil-div, then one
     np.repeat + offset arange — no per-ref Python loop."""
     mask = pc.equal(batch["media_type"], "video").to_numpy(
