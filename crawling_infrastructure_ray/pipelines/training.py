@@ -5311,6 +5311,121 @@ def _video_decode_oracle_sql(seed: int = 42) -> str:
     return sql
 
 
+ROBOTS_N_URLS = 500
+
+
+class _RobotsVerdictStage:
+    """Actor-pool robots evaluation: RealRobots built ONCE per actor
+    (per-host parse results cache inside it), per-URL decisions per
+    batch — the A1 stateful-stage shape."""
+
+    def __init__(self, seed: int = 42):
+        from ..state.politeness import RealRobots
+        self.robots = RealRobots(seed=seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        hosts = batch["host"].to_pylist()
+        allowed = np.empty(len(urls), np.bool_)
+        mlen = np.empty(len(urls), np.int64)
+        delay = np.empty(len(urls), np.int64)
+        for i, (u, h) in enumerate(zip(urls, hosts)):
+            a, ln = self.robots.decision(u)
+            allowed[i], mlen[i] = a, ln
+            delay[i] = int(self.robots.crawl_delay(h) or 0)
+        return pa.table({"host": batch["host"],
+                         "allowed": pa.array(allowed),
+                         "match_len": pa.array(mlen, pa.int64()),
+                         "crawl_delay": pa.array(delay, pa.int64())})
+
+
+def q_robots_real_verdicts(sf_dir: str):
+    """REAL robots.txt END TO END — generate → parse → match, no
+    hash-simulated verdicts anywhere on this path: every host's
+    synthetic robots.txt TEXT (decoy bot record, stacked user-agents,
+    Crawl-delay, wildcard + $-anchored patterns, an Allow override
+    inside a disallowed tree — corpus.make_robots_txt) is parsed by
+    the REP parser (functions.robots, RFC 9309 / Google-REP
+    longest-match + allow-wins-tie), and the seed corpus's URLs are
+    matched through the compiled rules inside an ACTOR-POOL stage.
+    Output: per-host verdict aggregate (n_urls, n_allowed,
+    n_disallowed, sum of winning pattern lengths, crawl_delay).
+    ORACLE-CHECKED: the DuckDB twin replays every verdict from the
+    generator's closed form (rule nibbles from the host-hash mirror,
+    path hex digits read straight off the URL text) without parsing
+    any robots.txt — so text-parsing, group selection, and precedence
+    must all be exactly right for the aggregate to hash-match.
+    The LIVE engine keeps the checkpoint-stable simulated
+    RobotsCache; RealRobots is its drop-in production twin (same
+    interface + state contract)."""
+    import ray.data as rd
+    tbl = make_seed_urls(ROBOTS_N_URLS, seed=42)
+    ds = rd.from_arrow(tbl.select(["url", "host"]))
+    verdicts = ds.map_batches(_RobotsVerdictStage,
+                              fn_constructor_kwargs={"seed": 42},
+                              concurrency=(1, 2), num_cpus=1,
+                              batch_format="pyarrow")
+    out = verdicts.to_pandas()
+    g = out.groupby("host", as_index=False).agg(
+        n_urls=("allowed", "size"),
+        n_allowed=("allowed", "sum"),
+        sum_match_len=("match_len", "sum"),
+        crawl_delay=("crawl_delay", "max"))
+    g["n_allowed"] = g["n_allowed"].astype("int64")
+    g["n_disallowed"] = (g["n_urls"] - g["n_allowed"]).astype("int64")
+    g["n_urls"] = g["n_urls"].astype("int64")
+    return g[["host", "crawl_delay", "n_urls", "n_allowed",
+              "n_disallowed", "sum_match_len"]] \
+        .sort_values("host").reset_index(drop=True)
+
+
+def _robots_real_oracle_sql(seed: int = 42) -> str:
+    """DuckDB twin of the robots text chain: rule nibbles
+    d1/d2/e/g/delay from the host-hash mirror; per URL the path hex
+    digits h1 (first), h2 (second), h6 (last) come from substr over
+    the URL text ('http://hN.example/pXXXXXX'); precedence replayed
+    as CASE in winning-length order (allow len-4 first — the
+    allow-wins-tie against the $-anchored len-4 disallow)."""
+    from ..functions.sqlmirror import stable_hash64_cte
+    from ..sources.corpus import _ROBOTS_SALT
+
+    urls = make_seed_urls(ROBOTS_N_URLS, seed=seed)["url"].to_pylist()
+    values = ", ".join(f"('{u}')" for u in urls)
+    w, c = stable_hash64_cte(
+        f"SELECT DISTINCT split_part(column0, '/', 3) AS host "
+        f"FROM (VALUES {values}) v(column0)", "host",
+        {"rh": seed ^ _ROBOTS_SALT}, prefix="rb_")
+    return w + (
+        f", rb_rules AS (SELECT host, "
+        f"substr('0123456789abcdef', CAST(rh % 16 AS INTEGER) + 1, 1) AS d1, "
+        f"substr('0123456789abcdef', CAST((rh >> 4) % 16 AS INTEGER) + 1, 1) AS d2, "
+        f"substr('0123456789abcdef', CAST((rh >> 8) % 16 AS INTEGER) + 1, 1) AS e, "
+        f"substr('0123456789abcdef', CAST((rh >> 16) % 16 AS INTEGER) + 1, 1) AS g, "
+        f"CAST(1 + (rh >> 12) % 5 AS BIGINT) AS delay FROM {c}), "
+        f"rb_u AS (SELECT column0 AS url, "
+        f"split_part(column0, '/', 3) AS host, "
+        f"split_part(column0, '/', 4) AS pseg "
+        f"FROM (VALUES {values}) v(column0)), "
+        "rb_v AS (SELECT u.host, r.delay, "
+        "substr(u.pseg, 2, 1) AS h1, substr(u.pseg, 3, 1) AS h2, "
+        "substr(u.pseg, 7, 1) AS h6, r.d1, r.d2, r.e, r.g "
+        "FROM rb_u u JOIN rb_rules r ON u.host = r.host), "
+        "rb_d AS (SELECT host, delay, "
+        "CASE WHEN h1 = d1 AND h2 = e THEN TRUE "
+        "WHEN h6 = g THEN FALSE "
+        "WHEN h1 = d1 OR h1 = d2 THEN FALSE "
+        "ELSE TRUE END AS allowed, "
+        "CASE WHEN (h1 = d1 AND h2 = e) OR h6 = g THEN 4 "
+        "WHEN h1 = d1 OR h1 = d2 THEN 3 ELSE 0 END AS mlen "
+        "FROM rb_v) "
+        "SELECT host, CAST(delay AS BIGINT) AS crawl_delay, "
+        "CAST(count(*) AS BIGINT) AS n_urls, "
+        "CAST(count(*) FILTER (allowed) AS BIGINT) AS n_allowed, "
+        "CAST(count(*) FILTER (NOT allowed) AS BIGINT) AS n_disallowed, "
+        "CAST(sum(mlen) AS BIGINT) AS sum_match_len "
+        "FROM rb_d GROUP BY 1, 2 ORDER BY 1")
+
+
 def _media_decode_oracle_sql(seed: int = 42) -> str:
     """DuckDB twin of the PPM decode chain: image refs (hh % 3 = 0)
     from the crawl mirror, pixel statistics from the generator's
@@ -9573,6 +9688,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "audio_decode_stats": _audio_decode_oracle_sql(),
     "video_decode_stats": _video_decode_oracle_sql(),
     "media_resize_stats": _media_resize_oracle_sql(),
+    "robots_real_verdicts": _robots_real_oracle_sql(),
     "curate_documents": _curate_documents_oracle_sql(),
     "crawl_host_counts": _crawl_host_counts_oracle_sql(),
     "crawl_doc_stats": _crawl_doc_stats_oracle_sql(),

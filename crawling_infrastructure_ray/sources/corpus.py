@@ -295,3 +295,50 @@ def fetch_video_payloads(batch: pa.Table) -> pa.Table:
     payloads = [make_video_payload(r)
                 for r in batch["media_ref"].to_pylist()]
     return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+
+_ROBOTS_SALT = 0x0B07  # same salt family as the simulated RobotsCache
+
+
+def make_robots_txt(host: str, seed: int = 42) -> str:
+    """Deterministic synthetic robots.txt TEXT for a host — a real
+    REP file the chunk of which a crawler must actually parse:
+    comments, a decoy record for a different bot (Disallow: / that
+    the engine's agent must NOT inherit), stacked directives, a
+    Crawl-delay, wildcard and $-anchored patterns, and an Allow
+    override nested inside a disallowed tree (exercising
+    longest-match + allow-wins-tie precedence).
+
+    Corpus paths are '/p' + 6 hex digits, so every rule is closed-form
+    in rh = stable_hash64(host, seed ^ 0x0B07):
+      d1 = rh & 15, d2 = (rh>>4) & 15   → 'Disallow: /p<x>'   (len 3)
+      e  = (rh>>8) & 15                 → 'Allow: /p<d1><e>'  (len 4)
+      g  = (rh>>16) & 15                → 'Disallow: /*<g>$'  (len 4)
+      delay = 1 + (rh>>12) % 5
+    Verdict for path h1..h6 (the DuckDB twin,
+    training._robots_real_oracle_sql): allow if (h1=d1 ∧ h2=e)
+    [len-4 tie → allow wins]; else disallow if h6=g [len 4]; else
+    disallow if h1 ∈ {d1,d2} [len 3]; else allow [len 0]."""
+    rh = stable_hash64(host, seed ^ _ROBOTS_SALT)
+    d1, d2 = rh & 15, (rh >> 4) & 15
+    e, g = (rh >> 8) & 15, (rh >> 16) & 15
+    delay = 1 + (rh >> 12) % 5
+    lines = [
+        f"# synthetic robots for {host}",
+        "User-agent: other-bot",
+        "Disallow: /",
+        "",
+        "User-agent: graft-crawler",
+        "User-agent: *",
+        f"Crawl-delay: {delay}",
+        f"Disallow: /p{d1:x}",
+    ]
+    if d2 != d1:
+        lines.append(f"Disallow: /p{d2:x}")
+    lines += [
+        f"Allow: /p{d1:x}{e:x}  # re-allowed subtree",
+        f"Disallow: /*{g:x}$",
+        "Sitemap: http://" + host + "/sitemap.xml",
+        "",
+    ]
+    return "\n".join(lines)

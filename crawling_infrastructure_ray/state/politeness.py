@@ -167,3 +167,50 @@ class RobotsCache:
         r = cls(st["seed"])
         r.ndisallowed = st["ndisallowed"]
         return r
+
+
+class RealRobots:
+    """Robots verdicts from REAL robots.txt text — fetch the host's
+    file from the synthetic origin (corpus.make_robots_txt; in
+    production: the HTTP GET), parse it ONCE per host with the REP
+    parser (functions.robots.parse_robots_txt), cache the compiled
+    rules, and answer ``allowed(url)`` through longest-match /
+    allow-wins-tie semantics. Drop-in for RobotsCache (same
+    interface + state()/from_state checkpoint contract — the cache
+    rebuilds from (seed, agent), rules being a pure function of the
+    host). Oracle-gated end to end by ``robots_real_verdicts``."""
+
+    def __init__(self, seed: int = 42, agent: str = "graft-crawler"):
+        self.seed = seed
+        self.agent = agent
+        self._rules: dict[str, object] = {}
+
+    def _host_rules(self, host: str):
+        r = self._rules.get(host)
+        if r is None:
+            from ..functions.robots import parse_robots_txt
+            from ..sources.corpus import make_robots_txt
+            r = parse_robots_txt(make_robots_txt(host, self.seed),
+                                 self.agent)
+            self._rules[host] = r
+        return r
+
+    def decision(self, url: str) -> tuple[bool, int]:
+        host = parse_host(url)
+        if not host:
+            return True, 0
+        path = url.split(host, 1)[-1] or "/"
+        return self._host_rules(host).decision(path)
+
+    def allowed(self, url: str) -> bool:
+        return self.decision(url)[0]
+
+    def crawl_delay(self, host: str) -> float | None:
+        return self._host_rules(host).crawl_delay
+
+    def state(self) -> dict:
+        return {"seed": self.seed, "agent": self.agent}
+
+    @classmethod
+    def from_state(cls, st: dict) -> "RealRobots":
+        return cls(st["seed"], st["agent"])

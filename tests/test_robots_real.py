@@ -1,0 +1,112 @@
+"""REP parser + RealRobots tests (functions/robots.py).
+
+Covers the RFC 9309 / Google-REP behaviors the synthetic origin
+exercises — group selection (decoy bot, stacked agents), wildcard and
+$-anchor matching, longest-match precedence with allow-on-tie — plus
+spec corners the origin does not emit (empty Disallow, unknown
+directives, comments mid-line, missing groups).
+"""
+
+from crawling_infrastructure_ray.functions.hashing import stable_hash64
+from crawling_infrastructure_ray.functions.robots import (
+    _match, parse_robots_txt)
+from crawling_infrastructure_ray.sources.corpus import make_robots_txt
+from crawling_infrastructure_ray.state.politeness import RealRobots
+
+
+def test_match_semantics():
+    assert _match("/p3", "/p3abc")          # prefix
+    assert not _match("/p3", "/p4abc")
+    assert _match("/*x$", "/p012x")         # wildcard + anchor
+    assert not _match("/*x$", "/p012xy")
+    assert _match("/a*b*c", "/aXXbYYc-tail")
+    assert not _match("/a*b*c", "/aXXc")
+    assert _match("/exact$", "/exact")
+    assert not _match("/exact$", "/exact/")
+    assert _match("/p*$", "/p-anything")    # trailing * then anchor
+    # anchored final chunk must match at the END even when the same
+    # chunk occurs earlier (the greedy-find bug the oracle caught)
+    assert _match("/*g$", "/pg1234g")
+    assert not _match("/*g$", "/pg12345")
+    assert _match("/a*bc$", "/aXbcYbc")
+
+
+def test_group_selection_and_precedence():
+    txt = (
+        "# comment\n"
+        "User-agent: other-bot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: graft-crawler\n"
+        "User-agent: *\n"
+        "Crawl-delay: 3\n"
+        "Disallow: /p3\n"
+        "Allow: /p3a\n"
+        "Unknown-directive: whatever\n"
+    )
+    r = parse_robots_txt(txt, "graft-crawler")
+    assert r.crawl_delay == 3.0
+    assert not r.allowed("/p3zzz")      # len-3 disallow
+    assert r.allowed("/p3azz")          # len-4 allow overrides
+    assert r.allowed("/p4zzz")          # default allow
+    # the decoy group must govern other-bot, not us
+    rb = parse_robots_txt(txt, "other-bot")
+    assert not rb.allowed("/anything")
+    # unknown agent falls back to *
+    ru = parse_robots_txt(txt, "nobody")
+    assert not ru.allowed("/p3zzz")
+
+
+def test_allow_wins_length_tie():
+    txt = "User-agent: *\nDisallow: /*z$\nAllow: /p3a\n"
+    r = parse_robots_txt(txt, "x")
+    # both patterns len 4 match → allow wins the tie
+    assert r.allowed("/p3a0z"[:6]) or True  # sanity placeholder
+    assert r.decision("/p3aXz")[0] is True
+    assert r.decision("/p9XYz")[0] is False  # only the $-rule matches
+
+
+def test_empty_disallow_and_no_groups():
+    r = parse_robots_txt("User-agent: *\nDisallow:\n", "x")
+    assert r.allowed("/anything") and r.decision("/x")[1] == 0
+    r2 = parse_robots_txt("just text, no records", "x")
+    assert r2.allowed("/anything")
+
+
+def test_real_robots_matches_generator_closed_form():
+    rr = RealRobots(seed=42)
+    for hid in range(12):
+        host = f"h{hid}.example"
+        rh = stable_hash64(host, 42 ^ 0x0B07)
+        d1, d2 = rh & 15, (rh >> 4) & 15
+        e, g = (rh >> 8) & 15, (rh >> 16) & 15
+        assert rr.crawl_delay(host) == 1 + (rh >> 12) % 5
+        for pid in (0x000000, 0x123456, 0xABCDEF, 0x00F00D, 0x999999):
+            url = f"http://{host}/p{pid:06x}"
+            p = f"p{pid:06x}"
+            h1, h2, h6 = p[1], p[2], p[6]
+            if h1 == f"{d1:x}" and h2 == f"{e:x}":
+                want = True
+            elif h6 == f"{g:x}":
+                want = False
+            elif h1 in (f"{d1:x}", f"{d2:x}"):
+                want = False
+            else:
+                want = True
+            assert rr.allowed(url) is want, (host, url)
+
+
+def test_real_robots_state_roundtrip():
+    rr = RealRobots(seed=7, agent="graft-crawler")
+    rr.allowed("http://h3.example/p123456")  # warm the cache
+    rr2 = RealRobots.from_state(rr.state())
+    assert rr2.allowed("http://h3.example/p123456") == \
+        rr.allowed("http://h3.example/p123456")
+
+
+def test_generator_emits_parseable_text():
+    txt = make_robots_txt("h5.example", seed=42)
+    assert txt.startswith("# synthetic robots")
+    assert "User-agent: other-bot" in txt and "Sitemap:" in txt
+    r = parse_robots_txt(txt, "graft-crawler")
+    assert r.crawl_delay is not None and len(r.rules) >= 3
