@@ -74,7 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r05 additions: real PPM/WAV/Y4M decode, oracle = generator
         # closed form
         "media_decode_stats", "audio_decode_stats", "video_decode_stats",
-        "media_resize_stats", "robots_real_verdicts",
+        "media_resize_stats", "robots_real_verdicts", "sitemap_extract",
     ]
     reg = _registry()
     graded = _driver_graded_names()
@@ -318,6 +318,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # r05: real robots.txt text -> REP parse -> verdicts,
         # closed-form oracle
         "robots_real_verdicts": qt.q_robots_real_verdicts,
+        "sitemap_extract": qt.q_sitemap_extract,
         "media_ann_topk": qt.q_media_ann_topk,
         "curate_documents": qc.q_curate_documents,
         "a3_warm_crawl": qt.q_a3_warm_crawl,

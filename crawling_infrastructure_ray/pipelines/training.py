@@ -5426,6 +5426,93 @@ def _robots_real_oracle_sql(seed: int = 42) -> str:
         "FROM rb_d GROUP BY 1, 2 ORDER BY 1")
 
 
+class _SitemapStage:
+    """Actor-pool sitemap fetch+parse: one generate → parse per host
+    row, entries exploded to output rows."""
+
+    def __init__(self, seed: int = 42):
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.sitemap import parse_sitemap
+        from ..sources.corpus import make_sitemap_xml
+        hosts, locs, mods, freqs, prios = [], [], [], [], []
+        for host in batch["host"].to_pylist():
+            for e in parse_sitemap(make_sitemap_xml(host, self.seed)):
+                hosts.append(host)
+                locs.append(e["loc"])
+                mods.append(e["lastmod"])
+                freqs.append(e["changefreq"])
+                prios.append(int(round(e["priority"] * 10)))
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "loc": pa.array(locs, pa.string()),
+                         "lastmod": pa.array(mods, pa.string()),
+                         "changefreq": pa.array(freqs, pa.string()),
+                         "priority_e1": pa.array(prios, pa.int64())})
+
+
+def q_sitemap_extract(sf_dir: str):
+    """SITEMAP DISCOVERY end to end — the parsing half of the
+    Sitemap: line every synthetic robots.txt advertises: per host a
+    REAL sitemaps.org urlset document is generated
+    (corpus.make_sitemap_xml — XML declaration, namespaced root, a
+    commented-out DECOY <url> block that must not be emitted,
+    optional fields omitted on every 5th entry) and parsed by the
+    streaming scanner (functions.sitemap.parse_sitemap, no XML lib —
+    one linear pass, the 100-TB per-fetched-sitemap shape), entries
+    exploded to one row each through an actor-pool stage.
+    ORACLE-CHECKED: the DuckDB twin replays every entry — loc hex
+    path, lastmod day, changefreq cycle, priority nibble, and the
+    every-5th omission — from the generator's closed form without
+    touching XML."""
+    import ray.data as rd
+    tbl = make_seed_urls(ROBOTS_N_URLS, seed=42)
+    hosts = sorted(set(tbl["host"].to_pylist()))
+    ds = rd.from_arrow(pa.table({"host": pa.array(hosts, pa.string())}))
+    out = ds.map_batches(_SitemapStage,
+                         fn_constructor_kwargs={"seed": 42},
+                         concurrency=(1, 2), num_cpus=1,
+                         batch_format="pyarrow").to_pandas()
+    return out.sort_values(["host", "loc"]).reset_index(drop=True)
+
+
+def _sitemap_oracle_sql(seed: int = 42) -> str:
+    """DuckDB twin of the sitemap chain: hosts from the seed VALUES,
+    sh from the hash mirror, entries k via generate_series with the
+    generator's closed forms (hex path via lpad(hex(..)), every-5th
+    optional-field omission as NULL)."""
+    from ..functions.sqlmirror import stable_hash64_cte
+    from ..sources.corpus import _SITEMAP_SALT
+
+    urls = make_seed_urls(ROBOTS_N_URLS, seed=seed)["url"].to_pylist()
+    values = ", ".join(f"('{u}')" for u in urls)
+    w, c = stable_hash64_cte(
+        f"SELECT DISTINCT split_part(column0, '/', 3) AS host "
+        f"FROM (VALUES {values}) v(column0)", "host",
+        {"sh": seed ^ _SITEMAP_SALT}, prefix="sm_")
+    return w + (
+        f", sm_n AS (SELECT host, sh, "
+        f"CAST(5 + sh % 20 AS BIGINT) AS n FROM {c}), "
+        "sm_k AS (SELECT host, sh, k FROM sm_n, "
+        "unnest(generate_series(0, n - 1)) AS t(k)), "
+        "sm_e AS (SELECT host, k, "
+        "CAST(xor(sh >> 8, CAST(k * 2654435761 AS UBIGINT)) % 16777216 "
+        "AS BIGINT) AS pid, "
+        "CAST(1 + ((sh >> (k % 32)) & 7) AS BIGINT) AS prio, "
+        "CAST(1 + ((sh >> (k % 16)) & 15) AS BIGINT) AS day "
+        "FROM sm_k) "
+        "SELECT host, "
+        "'http://' || host || '/p' || lower(lpad(hex(pid), 6, '0')) AS loc, "
+        "CASE WHEN k % 5 = 4 THEN NULL "
+        "ELSE '2026-07-' || lpad(CAST(day AS VARCHAR), 2, '0') END "
+        "AS lastmod, "
+        "CASE WHEN k % 5 = 4 THEN NULL "
+        "WHEN k % 3 = 0 THEN 'daily' WHEN k % 3 = 1 THEN 'weekly' "
+        "ELSE 'monthly' END AS changefreq, "
+        "prio AS priority_e1 "
+        "FROM sm_e ORDER BY host, loc")
+
+
 def _media_decode_oracle_sql(seed: int = 42) -> str:
     """DuckDB twin of the PPM decode chain: image refs (hh % 3 = 0)
     from the crawl mirror, pixel statistics from the generator's
@@ -9689,6 +9776,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "video_decode_stats": _video_decode_oracle_sql(),
     "media_resize_stats": _media_resize_oracle_sql(),
     "robots_real_verdicts": _robots_real_oracle_sql(),
+    "sitemap_extract": _sitemap_oracle_sql(),
     "curate_documents": _curate_documents_oracle_sql(),
     "crawl_host_counts": _crawl_host_counts_oracle_sql(),
     "crawl_doc_stats": _crawl_doc_stats_oracle_sql(),

@@ -298,6 +298,49 @@ def fetch_video_payloads(batch: pa.Table) -> pa.Table:
 
 
 _ROBOTS_SALT = 0x0B07  # same salt family as the simulated RobotsCache
+_SITEMAP_SALT = 0x51E7
+
+
+def make_sitemap_xml(host: str, seed: int = 42) -> str:
+    """Deterministic synthetic sitemap.xml TEXT for a host — a real
+    sitemaps.org urlset document (XML declaration, namespaced root,
+    an XML comment AND a commented-out decoy <url> block the parser
+    must not emit, mixed optional fields).
+
+    Closed-form in sh = stable_hash64(host, seed ^ 0x51E7):
+      n   = 5 + sh % 20                       entries
+      entry k (0-based):
+        pid_k       = (sh >> 8) ⊕ (k · 2654435761)  mod 16^6 → loc path
+        prio_e1_k   = 1 + ((sh >> (k mod 32)) & 7)  → '0.<p>'
+        day_k       = 1 + ((sh >> (k mod 16)) & 15) → lastmod 2026-07-DD
+        changefreq  = (daily, weekly, monthly)[k mod 3]
+        lastmod/changefreq are OMITTED when k mod 5 == 4 (optional
+        fields must be optional in the parser, and the oracle must
+        model the omission)
+    Mirrored in training._sitemap_oracle_sql."""
+    sh = stable_hash64(host, seed ^ _SITEMAP_SALT)
+    n = 5 + sh % 20
+    freqs = ("daily", "weekly", "monthly")
+    lines = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        f"<!-- synthetic sitemap for {host} -->",
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+        "  <!-- decoy entry, must be skipped:",
+        f"  <url><loc>http://{host}/decoy</loc></url> -->",
+    ]
+    for k in range(n):
+        pid = ((sh >> 8) ^ (k * 2654435761)) % (1 << 24)
+        prio = 1 + ((sh >> (k % 32)) & 7)
+        day = 1 + ((sh >> (k % 16)) & 15)
+        lines.append("  <url>")
+        lines.append(f"    <loc>http://{host}/p{pid:06x}</loc>")
+        if k % 5 != 4:
+            lines.append(f"    <lastmod>2026-07-{day:02d}</lastmod>")
+            lines.append(f"    <changefreq>{freqs[k % 3]}</changefreq>")
+        lines.append(f"    <priority>0.{prio}</priority>")
+        lines.append("  </url>")
+    lines.append("</urlset>")
+    return "\n".join(lines)
 
 
 def make_robots_txt(host: str, seed: int = 42) -> str:
