@@ -5513,6 +5513,140 @@ def _sitemap_oracle_sql(seed: int = 42) -> str:
         "FROM sm_e ORDER BY host, loc")
 
 
+class _HttpFetchStage:
+    """Actor-pool raw-HTTP fetch+parse: per URL, the synthetic origin
+    serves real HTTP/1.1 bytes (chunked 200s, 301s with Location,
+    error statuses), the wire parser de-frames them, and 301s are
+    followed ONE hop (the bounded-redirect policy; the second
+    response's status is reported, not chased further)."""
+
+    def __init__(self, seed: int = 42):
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.http import parse_http_response
+        from ..sources.corpus import make_http_response
+        urls = batch["url"].to_pylist()
+        k = len(urls)
+        st = np.empty(k, np.int64)
+        nh = np.empty(k, np.int64)
+        hops = np.empty(k, np.int64)
+        fin = np.empty(k, np.int64)
+        bl = np.empty(k, np.int64)
+        bs = np.empty(k, np.int64)
+        bq = np.empty(k, np.int64)
+        for i, url in enumerate(urls):
+            status, headers, body = parse_http_response(
+                make_http_response(url, self.seed))
+            arr = np.frombuffer(body, np.uint8).astype(np.int64)
+            st[i], nh[i] = status, len(headers)
+            bl[i], bs[i], bq[i] = arr.size, arr.sum(), (arr * arr).sum()
+            if status == 301:
+                s2, _, _ = parse_http_response(
+                    make_http_response(headers["location"], self.seed))
+                hops[i], fin[i] = 1, s2
+            else:
+                hops[i], fin[i] = 0, status
+        return pa.table({"url": batch["url"],
+                         "status": pa.array(st, pa.int64()),
+                         "n_headers": pa.array(nh, pa.int64()),
+                         "hops": pa.array(hops, pa.int64()),
+                         "final_status": pa.array(fin, pa.int64()),
+                         "body_len": pa.array(bl, pa.int64()),
+                         "body_sum": pa.array(bs, pa.int64()),
+                         "body_sq_sum": pa.array(bq, pa.int64())})
+
+
+def q_http_fetch_stats(sf_dir: str):
+    """RAW HTTP END TO END — real wire bytes through a real parser:
+    every seed URL gets a synthetic-origin HTTP/1.1 response
+    (corpus.make_http_response — chunked transfer coding with a chunk
+    extension on 200s, Location redirects on 301s, error statuses),
+    parsed by functions.http.parse_http_response (status line, header
+    block, chunk de-framing), with 301s followed one hop. Per-URL
+    output: status, header count, redirect hops + final status, and
+    exact integer body statistics that gate the chunk de-framing
+    byte-for-byte. ORACLE-CHECKED: the DuckDB twin replays everything
+    from the URL-hash closed form — including a SECOND hash recursion
+    over the constructed redirect-target URL strings to reproduce
+    final_status — without seeing a single response byte. DISTINCT
+    urls (the seed list's ~2% dup rate would double identical rows
+    on both sides; DISTINCT keeps the gate sharp)."""
+    import ray.data as rd
+    tbl = make_seed_urls(ROBOTS_N_URLS, seed=42)
+    urls = sorted(set(tbl["url"].to_pylist()))
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    out = ds.map_batches(_HttpFetchStage,
+                         fn_constructor_kwargs={"seed": 42},
+                         concurrency=(1, 2), num_cpus=1,
+                         batch_format="pyarrow").to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _http_parse_oracle_sql(seed: int = 42) -> str:
+    """DuckDB twin of the raw-HTTP chain: r = h % 100 splits the
+    status classes; 200 bodies are the stride-31 walk (full-cycle
+    constants + enumerated partial over n % 256 terms); 404/500
+    bodies are the fixed 'error' (Σ 554, Σ² 61510); redirect targets
+    are REBUILT as strings and hashed in a second recursion to
+    replay final_status."""
+    from ..functions.sqlmirror import stable_hash64_cte
+    from ..sources.corpus import _HTTP_SALT
+
+    urls = sorted(set(
+        make_seed_urls(ROBOTS_N_URLS, seed=seed)["url"].to_pylist()))
+    values = ", ".join(f"('{u}')" for u in urls)
+    w1, c1 = stable_hash64_cte(
+        f"SELECT column0 AS url FROM (VALUES {values}) v(column0)",
+        "url", {"h": seed ^ _HTTP_SALT}, prefix="ht_")
+    sql = w1 + (
+        f", ht_c AS (SELECT url, h, h % 100 AS r, "
+        f"split_part(url, '/', 3) AS host FROM {c1}), "
+        # 200 bodies: walk parameters
+        "ht_200 AS (SELECT url, CAST(100 + (h >> 8) % 400 AS BIGINT) AS n, "
+        "CAST((h >> 16) % 256 AS BIGINT) AS b FROM ht_c WHERE r < 80), "
+        "ht_p AS (SELECT url, CAST(sum((b + 31 * i) % 256) AS BIGINT) "
+        "AS psum, CAST(sum(((b + 31 * i) % 256) * ((b + 31 * i) % 256)) "
+        "AS BIGINT) AS sqsum FROM ht_200, "
+        "unnest(generate_series(0, n % 256 - 1)) AS u(i) GROUP BY 1), "
+        # redirect targets, rebuilt as strings
+        "ht_loc AS (SELECT url, 'http://' || host || '/p' || "
+        "lower(lpad(hex(CAST((h >> 8) % 16777216 AS BIGINT)), 6, '0')) "
+        "AS target FROM ht_c WHERE r >= 80 AND r < 90)")
+    w2, c2 = stable_hash64_cte(
+        "SELECT target, url FROM ht_loc", "target",
+        {"h2": seed ^ _HTTP_SALT}, carry_cols=("url",), prefix="ht2_",
+        include_with=False)
+    sql += w2 + (
+        f", ht_fin AS (SELECT url, CASE WHEN h2 % 100 < 80 THEN 200 "
+        f"WHEN h2 % 100 < 90 THEN 301 WHEN h2 % 100 < 95 THEN 404 "
+        f"ELSE 500 END AS fin FROM {c2}) "
+        "SELECT c.url, "
+        "CAST(CASE WHEN c.r < 80 THEN 200 WHEN c.r < 90 THEN 301 "
+        "WHEN c.r < 95 THEN 404 ELSE 500 END AS BIGINT) AS status, "
+        "CAST(CASE WHEN c.r < 80 THEN 3 ELSE 2 END AS BIGINT) "
+        "AS n_headers, "
+        "CAST(CASE WHEN c.r >= 80 AND c.r < 90 THEN 1 ELSE 0 END "
+        "AS BIGINT) AS hops, "
+        "CAST(CASE WHEN c.r >= 80 AND c.r < 90 THEN f.fin "
+        "WHEN c.r < 80 THEN 200 WHEN c.r < 95 THEN 404 ELSE 500 END "
+        "AS BIGINT) AS final_status, "
+        "CAST(CASE WHEN c.r < 80 THEN t.n "
+        "WHEN c.r < 90 THEN 0 ELSE 5 END AS BIGINT) AS body_len, "
+        "CAST(CASE WHEN c.r < 80 THEN (t.n // 256) * 32640 "
+        "+ coalesce(p.psum, 0) WHEN c.r < 90 THEN 0 ELSE 554 END "
+        "AS BIGINT) AS body_sum, "
+        "CAST(CASE WHEN c.r < 80 THEN (t.n // 256) * 5559680 "
+        "+ coalesce(p.sqsum, 0) WHEN c.r < 90 THEN 0 ELSE 61510 END "
+        "AS BIGINT) AS body_sq_sum "
+        "FROM ht_c c "
+        "LEFT JOIN ht_200 t ON c.url = t.url "
+        "LEFT JOIN ht_p p ON c.url = p.url "
+        "LEFT JOIN ht_fin f ON c.url = f.url "
+        "ORDER BY c.url")
+    return sql
+
+
 def _media_decode_oracle_sql(seed: int = 42) -> str:
     """DuckDB twin of the PPM decode chain: image refs (hh % 3 = 0)
     from the crawl mirror, pixel statistics from the generator's
@@ -9777,6 +9911,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "media_resize_stats": _media_resize_oracle_sql(),
     "robots_real_verdicts": _robots_real_oracle_sql(),
     "sitemap_extract": _sitemap_oracle_sql(),
+    "http_fetch_stats": _http_parse_oracle_sql(),
     "curate_documents": _curate_documents_oracle_sql(),
     "crawl_host_counts": _crawl_host_counts_oracle_sql(),
     "crawl_doc_stats": _crawl_doc_stats_oracle_sql(),

@@ -301,6 +301,57 @@ _ROBOTS_SALT = 0x0B07  # same salt family as the simulated RobotsCache
 _SITEMAP_SALT = 0x51E7
 
 
+_HTTP_SALT = 0x177E
+
+
+def make_http_response(url: str, seed: int = 42) -> bytes:
+    """Deterministic synthetic raw HTTP/1.1 response BYTES for a URL —
+    real wire format: status line, CRLF header block (case-varied
+    keys), empty line, then a body that for 200s uses CHUNKED
+    transfer coding (hex sizes, a chunk extension on the first chunk,
+    terminating 0-chunk) the client must actually de-frame.
+
+    Closed-form in h = stable_hash64(url, seed ^ 0x177E), r = h%100:
+      r < 80 → 200: body = stride-31 residue walk, n = 100 + (h>>8)%400
+               bytes, base = (h>>16)%256, chunk size c = 64+(h>>24)%64
+      r < 90 → 301: Location: /p<(h>>8) % 16^6 :06x> on the same host,
+               empty body
+      r < 95 → 404, else 500: fixed 5-byte body 'error'
+    Mirrored in training._http_parse_oracle_sql (one extra hash
+    recursion replays the redirect target's status)."""
+    h = stable_hash64(url, seed ^ _HTTP_SALT)
+    r = h % 100
+    host = url.split("/")[2] if "://" in url else "h0.example"
+    rid = md5_id(url)[:8]
+    if r < 80:
+        n = 100 + (h >> 8) % 400
+        base = (h >> 16) % 256
+        c = 64 + (h >> 24) % 64
+        body = ((np.uint64(base) + np.uint64(PPM_STEP)
+                 * np.arange(n, dtype=np.uint64)) % np.uint64(256)) \
+            .astype(np.uint8).tobytes()
+        chunks = []
+        for i, off in enumerate(range(0, n, c)):
+            piece = body[off:off + c]
+            ext = b";gen=synthetic" if i == 0 else b""
+            chunks.append(b"%x" % len(piece) + ext + b"\r\n"
+                          + piece + b"\r\n")
+        head = (f"HTTP/1.1 200 OK\r\n"
+                f"Content-Type: text/html; charset=utf-8\r\n"
+                f"x-request-id: {rid}\r\n"
+                f"Transfer-Encoding: chunked\r\n\r\n").encode("ascii")
+        return head + b"".join(chunks) + b"0\r\n\r\n"
+    if r < 90:
+        loc = f"/p{(h >> 8) % (1 << 24):06x}"
+        return (f"HTTP/1.1 301 Moved Permanently\r\n"
+                f"Location: http://{host}{loc}\r\n"
+                f"Content-Length: 0\r\n\r\n").encode("ascii")
+    code, reason = (404, "Not Found") if r < 95 else (500, "Server Error")
+    return (f"HTTP/1.1 {code} {reason}\r\n"
+            f"Content-Length: 5\r\n"
+            f"x-request-id: {rid}\r\n\r\nerror").encode("ascii")
+
+
 def make_sitemap_xml(host: str, seed: int = 42) -> str:
     """Deterministic synthetic sitemap.xml TEXT for a host — a real
     sitemaps.org urlset document (XML declaration, namespaced root,
