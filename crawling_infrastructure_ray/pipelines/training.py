@@ -5624,8 +5624,8 @@ def _http_parse_oracle_sql(seed: int = 42) -> str:
         "SELECT c.url, "
         "CAST(CASE WHEN c.r < 80 THEN 200 WHEN c.r < 90 THEN 301 "
         "WHEN c.r < 95 THEN 404 ELSE 500 END AS BIGINT) AS status, "
-        "CAST(CASE WHEN c.r < 80 THEN 3 ELSE 2 END AS BIGINT) "
-        "AS n_headers, "
+        "CAST(CASE WHEN c.r < 80 THEN 4 ELSE 2 END AS BIGINT) "
+        "AS n_headers, "  # 200s: content-type, x-request-id, etag, te
         "CAST(CASE WHEN c.r >= 80 AND c.r < 90 THEN 1 ELSE 0 END "
         "AS BIGINT) AS hops, "
         "CAST(CASE WHEN c.r >= 80 AND c.r < 90 THEN f.fin "
@@ -5645,6 +5645,90 @@ def _http_parse_oracle_sql(seed: int = 42) -> str:
         "LEFT JOIN ht_fin f ON c.url = f.url "
         "ORDER BY c.url")
     return sql
+
+
+class _HttpRevalidateStage:
+    """Actor-pool conditional-refetch: first GET parses the response
+    and captures the ETag; a second GET presents it via
+    If-None-Match and must observe the 304 path (empty body, ETag
+    echoed) — the recrawl-without-redownload pattern a 100-TB
+    refresh crawl lives on."""
+
+    def __init__(self, seed: int = 42):
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.http import parse_http_response
+        from ..sources.corpus import make_http_response
+        urls = batch["url"].to_pylist()
+        k = len(urls)
+        st = np.empty(k, np.int64)
+        st2 = np.empty(k, np.int64)
+        b2 = np.empty(k, np.int64)
+        etags = []
+        for i, url in enumerate(urls):
+            status, headers, _ = parse_http_response(
+                make_http_response(url, self.seed))
+            st[i] = status
+            if status == 200:
+                s2, h2, body2 = parse_http_response(make_http_response(
+                    url, self.seed, if_none_match=headers["etag"]))
+                st2[i], b2[i] = s2, len(body2)
+                etags.append(h2["etag"].strip('"'))
+            else:
+                st2[i], b2[i] = status, -1
+                etags.append("")
+        return pa.table({"url": batch["url"],
+                         "status": pa.array(st, pa.int64()),
+                         "second_status": pa.array(st2, pa.int64()),
+                         "second_body_len": pa.array(b2, pa.int64()),
+                         "etag_hex": pa.array(etags, pa.string())})
+
+
+def q_http_revalidate_stats(sf_dir: str):
+    """HTTP CONDITIONAL REVALIDATION end to end: fetch → capture the
+    200's ETag from the parsed header block → refetch with
+    If-None-Match → the origin's 304 Not Modified must come back with
+    an empty body and the validator echoed. Per-URL output gates the
+    full loop: first/second status, second body length (0 on the 304
+    path), and the ETag hex parsed OUT OF the 304 response's headers.
+    ORACLE-CHECKED: second_status/body are closed-form in the status
+    class; the validator is substr(md5(url), 1, 8) computed by DuckDB
+    directly — so the ETag must survive generate → header-emit →
+    parse → conditional-request → 304-echo → re-parse unchanged."""
+    import ray.data as rd
+    tbl = make_seed_urls(ROBOTS_N_URLS, seed=42)
+    urls = sorted(set(tbl["url"].to_pylist()))
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    out = ds.map_batches(_HttpRevalidateStage,
+                         fn_constructor_kwargs={"seed": 42},
+                         concurrency=(1, 2), num_cpus=1,
+                         batch_format="pyarrow").to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _http_revalidate_oracle_sql(seed: int = 42) -> str:
+    from ..functions.sqlmirror import stable_hash64_cte
+    from ..sources.corpus import _HTTP_SALT
+
+    urls = sorted(set(
+        make_seed_urls(ROBOTS_N_URLS, seed=seed)["url"].to_pylist()))
+    values = ", ".join(f"('{u}')" for u in urls)
+    w, c = stable_hash64_cte(
+        f"SELECT column0 AS url FROM (VALUES {values}) v(column0)",
+        "url", {"h": seed ^ _HTTP_SALT}, prefix="hr_")
+    return w + (
+        f", hr_c AS (SELECT url, h % 100 AS r FROM {c}) "
+        "SELECT url, "
+        "CAST(CASE WHEN r < 80 THEN 200 WHEN r < 90 THEN 301 "
+        "WHEN r < 95 THEN 404 ELSE 500 END AS BIGINT) AS status, "
+        "CAST(CASE WHEN r < 80 THEN 304 WHEN r < 90 THEN 301 "
+        "WHEN r < 95 THEN 404 ELSE 500 END AS BIGINT) AS second_status, "
+        "CAST(CASE WHEN r < 80 THEN 0 ELSE -1 END AS BIGINT) "
+        "AS second_body_len, "
+        "CASE WHEN r < 80 THEN substr(md5(url), 1, 8) ELSE '' END "
+        "AS etag_hex "
+        "FROM hr_c ORDER BY url")
 
 
 def _media_decode_oracle_sql(seed: int = 42) -> str:
@@ -9912,6 +9996,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "robots_real_verdicts": _robots_real_oracle_sql(),
     "sitemap_extract": _sitemap_oracle_sql(),
     "http_fetch_stats": _http_parse_oracle_sql(),
+    "http_revalidate_stats": _http_revalidate_oracle_sql(),
     "curate_documents": _curate_documents_oracle_sql(),
     "crawl_host_counts": _crawl_host_counts_oracle_sql(),
     "crawl_doc_stats": _crawl_doc_stats_oracle_sql(),

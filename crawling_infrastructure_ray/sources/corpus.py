@@ -304,7 +304,8 @@ _SITEMAP_SALT = 0x51E7
 _HTTP_SALT = 0x177E
 
 
-def make_http_response(url: str, seed: int = 42) -> bytes:
+def make_http_response(url: str, seed: int = 42,
+                       if_none_match: str | None = None) -> bytes:
     """Deterministic synthetic raw HTTP/1.1 response BYTES for a URL —
     real wire format: status line, CRLF header block (case-varied
     keys), empty line, then a body that for 200s uses CHUNKED
@@ -317,13 +318,24 @@ def make_http_response(url: str, seed: int = 42) -> bytes:
       r < 90 → 301: Location: /p<(h>>8) % 16^6 :06x> on the same host,
                empty body
       r < 95 → 404, else 500: fixed 5-byte body 'error'
+    200s carry a strong validator ``ETag: "<md5(url)[:8]>"``; a
+    request presenting it via ``if_none_match`` gets a 304 Not
+    Modified with empty body (this origin's resources are immutable).
     Mirrored in training._http_parse_oracle_sql (one extra hash
-    recursion replays the redirect target's status)."""
+    recursion replays the redirect target's status) and
+    _http_revalidate_oracle_sql (the 304 path)."""
     h = stable_hash64(url, seed ^ _HTTP_SALT)
     r = h % 100
     host = url.split("/")[2] if "://" in url else "h0.example"
     rid = md5_id(url)[:8]
     if r < 80:
+        etag = f'"{md5_id(url)[:8]}"'
+        if if_none_match is not None and if_none_match == etag:
+            # conditional revalidation hit: the resource is immutable
+            # in this origin, so a matching validator always 304s
+            return (f"HTTP/1.1 304 Not Modified\r\n"
+                    f"ETag: {etag}\r\n"
+                    f"Content-Length: 0\r\n\r\n").encode("ascii")
         n = 100 + (h >> 8) % 400
         base = (h >> 16) % 256
         c = 64 + (h >> 24) % 64
@@ -339,6 +351,7 @@ def make_http_response(url: str, seed: int = 42) -> bytes:
         head = (f"HTTP/1.1 200 OK\r\n"
                 f"Content-Type: text/html; charset=utf-8\r\n"
                 f"x-request-id: {rid}\r\n"
+                f"ETag: {etag}\r\n"
                 f"Transfer-Encoding: chunked\r\n\r\n").encode("ascii")
         return head + b"".join(chunks) + b"0\r\n\r\n"
     if r < 90:

@@ -42,6 +42,22 @@ def test_malformed_rejected():
         parse_http_response(b"HTTP/1.1 200 OK\r\nA: b")
 
 
+def test_revalidation_304():
+    from crawling_infrastructure_ray.functions.hashing import md5_id
+    # find a 200 url
+    url = next(u for u in (f"http://h1.example/p{i:06x}" for i in range(50))
+               if stable_hash64(u, 42 ^ 0x177E) % 100 < 80)
+    s1, h1, b1 = parse_http_response(make_http_response(url, 42))
+    assert s1 == 200 and h1["etag"] == f'"{md5_id(url)[:8]}"'
+    s2, h2, b2 = parse_http_response(
+        make_http_response(url, 42, if_none_match=h1["etag"]))
+    assert (s2, b2) == (304, b"") and h2["etag"] == h1["etag"]
+    # a stale validator must NOT revalidate
+    s3, _, b3 = parse_http_response(
+        make_http_response(url, 42, if_none_match='"deadbeef"'))
+    assert s3 == 200 and b3 == b1
+
+
 def test_origin_roundtrip_closed_form():
     seen = set()
     for i in range(200):
