@@ -52,7 +52,7 @@ from ..functions.hashing import stable_hash64
 from ..functions.urltools import canonicalize_and_host
 from .filters import (BloomFilter, CuckooFilter, ExactSeenSet,
                       ScalableSeenFilter)
-from .politeness import HostPoliteness, RobotsCache
+from .politeness import HostPoliteness, RealRobots, RobotsCache
 
 # per-item states — values match the reference enum (lib/types/queue.ts:13)
 INITIAL, RUNNING, COMPLETED, FAILED = 0, 1, 2, 3
@@ -75,7 +75,7 @@ class FrontierShardCore:
                  politeness: bool = False, default_rate: float = 1.0,
                  default_burst: float = 4.0,
                  politeness_overrides: dict | None = None,
-                 robots: bool = False,
+                 robots: bool = False, robots_impl: str = "simulated",
                  max_retries: int = 3, lease_ttl: float = 600.0,
                  order: str = "fifo", seed: int = 42,
                  track_seen_urls: bool = True):
@@ -113,7 +113,16 @@ class FrontierShardCore:
         self.politeness = (HostPoliteness(default_rate, default_burst,
                                           politeness_overrides)
                            if politeness else None)
-        self.robots = RobotsCache(seed) if robots else None
+        # robots_impl: 'simulated' (hash verdicts, checkpoint-stable —
+        # the conformance default) | 'real' (RealRobots: the RFC-9309
+        # text parser over the synthetic per-host robots.txt origin;
+        # same interface, oracle-gated by robots_real_verdicts)
+        if not robots:
+            self.robots = None
+        elif robots_impl == "real":
+            self.robots = RealRobots(seed)
+        else:
+            self.robots = RobotsCache(seed)
         # lineage counters (reference worker_meta analog, lib/types/workermeta.ts)
         self.counters = {"enqueued": 0, "deduped": 0, "robots_denied": 0,
                          "leased": 0, "leases_issued": 0,
@@ -646,8 +655,13 @@ class FrontierShardCore:
             self.seen = BloomFilter.from_state(st)
         self.politeness = (HostPoliteness.from_state(ctrl["politeness"])
                            if ctrl["politeness"] is not None else None)
-        self.robots = (RobotsCache.from_state(ctrl["robots"])
-                       if ctrl["robots"] is not None else None)
+        rst = ctrl["robots"]
+        if rst is None:
+            self.robots = None
+        elif rst.get("kind") == "real":
+            self.robots = RealRobots.from_state(rst)
+        else:
+            self.robots = RobotsCache.from_state(rst)
         tbl = pq.read_table(os.path.join(path, "items.parquet"))
         self.items = {}
         self.heap = []

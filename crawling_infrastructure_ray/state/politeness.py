@@ -160,7 +160,8 @@ class RobotsCache:
         return not (mask >> shard) & 1
 
     def state(self) -> dict:
-        return {"seed": self.seed, "ndisallowed": self.ndisallowed}
+        return {"kind": "simulated", "seed": self.seed,
+                "ndisallowed": self.ndisallowed}
 
     @classmethod
     def from_state(cls, st: dict) -> "RobotsCache":
@@ -209,7 +210,7 @@ class RealRobots:
         return self._host_rules(host).crawl_delay
 
     def state(self) -> dict:
-        return {"seed": self.seed, "agent": self.agent}
+        return {"kind": "real", "seed": self.seed, "agent": self.agent}
 
     @classmethod
     def from_state(cls, st: dict) -> "RealRobots":

@@ -104,6 +104,39 @@ def test_real_robots_state_roundtrip():
         rr.allowed("http://h3.example/p123456")
 
 
+def test_shard_robots_impl_real_and_checkpoint_kind(tmp_path):
+    """The live shard accepts robots_impl='real' (RealRobots verdicts
+    at claim time) and the checkpoint round-trips the implementation
+    KIND, not just the seed."""
+    from crawling_infrastructure_ray.state.frontier import (
+        FrontierShardCore, COMPLETED, FAILED)
+
+    core = FrontierShardCore(0, robots=True, robots_impl="real", seed=42)
+    rr = RealRobots(seed=42)
+    urls = [f"http://h2.example/p{i:06x}" for i in range(64)]
+    core.enqueue(list(range(64)), urls, [0] * 64)
+    lease = core.lease(64, now=0.0)
+    # disallowed URLs went terminal-failed with the robots error and
+    # must match the oracle-gated parser's verdicts exactly
+    denied = {u for u in urls if not rr.allowed(u)}
+    leased = set(lease["url"])
+    assert leased == set(urls) - denied
+    assert core.counters["robots_denied"] == len(denied)
+    # checkpoint keeps the REAL implementation
+    p = str(tmp_path / "shard")
+    core.snapshot(p)
+    core2 = FrontierShardCore(0)
+    core2.restore(p)
+    assert isinstance(core2.robots, RealRobots)
+    # simulated kind round-trips too (and legacy states default to it)
+    core3 = FrontierShardCore(0, robots=True, seed=42)
+    core3.snapshot(p)
+    core4 = FrontierShardCore(0)
+    core4.restore(p)
+    from crawling_infrastructure_ray.state.politeness import RobotsCache
+    assert isinstance(core4.robots, RobotsCache)
+
+
 def test_generator_emits_parseable_text():
     txt = make_robots_txt("h5.example", seed=42)
     assert txt.startswith("# synthetic robots")
