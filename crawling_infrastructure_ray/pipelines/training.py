@@ -5731,6 +5731,76 @@ def _http_revalidate_oracle_sql(seed: int = 42) -> str:
         "FROM hr_c ORDER BY url")
 
 
+class _IndexabilityStage:
+    """Actor-pool page fetch + indexability parse: the synthetic
+    origin serves a real HTML page per URL; the stage reads robots
+    meta directives (order-independent attribute parsing), the
+    canonical link, and the post-clean_html followable link count."""
+
+    def __init__(self, seed: int = 42):
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.html import page_indexability
+        from ..sources.corpus import make_html_page
+        urls = batch["url"].to_pylist()
+        rows = [page_indexability(make_html_page(u, self.seed))
+                for u in urls]
+        return pa.table({
+            "url": batch["url"],
+            "noindex": pa.array([r["noindex"] for r in rows]),
+            "nofollow": pa.array([r["nofollow"] for r in rows]),
+            "canonical": pa.array([r["canonical"] for r in rows],
+                                  pa.string()),
+            "n_links": pa.array([r["n_links"] for r in rows],
+                                pa.int64())})
+
+
+def q_indexability_stats(sf_dir: str):
+    """PAGE INDEXABILITY end to end — the fetch→enqueue decision
+    layer over real HTML: per seed URL the origin serves a page
+    (corpus.make_html_page) whose ``<meta name="robots">`` attribute
+    ORDER is hash-flipped (defeating fixed-pattern matching), whose
+    ``<script>`` block hides a decoy anchor (link counting must run
+    AFTER clean_html), and whose canonical link / anchor list are
+    closed-form. The stage (stages.html.page_indexability) emits
+    per-URL noindex/nofollow flags, canonical target, and followable
+    link count. ORACLE-CHECKED: the DuckDB twin replays all four
+    columns from the URL-hash closed form without parsing HTML."""
+    import ray.data as rd
+    tbl = make_seed_urls(ROBOTS_N_URLS, seed=42)
+    urls = sorted(set(tbl["url"].to_pylist()))
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    out = ds.map_batches(_IndexabilityStage,
+                         fn_constructor_kwargs={"seed": 42},
+                         concurrency=(1, 2), num_cpus=1,
+                         batch_format="pyarrow").to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _indexability_oracle_sql(seed: int = 42) -> str:
+    from ..functions.sqlmirror import stable_hash64_cte
+    from ..sources.corpus import _HTML_SALT
+
+    urls = sorted(set(
+        make_seed_urls(ROBOTS_N_URLS, seed=seed)["url"].to_pylist()))
+    values = ", ".join(f"('{u}')" for u in urls)
+    w, c = stable_hash64_cte(
+        f"SELECT column0 AS url FROM (VALUES {values}) v(column0)",
+        "url", {"h": seed ^ _HTML_SALT}, prefix="ix_")
+    return w + (
+        f", ix_c AS (SELECT url, h, h % 100 AS m, "
+        f"split_part(url, '/', 3) AS host FROM {c}) "
+        "SELECT url, "
+        "m < 15 AS noindex, "
+        "m >= 10 AND m < 25 AS nofollow, "
+        "CASE WHEN (h >> 8) % 100 < 20 THEN 'http://' || host || '/p' || "
+        "lower(lpad(hex(CAST((h >> 16) % 16777216 AS BIGINT)), 6, '0')) "
+        "ELSE '' END AS canonical, "
+        "CAST(2 + (h >> 40) % 4 AS BIGINT) AS n_links "
+        "FROM ix_c ORDER BY url")
+
+
 def _media_decode_oracle_sql(seed: int = 42) -> str:
     """DuckDB twin of the PPM decode chain: image refs (hh % 3 = 0)
     from the crawl mirror, pixel statistics from the generator's
@@ -9997,6 +10067,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "sitemap_extract": _sitemap_oracle_sql(),
     "http_fetch_stats": _http_parse_oracle_sql(),
     "http_revalidate_stats": _http_revalidate_oracle_sql(),
+    "indexability_stats": _indexability_oracle_sql(),
     "curate_documents": _curate_documents_oracle_sql(),
     "crawl_host_counts": _crawl_host_counts_oracle_sql(),
     "crawl_doc_stats": _crawl_doc_stats_oracle_sql(),

@@ -302,6 +302,53 @@ _SITEMAP_SALT = 0x51E7
 
 
 _HTTP_SALT = 0x177E
+_HTML_SALT = 0x4A7B
+
+
+def make_html_page(url: str, seed: int = 42) -> str:
+    """Deterministic synthetic HTML page TEXT for a URL — the
+    indexability-relevant head/body a real crawler must parse:
+    optional ``<meta name="robots">`` (noindex/nofollow draws, with
+    ATTRIBUTE ORDER flipped by a hash bit so fixed-pattern matching
+    fails), optional ``<link rel="canonical">``, a ``<script>`` block
+    containing a DECOY ``<a href>`` that link extraction must not see
+    (it must run after clean_html), and the real anchor list.
+
+    Closed-form in h = stable_hash64(url, seed ^ 0x4A7B), m = h%100:
+      noindex  = m < 15 ; nofollow = 10 <= m < 25  (10–14 both)
+      canonical present iff (h>>8)%100 < 20, target
+        '/p<(h>>16) % 16^6 :06x>' on the same host
+      n_links  = 2 + (h>>40) % 4, link k → '/p<(h ^ k·0x9E3779B9)
+        % 16^6 :06x>'
+    Mirrored in training._indexability_oracle_sql."""
+    h = stable_hash64(url, seed ^ _HTML_SALT)
+    m = h % 100
+    host = url.split("/")[2] if "://" in url else "h0.example"
+    head = ["<!doctype html>", "<html>", "<head>",
+            f"<title>page {url}</title>"]
+    flags = []
+    if m < 15:
+        flags.append("noindex")
+    if 10 <= m < 25:
+        flags.append("nofollow")
+    if flags:
+        content = ", ".join(flags)
+        if (h >> 32) & 1:  # attribute order flipped
+            head.append(f'<meta content="{content}" name="robots">')
+        else:
+            head.append(f'<meta name="robots" content="{content}">')
+    if (h >> 8) % 100 < 20:
+        tgt = f"http://{host}/p{(h >> 16) % (1 << 24):06x}"
+        head.append(f'<link href="{tgt}" rel="canonical">')
+    head.append("</head>")
+    body = ["<body>",
+            "<script>var decoy = '<a href=\"/decoy\">x</a>';</script>"]
+    n_links = 2 + (h >> 40) % 4
+    for k in range(n_links):
+        pid = (h ^ (k * 0x9E3779B9)) % (1 << 24)
+        body.append(f'<p>see <a href="/p{pid:06x}">link {k}</a></p>')
+    body += ["</body>", "</html>"]
+    return "\n".join(head + body)
 
 
 def make_http_response(url: str, seed: int = 42,

@@ -45,6 +45,48 @@ def clean_html_batch(batch: pa.Table, column: str = "text",
     return batch.append_column(out_column, clean_html_string(batch[column]))
 
 
+_TAG_META_RE = re.compile(r"<meta\b[^>]*>", re.I)
+_TAG_LINK_RE = re.compile(r"<link\b[^>]*>", re.I)
+_ATTR_RE = re.compile(r"""(\w[\w-]*)\s*=\s*["']([^"']*)["']""")
+
+
+def _tag_attrs(tag: str) -> dict[str, str]:
+    """Attribute dict of one HTML tag, keys lower-cased —
+    ORDER-INDEPENDENT (a fixed name-then-content pattern breaks on
+    half the synthetic corpus, whose generator flips attribute order
+    by a hash bit)."""
+    return {k.lower(): v for k, v in _ATTR_RE.findall(tag)}
+
+
+def page_indexability(html: str) -> dict:
+    """Indexability signals of one page, the decision layer a crawler
+    runs between fetch and enqueue: robots meta directives
+    (noindex/nofollow from ``<meta name="robots">``, comma-separated,
+    case/whitespace-insensitive), the canonical target
+    (``<link rel="canonical">`` href, '' when absent), and the
+    followable link count — anchors extracted AFTER clean_html, so
+    script-embedded decoy anchors don't count. Oracle-gated by
+    ``indexability_stats``."""
+    noindex = nofollow = False
+    for tag in _TAG_META_RE.findall(html):
+        attrs = _tag_attrs(tag)
+        if attrs.get("name", "").lower() == "robots":
+            tokens = {t.strip().lower()
+                      for t in attrs.get("content", "").split(",")}
+            noindex = noindex or "noindex" in tokens
+            nofollow = nofollow or "nofollow" in tokens
+    canonical = ""
+    for tag in _TAG_LINK_RE.findall(html):
+        attrs = _tag_attrs(tag)
+        if attrs.get("rel", "").lower() == "canonical":
+            canonical = attrs.get("href", "")
+            break
+    cleaned = clean_html_string(pa.array([html]))[0].as_py()
+    n_links = len(_HREF_RE.findall(cleaned))
+    return {"noindex": noindex, "nofollow": nofollow,
+            "canonical": canonical, "n_links": n_links}
+
+
 def extract_links_batch(batch: pa.Table, text_column: str = "text",
                         id_column: str = "doc_id") -> pa.Table:
     """Explode each document into (src_doc, href, out_host) rows."""
