@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_stats", "audio_decode_stats", "video_decode_stats",
         "media_resize_stats", "robots_real_verdicts", "sitemap_extract",
         "http_fetch_stats", "http_revalidate_stats", "indexability_stats",
+        "fetch_decision_chain",
     ]
     reg = _registry()
     graded = _driver_graded_names()
@@ -323,6 +324,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "http_fetch_stats": qt.q_http_fetch_stats,
         "http_revalidate_stats": qt.q_http_revalidate_stats,
         "indexability_stats": qt.q_indexability_stats,
+        "fetch_decision_chain": qt.q_fetch_decision_chain,
         "media_ann_topk": qt.q_media_ann_topk,
         "curate_documents": qc.q_curate_documents,
         "a3_warm_crawl": qt.q_a3_warm_crawl,

@@ -5801,6 +5801,123 @@ def _indexability_oracle_sql(seed: int = 42) -> str:
         "FROM ix_c ORDER BY url")
 
 
+class _FetchDecisionStage:
+    """Actor-pool composition of the whole per-URL decision chain a
+    production crawl loop runs between dequeue and enqueue-children:
+    REAL robots.txt verdict → REAL HTTP fetch+parse → REAL HTML
+    indexability — every layer the text/wire path, nothing
+    hash-simulated."""
+
+    def __init__(self, seed: int = 42):
+        from ..state.politeness import RealRobots
+        self.seed = seed
+        self.robots = RealRobots(seed=seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.http import parse_http_response
+        from ..sources.corpus import make_html_page, make_http_response
+        from ..stages.html import page_indexability
+        urls = batch["url"].to_pylist()
+        k = len(urls)
+        disp, st, nl = [], np.zeros(k, np.int64), np.zeros(k, np.int64)
+        for i, url in enumerate(urls):
+            if not self.robots.allowed(url):
+                disp.append("denied_robots")
+                continue
+            status, _, _ = parse_http_response(
+                make_http_response(url, self.seed))
+            st[i] = status
+            if status == 301:
+                disp.append("redirect")
+            elif status != 200:
+                disp.append("error")
+            else:
+                ix = page_indexability(make_html_page(url, self.seed))
+                if ix["noindex"]:
+                    disp.append("noindex")
+                else:
+                    disp.append("indexed")
+                nl[i] = 0 if ix["nofollow"] else ix["n_links"]
+        return pa.table({"url": batch["url"],
+                         "disposition": pa.array(disp, pa.string()),
+                         "status": pa.array(st, pa.int64()),
+                         "n_follow_links": pa.array(nl, pa.int64())})
+
+
+def q_fetch_decision_chain(sf_dir: str):
+    """THE COMPOSED CRAWL DECISION CHAIN — robots.txt → HTTP → HTML
+    indexability per URL, every layer running its REAL text/wire
+    parser over synthetic-origin bytes (nothing hash-simulated on
+    this path): a robots-denied URL never fetches; a 301 is
+    'redirect'; a 4xx/5xx is 'error'; a 200 parses to 'noindex' or
+    'indexed', and nofollow zeroes its followable link count. This is
+    the per-URL disposition function a 100-TB crawl loop applies a
+    billion times. ORACLE-CHECKED: the DuckDB twin composes the THREE
+    independent closed forms (robots nibbles from the host hash, HTTP
+    status class from the URL hash, robots-meta class from a third
+    salt's hash) through the same precedence — any cross-layer
+    composition slip (running indexability on an error page, counting
+    links under nofollow, fetching a denied URL) hash-mismatches."""
+    import ray.data as rd
+    tbl = make_seed_urls(ROBOTS_N_URLS, seed=42)
+    urls = sorted(set(tbl["url"].to_pylist()))
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    out = ds.map_batches(_FetchDecisionStage,
+                         fn_constructor_kwargs={"seed": 42},
+                         concurrency=(1, 2), num_cpus=1,
+                         batch_format="pyarrow").to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _fetch_decision_oracle_sql(seed: int = 42) -> str:
+    from ..functions.sqlmirror import stable_hash64_cte
+    from ..sources.corpus import _HTML_SALT, _HTTP_SALT, _ROBOTS_SALT
+
+    urls = sorted(set(
+        make_seed_urls(ROBOTS_N_URLS, seed=seed)["url"].to_pylist()))
+    values = ", ".join(f"('{u}')" for u in urls)
+    w1, c1 = stable_hash64_cte(
+        f"SELECT DISTINCT split_part(column0, '/', 3) AS host "
+        f"FROM (VALUES {values}) v(column0)", "host",
+        {"rh": seed ^ _ROBOTS_SALT}, prefix="fd_")
+    sql = w1
+    w2, c2 = stable_hash64_cte(
+        f"SELECT column0 AS url FROM (VALUES {values}) v(column0)",
+        "url", {"hh": seed ^ _HTTP_SALT, "hx": seed ^ _HTML_SALT},
+        prefix="fd2_", include_with=False)
+    sql += w2 + (
+        f", fd_r AS (SELECT host, "
+        f"substr('0123456789abcdef', CAST(rh % 16 AS INTEGER) + 1, 1) AS d1, "
+        f"substr('0123456789abcdef', CAST((rh >> 4) % 16 AS INTEGER) + 1, 1) AS d2, "
+        f"substr('0123456789abcdef', CAST((rh >> 8) % 16 AS INTEGER) + 1, 1) AS e, "
+        f"substr('0123456789abcdef', CAST((rh >> 16) % 16 AS INTEGER) + 1, 1) AS g "
+        f"FROM {c1}), "
+        f"fd_u AS (SELECT url, hh % 100 AS r, hx % 100 AS m, "
+        f"CAST(2 + (hx >> 40) % 4 AS BIGINT) AS nl, "
+        f"split_part(url, '/', 3) AS host, "
+        f"split_part(url, '/', 4) AS pseg FROM {c2}), "
+        "fd_v AS (SELECT u.url, u.r, u.m, u.nl, "
+        "CASE WHEN substr(u.pseg, 2, 1) = x.d1 "
+        "AND substr(u.pseg, 3, 1) = x.e THEN TRUE "
+        "WHEN substr(u.pseg, 7, 1) = x.g THEN FALSE "
+        "WHEN substr(u.pseg, 2, 1) = x.d1 "
+        "OR substr(u.pseg, 2, 1) = x.d2 THEN FALSE "
+        "ELSE TRUE END AS rob_ok "
+        "FROM fd_u u JOIN fd_r x ON u.host = x.host) "
+        "SELECT url, "
+        "CASE WHEN NOT rob_ok THEN 'denied_robots' "
+        "WHEN r >= 80 AND r < 90 THEN 'redirect' "
+        "WHEN r >= 90 THEN 'error' "
+        "WHEN m < 15 THEN 'noindex' ELSE 'indexed' END AS disposition, "
+        "CAST(CASE WHEN NOT rob_ok THEN 0 WHEN r < 80 THEN 200 "
+        "WHEN r < 90 THEN 301 WHEN r < 95 THEN 404 ELSE 500 END "
+        "AS BIGINT) AS status, "
+        "CAST(CASE WHEN rob_ok AND r < 80 AND NOT (m >= 10 AND m < 25) "
+        "THEN nl ELSE 0 END AS BIGINT) AS n_follow_links "
+        "FROM fd_v ORDER BY url")
+    return sql
+
+
 def _media_decode_oracle_sql(seed: int = 42) -> str:
     """DuckDB twin of the PPM decode chain: image refs (hh % 3 = 0)
     from the crawl mirror, pixel statistics from the generator's
@@ -10068,6 +10185,7 @@ ORACLE_SQL_TRAINING: dict[str, str] = {
     "http_fetch_stats": _http_parse_oracle_sql(),
     "http_revalidate_stats": _http_revalidate_oracle_sql(),
     "indexability_stats": _indexability_oracle_sql(),
+    "fetch_decision_chain": _fetch_decision_oracle_sql(),
     "curate_documents": _curate_documents_oracle_sql(),
     "crawl_host_counts": _crawl_host_counts_oracle_sql(),
     "crawl_doc_stats": _crawl_doc_stats_oracle_sql(),
