@@ -69,11 +69,24 @@ def parse_http_response(raw: bytes) -> tuple[int, dict[str, str], bytes]:
             if body_raw[pos + size:pos + size + 2] != b"\r\n":
                 raise ValueError("chunked: missing data CRLF")
             pos = pos + size + 2
-        return status, headers, b"".join(out)
-
-    if "content-length" in headers:
+        body = b"".join(out)
+    elif "content-length" in headers:
         n = int(headers["content-length"])
         if len(body_raw) < n:
             raise ValueError("short body vs Content-Length")
-        return status, headers, body_raw[:n]
-    return status, headers, body_raw
+        body = body_raw[:n]
+    else:
+        body = body_raw
+
+    # content coding AFTER transfer coding (RFC 9110 ordering):
+    # de-frame the chunks, then decompress the representation
+    enc = headers.get("content-encoding", "").lower()
+    if enc == "gzip":
+        import gzip
+        try:
+            body = gzip.decompress(body)
+        except OSError as exc:
+            raise ValueError(f"gzip body: {exc}") from None
+    elif enc and enc != "identity":
+        raise ValueError(f"unsupported content-encoding {enc!r}")
+    return status, headers, body

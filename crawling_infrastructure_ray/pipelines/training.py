@@ -5624,8 +5624,10 @@ def _http_parse_oracle_sql(seed: int = 42) -> str:
         "SELECT c.url, "
         "CAST(CASE WHEN c.r < 80 THEN 200 WHEN c.r < 90 THEN 301 "
         "WHEN c.r < 95 THEN 404 ELSE 500 END AS BIGINT) AS status, "
-        "CAST(CASE WHEN c.r < 80 THEN 4 ELSE 2 END AS BIGINT) "
-        "AS n_headers, "  # 200s: content-type, x-request-id, etag, te
+        # 200s: content-type, x-request-id, etag, transfer-encoding,
+        # + content-encoding on the gzip half ((h>>40)&1)
+        "CAST(CASE WHEN c.r < 80 THEN 4 + ((c.h >> 40) & 1) "
+        "ELSE 2 END AS BIGINT) AS n_headers, "
         "CAST(CASE WHEN c.r >= 80 AND c.r < 90 THEN 1 ELSE 0 END "
         "AS BIGINT) AS hops, "
         "CAST(CASE WHEN c.r >= 80 AND c.r < 90 THEN f.fin "

@@ -361,7 +361,9 @@ def make_http_response(url: str, seed: int = 42,
 
     Closed-form in h = stable_hash64(url, seed ^ 0x177E), r = h%100:
       r < 80 → 200: body = stride-31 residue walk, n = 100 + (h>>8)%400
-               bytes, base = (h>>16)%256, chunk size c = 64+(h>>24)%64
+               bytes, base = (h>>16)%256, chunk size c = 64+(h>>24)%64;
+               (h>>40)&1 selects Content-Encoding: gzip (the chunked
+               framing wraps the compressed stream)
       r < 90 → 301: Location: /p<(h>>8) % 16^6 :06x> on the same host,
                empty body
       r < 95 → 404, else 500: fixed 5-byte body 'error'
@@ -389,8 +391,17 @@ def make_http_response(url: str, seed: int = 42,
         body = ((np.uint64(base) + np.uint64(PPM_STEP)
                  * np.arange(n, dtype=np.uint64)) % np.uint64(256)) \
             .astype(np.uint8).tobytes()
+        # half the 200s ship gzip-compressed (most real origins do);
+        # the chunked framing then wraps the COMPRESSED stream, so the
+        # client must de-frame AND decompress to recover the walk
+        gz = (h >> 40) & 1
+        enc_hdr = ""
+        if gz:
+            import gzip as _gzip
+            body = _gzip.compress(body, mtime=0)
+            enc_hdr = "Content-Encoding: gzip\r\n"
         chunks = []
-        for i, off in enumerate(range(0, n, c)):
+        for i, off in enumerate(range(0, len(body), c)):
             piece = body[off:off + c]
             ext = b";gen=synthetic" if i == 0 else b""
             chunks.append(b"%x" % len(piece) + ext + b"\r\n"
@@ -399,6 +410,7 @@ def make_http_response(url: str, seed: int = 42,
                 f"Content-Type: text/html; charset=utf-8\r\n"
                 f"x-request-id: {rid}\r\n"
                 f"ETag: {etag}\r\n"
+                f"{enc_hdr}"
                 f"Transfer-Encoding: chunked\r\n\r\n").encode("ascii")
         return head + b"".join(chunks) + b"0\r\n\r\n"
     if r < 90:

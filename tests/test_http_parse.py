@@ -42,6 +42,25 @@ def test_malformed_rejected():
         parse_http_response(b"HTTP/1.1 200 OK\r\nA: b")
 
 
+def test_gzip_content_encoding():
+    import gzip
+    body = bytes(range(200))
+    gz = gzip.compress(body, mtime=0)
+    raw = (b"HTTP/1.1 200 OK\r\n"
+           b"Content-Encoding: gzip\r\n"
+           b"Content-Length: " + str(len(gz)).encode() + b"\r\n\r\n" + gz)
+    status, headers, got = parse_http_response(raw)
+    assert status == 200 and got == body
+    with pytest.raises(ValueError):  # corrupted stream
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+            b"Content-Length: 5\r\n\r\nnotgz")
+    with pytest.raises(ValueError):  # unknown coding
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n"
+            b"Content-Length: 1\r\n\r\nx")
+
+
 def test_revalidation_304():
     from crawling_infrastructure_ray.functions.hashing import md5_id
     # find a 200 url
